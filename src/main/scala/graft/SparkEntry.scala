@@ -1,13 +1,57 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 (or a scale
+  * extension), with a matching DuckDB oracle in [[oracleSql]] where the
+  * semantics are ANSI-SQL-expressible. Column names/aliases are identical on
+  * both sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Ctr.fixedWindow(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Windowed CTR calculators (W1/W2/W5 + A1/A2)
+    "ctr_fixed_window"   -> ((s, d) => Ctr.fixedWindow(s, d)),
+    "ctr_sliding_window" -> ((s, d) => Ctr.slidingWindow(s, d)),
+    "ctr_session_window" -> ((s, d) => Ctr.sessionWindow(s, d)),
+    // Enrichment joins (J1/J2/J4 + K5)
+    "broadcast_enrich_latest" -> ((s, d) => Enrich.broadcastEnrichLatest(s, d)),
+    "enrich_dlq"              -> ((s, d) => Enrich.enrichDlq(s, d)),
+    "interval_join_latest"    -> ((s, d) => Enrich.intervalJoinLatest(s, d)),
+    "cogroup_stats"           -> ((s, d) => Enrich.cogroupStats(s, d)),
+    // Relational family (S3-S5 capability: scan + pushdown + joins + windows)
+    "q1_pricing_summary"     -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q3_top_orders"          -> ((s, d) => Relational.q3TopOrders(s, d)),
+    "q5_nation_revenue"      -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "top_parts_per_brand"    -> ((s, d) => Relational.topPartsPerBrand(s, d)),
+    "order_priority_shipped" -> ((s, d) => Relational.orderPriorityShipped(s, d)),
+    "events_user_stats"      -> ((s, d) => Relational.eventsUserStats(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "ctr_fixed_window"   -> Ctr.fixedWindowSql,
+    "ctr_sliding_window" -> Ctr.slidingWindowSql,
+    "ctr_session_window" -> Ctr.sessionWindowSql,
+    "broadcast_enrich_latest" -> Enrich.broadcastEnrichLatestSql,
+    "enrich_dlq"              -> Enrich.enrichDlqSql,
+    "interval_join_latest"    -> Enrich.intervalJoinLatestSql,
+    "cogroup_stats"           -> Enrich.cogroupStatsSql,
+    "q1_pricing_summary"     -> Relational.q1PricingSummarySql,
+    "q3_top_orders"          -> Relational.q3TopOrdersSql,
+    "q5_nation_revenue"      -> Relational.q5NationRevenueSql,
+    "top_parts_per_brand"    -> Relational.topPartsPerBrandSql,
+    "order_priority_shipped" -> Relational.orderPriorityShippedSql,
+    "events_user_stats"      -> Relational.eventsUserStatsSql,
+  )
 }

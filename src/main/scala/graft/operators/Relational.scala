@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Relational query family over the TPC-H-ish corpus.
+  *
+  * The reference delegates all relational work to BigQuery SQL
+  * (`/root/reference/.../bigquery/TypedBigQuery.scala:13-19`); here the same
+  * capability is Catalyst-native. These queries double as the benchmark
+  * headliners, so each is written to produce the plan we'd want at 100 TB:
+  * filters/projections adjacent to the scan (pushdown + pruning), dimension
+  * joins explicitly `broadcast()`, aggregates in the column DSL (partial
+  * aggregation + whole-stage codegen).
+  *
+  * Determinism-for-oracle rule: every double aggregate goes through an exact
+  * DECIMAL sum and is only then cast back to DOUBLE, so the value is
+  * identical regardless of partitioning / summation order, in Spark and in
+  * DuckDB alike. Plain double `sum()` would differ in the last ulps between
+  * engines and fail the driver's hash compare.
+  */
+object Relational {
+
+  /** Exact, order-insensitive sum of a double expression: cast each term to
+    * DECIMAL(18,4), sum (exact), cast the total back to DOUBLE. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  private val sqlRevenue = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+
+  /** TPC-H Q1-style pricing summary: scan-heavy, 4-way aggregate. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(revenue).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+  }
+
+  val q1PricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS sum_disc_price,
+       |  COUNT(*) AS count_order,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top-10 open orders by discounted revenue.
+    * customer is the small side → broadcast; lineitem⋈orders shuffles on
+    * the join key with partial aggregation before the final top-k. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = Corpus.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Corpus.orders(s, dir)
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Corpus.lineitem(s, dir)
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3TopOrdersSql: String =
+    s"""SELECT l_orderkey, o_orderdate, CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue per nation; 5-way join where every dimension
+    * (region→nation→customer/supplier) broadcasts, so only the
+    * lineitem⋈orders fact join shuffles. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nat = Corpus.nation(s, dir).select("n_nationkey", "n_name")
+    val cust = Corpus.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Corpus.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val ord = Corpus.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Corpus.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q5NationRevenueSql: String =
+    s"""SELECT n_name, CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  /** Analytic window function: top-3 parts per brand by total revenue
+    * (partitioned row_number — shuffles once on p_brand). */
+  def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val pt = Corpus.part(s, dir).select("p_partkey", "p_brand")
+    val li = Corpus.lineitem(s, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = li
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    rev.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rank")
+  }
+
+  val topPartsPerBrandSql: String =
+    s"""WITH rev AS (
+       |  SELECT p_brand, p_partkey, CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY p_brand, p_partkey)
+       |SELECT p_brand, p_partkey, revenue,
+       |  ROW_NUMBER() OVER (PARTITION BY p_brand
+       |                     ORDER BY revenue DESC, p_partkey ASC) AS rank
+       |FROM rev
+       |QUALIFY rank <= 3""".stripMargin
+
+  /** Semi-join (EXISTS) + anti-join (NOT EXISTS) in one result: order
+    * priority counts split by whether any lineitem shipped late. */
+  def orderPriorityShipped(s: SparkSession, dir: String): DataFrame = {
+    val ord = Corpus.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    val late = Corpus.lineitem(s, dir)
+      .where(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey")
+    val withLate = ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("late_orders"))
+    val noLate = ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("ontime_orders"))
+    withLate.join(noLate, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("late_orders"), lit(0L)).as("late_orders"),
+        coalesce(col("ontime_orders"), lit(0L)).as("ontime_orders"))
+  }
+
+  val orderPriorityShippedSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN EXISTS (
+      |    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > TIMESTAMP '2000-01-01') THEN 1 END) AS late_orders,
+      |  COUNT(CASE WHEN NOT EXISTS (
+      |    SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > TIMESTAMP '2000-01-01') THEN 1 END) AS ontime_orders
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Per-user event rollup over the stream table (batch view): count,
+    * distinct event types, exact purchase revenue. */
+  def eventsUserStats(s: SparkSession, dir: String): DataFrame =
+    Corpus.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("purchase_value"))
+
+  val eventsUserStatsSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+      |FROM events
+      |GROUP BY user_id""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver's parquet corpus (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Each reader is a plain parquet scan — Catalyst pushes filters and prunes
+  * columns into the scan, which is the Spark-native equivalent of the
+  * reference's BigQuery Storage-API `rowRestriction` + typed column pruning
+  * (`/root/reference/.../bigquery/TypedBigQueryStorage.scala:14-16`).
+  */
+object Corpus {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`: the
+    * corpus `events.parquet` carries TIMESTAMP(NANOS) which Spark has no
+    * native type for. The nanos long is truncated to microseconds here —
+    * exactly what DuckDB does when it reads the same file, so oracle
+    * comparisons stay exact. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .getOrElse(df)
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = normalizeTs(table(s, d, "events"))
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Canonical mapping of the `events` table onto the reference's `AdEvent`
+    * stream (FIXTURES.md §B.1), fixed here so the DuckDB oracle can express
+    * the identical mapping:
+    *   ad_id     = event_id % 1000
+    *   screen_id = user_id
+    *   action    = click → Click, view → Impression, else Unknown
+    */
+  def adEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      (col("event_id") % 1000L).as("ad_id"),
+      col("user_id").as("screen_id"),
+      when(col("event_type") === "click", "Click")
+        .when(col("event_type") === "view", "Impression")
+        .otherwise("Unknown").as("action"),
+      col("ts"))
+
+  /** SQL fragment of [[adEvents]] for DuckDB oracles. */
+  val adEventsSql: String =
+    """SELECT event_id % 1000 AS ad_id, user_id AS screen_id,
+      |  CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'Impression'
+      |       ELSE 'Unknown' END AS action, ts
+      |FROM events""".stripMargin
+
+  /** `screens` stream stand-in: view events — screen id = event, publication
+    * id = user (FIXTURES.md §B.1 latest-wins enrichment shape). */
+  def screens(s: SparkSession, d: String): DataFrame =
+    events(s, d).where(col("event_type") === "view").select(
+      col("event_id").as("screen_id"),
+      col("user_id").as("publication_id"),
+      col("ts"))
+
+  val screensSql: String =
+    """SELECT event_id AS screen_id, user_id AS publication_id, ts
+      |FROM events WHERE event_type = 'view'""".stripMargin
+
+  /** `publications` dimension stand-in: signup events — one version row per
+    * occurrence; latest per publication_id wins (reference J1 semantics).
+    * The dimension deliberately excludes `user_id % 5 == 0` so the J1 DLQ
+    * (unmatched screens) path is exercised at every scale factor. */
+  def publications(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .where(col("event_type") === "signup" && col("user_id") % 5L =!= 0L)
+      .select(
+        col("user_id").as("publication_id"),
+        concat(lit("v"), col("event_id")).as("version"),
+        col("ts"))
+
+  val publicationsSql: String =
+    """SELECT user_id AS publication_id, 'v' || event_id AS version, ts
+      |FROM events WHERE event_type = 'signup' AND user_id % 5 <> 0""".stripMargin
+}

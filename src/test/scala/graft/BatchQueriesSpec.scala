@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.Corpus
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class BatchQueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and has a schema-stable result") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("capped semigroup clamps clicks and impressions at 1") {
+    val ctr = Ctr.fixedWindow(spark, sf)
+    val over = ctr.where(col("clicks") > 1 || col("impressions") > 1).count()
+    assert(over == 0)
+    // ctr column only ever 0, 1, or null under the capped semigroup
+    val bad = ctr.where(col("ctr").isNotNull && col("ctr") =!= 0.0 && col("ctr") =!= 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("sliding windows assign each event to exactly two windows") {
+    val fixedTotal = Corpus.adEvents(spark, sf)
+      .where(col("action") =!= "Unknown").count()
+    val slidingContrib = Ctr.slidingWindow(spark, sf)
+      .agg(sum(col("clicks") + col("impressions"))).head().getLong(0)
+    assert(slidingContrib == 2 * fixedTotal)
+  }
+
+  test("session windows respect the dynamic gap bounds") {
+    val sess = Ctr.sessionWindow(spark, sf)
+    // every session spans at least 1 minute (min gap) beyond its start
+    val tooShort = sess.where(
+      col("session_end") < col("session_start") + expr("INTERVAL 1 MINUTE")).count()
+    assert(tooShort == 0)
+  }
+
+  test("broadcast enrichment: matched + dlq partitions the screens") {
+    val screens = Corpus.screens(spark, sf).count()
+    val enriched = Enrich.broadcastEnrichLatest(spark, sf)
+    val matched = enriched.where(col("matched")).count()
+    val dlq = Enrich.enrichDlq(spark, sf).count()
+    assert(matched + dlq == screens)
+    assert(dlq > 0, "DLQ path not exercised by fixture mapping")
+  }
+
+  test("broadcast enrichment picks the latest publication version") {
+    val row = Enrich.broadcastEnrichLatest(spark, sf)
+      .where(col("matched")).orderBy(col("screen_id")).limit(1).head()
+    val pubId = row.getLong(row.fieldIndex("publication_id"))
+    val expected = Corpus.publications(spark, sf)
+      .where(col("publication_id") === pubId)
+      .orderBy(col("ts").desc).limit(1).head().getString(1)
+    assert(row.getString(row.fieldIndex("version")) == expected)
+  }
+
+  test("interval join only matches views within the 10-minute bound") {
+    val j = Enrich.intervalJoinLatest(spark, sf).where(col("view_id").isNotNull)
+    val outOfRange = j.where(
+      col("view_ts") > col("click_ts") ||
+      col("click_ts") >= col("view_ts") + expr("INTERVAL 10 MINUTE")).count()
+    assert(outOfRange == 0)
+    // one output row per click (left-outer + argmax)
+    val clicks = Corpus.events(spark, sf).where(col("event_type") === "click").count()
+    assert(Enrich.intervalJoinLatest(spark, sf).count() == clicks)
+  }
+
+  test("q1 aggregates are exact decimals (order-insensitive)") {
+    val a = Relational.q1PricingSummary(spark, sf).orderBy("l_returnflag", "l_linestatus").collect()
+    val b = Relational.q1PricingSummary(spark, sf).repartition(7)
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(a.sameElements(b))
+  }
+}

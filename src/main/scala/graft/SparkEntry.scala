@@ -35,6 +35,21 @@ object SparkEntry {
     "top_parts_per_brand"    -> ((s, d) => Relational.topPartsPerBrand(s, d)),
     "order_priority_shipped" -> ((s, d) => Relational.orderPriorityShipped(s, d)),
     "events_user_stats"      -> ((s, d) => Relational.eventsUserStats(s, d)),
+    // Text analysis (scale extensions)
+    "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    // Deduplication (scale extensions)
+    "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
+    "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "minhash_lsh_pairs"  -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
+    "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // Similarity search (scale extensions)
+    "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
+    "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
+    "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +68,17 @@ object SparkEntry {
     "top_parts_per_brand"    -> Relational.topPartsPerBrandSql,
     "order_priority_shipped" -> Relational.orderPriorityShippedSql,
     "events_user_stats"      -> Relational.eventsUserStatsSql,
+    "text_stats"      -> TextAnalysis.textStatsSql,
+    "quality_score"   -> TextAnalysis.qualityScoreSql,
+    "lang_id"         -> TextAnalysis.langIdSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "dedup_exact"        -> Dedup.dedupExactSql,
+    "minhash_signatures" -> Dedup.minhashSignaturesSql,
+    "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,
+    "simhash_signatures" -> Dedup.simhashSignaturesSql,
+    "simhash_pairs"      -> Dedup.simhashPairsSql,
+    "ann_brute_force"     -> Similarity.annBruteForceSql,
+    "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
+    "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
   )
 }

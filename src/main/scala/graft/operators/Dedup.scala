@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Deduplication operators for training-data pipelines over `documents`
+  * (builder-prompt scale extensions).
+  *
+  * Scale design (the point of each operator at 100 TB):
+  * - exact: one hash-shuffle on a 32-char fingerprint — the minimum possible.
+  * - MinHash+LSH: the classic shingle→minhash→band→bucket-join pipeline.
+  *   Candidate generation is a self-join on band keys (tiny vs O(n²) all
+  *   pairs); only candidates pay the exact-Jaccard verification join.
+  * - SimHash: 16-bit signature via per-bit majority vote; near-dup pairs
+  *   found by banding the signature (4 bands × 4 bits) so hamming≤3 pairs
+  *   are guaranteed to collide in ≥1 band — again no O(n²).
+  *
+  * Hashing uses md5 (identical in Spark and DuckDB) rather than
+  * xxhash64/murmur (engine-specific), so every stage is oracle-checkable.
+  * MinHash permutations are md5(i || shingle) — k independent uniform
+  * hashes without modular-arithmetic overflow concerns; minima compare as
+  * hex strings.
+  */
+object Dedup {
+
+  private val numMinhash = 8   // minhash functions
+  private val bandSize = 2     // → 4 LSH bands
+
+  /** 3-token shingles of the canonical tokenization, distinct per doc. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2),
+              element_at(col("toks"), i + 3))))
+        .otherwise(array(concat_ws(" ", col("toks"))))
+        .as("shingles"))
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+  }
+
+  private val shingledSql: String =
+    s"""SELECT doc_id, UNNEST(list_distinct(
+       |  CASE WHEN len(${TextAnalysis.tokensSql}) >= 3 THEN
+       |    list_transform(range(0, len(${TextAnalysis.tokensSql}) - 2),
+       |      i -> (${TextAnalysis.tokensSql})[i+1] || ' ' ||
+       |           (${TextAnalysis.tokensSql})[i+2] || ' ' ||
+       |           (${TextAnalysis.tokensSql})[i+3])
+       |  ELSE [array_to_string(${TextAnalysis.tokensSql}, ' ')] END)) AS shingle
+       |FROM documents""".stripMargin
+
+  /** Exact dedup: group identical normalized content, keep the lowest id
+    * (hash-groupBy — a single shuffle on the fingerprint). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), md5(norm).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** MinHash signatures: k md5-derived minima over the shingle set,
+    * serialized as one comma-joined string (stable across engines). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until numMinhash).map { i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")
+    }
+    shingled(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        concat_ws(",", (0 until numMinhash).map(i => col(s"mh$i")): _*).as("signature"))
+  }
+
+  val minhashSignaturesSql: String = {
+    val mins = (0 until numMinhash)
+      .map(i => s"MIN(md5('$i|' || shingle)) AS mh$i").mkString(",\n  ")
+    val cols = (0 until numMinhash).map(i => s"mh$i").mkString(" || ',' || ")
+    s"""WITH sh AS ($shingledSql),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |SELECT doc_id, $cols AS signature FROM sig""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (4 bands × 2 hashes),
+    * self-join on band keys for candidates, verify with exact shingle
+    * Jaccard ≥ 0.5. Jaccard = |∩|/|∪| over exact bigint counts → the
+    * double is bit-deterministic. */
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val aggs = (0 until numMinhash).map { i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val nBands = numMinhash / bandSize
+    val bandKeys = (0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until bandSize).map(j => col(s"mh${b * bandSize + j}")): _*))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    val l = bands.as("l"); val r = bands.as("r")
+    val candidates = l.join(r,
+        col("l.band_key") === col("r.band_key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+         (col("za.n_shingles") + col("zb.n_shingles") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  val minhashLshPairsSql: String = {
+    val mins = (0 until numMinhash)
+      .map(i => s"MIN(md5('$i|' || shingle)) AS mh$i").mkString(",\n  ")
+    val nBands = numMinhash / bandSize
+    val bandExprs = (0 until nBands).map { b =>
+      val parts = (0 until bandSize).map(j => s"mh${b * bandSize + j}").mkString(" || '|' || ")
+      s"md5($parts)"
+    }.mkString(", ")
+    s"""WITH sh AS ($shingledSql),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, UNNEST([$bandExprs]) AS band_key FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh sa ON cand.doc_a = sa.doc_id
+       |  JOIN sh sb ON cand.doc_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id
+       |WHERE CAST(n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_inter) >= 0.5""".stripMargin
+  }
+
+  /** SimHash signatures: 16-bit per-token-majority hash. Bit j of a token's
+    * hash = LSB parity of hex digit j of its md5; the document bit is the
+    * sign of the ±1 sum over tokens (frequency-weighted, non-distinct). */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val tokens = Corpus.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .withColumn("h", md5(col("token")))
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f").map(lit(_))
+    val bitAggs = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L))
+        .as(s"s$j")
+    }
+    val voted = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 16).map { j =>
+      when(col(s"s$j") >= 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val simhashSignaturesSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      s"SUM(CASE WHEN substring(h, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    val sig = (0 until 16)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(UNNEST(${TextAnalysis.tokensSql})) AS h
+       |  FROM documents),
+       |voted AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM voted""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: band the 16-bit signature into 4 nibbles; any
+    * pair within hamming distance 3 shares ≥1 nibble (pigeonhole), so the
+    * nibble-join finds all such candidates without an all-pairs scan. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(s, dir)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nib"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.nib").as("nib"))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(expr("l.simhash ^ r.simhash").cast("long")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3L)
+  }
+
+  val simhashPairsSql: String =
+    s"""WITH sig AS ($simhashSignaturesSql),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band AS band,
+       |    (simhash >> (b.band * 4)) & 15 AS nib
+       |  FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band) b),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Text-analysis operators for training-data pipelines over `documents`
+  * (builder-prompt scale extensions; SURVEY.md §7.3 step 8).
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs —
+  * so whole-stage codegen keeps the per-document work in one pass over the
+  * scan, and the operators parallelize embarrassingly at 100 TB (no shuffle
+  * at all except where an aggregate is requested).
+  *
+  * Determinism rule: all scores derive from exact integer counts combined
+  * with IEEE double arithmetic, so the DuckDB oracle reproduces them bitwise.
+  */
+object TextAnalysis {
+
+  /** Canonical tokenization shared by every text operator (and mirrored in
+    * the SQL oracles): lowercase, collapse whitespace, split on space. */
+  def tokensCol(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  val tokensSql: String =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  private val stopwordPattern = "\\b(the|a|an|of|to|and|in|is|for|on)\\b"
+  private val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Per-document stats: char/token counts, BPE-ish token count, punctuation
+    * and stopword ratios, and a composite quality score. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.documents(s, dir)
+    val toks = tokensCol(col("text"))
+    val nTokens = size(toks).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nPunct = length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long")
+    val nStop = regexp_count(lower(col("text")), lit(stopwordPattern)).cast("long")
+    val nBpe = regexp_count(lower(col("text")), lit(bpeishPattern)).cast("long")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val stopRatio = nStop.cast("double") / nTokens.cast("double")
+    val meanTokLen = nChars.cast("double") / nTokens.cast("double")
+    d.select(
+      col("doc_id"), col("lang"),
+      nChars.as("n_chars"), nTokens.as("n_tokens"), nBpe.as("n_bpe_tokens"),
+      punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"))
+  }
+
+  val textStatsSql: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$bpeishPattern')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopwordPattern')) AS DOUBLE)
+       |    / len($tokensSql) AS stopword_ratio,
+       |  CAST(length(text) AS DOUBLE) / len($tokensSql) AS mean_token_len
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: range/ratio heuristics folded into one double score;
+    * documents below the cut get `keep = false`. Weights are arbitrary but
+    * fixed; every term is exact-int-derived so the score is reproducible. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stats = textStats(s, dir)
+    // integer scoring out of 10, divided once — no float accumulation, so
+    // the value is identical in any engine
+    val lenTerm = when(col("n_chars") >= 100L && col("n_chars") <= 20000L, 4L).otherwise(0L)
+    val stopTerm = when(col("stopword_ratio") >= 0.01, 2L).otherwise(0L)
+    val punctTerm = when(col("punct_ratio") <= 0.2, 2L).otherwise(0L)
+    val tokTerm = when(col("mean_token_len") >= 3.0 && col("mean_token_len") <= 12.0, 2L).otherwise(0L)
+    val score10 = lenTerm + stopTerm + punctTerm + tokTerm
+    stats.select(col("doc_id"),
+      (score10.cast("double") / 10.0).as("quality"),
+      (score10 >= 6L).as("keep"))
+  }
+
+  val qualityScoreSql: String =
+    s"""WITH stats AS ($textStatsSql),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 4 ELSE 0 END)
+       |    + (CASE WHEN stopword_ratio >= 0.01 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN punct_ratio <= 0.2 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 2 ELSE 0 END)
+       |    AS score10
+       |  FROM stats)
+       |SELECT doc_id, CAST(score10 AS DOUBLE) / 10 AS quality, score10 >= 6 AS keep
+       |FROM scored""".stripMargin
+
+  /** Language-ID by n-gram/marker-word heuristic: per language, count hits
+    * of characteristic function words; argmax with a fixed precedence order
+    * breaks ties. (The synthetic corpus is English-ish regardless of its
+    * `lang` label, so `agree` measures heuristic-vs-label, not truth.) */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was)\\b",
+    "de" -> "\\b(der|und|die|das|nicht)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|es|una)\\b",
+    "zh" -> "\\b(de|shi|le|bu|wo)\\b")
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Corpus.documents(s, dir)
+    val scored = langMarkers.foldLeft(d) { case (df, (l, pat)) =>
+      df.withColumn(s"score_$l", regexp_count(lower(col("text")), lit(pat)).cast("long"))
+    }
+    // argmax with precedence = declaration order: strictly-greater wins
+    val (firstLang, _) = langMarkers.head
+    val pred = langMarkers.tail.foldLeft(
+      (col(s"score_$firstLang"), lit(firstLang))) { case ((bestScore, bestLang), (l, _)) =>
+        val better = col(s"score_$l") > bestScore
+        (when(better, col(s"score_$l")).otherwise(bestScore),
+         when(better, lit(l)).otherwise(bestLang))
+    }._2
+    scored.select(
+      col("doc_id"), col("lang"),
+      pred.as("predicted"),
+      (pred === col("lang")).as("agree"))
+  }
+
+  val langIdSql: String = {
+    val scores = langMarkers.map { case (l, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS score_$l"
+    }.mkString(",\n  ")
+    val (firstLang, _) = langMarkers.head
+    // Build the nested argmax CASE expression iteratively (same fold as Spark).
+    var bestScore = s"score_$firstLang"
+    var bestLang = s"'$firstLang'"
+    langMarkers.tail.foreach { case (l, _) =>
+      bestLang = s"CASE WHEN score_$l > $bestScore THEN '$l' ELSE $bestLang END"
+      bestScore = s"CASE WHEN score_$l > $bestScore THEN score_$l ELSE $bestScore END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $scores
+       |  FROM documents)
+       |SELECT doc_id, lang, $bestLang AS predicted,
+       |  ($bestLang) = lang AS agree
+       |FROM scored""".stripMargin
+  }
+
+  /** Document fingerprinting: full-content hash of the normalized text plus
+    * a coarse "head" hash (first 64 normalized chars) — the rolling-hash
+    * prefix trick for cheap candidate blocking. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Corpus.documents(s, dir).select(
+      col("doc_id"),
+      md5(norm).as("fingerprint"),
+      md5(substring(norm, 1, 64)).as("head_fingerprint"))
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  md5(substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64))
+      |    AS head_fingerprint
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Semantic specs for the training-data-pipeline operators (dedup,
+  * similarity, text analysis) beyond the oracle hash-match. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact dedup: every document accounted for, keep_id is a member") {
+    val d = Dedup.dedupExact(spark, sf)
+    val total = d.agg(sum("n_copies")).head().getLong(0)
+    assert(total == graft.sources.Corpus.documents(spark, sf).count())
+  }
+
+  test("minhash signatures have the declared arity and are hex") {
+    val sigs = Dedup.minhashSignatures(spark, sf)
+    val bad = sigs.where(size(split(col("signature"), ",")) =!= 8).count()
+    assert(bad == 0)
+    val nonHex = sigs.where(!col("signature").rlike("^[0-9a-f,]+$")).count()
+    assert(nonHex == 0)
+  }
+
+  test("minhash LSH pairs all meet the jaccard threshold and are ordered") {
+    val p = Dedup.minhashLshPairs(spark, sf)
+    assert(p.where(col("jaccard") < 0.5).count() == 0)
+    assert(p.where(col("doc_a") >= col("doc_b")).count() == 0)
+  }
+
+  test("simhash is a 16-bit value; identical docs get identical simhash") {
+    val sigs = Dedup.simhashSignatures(spark, sf)
+    assert(sigs.where(col("simhash") < 0L || col("simhash") > 65535L).count() == 0)
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val p = Dedup.simhashPairs(spark, sf)
+    assert(p.where(col("hamming") > 3L).count() == 0)
+  }
+
+  test("ann brute force: k results per query, sims sorted and in [-1,1]") {
+    val r = Similarity.annBruteForce(spark, sf)
+    val counts = r.groupBy("query_id").count()
+    assert(counts.where(col("count") =!= 5L).count() == 0)
+    assert(r.where(col("sim") > 1.0 || col("sim") < -1.0).count() == 0)
+    // rank 1 sim >= rank k sim per query
+    val firstVsLast = r.groupBy("query_id")
+      .agg(max_by(col("sim"), col("rank")).as("last"),
+           min_by(col("sim"), col("rank")).as("first"))
+    assert(firstVsLast.where(col("first") < col("last")).count() == 0)
+  }
+
+  test("ann LSH results are a subset of brute-force candidates by bucket") {
+    // LSH top-k sims can never exceed the brute-force top-1 per query
+    val bf = Similarity.annBruteForce(spark, sf)
+      .groupBy("query_id").agg(max("sim").as("bf_max"))
+    val lsh = Similarity.annLshBucketed(spark, sf)
+      .groupBy("query_id").agg(max("sim").as("lsh_max"))
+    val j = lsh.join(bf, "query_id")
+    assert(j.where(col("lsh_max") > col("bf_max")).count() == 0)
+  }
+
+  test("embedding near-dups symmetric-free and above threshold") {
+    val p = Similarity.embeddingNearDups(spark, sf)
+    assert(p.where(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(p.where(col("sim") < 0.4).count() == 0)
+  }
+
+  test("text stats: ratios well-formed") {
+    val t = TextAnalysis.textStats(spark, sf)
+    assert(t.where(col("punct_ratio") < 0.0 || col("punct_ratio") > 1.0).count() == 0)
+    assert(t.where(col("n_tokens") <= 0L).count() == 0)
+  }
+
+  test("quality score is decile-quantized and keep matches the cut") {
+    val q = TextAnalysis.qualityScore(spark, sf)
+    assert(q.where(col("quality") < 0.0 || col("quality") > 1.0).count() == 0)
+    assert(q.where(col("keep") =!= (col("quality") >= 0.6)).count() == 0)
+  }
+
+  test("lang_id emits a known language and agree is consistent") {
+    val l = TextAnalysis.langId(spark, sf)
+    val known = Seq("en", "de", "fr", "es", "zh")
+    assert(l.where(!col("predicted").isin(known: _*)).count() == 0)
+    assert(l.where(col("agree") =!= (col("predicted") === col("lang"))).count() == 0)
+  }
+}

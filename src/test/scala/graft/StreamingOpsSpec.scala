@@ -1,0 +1,186 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{LookupCacheJoin, Repeater}
+
+/** Streaming scenario specs for the two stateful operators, re-expressing the
+  * reference's test suites
+  * (`/root/reference/.../windowing/AdEventFixedWindowWithRepeaterEnricherTest.scala:37-111`,
+  * `ScreenGlobalWindowWithLookupCacheEnricherTest.scala:28-152`).
+  *
+  * Watermark control (SURVEY.md §5): Spark has no `advanceWatermarkTo`; the
+  * watermark is `max(event time) − delay`, updated at batch end. Each
+  * "advance watermark to T" step is emulated by injecting a driver element at
+  * T on a dedicated key (`WmKey`) and running a micro-batch; Spark's no-data
+  * batch then fires due event-time timers.
+  */
+class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** "HH:mm:ss" on the 1970-01-01 epoch day, UTC — the reference's time
+    * convention (`InstantConverters.scala:7-13`). */
+  private def ts(hhmmss: String): Timestamp =
+    Timestamp.from(Instant.parse(s"1970-01-01T${hhmmss}Z"))
+
+  private val WmKey = "__wm__"
+
+  private def minutes(n: Int): Long = n * 60L * 1000L
+
+  // ---------------------------------------------------------------- Repeater
+
+  test("repeater: first sighting emits immediately, then re-emits per interval until ttl") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(String, String, Timestamp)]
+    val ds = in.toDS().withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]
+    val out = Repeater.repeat(ds, minutes(10), minutes(30))
+    val q = out.writeStream.format("memory").queryName("rep1").outputMode("append").start()
+    try {
+      in.addData(("screen1", "s1", ts("12:00:00")))
+      q.processAllAvailable()
+      // advance watermark past lastSeen + ttl → ticks at 12:10/12:20/12:30, then expiry
+      in.addData((WmKey, "x", ts("12:45:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("rep1").as[Repeater.Repeated[String, String]]
+        .collect().filter(_.key == "screen1").sortBy(_.emitTs.getTime)
+      assert(rows.map(r => (r.emitTs, r.repeated)).toSeq === Seq(
+        (ts("12:00:00"), false),
+        (ts("12:10:00"), true),
+        (ts("12:20:00"), true),
+        (ts("12:30:00"), true)))
+    } finally q.stop()
+  }
+
+  test("repeater: re-sighting refreshes ttl and the cached value") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[(String, String, Timestamp)]
+    val ds = in.toDS().withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]
+    val out = Repeater.repeat(ds, minutes(10), minutes(20))
+    val q = out.writeStream.format("memory").queryName("rep2").outputMode("append").start()
+    try {
+      in.addData(("screen1", "v1", ts("12:00:00")))
+      q.processAllAvailable()
+      // sighting at 12:05 refreshes lastSeen → ttl now runs to 12:25
+      in.addData(("screen1", "v2", ts("12:05:00")))
+      q.processAllAvailable()
+      in.addData((WmKey, "x", ts("12:40:00")))
+      q.processAllAvailable()
+
+      val rows = spark.table("rep2").as[Repeater.Repeated[String, String]]
+        .collect().filter(_.key == "screen1").sortBy(_.emitTs.getTime)
+      // ticks at 12:10 and 12:20 carry the refreshed value v2; the 12:20 tick
+      // is < 12:05+20min=12:25 so one more at 12:30, which is >= 12:25 → stop
+      assert(rows.map(r => (r.emitTs, r.value)).toSeq === Seq(
+        (ts("12:00:00"), "v1"),
+        (ts("12:10:00"), "v2"),
+        (ts("12:20:00"), "v2"),
+        (ts("12:30:00"), "v2")))
+    } finally q.stop()
+  }
+
+  // --------------------------------------------------------- LookupCacheJoin
+
+  private def runLookupScenario(name: String, ttlMin: Int)(
+      script: (MemoryStream[(String, String, Timestamp)],
+               MemoryStream[(String, String, Timestamp)],
+               StreamingQuery) => Unit): Seq[LookupCacheJoin.Enriched[String, String, String]] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val values = MemoryStream[(String, String, Timestamp)]
+    val lookups = MemoryStream[(String, String, Timestamp)]
+    // the operator sets the watermark internally on the unioned tagged stream
+    val out = LookupCacheJoin.join(values.toDS(), lookups.toDS(), minutes(ttlMin))
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      script(values, lookups, q)
+      spark.table(name).as[LookupCacheJoin.Enriched[String, String, String]]
+        .collect().toSeq.filterNot(_.key == WmKey).sortBy(e => (e.emitTs.getTime, e.value))
+    } finally q.stop()
+  }
+
+  test("lookup cache: lookup before value → enriched at value time") {
+    val rows = runLookupScenario("lc1", 60) { (values, lookups, q) =>
+      lookups.addData(("pub1", "v1", ts("12:00:00")))
+      q.processAllAvailable()
+      values.addData(("pub1", "screenA", ts("12:01:00")))
+      q.processAllAvailable()
+    }
+    assert(rows === Seq(
+      LookupCacheJoin.Enriched("pub1", "screenA", Some("v1"), ts("12:01:00"))))
+  }
+
+  test("lookup cache: value buffered until late lookup arrives, stamped at lookup time") {
+    val rows = runLookupScenario("lc2", 60) { (values, lookups, q) =>
+      values.addData(("pub1", "screenA", ts("12:00:00")))
+      q.processAllAvailable()
+      lookups.addData(("pub1", "v1", ts("12:05:00")))
+      q.processAllAvailable()
+    }
+    assert(rows === Seq(
+      LookupCacheJoin.Enriched("pub1", "screenA", Some("v1"), ts("12:05:00"))))
+  }
+
+  test("lookup cache: latest lookup wins, ordered and unordered") {
+    val rows = runLookupScenario("lc3", 60) { (values, lookups, q) =>
+      // unordered within one batch: the 12:02 version must win over 12:01
+      lookups.addData(("pub1", "vNew", ts("12:02:00")), ("pub1", "vOld", ts("12:01:00")))
+      q.processAllAvailable()
+      values.addData(("pub1", "screenA", ts("12:03:00")))
+      q.processAllAvailable()
+    }
+    assert(rows === Seq(
+      LookupCacheJoin.Enriched("pub1", "screenA", Some("vNew"), ts("12:03:00"))))
+  }
+
+  test("lookup cache: unmatched value flushed to DLQ at gc time") {
+    val rows = runLookupScenario("lc4", 10) { (values, lookups, q) =>
+      values.addData(("pub1", "screenA", ts("12:00:00")))
+      q.processAllAvailable()
+      // push the watermark past maxTsSeen + ttl on a different key
+      values.addData((WmKey, "x", ts("12:30:00")))
+      q.processAllAvailable()
+    }
+    assert(rows === Seq(
+      LookupCacheJoin.Enriched("pub1", "screenA", None, ts("12:10:00"))))
+  }
+
+  test("lookup cache: lookup refresh keeps key alive past the original ttl") {
+    val rows = runLookupScenario("lc5", 10) { (values, lookups, q) =>
+      lookups.addData(("pub1", "v1", ts("12:00:00")))
+      q.processAllAvailable()
+      lookups.addData(("pub1", "v2", ts("12:08:00")))
+      q.processAllAvailable()
+      // 12:15 is past 12:00+ttl but before 12:08+ttl → still enriched (v2)
+      values.addData(("pub1", "screenA", ts("12:15:00")))
+      q.processAllAvailable()
+    }
+    assert(rows === Seq(
+      LookupCacheJoin.Enriched("pub1", "screenA", Some("v2"), ts("12:15:00"))))
+  }
+}

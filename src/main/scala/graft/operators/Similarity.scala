@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.sources.Corpus
 
 /** Similarity search over the `embeddings` table (builder-prompt scale
@@ -31,8 +32,11 @@ object Similarity {
   /** Cast the float embedding to double once; all math stays in double. */
   private def vec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native expression ([[graft.functions.DotProduct]]) — the
+    * per-pair inner loop of every query here; the interpreted
+    * `aggregate(zip_with(...))` form cost ~30 s at sf0.1 on the all-pairs
+    * near-dup join. Same left-to-right fold, bit-identical results. */
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -19,9 +19,9 @@ import graft.sources.Corpus
   *
   * Hashing uses md5 (identical in Spark and DuckDB) rather than
   * xxhash64/murmur (engine-specific), so every stage is oracle-checkable.
-  * MinHash permutations are md5(i || shingle) — k independent uniform
-  * hashes without modular-arithmetic overflow concerns; minima compare as
-  * hex strings.
+  * MinHash permutations are 32-bit hex slices of md5(salt || shingle) over
+  * two salts — k uniform hashes from 2 digest computations per shingle;
+  * minima compare as fixed-length hex strings.
   */
 object Dedup {
 
@@ -71,13 +71,30 @@ object Dedup {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  /** The k permutation hashes are 8-hex-char (32-bit) slices of two md5
+    * digests — 2 digest computations per shingle row instead of k. The
+    * digests are materialized in a projection before the aggregate so the
+    * hash is provably computed once regardless of codegen subexpression
+    * elimination. Hex slices are fixed-length lowercase, so string MIN =
+    * numeric MIN. */
+  private def withDigests(sh: DataFrame): DataFrame = sh
+    .withColumn("da", md5(concat(lit("a|"), col("shingle"))))
+    .withColumn("db", md5(concat(lit("b|"), col("shingle"))))
+
+  private def mhAggs: Seq[Column] = (0 until numMinhash).map { i =>
+    min(substring(col(if (i < 4) "da" else "db"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
+  }
+
+  private val mhMinsSql: String = (0 until numMinhash).map { i =>
+    val src = if (i < 4) "a" else "b"
+    s"MIN(substring(md5('$src|' || shingle), ${(i % 4) * 8 + 1}, 8)) AS mh$i"
+  }.mkString(",\n  ")
+
   /** MinHash signatures: k md5-derived minima over the shingle set,
     * serialized as one comma-joined string (stable across engines). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until numMinhash).map { i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")
-    }
-    shingled(s, dir)
+    val aggs = mhAggs
+    withDigests(shingled(s, dir))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -85,11 +102,9 @@ object Dedup {
   }
 
   val minhashSignaturesSql: String = {
-    val mins = (0 until numMinhash)
-      .map(i => s"MIN(md5('$i|' || shingle)) AS mh$i").mkString(",\n  ")
     val cols = (0 until numMinhash).map(i => s"mh$i").mkString(" || ',' || ")
     s"""WITH sh AS ($shingledSql),
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)
+       |sig AS (SELECT doc_id, $mhMinsSql FROM sh GROUP BY doc_id)
        |SELECT doc_id, $cols AS signature FROM sig""".stripMargin
   }
 
@@ -99,10 +114,8 @@ object Dedup {
     * double is bit-deterministic. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir).cache()
-    val aggs = (0 until numMinhash).map { i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")
-    }
-    val sigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val aggs = mhAggs
+    val sigs = withDigests(sh).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val nBands = numMinhash / bandSize
     val bandKeys = (0 until nBands).map { b =>
       md5(concat_ws("|",
@@ -134,8 +147,7 @@ object Dedup {
   }
 
   val minhashLshPairsSql: String = {
-    val mins = (0 until numMinhash)
-      .map(i => s"MIN(md5('$i|' || shingle)) AS mh$i").mkString(",\n  ")
+    val mins = mhMinsSql
     val nBands = numMinhash / bandSize
     val bandExprs = (0 until nBands).map { b =>
       val parts = (0 until bandSize).map(j => s"mh${b * bandSize + j}").mkString(" || '|' || ")
@@ -168,13 +180,19 @@ object Dedup {
     * sign of the ±1 sum over tokens (frequency-weighted, non-distinct). */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
+    // One string pass per token: hex-digit parities → 16-char '0'/'1' string
+    // → one 16-bit long (`tb`, hex digit j = bit 15-j). The per-bit votes
+    // are then pure integer ops in the aggregate (the substring(h,j,1) ∈
+    // {odd hex} form burned 16×8 string compares per token row). The oracle
+    // keeps the readable substring form — results are identical.
     val tokens = Corpus.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("token"))
-      .withColumn("h", md5(col("token")))
-    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f").map(lit(_))
+      .withColumn("tb",
+        conv(translate(substring(md5(col("token")), 1, 16),
+          "0123456789abcdef", "0101010101010101"), 2, 10).cast("long"))
     val bitAggs = (0 until 16).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1L).otherwise(-1L))
-        .as(s"s$j")
+      sum(when(shiftright(col("tb"), 15 - j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$j")
     }
     val voted = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
     val sig = (0 until 16).map { j =>

@@ -28,6 +28,10 @@ object SparkEntry {
     "enrich_dlq"              -> ((s, d) => Enrich.enrichDlq(s, d)),
     "interval_join_latest"    -> ((s, d) => Enrich.intervalJoinLatest(s, d)),
     "cogroup_stats"           -> ((s, d) => Enrich.cogroupStats(s, d)),
+    // Batch analogs of the stateful streaming ops (T1/T2) + record construction (S1/P10)
+    "asof_lookup_join"    -> ((s, d) => StatefulBatch.asofLookupJoin(s, d)),
+    "repeat_ticks"        -> ((s, d) => StatefulBatch.repeatTicks(s, d)),
+    "record_construction" -> ((s, d) => Records.recordConstruction(s, d)),
     // Relational family (S3-S5 capability: scan + pushdown + joins + windows)
     "q1_pricing_summary"     -> ((s, d) => Relational.q1PricingSummary(s, d)),
     "q3_top_orders"          -> ((s, d) => Relational.q3TopOrders(s, d)),
@@ -62,6 +66,9 @@ object SparkEntry {
     "enrich_dlq"              -> Enrich.enrichDlqSql,
     "interval_join_latest"    -> Enrich.intervalJoinLatestSql,
     "cogroup_stats"           -> Enrich.cogroupStatsSql,
+    "asof_lookup_join"    -> StatefulBatch.asofLookupJoinSql,
+    "repeat_ticks"        -> StatefulBatch.repeatTicksSql,
+    "record_construction" -> Records.recordConstructionSql,
     "q1_pricing_summary"     -> Relational.q1PricingSummarySql,
     "q3_top_orders"          -> Relational.q3TopOrdersSql,
     "q5_nation_revenue"      -> Relational.q5NationRevenueSql,

@@ -50,6 +50,8 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // Multimodal columns (scale extensions; decode itself is stubbed)
+    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     // Similarity search (scale extensions)
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
@@ -84,6 +86,7 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
+    "media_meta" -> Multimodal.mediaMetaSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,

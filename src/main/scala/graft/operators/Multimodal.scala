@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Multimodal-column pipeline: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata (builder-prompt scale extension;
+  * the reference has no media surface, so this is engine-native).
+  *
+  * The media decode itself is STUBBED — this container ships no image or
+  * audio codecs — with a deterministic fake derived from the payload
+  * bytes. Everything around the stub is real and tested: the
+  * binary+metadata schema, the per-partition batched execution shape
+  * (codec handle initialized once per partition, the `mapInPandas`/
+  * `mapPartitions` production pattern), deterministic frame sampling via
+  * binary slicing, and the metadata projection with its DuckDB oracle.
+  *
+  * Scale notes: payloads stay opaque bytes end-to-end — no shuffle ever
+  * carries decoded frames; the decode is a narrow map over whatever
+  * partitioning the scan provides, so at 100 TB it parallelizes per file
+  * split with zero exchange. Metadata-only queries never touch `bytes`
+  * (column pruning keeps the scan at the small columns).
+  */
+object Multimodal {
+
+  final case class MediaItem(
+      docId: Long,
+      mediaType: String,
+      bytes: Array[Byte],
+      byteLen: Long)
+
+  final case class MediaFeatures(
+      docId: Long,
+      mediaType: String,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      features: Array[Float])
+
+  /** Opaque-payload media table derived from `documents`: the text bytes
+    * stand in for an encoded media payload; modality cycles by id. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Corpus.documents(s, dir)
+      .select(
+        col("doc_id").as("docId"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("mediaType"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("byteLen"))
+      .as[MediaItem]
+  }
+
+  /** STUB decoder — deterministic fake in place of a real codec. A
+    * production implementation swaps only this object (e.g. JNI/TwelveLabs
+    * bindings); it is instantiated once per partition, never per row. */
+  private object FakeCodec {
+    def decode(item: MediaItem, dim: Int): MediaFeatures = {
+      val n = item.byteLen
+      val feats = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        // stable per (doc, slot) pseudo-feature; a real codec returns
+        // pooled embeddings here
+        feats(i) = (((item.docId * 31 + i) * 2654435761L) % 1000L) / 1000.0f
+        i += 1
+      }
+      MediaFeatures(item.docId, item.mediaType,
+        width = (64L + n % 1217L).toInt,
+        height = (64L + (n * 31L) % 719L).toInt,
+        nFrames = ((n + 4095L) / 4096L).toInt,
+        features = feats)
+    }
+  }
+
+  /** Batched decode: one codec handle per partition, iterator-in /
+    * iterator-out — the Spark-native equivalent of a `mapInPandas` batch
+    * UDF. The plan stays a narrow map (no exchange). */
+  def decodeFeatures(items: Dataset[MediaItem], dim: Int = 8): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      val codec = FakeCodec // per-partition init point for a real codec
+      it.map(codec.decode(_, dim))
+    }
+  }
+
+  /** Deterministic frame sampling: fixed-stride binary slices of the
+    * payload (a real pipeline slices at container keyframes; the plumbing
+    * — binary substring on an opaque column, one row per frame — is
+    * identical). */
+  def frameSample(items: Dataset[MediaItem], frameBytes: Int = 1024, maxFrames: Int = 4): DataFrame =
+    items.toDF()
+      .select(col("docId"), col("mediaType"), col("byteLen"),
+        explode(sequence(lit(0),
+          least(lit(maxFrames - 1), ((col("byteLen") - 1) / frameBytes).cast("int"))))
+          .as("frameIdx"),
+        col("bytes"))
+      .select(col("docId"), col("mediaType"), col("frameIdx"),
+        expr(s"substring(bytes, frameIdx * $frameBytes + 1, $frameBytes)").as("frame"),
+        octet_length(expr(s"substring(bytes, frameIdx * $frameBytes + 1, $frameBytes)"))
+          .as("frameLen"))
+
+  /** Metadata projection (oracle-checked): typed metadata of every media
+    * item without ever reading the payload downstream — the fake decode's
+    * deterministic dimensions restated declaratively. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).toDF()
+      .select(col("docId").as("doc_id"), col("mediaType").as("media_type"),
+        col("byteLen").as("byte_len"),
+        (lit(64L) + col("byteLen") % 1217L).as("width"),
+        (lit(64L) + (col("byteLen") * 31L) % 719L).as("height"),
+        ((col("byteLen") + 4095L) / lit(4096L)).cast("long").as("n_frames"))
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS byte_len,
+      |  64 + octet_length(encode(text)) % 1217 AS width,
+      |  64 + (octet_length(encode(text)) * 31) % 719 AS height,
+      |  (octet_length(encode(text)) + 4095) // 4096 AS n_frames
+      |FROM documents""".stripMargin
+}

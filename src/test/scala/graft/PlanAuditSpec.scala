@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Similarity}
+import graft.sources.Corpus
+
+/** Plan-shape audit: the properties that matter at 100 TB, asserted on the
+  * optimized/physical plans so regressions surface as test failures, not
+  * as cluster bills.
+  */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-audit")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projections reach the parquet scan (S3-S5 pushdown)") {
+    val df = Corpus.lineitem(spark, sf)
+      .where(org.apache.spark.sql.functions.col("l_quantity") < 10)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>")
+      || scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:decimal"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("dimension joins broadcast the small side (q5 shape)") {
+    val plan = physicalPlan(Relational.q5NationRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query batch, not the corpus") {
+    val plan = physicalPlan(Similarity.annBruteForce(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$plan")
+  }
+
+  test("the codegen dot product stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // exchange-free plan: AQE leaves it alone, so the codegen subtree is
+    // inspectable pre-execution
+    val df = spark.range(10).select(
+      graft.functions.VectorFunctions.dot(
+        array(col("id").cast("double"), col("id").cast("double")),
+        array(col("id").cast("double"), lit(2.0))).as("d"))
+    val codegenPlan = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(codegenPlan.contains("WholeStageCodegen"), codegenPlan)
+    // the generated code must contain the primitive loop, not an
+    // interpreted fallback
+    assert(codegenPlan.contains("getDouble"), "dot product not code-generated")
+  }
+
+  test("windowed CTR aggregation is a partial+final hash aggregate") {
+    val plan = physicalPlan(graft.operators.Ctr.fixedWindow(spark, sf))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
+  }
+}

@@ -50,11 +50,13 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "ngram_jaccard_topk" -> ((s, d) => Dedup.ngramJaccardTopk(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     // Similarity search (scale extensions)
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
+    "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
   )
 
@@ -86,9 +88,11 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
+    "ngram_jaccard_topk" -> Dedup.ngramJaccardTopkSql,
     "media_meta" -> Multimodal.mediaMetaSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
+    "ann_ivf"             -> Similarity.annIvfSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
   )
 }

@@ -40,9 +40,15 @@ object Dedup {
     * split on space) matches [[TextAnalysis.tokensCol]] and the SQL
     * oracle's `string_split(regexp_replace(lower(trim(text)),...))`
     * exactly on this ASCII corpus. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledFrom(s, Corpus.documents(s, dir))
+
+  /** Shingles of an arbitrary (possibly pre-filtered) documents frame —
+    * filters applied to `docs` push into the parquet scan, unlike a filter
+    * above the (opaque-to-Catalyst) flatMap. */
+  private def shingledFrom(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Corpus.documents(s, dir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
@@ -292,4 +298,58 @@ object Dedup {
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  /** Exact n-gram Jaccard top-k via an inverted-index join: a small probe
+    * set's shingles (filter pushed into the scan) are broadcast against
+    * the corpus shingle stream; sharing ≥1 shingle is the candidate
+    * condition, exact |∩|/|∪| ranks the survivors. The corpus side is
+    * never shuffled by doc — only the per-(probe, candidate) partial
+    * counts move. This is the exact-similarity complement of the
+    * MinHash/SimHash sketches. */
+  def ngramJaccardTopk(s: SparkSession, dir: String): DataFrame = {
+    val nProbes = 20
+    val topK = 3
+    val sh = shingled(s, dir)
+    val probes = shingledFrom(s,
+        Corpus.documents(s, dir).where(col("doc_id") < nProbes))
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val inter = sh.join(broadcast(probes), Seq("shingle"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val scored = inter
+      .join(sizes.as("za"), col("probe_id") === col("za.doc_id"))
+      .join(sizes.as("zb"), inter("doc_id") === col("zb.doc_id"))
+      .select(col("probe_id"), inter("doc_id").as("neighbor_id"),
+        (col("n_inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_inter")).cast("double")).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("jaccard"))
+  }
+
+  val ngramJaccardTopkSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |probes AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 20),
+       |inter AS (
+       |  SELECT p.probe_id, s.doc_id, COUNT(*) AS n_inter
+       |  FROM sh s JOIN probes p USING (shingle)
+       |  WHERE s.doc_id <> p.probe_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |scored AS (
+       |  SELECT probe_id, inter.doc_id AS neighbor_id,
+       |    CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON probe_id = za.doc_id
+       |  JOIN sizes zb ON inter.doc_id = zb.doc_id),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY jaccard DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, neighbor_id, jaccard FROM r WHERE rank <= 3""".stripMargin
 }

@@ -148,6 +148,83 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= $topK""".stripMargin
 
+  private val nCentroids = 16
+  private val nProbe = 2
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their best of
+    * [[nCentroids]] centroid cells; a query probes only its [[nProbe]]
+    * closest cells, so the scored candidate set is `nProbe/nCentroids` of
+    * the corpus instead of all of it — the coarse-quantization scale path
+    * next to the hyperplane-LSH one.
+    *
+    * Centroids are the first [[nCentroids]] corpus vectors — a
+    * deterministic stand-in for k-means iterations (which would converge
+    * engine-specifically); the assignment, cell inversion, and probe
+    * machinery are exactly the production IVF shape. Every vector belongs
+    * to one cell, so no candidate dedup is needed. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Corpus.embeddings(s, dir)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cellScores = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cscore"))
+    // argmax assignment: deterministic (score, cid) lexicographic max
+    val assigned = cellScores.groupBy(col("vec_id"))
+      .agg(max(struct(col("cscore"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cell"))
+    val members = e.join(assigned, Seq("vec_id"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val probes = cellScores.where(col("vec_id") < nQueries)
+      .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cid").as("cell"))
+    val scored = members.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  val annIvfSql: String =
+    s"""WITH e AS ($sqlVecs),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < $nCentroids),
+       |cellscores AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.cid,
+       |    list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn) AS cscore
+       |  FROM e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid DESC) AS rn
+       |    FROM cellscores) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell FROM (
+       |    SELECT vec_id, v, nrm, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS pr
+       |    FROM cellscores WHERE vec_id < $nQueries) WHERE pr <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * m.v[i])) / (p.qn * m.nrm) AS sim
+       |  FROM e m JOIN assigned a ON m.vec_id = a.vec_id
+       |  JOIN probes p ON a.cell = p.cell
+       |  WHERE m.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= $topK""".stripMargin
+
   /** Embedding-cosine near-dup pairs (threshold 0.4 — chosen for the
     * synthetic corpus whose max pairwise cosine is ~0.48; production
     * near-dup dedup would run the same plan at ~0.95). Same-label LSH

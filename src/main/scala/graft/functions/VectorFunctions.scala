@@ -73,5 +73,5 @@ object VectorFunctions {
   /** SQL-surface registration (idempotent): `SELECT graft_dot(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "builtin")
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
 }

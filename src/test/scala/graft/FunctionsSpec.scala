@@ -1,30 +1,23 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{CtrAggregators, VectorFunctions}
 import graft.model.{AdCtr, AdEvent}
 
-class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+class FunctionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-functions-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
 
-  test("graft_dot is injected via SparkSessionExtensions and matches a manual fold") {
+  test("graft_dot registers into the SQL surface and matches a manual fold") {
+    // GraftExtensions wires the same builder via spark.sql.extensions at
+    // session build time; on the shared test session, register directly.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    VectorFunctions.register(spark)
     val r = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d""")
       .collect().head.getDouble(0)

@@ -5,7 +5,6 @@ import java.time.Instant
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{AdEvent, Screen}
@@ -16,21 +15,12 @@ import graft.streaming.IntervalJoin
   * against the native interval join: screen-before-ad matches within TTL,
   * expired-TTL ads go to DLQ, ad-before-screen does not match (the
   * reference only repeats screens forward in time). */
-class IntervalJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+class IntervalJoinSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-interval-join-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
 
   private def ts(hhmmss: String): Timestamp =
     Timestamp.from(Instant.parse(s"1970-01-01T${hhmmss}Z"))

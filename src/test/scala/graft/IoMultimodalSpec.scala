@@ -6,7 +6,6 @@ import java.time.Instant
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{Publication, Screen}
@@ -14,23 +13,14 @@ import graft.operators.Multimodal
 import graft.sources.Io
 import graft.streaming.BroadcastEnrich
 
-class IoMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+class IoMultimodalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-io-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
 
   private def ts(hhmmss: String): Timestamp =
     Timestamp.from(Instant.parse(s"1970-01-01T${hhmmss}Z"))

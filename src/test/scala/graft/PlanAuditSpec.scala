@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Relational, Similarity}
@@ -11,24 +10,14 @@ import graft.sources.Corpus
   * optimized/physical plans so regressions surface as test failures, not
   * as cluster bills.
   */
-class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+class PlanAuditSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-plan-audit")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
 
   private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString

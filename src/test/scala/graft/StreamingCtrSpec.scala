@@ -5,7 +5,6 @@ import java.time.Instant
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.AdEvent
@@ -20,21 +19,12 @@ import graft.streaming.{AdEventWindower, CtrStream}
   * row of a group and "late pane" = a later revision. Watermark control is
   * via driver elements on a dedicated screen id.
   */
-class StreamingCtrSpec extends AnyFunSuite with BeforeAndAfterAll {
+class StreamingCtrSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-streaming-ctr-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
 
   private def ts(hhmmss: String): Timestamp =
     Timestamp.from(Instant.parse(s"1970-01-01T${hhmmss}Z"))

@@ -6,7 +6,6 @@ import java.time.Instant
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.{LookupCacheJoin, Repeater}
@@ -22,21 +21,12 @@ import graft.streaming.{LookupCacheJoin, Repeater}
   * T on a dedicated key (`WmKey`) and running a micro-batch; Spark's no-data
   * batch then fires due event-time timers.
   */
-class StreamingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+class StreamingOpsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-streaming-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
 
-  override def afterAll(): Unit = spark.stop()
 
   /** "HH:mm:ss" on the 1970-01-01 epoch day, UTC — the reference's time
     * convention (`InstantConverters.scala:7-13`). */

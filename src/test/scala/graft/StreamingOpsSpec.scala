@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{LookupCacheJoin, Repeater}
+import graft.streaming.{LookupCacheJoin, LookupCacheProcessor, Repeater}
 
 /** Streaming scenario specs for the two stateful operators, re-expressing the
   * reference's test suites
@@ -95,7 +95,20 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   // --------------------------------------------------------- LookupCacheJoin
 
+  /** Runs a scenario against BOTH lookup-cache engines — the
+    * flatMapGroupsWithState operator and the transformWithState
+    * StatefulProcessor — asserting identical observable behavior. */
   private def runLookupScenario(name: String, ttlMin: Int)(
+      script: (MemoryStream[(String, String, Timestamp)],
+               MemoryStream[(String, String, Timestamp)],
+               StreamingQuery) => Unit): Seq[LookupCacheJoin.Enriched[String, String, String]] = {
+    val a = runLookupScenarioOn(name + "_fm", ttlMin, tws = false)(script)
+    val b = runLookupScenarioOn(name + "_tw", ttlMin, tws = true)(script)
+    assert(a === b, "flatMapGroupsWithState and transformWithState engines disagree")
+    a
+  }
+
+  private def runLookupScenarioOn(name: String, ttlMin: Int, tws: Boolean)(
       script: (MemoryStream[(String, String, Timestamp)],
                MemoryStream[(String, String, Timestamp)],
                StreamingQuery) => Unit): Seq[LookupCacheJoin.Enriched[String, String, String]] = {
@@ -105,7 +118,9 @@ class StreamingOpsSpec extends AnyFunSuite {
     val values = MemoryStream[(String, String, Timestamp)]
     val lookups = MemoryStream[(String, String, Timestamp)]
     // the operator sets the watermark internally on the unioned tagged stream
-    val out = LookupCacheJoin.join(values.toDS(), lookups.toDS(), minutes(ttlMin))
+    val out =
+      if (tws) LookupCacheProcessor.join(values.toDS(), lookups.toDS(), minutes(ttlMin))
+      else LookupCacheJoin.join(values.toDS(), lookups.toDS(), minutes(ttlMin))
     val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       script(values, lookups, q)

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.DotProduct
+import graft.model.AdCtr
+
+/** Property-based checks of the pure algebra: the semigroups driving the
+  * CTR aggregations (the reference's `model.scala:88-110` laws) and the
+  * native dot-product expression. Associativity is what licenses Spark's
+  * partial+final aggregation split — if these fail, distributed results
+  * would depend on partitioning. */
+object SemigroupProps extends Properties("semigroups") {
+
+  private val ctrGen: Gen[AdCtr] = for {
+    id <- Gen.oneOf("ad1", "ad2")
+    c <- Gen.chooseNum(0, 3)
+    i <- Gen.chooseNum(0, 3)
+  } yield AdCtr(id, c, i)
+
+  property("capped is associative") = forAll(ctrGen, ctrGen, ctrGen) { (a, b, c) =>
+    val l = AdCtr.plusCapped(AdCtr.plusCapped(a, b), c)
+    val r = AdCtr.plusCapped(a, AdCtr.plusCapped(b, c))
+    l.clicks == r.clicks && l.impressions == r.impressions
+  }
+
+  property("total is associative") = forAll(ctrGen, ctrGen, ctrGen) { (a, b, c) =>
+    val l = AdCtr.plusTotal(AdCtr.plusTotal(a, b), c)
+    val r = AdCtr.plusTotal(a, AdCtr.plusTotal(b, c))
+    l.clicks == r.clicks && l.impressions == r.impressions
+  }
+
+  property("capped clamps into {0,1} once inputs are unit counts") =
+    forAll(Gen.listOfN(5, Gen.oneOf(AdCtr("a", 1, 0), AdCtr("a", 0, 1)))) { es =>
+      {
+        val s = es.reduce(AdCtr.plusCapped)
+        s.clicks <= 1 && s.impressions <= 1 && s.clicks >= 0 && s.impressions >= 0
+      }
+    }
+
+  property("total counts exactly") =
+    forAll(Gen.listOfN(6, Gen.oneOf(AdCtr("a", 1, 0), AdCtr("a", 0, 1)))) { es =>
+      {
+        val s = es.reduce(AdCtr.plusTotal)
+        s.clicks == es.count(_.clicks == 1) && s.impressions == es.count(_.impressions == 1)
+      }
+    }
+
+  property("ctr is clicks/impressions or undefined") = forAll(ctrGen) { c =>
+    c.ctr match {
+      case None => c.impressions == 0
+      case Some(v) => c.impressions > 0 && v == c.clicks.toDouble / c.impressions
+    }
+  }
+}
+
+/** Interpreted-eval properties of the codegen DotProduct expression vs a
+  * plain Scala fold (the oracle's left-to-right summation order). */
+object DotProductProps extends Properties("graft_dot") {
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.chooseNum(0, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)).map(_.toArray))
+
+  private def dotEval(a: Array[Double], b: Array[Double]): Any =
+    DotProduct(
+      Literal.create(new GenericArrayData(a), ArrayType(DoubleType)),
+      Literal.create(new GenericArrayData(b), ArrayType(DoubleType))).eval(null)
+
+  property("matches a sequential fold over the common prefix") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      var expected = 0.0
+      var i = 0
+      while (i < n) { expected += a(i) * b(i); i += 1 }
+      dotEval(a, b) == expected
+    }
+
+  property("null inputs propagate null") = Prop {
+    val lit = Literal.create(new GenericArrayData(Array(1.0)), ArrayType(DoubleType))
+    val nul = Literal.create(null, ArrayType(DoubleType))
+    DotProduct(nul, lit).eval(null) == null && DotProduct(lit, nul).eval(null) == null
+  }
+}

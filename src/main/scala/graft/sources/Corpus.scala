@@ -32,7 +32,14 @@ object Corpus {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = normalizeTs(table(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark rejects unless
+    // this legacy flag is on. It is a runtime-settable SQL conf — set it
+    // defensively so callers with a plain session (e.g. a smoke harness)
+    // work too.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(table(s, d, "events"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -39,4 +39,27 @@ object CtrStream {
         least(lit(1L), count(when(col("action") === "Impression", 1))).as("impressions"))
       .select(col("w.start").as("windowStart"), col("w.end").as("windowEnd"),
         col("screenId"), col("adId"), col("clicks"), col("impressions"))
+
+  /** Sliding-window moving-average CTR per ad (W2/A2, reference
+    * `AdCtrSlidingWindowCalculator.scala:33-39` with the total semigroup):
+    * every event lands in duration/period windows; the un-capped sums give
+    * the moving average. The reference's re-windowing of the output into
+    * fixed windows (W3) is the `windowEnd` column here — each emitted row
+    * is already stamped with its window bounds. */
+  def slidingWindowCtr(
+      events: Dataset[AdEvent],
+      windowDuration: String = "20 minutes",
+      slide: String = "10 minutes",
+      lateness: String = "0 seconds"): DataFrame =
+    events
+      .where(col("action") =!= "Unknown")
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDuration, slide).as("w"), col("id").as("adId"))
+      .agg(
+        count(when(col("action") === "Click", 1)).as("clicks"),
+        count(when(col("action") === "Impression", 1)).as("impressions"))
+      .select(col("w.start").as("windowStart"), col("w.end").as("windowEnd"),
+        col("adId"), col("clicks"), col("impressions"),
+        (col("clicks").cast("double") /
+          nullif(col("impressions"), lit(0L)).cast("double")).as("ctr"))
 }

@@ -93,6 +93,27 @@ class StreamingCtrSpec extends AnyFunSuite {
       (ts("12:00:00"), 1L, 1L))) // late accumulating revision
   }
 
+  test("sliding window: moving-average ctr sequence 1.0 -> 0.5 -> 0.0") {
+    // reference scenario (AdCtrSlidingWindowCalculatorTest.scala:62-84):
+    // click+impression in the first period, impression-only in the second
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[AdEvent]
+    val out = CtrStream.slidingWindowCtr(in.toDS(), "20 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("sw1").outputMode("update").start()
+    try {
+      in.addData(impression("12:01:00"), click("12:02:00"), impression("12:11:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sw1")
+        .select("windowStart", "ctr").as[(Timestamp, Option[Double])]
+        .collect().toSeq.sortBy(_._1.getTime)
+      assert(rows === Seq(
+        (ts("11:50:00"), Some(1.0)), // click/imp of period 1 only
+        (ts("12:00:00"), Some(0.5)), // 1 click / 2 impressions
+        (ts("12:10:00"), Some(0.0)))) // impression-only tail
+    } finally q.stop()
+  }
+
   // -------------------------------------- custom merging ad-event window
 
   private def runCustom(name: String, latenessMs: Long)(

@@ -39,6 +39,7 @@ object SparkEntry {
     "top_parts_per_brand"    -> ((s, d) => Relational.topPartsPerBrand(s, d)),
     "order_priority_shipped" -> ((s, d) => Relational.orderPriorityShipped(s, d)),
     "events_user_stats"      -> ((s, d) => Relational.eventsUserStats(s, d)),
+    "salted_event_counts"    -> ((s, d) => Scale.saltedEventCounts(s, d)),
     // Text analysis (scale extensions)
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "top_parts_per_brand"    -> Relational.topPartsPerBrandSql,
     "order_priority_shipped" -> Relational.orderPriorityShippedSql,
     "events_user_stats"      -> Relational.eventsUserStatsSql,
+    "salted_event_counts"    -> Scale.saltedEventCountsSql,
     "text_stats"      -> TextAnalysis.textStatsSql,
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,

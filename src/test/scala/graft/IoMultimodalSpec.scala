@@ -134,4 +134,32 @@ class IoMultimodalSpec extends AnyFunSuite {
     val bad = frames.where($"frameLen" > 1024).count()
     assert(bad === 0)
   }
+
+  test("nested record schema (nullable, map, repeated struct, timestamp) roundtrips appends") {
+    // the reference's BigQueryRecord / avro-example.avdl shape
+    // (SURVEY.md §1.2): long id, timestamp, string, union{null,string},
+    // repeated struct, map<string,string>
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 11).toDF()
+      .select(
+        col("id"),
+        concat(lit("name "), col("id")).as("name"),
+        timestamp_micros(lit(1704067200000000L) + col("id")).as("ts"),
+        when(col("id") % 2 === 0, concat(lit("d"), col("id"))).as("description"),
+        array(struct(lit("k").as("key"), col("id").cast("string").as("value")))
+          .as("attributes"),
+        map(lit("m"), col("id").cast("string")).as("props"))
+    val path = tmp("io-nested") + "/t"
+    Io.writeAppend(df, path)
+    Io.writeAppend(df, path, disposition = Io.CreateNever)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 20)
+    assert(back.schema("description").nullable)
+    // parquet widens nullability on read; compare shape, not nullability
+    assert(back.select("attributes", "props", "ts", "description").schema
+        .map(_.dataType.simpleString) ===
+      df.select("attributes", "props", "ts", "description").schema
+        .map(_.dataType.simpleString))
+    assert(back.where(col("description").isNull).count() === 10)
+  }
 }

@@ -61,6 +61,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(codegenPlan.contains("getDouble"), "dot product not code-generated")
   }
 
+  test("bucketed co-located join runs with no shuffle exchange") {
+    import graft.operators.Scale
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so bucketing is what kills the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Scale.bucketTables(spark, sf, buckets = 4, prefix = "audit")
+      val joined = Scale.bucketedJoin(spark, "audit")
+      joined.collect() // finalize AQE
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSection = plan.split("HashAggregate").head // exchange above agg is fine
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS audit_orders")
+      spark.sql("DROP TABLE IF EXISTS audit_customer")
+    }
+  }
+
+  test("salted aggregation spreads the skewed key over salt partitions") {
+    import graft.operators.Scale
+    val plan = physicalPlan(Scale.saltedEventCounts(spark, sf))
+    // two aggregation layers: (key, salt) then key
+    assert("HashAggregate".r.findAllIn(plan).length >= 3, plan)
+  }
+
   test("windowed CTR aggregation is a partial+final hash aggregate") {
     val plan = physicalPlan(graft.operators.Ctr.fixedWindow(spark, sf))
     val hashAggs = "HashAggregate".r.findAllIn(plan).length

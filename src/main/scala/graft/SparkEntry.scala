@@ -45,6 +45,7 @@ object SparkEntry {
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,

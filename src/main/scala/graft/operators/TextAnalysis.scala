@@ -158,4 +158,97 @@ object TextAnalysis {
       |  md5(substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64))
       |    AS head_fingerprint
       |FROM documents""".stripMargin
+
+  // Karp–Rabin winnowing parameters: k-gram size, winnow window, base, prime
+  private val wK = 8
+  private val wW = 4
+  private val wB = 256L
+  private val wM = 1000000007L
+
+  /** Winnowing fingerprints (the MOSS scheme): a Karp–Rabin *rolling* hash
+    * over k-grams of the normalized text — O(1) per position via the
+    * `h·B + c_in − c_out·B^(k−1) (mod M)` recurrence — then the min hash
+    * of every w-window, deduplicated. Robust to local edits: any shared
+    * substring of length ≥ k+w−1 contributes a shared fingerprint.
+    *
+    * Typed flatMap for the same reason as the dedup shingler: a compiled
+    * per-partition loop is the scale-correct execution for per-char work,
+    * and the operator stays a narrow map over the scan. The oracle
+    * recomputes each position's polynomial directly (same value the
+    * recurrence maintains) in SQL list comprehensions. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (k, w, bb, m) = (wK, wW, wB, wM)
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val norm = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        val n = norm.length
+        val hashes: Array[Long] =
+          if (n < k) {
+            var h = 0L; var i = 0
+            while (i < n) { h = (h * bb + norm.charAt(i)) % m; i += 1 }
+            Array(h)
+          } else {
+            val out = new Array[Long](n - k + 1)
+            var bk1 = 1L
+            var j = 0
+            while (j < k - 1) { bk1 = bk1 * bb % m; j += 1 }
+            var h = 0L; var i = 0
+            while (i < k) { h = (h * bb + norm.charAt(i)) % m; i += 1 }
+            out(0) = h
+            var p = 0
+            while (p + k < n) {
+              h = (h - norm.charAt(p) * bk1 % m + m) % m // roll the head char out
+              h = (h * bb + norm.charAt(p + k)) % m // and the new char in
+              out(p + 1) = h
+              p += 1
+            }
+            out
+          }
+        val mins =
+          if (hashes.length < w) Array(hashes.min)
+          else Array.tabulate(hashes.length - w + 1) { i =>
+            var mn = hashes(i); var j = 1
+            while (j < w) { mn = math.min(mn, hashes(i + j)); j += 1 }
+            mn
+          }
+        mins.toSet.iterator.map((fp: Long) => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  val winnowFingerprintsSql: String = {
+    val powers = (0 until wK).map { j =>
+      var p = 1L; var i = 0
+      while (i < wK - 1 - j) { p = p * wB % wM; i += 1 }
+      p
+    }.mkString("[", ", ", "]")
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) < $wK THEN
+       |      [list_sum(list_transform(range(1, length(t) + 1), j ->
+       |        CAST(ascii(substring(t, CAST(j AS INT), 1)) AS BIGINT)
+       |          * CAST(power(2, 8 * (length(t) - j)) AS BIGINT) % $wM)) % $wM]
+       |    ELSE
+       |      list_transform(range(1, length(t) - ${wK - 2}), i ->
+       |        list_sum(list_transform(range(0, $wK), j ->
+       |          CAST(ascii(substring(t, CAST(i + j AS INT), 1)) AS BIGINT)
+       |            * ($powers)[CAST(j + 1 AS INT)]))
+       |        % $wM)
+       |    END AS hashes
+       |  FROM norm),
+       |winnowed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hashes) < $wW THEN [list_min(hashes)]
+       |    ELSE list_transform(range(1, len(hashes) - ${wW - 2}), i ->
+       |      list_min(hashes[CAST(i AS INT):CAST(i + ${wW - 1} AS INT)]))
+       |    END AS mins
+       |  FROM hashed)
+       |SELECT doc_id, CAST(fp AS BIGINT) AS fp FROM (
+       |  SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM winnowed)""".stripMargin
+  }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{LookupCacheJoin, LookupCacheProcessor, Repeater}
+import graft.streaming.{LookupCacheJoin, LookupCacheProcessor, Repeater, RepeaterProcessor}
 
 /** Streaming scenario specs for the two stateful operators, re-expressing the
   * reference's test suites
@@ -39,40 +39,53 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- Repeater
 
-  test("repeater: first sighting emits immediately, then re-emits per interval until ttl") {
+  /** Runs a scenario against BOTH repeater engines (fMGWS and
+    * transformWithState), asserting identical observable output. */
+  private def runRepeater(name: String, intervalMin: Int, ttlMin: Int)(
+      script: (MemoryStream[(String, String, Timestamp)], StreamingQuery) => Unit)
+      : Seq[Repeater.Repeated[String, String]] = {
+    val a = runRepeaterOn(name + "_fm", intervalMin, ttlMin, tws = false)(script)
+    val b = runRepeaterOn(name + "_tw", intervalMin, ttlMin, tws = true)(script)
+    assert(a === b, "flatMapGroupsWithState and transformWithState repeaters disagree")
+    a
+  }
+
+  private def runRepeaterOn(name: String, intervalMin: Int, ttlMin: Int, tws: Boolean)(
+      script: (MemoryStream[(String, String, Timestamp)], StreamingQuery) => Unit)
+      : Seq[Repeater.Repeated[String, String]] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
     val in = MemoryStream[(String, String, Timestamp)]
     val ds = in.toDS().withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]
-    val out = Repeater.repeat(ds, minutes(10), minutes(30))
-    val q = out.writeStream.format("memory").queryName("rep1").outputMode("append").start()
+    val out =
+      if (tws) RepeaterProcessor.repeat(ds, minutes(intervalMin), minutes(ttlMin))
+      else Repeater.repeat(ds, minutes(intervalMin), minutes(ttlMin))
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
+      script(in, q)
+      spark.table(name).as[Repeater.Repeated[String, String]]
+        .collect().filter(_.key == "screen1").sortBy(_.emitTs.getTime).toSeq
+    } finally q.stop()
+  }
+
+  test("repeater: first sighting emits immediately, then re-emits per interval until ttl") {
+    val rows = runRepeater("rep1", 10, 30) { (in, q) =>
       in.addData(("screen1", "s1", ts("12:00:00")))
       q.processAllAvailable()
       // advance watermark past lastSeen + ttl → ticks at 12:10/12:20/12:30, then expiry
       in.addData((WmKey, "x", ts("12:45:00")))
       q.processAllAvailable()
-
-      val rows = spark.table("rep1").as[Repeater.Repeated[String, String]]
-        .collect().filter(_.key == "screen1").sortBy(_.emitTs.getTime)
-      assert(rows.map(r => (r.emitTs, r.repeated)).toSeq === Seq(
-        (ts("12:00:00"), false),
-        (ts("12:10:00"), true),
-        (ts("12:20:00"), true),
-        (ts("12:30:00"), true)))
-    } finally q.stop()
+    }
+    assert(rows.map(r => (r.emitTs, r.repeated)) === Seq(
+      (ts("12:00:00"), false),
+      (ts("12:10:00"), true),
+      (ts("12:20:00"), true),
+      (ts("12:30:00"), true)))
   }
 
   test("repeater: re-sighting refreshes ttl and the cached value") {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-
-    val in = MemoryStream[(String, String, Timestamp)]
-    val ds = in.toDS().withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]
-    val out = Repeater.repeat(ds, minutes(10), minutes(20))
-    val q = out.writeStream.format("memory").queryName("rep2").outputMode("append").start()
-    try {
+    val rows = runRepeater("rep2", 10, 20) { (in, q) =>
       in.addData(("screen1", "v1", ts("12:00:00")))
       q.processAllAvailable()
       // sighting at 12:05 refreshes lastSeen → ttl now runs to 12:25
@@ -80,17 +93,14 @@ class StreamingOpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       in.addData((WmKey, "x", ts("12:40:00")))
       q.processAllAvailable()
-
-      val rows = spark.table("rep2").as[Repeater.Repeated[String, String]]
-        .collect().filter(_.key == "screen1").sortBy(_.emitTs.getTime)
-      // ticks at 12:10 and 12:20 carry the refreshed value v2; the 12:20 tick
-      // is < 12:05+20min=12:25 so one more at 12:30, which is >= 12:25 → stop
-      assert(rows.map(r => (r.emitTs, r.value)).toSeq === Seq(
-        (ts("12:00:00"), "v1"),
-        (ts("12:10:00"), "v2"),
-        (ts("12:20:00"), "v2"),
-        (ts("12:30:00"), "v2")))
-    } finally q.stop()
+    }
+    // ticks at 12:10 and 12:20 carry the refreshed value v2; the 12:20 tick
+    // is < 12:05+20min=12:25 so one more at 12:30, which is >= 12:25 → stop
+    assert(rows.map(r => (r.emitTs, r.value)) === Seq(
+      (ts("12:00:00"), "v1"),
+      (ts("12:10:00"), "v2"),
+      (ts("12:20:00"), "v2"),
+      (ts("12:30:00"), "v2")))
   }
 
   // --------------------------------------------------------- LookupCacheJoin

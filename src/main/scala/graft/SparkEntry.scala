@@ -40,6 +40,8 @@ object SparkEntry {
     "order_priority_shipped" -> ((s, d) => Relational.orderPriorityShipped(s, d)),
     "events_user_stats"      -> ((s, d) => Relational.eventsUserStats(s, d)),
     "salted_event_counts"    -> ((s, d) => Scale.saltedEventCounts(s, d)),
+    "q6_forecast_revenue"    -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q12_late_shipments"     -> ((s, d) => Relational.q12LateShipments(s, d)),
     // Text analysis (scale extensions)
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -82,6 +84,8 @@ object SparkEntry {
     "order_priority_shipped" -> Relational.orderPriorityShippedSql,
     "events_user_stats"      -> Relational.eventsUserStatsSql,
     "salted_event_counts"    -> Scale.saltedEventCountsSql,
+    "q6_forecast_revenue"    -> Relational.q6ForecastRevenueSql,
+    "q12_late_shipments"     -> Relational.q12LateShipmentsSql,
     "text_stats"      -> TextAnalysis.textStatsSql,
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,

@@ -197,4 +197,48 @@ object Relational {
       |    AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
       |FROM events
       |GROUP BY user_id""".stripMargin
+
+  /** TPC-H Q6-style forecast revenue change: pure scan + filter + agg —
+    * the pushdown showcase (every predicate reaches the parquet scan, no
+    * join, no shuffle beyond the single partial/final agg). */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Corpus.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Q12-flavored shipping-priority audit (corpus lacks l_shipmode/
+    * commitdate): per order priority, how many lineitems shipped more than
+    * 60 days after the order date. lineitem⋈orders shuffles on orderkey;
+    * the aggregate is partial+final on the tiny priority domain. */
+  def q12LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val ord = Corpus.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1))
+          .as("late_items"),
+        count(lit(1)).as("total_items"))
+  }
+
+  val q12LateShipmentsSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 END) AS late_items,
+      |  COUNT(*) AS total_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
 }

@@ -220,25 +220,44 @@ object Dedup {
     * Long.MinValue — addition of distinct powers of two sets the sign bit
     * without carries, identically in Spark and DuckDB. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokensCol(col("text"))
-    def parityBits(salt: String): Column =
-      conv(translate(md5(concat(lit(salt), col("token"))),
-        "0123456789abcdef", "0101010101010101"), 2, 10).cast("long")
-    val tokens = Corpus.documents(s, dir)
-      .select(col("doc_id"), explode(toks).as("token"))
-      .withColumn("ta", parityBits("a|"))
-      .withColumn("tb", parityBits("b|"))
-    // digest char j+1 (1-indexed) of a 32-char parity string is bit 31-j
-    val bitAggs = (0 until 64).map { j =>
-      val (src, off) = if (j < 32) ("ta", 31 - j) else ("tb", 63 - j)
-      sum(when(shiftright(col(src), off).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"s$j")
-    }
-    val voted = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"s$j") >= 0L, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("doc_id"), sig.as("simhash"))
+    // Per-document compiled vote loop (mapPartitions, digest instance
+    // reused per partition): the column-DSL form exploded ~280 tokens/doc
+    // into a 64-slot hash aggregate — a full shuffle of the token stream.
+    // The vote is per-document state, so it needs NO exchange at all: this
+    // is a narrow map emitting one row per doc. Bit j of a token's hash is
+    // the LSB parity of hex digit j+1 of md5('a|'‖token) (j<32) /
+    // md5('b|'‖token) (j≥32), identical to the oracle's substring form.
+    import s.implicits._
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val votes = new Array[Int](64)
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ").split(' ')
+          toks.foreach { tok =>
+            var half = 0
+            while (half < 2) {
+              val salt = if (half == 0) "a|" else "b|"
+              val d = md.digest((salt + tok).getBytes("UTF-8"))
+              var j = 0
+              while (j < 32) {
+                val b = d(j >> 1) & 0xff
+                val nib = if ((j & 1) == 0) (b >> 4) & 0xf else b & 0xf
+                votes(half * 32 + j) += (if ((nib & 1) == 1) 1 else -1)
+                j += 1
+              }
+              half += 1
+            }
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 64) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+          (id, sig)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   val simhashSignaturesSql: String = {

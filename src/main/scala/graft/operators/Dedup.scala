@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Corpus
@@ -40,6 +40,32 @@ object Dedup {
     * split on space) matches [[TextAnalysis.tokensCol]] and the SQL
     * oracle's `string_split(regexp_replace(lower(trim(text)),...))`
     * exactly on this ASCII corpus. */
+  /** Distinct 3-token shingles of one normalized document — shared by the
+    * shingle stream and the per-doc minhash pass; matches the oracle's
+    * `string_split(regexp_replace(lower(trim(text)),...))` exactly on this
+    * ASCII corpus. */
+  private def shinglesOf(text: String): Set[String] = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(' ')
+    val it =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
+      else Iterator(toks.mkString(" "))
+    it.toSet
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex32(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
     shingledFrom(s, Corpus.documents(s, dir))
 
@@ -51,14 +77,38 @@ object Dedup {
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-          .replaceAll("\\s+", " ").split(' ')
-        val shingles =
-          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
-          else Iterator(toks.mkString(" "))
-        shingles.toSet.iterator.map((sh: String) => (id, sh))
+        shinglesOf(text).iterator.map((sh: String) => (id, sh))
       }
       .toDF("doc_id", "shingle")
+  }
+
+  /** The k per-doc minhash minima in one shuffle-free pass (mapPartitions,
+    * digest reused): minhashing is per-document state, so exploding the
+    * shingle stream into a k-slot min aggregate — a full shuffle — is
+    * wasted motion. Hex slices compare as strings exactly like the
+    * oracle's `MIN(substring(md5(...)))`. */
+  private def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String])] = {
+    import s.implicits._
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val mins = new Array[String](numMinhash)
+          shinglesOf(text).foreach { sh =>
+            val ha = hex32(md.digest(("a|" + sh).getBytes("UTF-8")))
+            val hb = hex32(md.digest(("b|" + sh).getBytes("UTF-8")))
+            var i = 0
+            while (i < numMinhash) {
+              val src = if (i < 4) ha else hb
+              val slice = src.substring((i % 4) * 8, (i % 4) * 8 + 8)
+              if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+              i += 1
+            }
+          }
+          (id, mins.toSeq)
+        }
+      }
   }
 
   private val shingledSql: String =
@@ -87,20 +137,10 @@ object Dedup {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
-  /** The k permutation hashes are 8-hex-char (32-bit) slices of two md5
-    * digests — 2 digest computations per shingle row instead of k. The
-    * digests are materialized in a projection before the aggregate so the
-    * hash is provably computed once regardless of codegen subexpression
-    * elimination. Hex slices are fixed-length lowercase, so string MIN =
-    * numeric MIN. */
-  private def withDigests(sh: DataFrame): DataFrame = sh
-    .withColumn("da", md5(concat(lit("a|"), col("shingle"))))
-    .withColumn("db", md5(concat(lit("b|"), col("shingle"))))
-
-  private def mhAggs: Seq[Column] = (0 until numMinhash).map { i =>
-    min(substring(col(if (i < 4) "da" else "db"), (i % 4) * 8 + 1, 8)).as(s"mh$i")
-  }
-
+  // The k permutation hashes are 8-hex-char (32-bit) slices of two salted
+  // md5 digests — 2 digest computations per shingle instead of k. Spark
+  // computes them in the shuffle-free minhashPerDoc pass; the oracle keeps
+  // the per-shingle MIN form (identical values).
   private val mhMinsSql: String = (0 until numMinhash).map { i =>
     val src = if (i < 4) "a" else "b"
     s"MIN(substring(md5('$src|' || shingle), ${(i % 4) * 8 + 1}, 8)) AS mh$i"
@@ -109,12 +149,10 @@ object Dedup {
   /** MinHash signatures: k md5-derived minima over the shingle set,
     * serialized as one comma-joined string (stable across engines). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val aggs = mhAggs
-    withDigests(shingled(s, dir))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        concat_ws(",", (0 until numMinhash).map(i => col(s"mh$i")): _*).as("signature"))
+    import s.implicits._
+    minhashPerDoc(s, dir)
+      .map { case (id, mh) => (id, mh.mkString(",")) }
+      .toDF("doc_id", "signature")
   }
 
   val minhashSignaturesSql: String = {
@@ -130,21 +168,24 @@ object Dedup {
     * double is bit-deterministic. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     // Cache discipline, which is also the 100 TB shape: the full shingle
-    // set is NEVER cached (it is the largest intermediate — at scale it
-    // wouldn't fit anyway); only the tiny per-doc band table and the
-    // candidate pairs are cached, and each is materialized eagerly so the
-    // broadcast builds below read a few KB from storage instead of racing
-    // concurrent jobs through the whole upstream pipeline.
-    val aggs = mhAggs
-    val sigs = withDigests(shingled(s, dir))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // set is NEVER cached or even shuffled (signatures and band keys come
+    // from the shuffle-free per-doc minhash pass); only the tiny per-doc
+    // band table and the candidate pairs are cached, each materialized
+    // eagerly so the broadcast builds below read a few KB from storage
+    // instead of racing concurrent jobs through the upstream pipeline.
+    import s.implicits._
     val nBands = numMinhash / bandSize
-    val bandKeys = (0 until nBands).map { b =>
-      md5(concat_ws("|",
-        (0 until bandSize).map(j => col(s"mh${b * bandSize + j}")): _*))
-    }
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandKeys: _*)).as("band_key")).cache()
+    val bands = minhashPerDoc(s, dir)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, mh) =>
+          (0 until nBands).map { b =>
+            val key = (0 until bandSize).map(j => mh(b * bandSize + j)).mkString("|")
+            (id, hex32(md.digest(key.getBytes("UTF-8"))))
+          }
+        }
+      }
+      .toDF("doc_id", "band_key").cache()
     val candidates = bands.as("l").join(bands.as("r"),
         col("l.band_key") === col("r.band_key") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -158,8 +199,11 @@ object Dedup {
     // than materializing the full shingle set for reuse.
     val docsInPlay = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = shingled(s, dir)
-      .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi").cache()
+    // filter documents BEFORE shingling: the flatMap is opaque to Catalyst,
+    // so a post-shingle filter would shingle the whole corpus anyway
+    val candDocs = Corpus.documents(s, dir)
+      .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
+    val shc = shingledFrom(s, candDocs).cache()
     shc.count()
     val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = broadcast(candidates)

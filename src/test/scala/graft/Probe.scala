@@ -27,28 +27,7 @@ object Probe {
     t("docs.count")(docs.count())
     val toks = graft.operators.TextAnalysis.tokensCol(col("text"))
     t("tokenize+explode")(docs.select(col("doc_id"), explode(toks).as("t")).count())
-    // replicate Dedup.shingled stages to find the hot one
-    val sh0 = docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3))))
-        .otherwise(array(concat_ws(" ", col("toks"))))
-        .as("shingles"))
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
-    t("shingled.count")(sh0.count())
-    val shC = sh0.cache()
-    t("shingled.cache mat")(shC.count())
-    val da = md5(concat(lit("a|"), col("shingle")))
-    t("sig agg over cached")(shC
-      .withColumn("da", da).withColumn("db", md5(concat(lit("b|"), col("shingle"))))
-      .groupBy(col("doc_id"))
-      .agg(min(substring(col("da"), 1, 8)).as("m0"), min(substring(col("db"), 1, 8)).as("m4"))
-      .count())
+    t("minhash_signatures narrow")(graft.operators.Dedup.minhashSignatures(spark, dir).count())
     t("full minhash_lsh_pairs")(graft.operators.Dedup.minhashLshPairs(spark, dir).count())
     t("minhash again (warm)")(graft.operators.Dedup.minhashLshPairs(spark, dir).count())
     t("simhash_signatures")(graft.operators.Dedup.simhashSignatures(spark, dir).count())

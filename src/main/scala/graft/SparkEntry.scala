@@ -42,6 +42,7 @@ object SparkEntry {
     "salted_event_counts"    -> ((s, d) => Scale.saltedEventCounts(s, d)),
     "q6_forecast_revenue"    -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q12_late_shipments"     -> ((s, d) => Relational.q12LateShipments(s, d)),
+    "q10_returned_items"     -> ((s, d) => Relational.q10ReturnedItems(s, d)),
     // Text analysis (scale extensions)
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "salted_event_counts"    -> Scale.saltedEventCountsSql,
     "q6_forecast_revenue"    -> Relational.q6ForecastRevenueSql,
     "q12_late_shipments"     -> Relational.q12LateShipmentsSql,
+    "q10_returned_items"     -> Relational.q10ReturnedItemsSql,
     "text_stats"      -> TextAnalysis.textStatsSql,
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,

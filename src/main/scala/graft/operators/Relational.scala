@@ -241,4 +241,36 @@ object Relational {
       |  COUNT(*) AS total_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q10-style returned-item report: top-20 customers by revenue on
+    * returned lineitems. Fact join shuffles on orderkey; customer and
+    * nation broadcast; the top-k is a partial-agg'd sort-limit. */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Corpus.orders(s, dir).select("o_orderkey", "o_custkey")
+    val cust = Corpus.customer(s, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nat = Corpus.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
 }

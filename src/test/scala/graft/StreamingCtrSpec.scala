@@ -114,6 +114,38 @@ class StreamingCtrSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session window (streaming): dynamic gap merges on overlap, keeps max end") {
+    // the session_window approximation of W5, streaming: click gap 1 min,
+    // impression gap 10 min — impression [12:00,12:10) and click
+    // [12:02,12:03) merge into one session with the MAX end (12:10).
+    // (The faithful AdEventWindower instead snaps the end to the click —
+    // exactly the gap SURVEY §7.5.3 documents for this approximation.)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[AdEvent]
+    val gap = when(col("action") === "Click", lit("1 minute")).otherwise(lit("10 minutes"))
+    val out = in.toDS().toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("screenId"), col("id"))
+      .agg(least(lit(1L), count(when(col("action") === "Click", 1))).as("clicks"),
+        least(lit(1L), count(when(col("action") === "Impression", 1))).as("impressions"))
+      .select(col("w.start").as("s"), col("w.end").as("e"), col("screenId"),
+        col("clicks"), col("impressions"))
+    val q = out.writeStream.format("memory").queryName("ssw1").outputMode("append").start()
+    try {
+      in.addData(impression("12:00:00"), click("12:02:00"))
+      q.processAllAvailable()
+      in.addData(wmDriver("12:30:00")) // close the session
+      q.processAllAvailable()
+      val rows = spark.table("ssw1")
+        .select("s", "e", "screenId", "clicks", "impressions")
+        .as[(Timestamp, Timestamp, String, Long, Long)].collect()
+        .filter(_._3 == "screen1").toSeq
+      assert(rows === Seq((ts("12:00:00"), ts("12:10:00"), "screen1", 1L, 1L)))
+    } finally q.stop()
+  }
+
   // -------------------------------------- custom merging ad-event window
 
   /** Runs a scenario against BOTH custom-window engines (fMGWS and

@@ -40,6 +40,7 @@ object SparkEntry {
     "order_priority_shipped" -> ((s, d) => Relational.orderPriorityShipped(s, d)),
     "events_user_stats"      -> ((s, d) => Relational.eventsUserStats(s, d)),
     "salted_event_counts"    -> ((s, d) => Scale.saltedEventCounts(s, d)),
+    "bucketed_join_revenue"  -> ((s, d) => Scale.bucketedJoinRevenue(s, d)),
     "q6_forecast_revenue"    -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q12_late_shipments"     -> ((s, d) => Relational.q12LateShipments(s, d)),
     "q10_returned_items"     -> ((s, d) => Relational.q10ReturnedItems(s, d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "order_priority_shipped" -> Relational.orderPriorityShippedSql,
     "events_user_stats"      -> Relational.eventsUserStatsSql,
     "salted_event_counts"    -> Scale.saltedEventCountsSql,
+    "bucketed_join_revenue"  -> Scale.bucketedJoinRevenueSql,
     "q6_forecast_revenue"    -> Relational.q6ForecastRevenueSql,
     "q12_late_shipments"     -> Relational.q12LateShipmentsSql,
     "q10_returned_items"     -> Relational.q10ReturnedItemsSql,

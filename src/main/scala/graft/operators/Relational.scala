@@ -12,9 +12,16 @@ import graft.sources.Corpus
   * (`/root/reference/.../bigquery/TypedBigQuery.scala:13-19`); here the same
   * capability is Catalyst-native. These queries double as the benchmark
   * headliners, so each is written to produce the plan we'd want at 100 TB:
-  * filters/projections adjacent to the scan (pushdown + pruning), dimension
-  * joins explicitly `broadcast()`, aggregates in the column DSL (partial
-  * aggregation + whole-stage codegen).
+  * filters/projections adjacent to the scan (pushdown + pruning), aggregates
+  * in the column DSL (partial aggregation + whole-stage codegen).
+  *
+  * Broadcast policy: explicit `broadcast()` hints only on cardinality-BOUNDED
+  * dimensions (nation = 25 rows, region = 5 — constants at any scale factor).
+  * SF-scaling tables (customer, supplier, part) get no hint: AQE still picks
+  * a broadcast join at today's sizes from runtime stats, but at 100× the
+  * same code degrades gracefully to a shuffle join instead of hitting a
+  * driver OOM / broadcast timeout — a hint would override
+  * `autoBroadcastJoinThreshold` unconditionally.
   *
   * Determinism-for-oracle rule: every double aggregate goes through an exact
   * DECIMAL sum and is only then cast back to DOUBLE, so the value is
@@ -57,8 +64,9 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3-style: top-10 open orders by discounted revenue.
-    * customer is the small side → broadcast; lineitem⋈orders shuffles on
-    * the join key with partial aggregation before the final top-k. */
+    * customer is the small side — AQE broadcasts it from runtime stats (no
+    * hint: it scales with SF); lineitem⋈orders shuffles on the join key
+    * with partial aggregation before the final top-k. */
   def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
     val cust = Corpus.customer(s, dir)
       .where(col("c_mktsegment") === "BUILDING")
@@ -70,7 +78,7 @@ object Relational {
       .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -89,9 +97,9 @@ object Relational {
        |ORDER BY revenue DESC, l_orderkey ASC
        |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5-style: revenue per nation; 5-way join where every dimension
-    * (region→nation→customer/supplier) broadcasts, so only the
-    * lineitem⋈orders fact join shuffles. */
+  /** TPC-H Q5-style: revenue per nation; 5-way join. nation (25 rows,
+    * bounded) is hint-broadcast; customer/supplier scale with SF so AQE
+    * decides for them — only the lineitem⋈orders fact join must shuffle. */
   def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
     val nat = Corpus.nation(s, dir).select("n_nationkey", "n_name")
     val cust = Corpus.customer(s, dir).select("c_custkey", "c_nationkey")
@@ -103,8 +111,8 @@ object Relational {
     val li = Corpus.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
@@ -130,7 +138,7 @@ object Relational {
     val li = Corpus.lineitem(s, dir)
       .select("l_partkey", "l_extendedprice", "l_discount")
     val rev = li
-      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
     val w = Window.partitionBy(col("p_brand"))
@@ -152,20 +160,23 @@ object Relational {
        |QUALIFY rank <= 3""".stripMargin
 
   /** Semi-join (EXISTS) + anti-join (NOT EXISTS) in one result: order
-    * priority counts split by whether any lineitem shipped late. */
+    * priority counts split by whether any lineitem shipped late.
+    *
+    * Single pass: ONE left-outer join against the distinct late orderkeys,
+    * then conditional counts — instead of separate semi + anti joins over
+    * the same inputs glued with a full outer join (which scanned both
+    * tables twice and joined three times). */
   def orderPriorityShipped(s: SparkSession, dir: String): DataFrame = {
     val ord = Corpus.orders(s, dir).select("o_orderkey", "o_orderpriority")
     val late = Corpus.lineitem(s, dir)
       .where(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
-      .select("l_orderkey")
-    val withLate = ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .groupBy("o_orderpriority").agg(count(lit(1)).as("late_orders"))
-    val noLate = ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_anti")
-      .groupBy("o_orderpriority").agg(count(lit(1)).as("ontime_orders"))
-    withLate.join(noLate, Seq("o_orderpriority"), "full_outer")
-      .select(col("o_orderpriority"),
-        coalesce(col("late_orders"), lit(0L)).as("late_orders"),
-        coalesce(col("ontime_orders"), lit(0L)).as("ontime_orders"))
+      .select("l_orderkey").distinct()
+      .withColumn("is_late", lit(true))
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("is_late"), 1)).as("late_orders"),
+        count(when(col("is_late").isNull, 1)).as("ontime_orders"))
   }
 
   val orderPriorityShippedSql: String =
@@ -243,8 +254,9 @@ object Relational {
       |GROUP BY o_orderpriority""".stripMargin
 
   /** TPC-H Q10-style returned-item report: top-20 customers by revenue on
-    * returned lineitems. Fact join shuffles on orderkey; customer and
-    * nation broadcast; the top-k is a partial-agg'd sort-limit. */
+    * returned lineitems. Fact join shuffles on orderkey; nation is
+    * hint-broadcast (bounded), customer is AQE's call (SF-scaling); the
+    * top-k is a partial-agg'd sort-limit. */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
     val li = Corpus.lineitem(s, dir)
       .where(col("l_returnflag") === "R")
@@ -254,7 +266,7 @@ object Relational {
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     val nat = Corpus.nation(s, dir).select("n_nationkey", "n_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))

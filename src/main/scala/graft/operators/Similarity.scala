@@ -87,13 +87,15 @@ object Similarity {
   /** Deterministic ±1 hyperplane matrix: sign(p,d) from the md5 parity of
     * "p|d" — no RNG, identical on any engine, embedded as literals in the
     * SQL oracle. */
-  private[operators] val planes: Seq[Seq[Double]] = (0 until 8).map { p =>
+  private def planesFor(n: Int): Seq[Seq[Double]] = (0 until n).map { p =>
     (0 until dims).map { d =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$p|$d".getBytes("UTF-8"))
       if ((hex.last & 1) == 1) 1.0 else -1.0
     }
   }
+
+  private[operators] val planes: Seq[Seq[Double]] = planesFor(8)
 
   /** 8-bit LSH bucket id for a double-vector column. */
   private def bucketCol(v: Column): Column =
@@ -225,26 +227,85 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= $topK""".stripMargin
 
+  // --- embedding-cosine near-dup pairs: banded hyperplane LSH -----------
+  //
+  // 16 deterministic hyperplanes split into 8 bands of 2 sign bits.
+  // Candidates = pairs whose band key collides in ANY band (the classic
+  // OR-of-ANDs LSH amplification); exact cosine is computed on candidates
+  // only. At a production near-dup threshold (~0.95 cosine, bit-agreement
+  // p ≈ 0.9) the 8×2 construction has recall 1 - (1 - p²)⁸ ≈ 0.9998; at
+  // this synthetic corpus's 0.4 threshold it is ~0.98. The DuckDB oracle
+  // mirrors the banding bit-for-bit, so correctness is exact over the same
+  // candidate set regardless of recall — the same contract as
+  // `minhash_lsh_pairs`.
+  private val ndBands = 8
+  private val ndPlanes: Seq[Seq[Double]] = planesFor(2 * ndBands)
+
+  /** One sign bit of v against a fixed hyperplane (codegen'd dot). */
+  private def signBit(v: Column, plane: Seq[Double]): Column = {
+    val planeLit = array(plane.map(lit(_)): _*)
+    when(dot(v, planeLit) >= 0.0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** 2-bit key of band b: bits from planes 2b and 2b+1. */
+  private def bandKeyCol(v: Column, b: Int): Column =
+    signBit(v, ndPlanes(2 * b)) * 2 + signBit(v, ndPlanes(2 * b + 1))
+
   /** Embedding-cosine near-dup pairs (threshold 0.4 — chosen for the
     * synthetic corpus whose max pairwise cosine is ~0.48; production
-    * near-dup dedup would run the same plan at ~0.95). Same-label LSH
-    * blocking is skipped: exact all-pairs keeps the oracle trivially
-    * comparable, and the LSH path is covered by [[annLshBucketed]]. */
+    * near-dup dedup would run the same plan at ~0.95).
+    *
+    * 100 TB shape: candidate generation is a band-key equi-join over an
+    * exploded (vec_id, band, key) frame — expected candidate volume per
+    * band is n²/4 per key-group spread over 4 key values × 8 bands, never
+    * the all-pairs n²/2 a `vec_id < vec_id` cross join would scan. The
+    * exploded band frame is tiny (8 longs/doc) and cached so the two sides
+    * of the self-join don't rescan the wide embeddings table. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    val bands = e.select(col("vec_id"),
+        posexplode(array((0 until ndBands).map(b => bandKeyCol(col("v"), b)): _*))
+          .as(Seq("band", "key")))
+      .cache()
+    bands.count() // materialize before the self-join uses it twice
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
       .where(col("sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
-  val embeddingNearDupsSql: String =
-    s"""WITH e AS ($sqlVecs)
-       |SELECT qa.vec_id AS vec_a, ca.vec_id AS vec_b, round($sqlDot / (qa.nrm * ca.nrm), 4) AS sim
-       |FROM e qa JOIN e ca ON qa.vec_id < ca.vec_id
-       |WHERE $sqlDot / (qa.nrm * ca.nrm) >= 0.4""".stripMargin
+  /** SQL for one 2-bit band key on alias `a` (mirrors [[bandKeyCol]]). */
+  private def bandKeySql(alias: String, b: Int): String = {
+    def bit(p: Int): String = {
+      val planeLit = ndPlanes(p).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $alias.v[i] * ($planeLit)[i])) >= 0.0 THEN 1 ELSE 0 END)"
+    }
+    s"2 * ${bit(2 * b)} + ${bit(2 * b + 1)}"
+  }
+
+  val embeddingNearDupsSql: String = {
+    val keys = (0 until ndBands).map(b => s"${bandKeySql("e", b)} AS k$b").mkString(",\n  ")
+    val collide = (0 until ndBands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    s"""WITH e AS ($sqlVecs),
+       |sig AS (SELECT vec_id, v, nrm,
+       |  $keys
+       |FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
+       |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($collide))
+       |SELECT vec_a, vec_b, round(sim, 4) AS sim
+       |FROM cand WHERE sim >= 0.4""".stripMargin
+  }
 }

@@ -45,6 +45,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query batch not broadcast:\n$plan")
   }
 
+  test("embedding near-dups blocks on band keys — no all-pairs join") {
+    val df = Similarity.embeddingNearDups(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"near-dup candidate generation is not an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge equi-join in near-dup plan:\n$plan")
+  }
+
   test("the codegen dot product stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // exchange-free plan: AQE leaves it alone, so the codegen subtree is

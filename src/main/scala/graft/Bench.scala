@@ -20,17 +20,30 @@ object Bench {
     // deterministic order: per-query numbers comparable across rounds;
     // SPARK_GRAFT_ONLY (comma-separated names) = local iteration filter
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    // two passes, per-query min: the first run absorbs codegen/JIT/parquet
+    // footer caching fixed costs, so the min is the steady-state number and
+    // round-over-round deltas are signal, not first-run noise (BASELINE.md)
+    val cold = runOnce()
+    val warm = runOnce()
+    val results = cold.zip(warm).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming perf signal (skipped when SPARK_GRAFT_ONLY filters queries)
+    val streaming = if (only.isEmpty) {
+      val batches = 5
+      val (events, sec) = graft.streaming.StreamingBench.fixedWindowThroughput(spark, batches = batches)
+      val rate = events / sec
+      s""","streaming":{"path":"ctr_fixed_window_update","events":$events,"batches":$batches,"sec":$sec,"events_per_sec":$rate}"""
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,10 @@ object SparkEntry {
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard_topk" -> ((s, d) => Dedup.ngramJaccardTopk(s, d)),
+    // Sketches + corpus statistics (scale extensions)
+    "hll_distinct_users" -> ((s, d) => Sketches.hllDistinctUsers(s, d)),
+    "tfidf_top_terms"    -> ((s, d) => Sketches.tfidfTopTerms(s, d)),
+    "token_quantiles"    -> ((s, d) => Sketches.tokenQuantiles(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
     // Similarity search (scale extensions)
@@ -101,6 +105,9 @@ object SparkEntry {
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
     "ngram_jaccard_topk" -> Dedup.ngramJaccardTopkSql,
+    "hll_distinct_users" -> Sketches.hllDistinctUsersSql,
+    "tfidf_top_terms"    -> Sketches.tfidfTopTermsSql,
+    "token_quantiles"    -> Sketches.tokenQuantilesSql,
     "media_meta" -> Multimodal.mediaMetaSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,

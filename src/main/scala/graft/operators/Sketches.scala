@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Sketch / corpus-statistics operators for the LLM-pipeline family:
+  * a deterministic HyperLogLog distinct-count, TF-IDF top terms, and exact
+  * token-count quantiles.
+  *
+  * The usual objection to oracle-checking approximate sketches is that two
+  * engines' estimates differ. Here the sketch itself is pinned: buckets and
+  * rank come from md5 (identical everywhere), so Spark and DuckDB build the
+  * SAME 256-register HLL and the estimate matches bitwise (after the usual
+  * `round(..., 4)` edge). `approx_count_distinct` would be engine-specific;
+  * this is the same estimator with a deterministic hash.
+  */
+object Sketches {
+
+  private val m = 256 // 2^8 registers; first 2 md5 hex chars = bucket id
+  private val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m
+
+  /** Distinct users per event type, estimated with a deterministic HLL
+    * next to the exact count (so the estimate's error is visible in the
+    * result itself).
+    *
+    * 100 TB shape: the shuffle carries one row per (event_type, bucket) —
+    * at most 256 per key regardless of event volume — after a map-side
+    * partial max. Exact `countDistinct` is the expensive comparison
+    * column; a production pipeline would drop it and keep only the sketch
+    * (mergeable, constant memory). */
+  def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
+    val h = md5(concat(col("user_id").cast("string"), lit("|hll")))
+    val hashed = ev.select(col("event_type"),
+      substring(h, 1, 2).as("bucket"), substring(h, 3, 30).as("rest"))
+    // rank = leading zero BITS of the 120-bit remainder + 1, from hex text:
+    // 4 bits per leading '0' char, plus 3/2/1/0 inside the first non-zero
+    // digit. All-zero remainder (p ~ 2^-120) pins the max rank.
+    val zeros = length(regexp_extract(col("rest"), "^0*", 0))
+    val firstNz = col("rest").substr(zeros + lit(1), lit(1))
+    val nlzInDigit = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
+    val perBucket = hashed.select(col("event_type"), col("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("max_rho"))
+    // registers hold small ranks, so the 2^-rho terms all sit within the
+    // double mantissa window: the sum is EXACT in any order (both engines)
+    val perType = perBucket.groupBy(col("event_type"))
+      .agg(sum(pow(lit(2.0), -col("max_rho"))).as("s0"), count(lit(1)).as("nb"))
+    val v = (lit(m) - col("nb")).cast("double") // empty registers: 2^-0 each
+    val raw = lit(alphaM2) / (col("s0") + v)
+    val est = when(raw <= lit(2.5 * m) && col("nb") < m,
+        lit(m.toDouble) * log(lit(m.toDouble) / v)) // linear-counting regime
+      .otherwise(raw)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    perType.select(col("event_type"), round(est, 4).as("approx_users"))
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"))
+  }
+
+  val hllDistinctUsersSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, md5(CAST(user_id AS VARCHAR) || '|hll') AS hh FROM events),
+       |r AS (SELECT event_type, substring(hh, 1, 2) AS bucket,
+       |        substring(hh, 3, 30) AS rest FROM h),
+       |z AS (SELECT event_type, bucket, rest,
+       |        length(regexp_extract(rest, '^0*')) AS zeros FROM r),
+       |rho AS (SELECT event_type, bucket,
+       |  CASE WHEN zeros = 30 THEN 121
+       |       ELSE zeros * 4 + CASE substring(rest, zeros + 1, 1)
+       |         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+       |         ELSE 0 END + 1 END AS rho
+       |  FROM z),
+       |pb AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
+       |pt AS (SELECT event_type, SUM(power(2.0, -max_rho)) AS s0, COUNT(*) AS nb
+       |       FROM pb GROUP BY 1),
+       |est AS (SELECT event_type,
+       |  CASE WHEN $alphaM2 / (s0 + ($m - nb)) <= ${2.5 * m} AND nb < $m
+       |       THEN ${m.toDouble} * ln(${m.toDouble} / ($m - nb))
+       |       ELSE $alphaM2 / (s0 + ($m - nb)) END AS e
+       |  FROM pt)
+       |SELECT est.event_type, round(est.e, 4) AS approx_users, x.exact_users
+       |FROM est JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+       |               FROM events GROUP BY 1) x USING (event_type)""".stripMargin
+
+  /** Top-3 TF-IDF terms per document (idf = ln(N/df), scores rounded to 4
+    * decimals BEFORE ranking so the rank order is engine-independent; ties
+    * break on the token).
+    *
+    * 100 TB shape: tokenize is a narrow flatMap; tf shuffles on
+    * (doc, token) with map-side partial counts; df shuffles on token; the
+    * single-row corpus count broadcasts. No step is quadratic in docs or
+    * vocabulary. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfq, Seq("token")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.tokensSql}) AS token FROM documents),
+       |tok AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token,
+       |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4) AS tfidf
+       |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+       |ranked AS (SELECT doc_id, token, tfidf,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank FROM scored)
+       |SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** Exact token-count quantiles per language (p25/p50/p75/p90 with linear
+    * interpolation — Spark `percentile` and DuckDB `quantile_cont` share
+    * the index = p·(n−1) convention). Token counts are integers, so the
+    * interpolated values are reproducible; round(4) absorbs the one
+    * non-dyadic p (0.9). Exact percentile needs the group's values
+    * collected per reducer — right for bounded groups like per-language
+    * corpus stats; an unbounded-cardinality version would switch to a
+    * mergeable quantile sketch. */
+  def tokenQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val withN = docs.select(col("lang"),
+      size(filter(TextAnalysis.tokensCol(col("text")),
+        t => length(t) > 0)).cast("long").as("n_tokens"))
+    withN.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(expr("percentile(n_tokens, 0.25)"), 4).as("p25"),
+      round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+      round(expr("percentile(n_tokens, 0.75)"), 4).as("p75"),
+      round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"))
+  }
+
+  val tokenQuantilesSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  round(quantile_cont(n_tokens, 0.25), 4) AS p25,
+       |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       |  round(quantile_cont(n_tokens, 0.75), 4) AS p75,
+       |  round(quantile_cont(n_tokens, 0.9), 4) AS p90
+       |FROM d GROUP BY lang""".stripMargin
+}

@@ -91,6 +91,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // shrink AQE's skew thresholds so the test-sized hot key (59k of 60k
+    // rows on one join key) triggers the same re-plan a hot key at 100 TB
+    // would — salting (Scale.saltedEventCounts) is the static counterpart
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 60000).select(
+        when(col("id") % 100 === 0, col("id") % 7).otherwise(lit(0L)).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 7).select(col("id").as("k"), (col("id") * 10).as("dim"))
+      val joined = left.join(right, "k")
+      joined.collect() // finalize AQE on THIS queryExecution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("salted aggregation spreads the skewed key over salt partitions") {
     import graft.operators.Scale
     val plan = physicalPlan(Scale.saltedEventCounts(spark, sf))

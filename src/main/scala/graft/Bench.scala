@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.{Failure, Success, Try}
 object Bench {
+
+  /** One timed query execution: seconds + the error (if it threw). A failed
+    * query must surface in the JSON artifact — a bench that silently times
+    * broken queries misattributes regressions (round-2 verdict, Wrong #2). */
+  private final case class Timed(sec: Double, err: Option[String])
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,30 +38,63 @@ object Bench {
     // deterministic order: per-query numbers comparable across rounds;
     // SPARK_GRAFT_ONLY (comma-separated names) = local iteration filter
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def runOnce(): Seq[(String, Double)] = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(): Seq[(String, Timed)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val err = Try(fn(spark, sfDir).count()) match {
+          case Success(_) => None
+          case Failure(e) => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+        name -> Timed((System.nanoTime() - t0) / 1e9, err)
       }
     // two passes, per-query min: the first run absorbs codegen/JIT/parquet
     // footer caching fixed costs, so the min is the steady-state number and
     // round-over-round deltas are signal, not first-run noise (BASELINE.md)
     val cold = runOnce()
     val warm = runOnce()
-    val results = cold.zip(warm).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = cold.zip(warm).map { case ((n, a), (_, b)) =>
+      n -> Timed(math.min(a.sec, b.sec), a.err.orElse(b.err))
+    }
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // streaming perf signal (skipped when SPARK_GRAFT_ONLY filters queries)
-    val streaming = if (only.isEmpty) {
-      val batches = 5
-      val (events, sec) = graft.streaming.StreamingBench.fixedWindowThroughput(spark, batches = batches)
-      val rate = events / sec
-      s""","streaming":{"path":"ctr_fixed_window_update","events":$events,"batches":$batches,"sec":$sec,"events_per_sec":$rate}"""
+    val errors = results.collect { case (k, Timed(_, Some(e))) =>
+      s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+    val errJson =
+      if (errors.isEmpty) ""
+      else s""","error_count":${errors.size},"errors":${errors.mkString("{", ",", "}")}"""
+    val total = results.map(_._2.sec).sum
+    // Bucketed-join amortization split (round-2 verdict, Wrong #3): the
+    // bucketed_join_revenue query entry memoizes its layout, so min-of-2
+    // already reports the amortized join; this section times the two halves
+    // explicitly — layout_sec is the pre-paid exchange, join_sec is what
+    // every subsequent join on the key costs.
+    val bucketed = if (only.isEmpty) {
+      Try {
+        import graft.operators.Scale
+        val t0 = System.nanoTime()
+        Scale.bucketTables(spark, sfDir, buckets = 8, prefix = "graft_bjr_split")
+        val layoutSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Scale.bucketedJoin(spark, "graft_bjr_split").count()
+        val joinSec = (System.nanoTime() - t1) / 1e9
+        s""","bucketed":{"layout_sec":$layoutSec,"join_sec":$joinSec}"""
+      } match {
+        case Success(j) => j
+        case Failure(e) => s""","bucketed":{"err":"${jsonEscape(e.getMessage.take(200))}"}"""
+      }
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streaming,"sf":"$sfDir"}""")
+    // streaming perf signal (skipped when SPARK_GRAFT_ONLY filters queries);
+    // wrapped in Try so a streaming failure can't lose the batch results
+    // after both full query passes were already paid for
+    val streaming = if (only.isEmpty) {
+      Try(graft.streaming.StreamingBench.allPaths(spark)) match {
+        case Success(j) => s""","streaming":$j"""
+        case Failure(e) =>
+          s""","streaming":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
+      }
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$bucketed$streaming,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,7 +54,14 @@ object Bench {
     val cold = runOnce()
     val warm = runOnce()
     val results = cold.zip(warm).map { case ((n, a), (_, b)) =>
-      n -> Timed(math.min(a.sec, b.sec), a.err.orElse(b.err))
+      // When exactly one pass failed, a fast failure must not masquerade as
+      // the steady-state time — report the successful pass's duration.
+      val sec = (a.err, b.err) match {
+        case (Some(_), None) => b.sec
+        case (None, Some(_)) => a.sec
+        case _ => math.min(a.sec, b.sec)
+      }
+      n -> Timed(sec, a.err.orElse(b.err))
     }
     val qs = results.map { case (k, t) => s"\"" + k + "\":" + t.sec }
       .mkString("{", ",", "}")
@@ -81,7 +88,7 @@ object Bench {
         s""","bucketed":{"layout_sec":$layoutSec,"join_sec":$joinSec}"""
       } match {
         case Success(j) => j
-        case Failure(e) => s""","bucketed":{"err":"${jsonEscape(e.getMessage.take(200))}"}"""
+        case Failure(e) => s""","bucketed":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
     } else ""
     // streaming perf signal (skipped when SPARK_GRAFT_ONLY filters queries);

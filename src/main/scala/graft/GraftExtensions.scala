@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HyperplaneSignature, VectorFunctions}
 
 /** Catalyst extension entry point: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` — or
@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HyperplaneSignature(exprs.head, VectorFunctions.sigPlanesFromLiteral(exprs(1)))))
   }
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -64,14 +64,118 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native fused hyperplane-LSH signature: the sign bits of `v · plane_p`
+  * for every hyperplane, packed little-endian into one long
+  * (`bit p = 1 ⟺ dot(v, planes(p)) ≥ 0`).
+  *
+  * The LSH operators (`Similarity.annLshBucketed`, `embeddingNearDups`)
+  * previously composed 8–16 independent `DotProduct` expressions per row —
+  * 16 codegen'd loops each re-reading the same 64-element vector from
+  * unsafe row storage. This expression makes one pass over the vector per
+  * plane with the plane matrix held as a flat primitive `double[]` in the
+  * references array: the whole signature is one fused loop nest inside
+  * whole-stage codegen.
+  *
+  * The plane matrix is a constructor parameter, not a child expression —
+  * it is always a query-compile-time constant (derived from md5 parities,
+  * [[VectorFunctions.planesFor]]), so embedding it as a reference object
+  * keeps the generated code free of per-row ArrayData indirection.
+  */
+case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  private lazy val nPlanes = planes.length
+  private lazy val dims = if (planes.isEmpty) 0 else planes.head.length
+  // row-major [plane][dim] flattened for a primitive codegen loop
+  private lazy val flat: Array[Double] = planes.flatten.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val d = math.min(dims, v.numElements())
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val off = p * dims
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v.getDouble(i) * flat(off + i); i += 1 }
+      if (s >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("planes", flat, "double[]")
+      val d = ctx.freshName("d")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $d = java.lang.Math.min($dims, $a.numElements());
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  int $off = $p * $dims;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $s += $a.getDouble($i) * $pl[$off + $i];
+         |  }
+         |  if ($s >= 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-DSL entry point: `dot(a, b)` with codegen. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
-  /** SQL-surface registration (idempotent): `SELECT graft_dot(a, b)`. */
-  def register(spark: SparkSession): Unit =
+  /** Column-DSL entry point: packed hyperplane sign bits of `v`. */
+  def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(v), planes))
+
+  /** Deterministic ±1 hyperplane matrix shared by the LSH operators and
+    * the SQL oracles: sign(p, d) from the md5 parity of "p|d" — no RNG,
+    * identical on any engine, embeddable as literals in oracle SQL. */
+  def planesFor(n: Int, dims: Int = 64): Seq[Seq[Double]] = (0 until n).map { p =>
+    (0 until dims).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$d".getBytes("UTF-8"))
+      if ((hex.last & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** SQL-surface registration (idempotent): `SELECT graft_dot(a, b)`,
+    * `SELECT graft_hyperplane_sig(v, 8)` (md5 planes over 64 dims). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hyperplane_sig",
+      exprs => HyperplaneSignature(exprs.head, sigPlanesFromLiteral(exprs(1))),
+      "built-in")
+  }
+
+  /** Resolves the literal plane-count arg of the SQL surface. */
+  def sigPlanesFromLiteral(e: Expression): Seq[Seq[Double]] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => planesFor(n)
+      case other => throw new IllegalArgumentException(
+        s"graft_hyperplane_sig expects a literal plane count, got $other")
+    }
 }

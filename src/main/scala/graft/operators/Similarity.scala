@@ -86,23 +86,17 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane matrix: sign(p,d) from the md5 parity of
     * "p|d" — no RNG, identical on any engine, embedded as literals in the
-    * SQL oracle. */
-  private def planesFor(n: Int): Seq[Seq[Double]] = (0 until n).map { p =>
-    (0 until dims).map { d =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p|$d".getBytes("UTF-8"))
-      if ((hex.last & 1) == 1) 1.0 else -1.0
-    }
-  }
+    * SQL oracle ([[VectorFunctions.planesFor]]). */
+  private def planesFor(n: Int): Seq[Seq[Double]] = VectorFunctions.planesFor(n, dims)
 
   private[operators] val planes: Seq[Seq[Double]] = planesFor(8)
 
-  /** 8-bit LSH bucket id for a double-vector column. */
+  /** 8-bit LSH bucket id for a double-vector column: the fused
+    * [[graft.functions.HyperplaneSignature]] expression — one codegen'd
+    * loop nest instead of 8 independent dot products, bit-identical
+    * (`bit p = 1 ⟺ dot ≥ 0`, packed `1L << p`). */
   private def bucketCol(v: Column): Column =
-    (0 until 8).map { p =>
-      val planeLit = array(planes(p).map(lit(_)): _*)
-      when(dot(v, planeLit) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    VectorFunctions.hyperplaneSig(v, planes)
 
   private def bucketSql(alias: String): String =
     (0 until 8).map { p =>
@@ -241,40 +235,48 @@ object Similarity {
   private val ndBands = 8
   private val ndPlanes: Seq[Seq[Double]] = planesFor(2 * ndBands)
 
-  /** One sign bit of v against a fixed hyperplane (codegen'd dot). */
-  private def signBit(v: Column, plane: Seq[Double]): Column = {
-    val planeLit = array(plane.map(lit(_)): _*)
-    when(dot(v, planeLit) >= 0.0, lit(1L)).otherwise(lit(0L))
-  }
-
-  /** 2-bit key of band b: bits from planes 2b and 2b+1. */
-  private def bandKeyCol(v: Column, b: Int): Column =
-    signBit(v, ndPlanes(2 * b)) * 2 + signBit(v, ndPlanes(2 * b + 1))
+  /** 2-bit key of band b sliced out of the packed 16-bit signature:
+    * `2 * bit(2b) + bit(2b+1)` — same value the per-plane dot products
+    * produced, now two shifts on an already-computed long. */
+  private def bandKeyFromSig(sig: Column, b: Int): Column =
+    shiftright(sig, 2 * b).bitwiseAND(lit(1L)) * 2 +
+      shiftright(sig, 2 * b + 1).bitwiseAND(lit(1L))
 
   /** Embedding-cosine near-dup pairs (threshold 0.4 — chosen for the
     * synthetic corpus whose max pairwise cosine is ~0.48; production
     * near-dup dedup would run the same plan at ~0.95).
     *
     * 100 TB shape: candidate generation is a band-key equi-join over an
-    * exploded (vec_id, band, key) frame — expected candidate volume per
-    * band is n²/4 per key-group spread over 4 key values × 8 bands, never
-    * the all-pairs n²/2 a `vec_id < vec_id` cross join would scan. The
-    * exploded band frame is tiny (8 longs/doc) and cached so the two sides
-    * of the self-join don't rescan the wide embeddings table. */
+    * exploded (vec_id, band, key, sig) frame — expected candidate volume
+    * per band is n²/4 per key-group spread over 4 key values × 8 bands,
+    * never the all-pairs n²/2 a `vec_id < vec_id` cross join would scan.
+    * The 16 sign bits are one fused [[graft.functions.HyperplaneSignature]]
+    * pass per document; a pair colliding in several bands is emitted only
+    * from its FIRST colliding band (decided from the xor of the two
+    * signatures carried through the join), so no `distinct` pass and no
+    * materialization barrier is needed — the whole plan is scan → explode →
+    * shuffle-join → filter → verify, streaming end to end. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val bands = e.select(col("vec_id"),
-        posexplode(array((0 until ndBands).map(b => bandKeyCol(col("v"), b)): _*))
+    val bands = e
+      .select(col("vec_id"),
+        VectorFunctions.hyperplaneSig(col("v"), ndPlanes).as("sig"))
+      .select(col("vec_id"), col("sig"),
+        posexplode(array((0 until ndBands).map(b => bandKeyFromSig(col("sig"), b)): _*))
           .as(Seq("band", "key")))
-      .cache()
-    bands.count() // materialize before the self-join uses it twice
+    // band b collides ⟺ both of its sign bits agree ⟺ ((sigX ^ sigY) >> 2b) & 3 == 0;
+    // keep a pair only in its first colliding band — exactly-once without distinct()
+    val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
+    val firstBand = coalesce(
+      (0 until ndBands).map(b =>
+        when(shiftright(xorSig, 2 * b).bitwiseAND(lit(3L)) === 0, lit(b))): _*)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.vec_id") < col("y.vec_id"))
+      .where(col("x.band") === firstBand)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
     val va = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
     val vb = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
     cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))

@@ -2,49 +2,56 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 import graft.model.AdEvent
 
-/** Micro-benchmark for the stateful streaming path: drives
-  * [[CtrStream.fixedWindowCtr]] over a [[MemoryStream]] in scripted
-  * micro-batches and reports wall time — so the streaming operators have a
-  * perf signal next to the batch bench, not just correctness scenarios.
+/** Micro-benchmark for the stateful streaming paths: drives each CTR
+  * variant over a [[MemoryStream]] in scripted micro-batches and reports
+  * wall time — so the streaming operators have a perf signal next to the
+  * batch bench, not just correctness scenarios.
   *
-  * The measured plan is the real streaming one: partial HashAggregate →
-  * shuffle → StateStore(update-mode) → final HashAggregate, with an
-  * advancing event-time watermark. Events are generated in-order on the
-  * driver (the harness side, like Beam's TestStream), synthesized
-  * deterministically so the number is comparable across rounds.
+  * The measured plans are the real streaming ones: partial HashAggregate →
+  * shuffle → StateStore → final HashAggregate for the windowed aggs, and a
+  * key-partitioned flatMapGroupsWithState store for the custom window.
+  * Events are generated in-order on the driver (the harness side, like
+  * Beam's TestStream), synthesized deterministically so the numbers are
+  * comparable across rounds.
   */
 object StreamingBench {
 
+  /** One synthetic ad event; shared by all paths so their inputs are
+    * identical and the per-path numbers differ only by the plan. */
+  private def event(n: Long, baseMs: Long): AdEvent =
+    AdEvent(
+      s"ad${n % 50}", s"screen${n % 20}",
+      if (n % 3 == 0) "Click" else "Impression",
+      new Timestamp(baseMs + n * 100L))
+
   /** Returns (events processed, wall seconds) for `batches` micro-batches
-    * of `perBatch` synthetic ad events through the fixed-window CTR. */
-  def fixedWindowThroughput(
+    * of `perBatch` synthetic ad events through `mkQuery`'s streaming plan.
+    * `outputMode` must match the plan ("update" for windowed aggs,
+    * "append" for flatMapGroupsWithState). */
+  def throughput(
       spark: SparkSession,
+      mkQuery: Dataset[AdEvent] => DataFrame,
+      outputMode: String,
+      queryName: String,
       batches: Int = 5,
       perBatch: Int = 60000): (Long, Double) = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
     val in = MemoryStream[AdEvent]
-    val out = CtrStream.fixedWindowCtr(in.toDS(), "10 minutes", "0 seconds")
-    val name = "graft_stream_bench"
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
+    val out = mkQuery(in.toDS())
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(outputMode).start()
     val base = 1700000000000L // fixed epoch: deterministic windows
     try {
       val t0 = System.nanoTime()
       (0 until batches).foreach { b =>
-        val evs = (0 until perBatch).map { i =>
-          val n = b.toLong * perBatch + i
-          AdEvent(
-            s"ad${n % 50}", s"screen${n % 20}",
-            if (n % 3 == 0) "Click" else "Impression",
-            new Timestamp(base + n * 100L))
-        }
+        val evs = (0 until perBatch).map { i => event(b.toLong * perBatch + i, base) }
         in.addData(evs)
         q.processAllAvailable()
       }
@@ -52,7 +59,34 @@ object StreamingBench {
       (batches.toLong * perBatch, sec)
     } finally {
       q.stop()
-      spark.sql(s"DROP VIEW IF EXISTS $name")
+      spark.sql(s"DROP VIEW IF EXISTS $queryName")
     }
+  }
+
+  /** Kept as the named single-path entry point (round-2 API). */
+  def fixedWindowThroughput(
+      spark: SparkSession,
+      batches: Int = 5,
+      perBatch: Int = 60000): (Long, Double) =
+    throughput(spark, CtrStream.fixedWindowCtr(_, "10 minutes", "0 seconds"),
+      "update", "graft_stream_bench", batches, perBatch)
+
+  /** Runs all three streaming CTR paths and returns the JSON object
+    * `Bench` splices in verbatim as `"streaming":{...}`:
+    * fixed / sliding windowed aggregations and the custom merging ad-event
+    * window (flatMapGroupsWithState). */
+  def allPaths(spark: SparkSession, batches: Int = 5, perBatch: Int = 60000): String = {
+    import spark.implicits._
+    val paths: Seq[(String, Dataset[AdEvent] => DataFrame, String)] = Seq(
+      ("fixed", CtrStream.fixedWindowCtr(_, "10 minutes", "0 seconds"), "update"),
+      ("sliding", CtrStream.slidingWindowCtr(_, "20 minutes", "10 minutes", "0 seconds"), "update"),
+      ("session", (ds: Dataset[AdEvent]) => AdEventWindower.ctrByScreen(ds).toDF(), "append"))
+    val parts = paths.map { case (name, mk, mode) =>
+      val (events, sec) = throughput(spark, mk, mode, s"graft_stream_bench_$name",
+        batches, perBatch)
+      val rate = if (sec > 0) events / sec else 0.0
+      s""""$name":{"events":$events,"batches":$batches,"sec":$sec,"events_per_sec":$rate}"""
+    }
+    parts.mkString("{", ",", "}")
   }
 }

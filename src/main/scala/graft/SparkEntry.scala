@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_recall"          -> ((s, d) => Similarity.annRecall(s, d)),
     "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
   )
 
@@ -112,6 +113,7 @@ object SparkEntry {
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,
+    "ann_recall"          -> Similarity.annRecallSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
   )
 }

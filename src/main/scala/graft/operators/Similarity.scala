@@ -89,34 +89,51 @@ object Similarity {
     * SQL oracle ([[VectorFunctions.planesFor]]). */
   private def planesFor(n: Int): Seq[Seq[Double]] = VectorFunctions.planesFor(n, dims)
 
-  private[operators] val planes: Seq[Seq[Double]] = planesFor(8)
+  // Multi-table LSH: L independent tables of b sign bits each, candidates
+  // = bucket collision in ANY table (the classic OR-of-ANDs construction;
+  // one table alone has recall p^b, L tables 1-(1-p^b)^L). (b, L) are
+  // corpus constants: this synthetic corpus's true neighbors sit at cosine
+  // ~0.33 (bit-agreement p ≈ 0.61), so tables must be shallow and many —
+  // 8 tables × 4 bits gives expected recall ~0.7 while scanning ~L/2^b =
+  // half the corpus per probe. A production embedding corpus with
+  // near-dups at cosine ≥ 0.9 (p ≈ 0.86) would run 8 × 16 bits: recall
+  // ~0.8 at 8/65536 of the corpus per probe — same plan, deeper keys.
+  private val lshTables = 8
+  private val lshBits = 4
+  private val lshPlanes: Seq[Seq[Double]] = planesFor(lshTables * lshBits)
 
-  /** 8-bit LSH bucket id for a double-vector column: the fused
-    * [[graft.functions.HyperplaneSignature]] expression — one codegen'd
-    * loop nest instead of 8 independent dot products, bit-identical
-    * (`bit p = 1 ⟺ dot ≥ 0`, packed `1L << p`). */
-  private def bucketCol(v: Column): Column =
-    VectorFunctions.hyperplaneSig(v, planes)
+  /** Key of LSH table t sliced out of the packed signature. */
+  private def tableKeyFromSig(sig: Column, t: Int): Column =
+    shiftright(sig, lshBits * t).bitwiseAND(lit((1L << lshBits) - 1))
 
-  private def bucketSql(alias: String): String =
-    (0 until 8).map { p =>
-      val planeLit = planes(p).map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $alias.v[i] * ($planeLit)[i])) >= 0.0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
-
-  /** LSH-bucketed ANN: both sides keyed by hyperplane bucket; candidates
-    * are an equi-join on the bucket, ranked per query. Recall < 1 by
-    * construction — the scale path, verified against the same oracle. */
+  /** Multi-table LSH ANN: corpus and query sides each explode to one
+    * (table, key) row per LSH table off a single fused
+    * [[graft.functions.HyperplaneSignature]] pass; candidate generation is
+    * an equi-join on (table, key) — at scale a shuffle on small keys, here
+    * with the tiny query side broadcast. A pair colliding in several
+    * tables is kept only in its first colliding table (xor-of-signatures
+    * trick), so candidates are scored exactly once — no distinct pass. */
   def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
     val e = Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", bucketCol(col("v")))
-    val q = e.where(col("vec_id") < nQueries)
+      .withColumn("sig", VectorFunctions.hyperplaneSig(col("v"), lshPlanes))
+    def explodeTables(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
+        posexplode(array((0 until lshTables).map(t => tableKeyFromSig(col("sig"), t)): _*))
+          .as(Seq("tbl", "key")))
+    val corpus = explodeTables(e)
+    val probes = explodeTables(e.where(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qbucket"))
-    val scored = e.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        col("nrm").as("qn"), col("sig").as("qsig"), col("tbl"), col("key"))
+    val xorSig = col("sig").bitwiseXOR(col("qsig"))
+    val firstTbl = coalesce(
+      (0 until lshTables).map(t =>
+        when(shiftright(xorSig, lshBits * t)
+          .bitwiseAND(lit((1L << lshBits) - 1)) === 0, lit(t))): _*)
+    val scored = corpus.join(broadcast(probes),
+        Seq("tbl", "key")).where(col("vec_id") =!= col("query_id"))
+      .where(col("tbl") === firstTbl)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -127,14 +144,27 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
-  val annLshBucketedSql: String =
-    s"""WITH e0 AS ($sqlVecs),
-       |e AS (SELECT vec_id, v, nrm, ${bucketSql("e0")} AS bucket FROM e0),
+  /** SQL for the key of LSH table t on alias `a` (mirrors
+    * [[tableKeyFromSig]]: bit 4t has weight 1 … bit 4t+3 weight 8). */
+  private def tableKeySql(alias: String, t: Int): String =
+    (0 until lshBits).map { j =>
+      val planeLit = lshPlanes(lshBits * t + j).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $alias.v[i] * ($planeLit)[i])) >= 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val annLshBucketedSql: String = {
+    val keys = (0 until lshTables).map(t => s"${tableKeySql("e", t)} AS k$t").mkString(",\n  ")
+    val collide = (0 until lshTables).map(t => s"qa.k$t = ca.k$t").mkString(" OR ")
+    s"""WITH e AS ($sqlVecs),
+       |sig AS (SELECT vec_id, v, nrm,
+       |  $keys
+       |FROM e),
        |scored AS (
        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
        |    $sqlDot / (qa.nrm * ca.nrm) AS sim
-       |  FROM e qa JOIN e ca
-       |    ON ca.bucket = qa.bucket AND ca.vec_id <> qa.vec_id
+       |  FROM sig qa JOIN sig ca
+       |    ON ca.vec_id <> qa.vec_id AND ($collide)
        |  WHERE qa.vec_id < $nQueries),
        |ranked AS (
        |  SELECT query_id, neighbor_id, sim,
@@ -143,6 +173,7 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= $topK""".stripMargin
+  }
 
   private val nCentroids = 16
   private val nProbe = 2
@@ -220,6 +251,41 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= $topK""".stripMargin
+
+  /** Recall@k of the two approximate ANN paths against the brute-force
+    * ground truth — the quality metric that makes the scale paths'
+    * accuracy a verified artifact instead of a comment. For each method,
+    * `hits` counts (query, neighbor) pairs present in both that method's
+    * top-k and brute-force's top-k; `recall = hits / |ground truth|`.
+    * All three result sets are ~k·queries rows, so the joins are trivially
+    * broadcast — the cost is the three underlying searches. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+    val total = truth.agg(count(lit(1)).as("total"))
+    def recallOf(df: DataFrame, name: String): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("method"), col("hits"),
+          (col("hits").cast("double") / col("total").cast("double")).as("recall"))
+    recallOf(annLshBucketed(s, dir), "lsh")
+      .unionAll(recallOf(annIvf(s, dir), "ivf"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH bf AS ($annBruteForceSql),
+       |lsh AS ($annLshBucketedSql),
+       |ivf AS ($annIvfSql),
+       |n AS (SELECT COUNT(*) AS total FROM bf),
+       |h AS (
+       |  SELECT 'lsh' AS method, COUNT(*) AS hits
+       |  FROM lsh JOIN bf USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, COUNT(*) AS hits
+       |  FROM ivf JOIN bf USING (query_id, neighbor_id))
+       |SELECT method, hits, CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+       |FROM h CROSS JOIN n""".stripMargin
 
   // --- embedding-cosine near-dup pairs: banded hyperplane LSH -----------
   //

@@ -40,6 +40,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got._1 === got._2)
   }
 
+  test("hyperplane signature packs the same sign bits as per-plane dots") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val planes = VectorFunctions.planesFor(16, 4)
+    val df = Seq(
+      Seq(0.5, -1.5, 2.0, 0.25),
+      Seq(-3.0, 1.0, -0.5, 4.0),
+      Seq(1.0, 1.0, 1.0, 1.0)).toDF("v")
+    val rows = df.select(
+      VectorFunctions.hyperplaneSig(col("v"), planes).as("sig"),
+      col("v")).as[(Long, Seq[Double])].collect()
+    rows.foreach { case (sig, v) =>
+      planes.zipWithIndex.foreach { case (plane, p) =>
+        val d = v.zip(plane).map { case (a, b) => a * b }.sum
+        val bit = (sig >> p) & 1L
+        assert(bit === (if (d >= 0.0) 1L else 0L),
+          s"plane $p: dot=$d bit=$bit sig=$sig")
+      }
+    }
+  }
+
+  test("graft_hyperplane_sig SQL surface matches the DSL form") {
+    VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val v = (0 until 64).map(i => (i % 7).toDouble - 3.0)
+    val dsl = Seq(v).toDF("v")
+      .select(VectorFunctions.hyperplaneSig(col("v"), VectorFunctions.planesFor(8)))
+      .as[Long].collect().head
+    val sql = spark.sql(
+      s"SELECT graft_hyperplane_sig(array(${v.mkString("d,")}d), 8)")
+      .collect().head.getLong(0)
+    assert(dsl === sql)
+    // null propagation
+    val n = spark.sql("SELECT graft_hyperplane_sig(CAST(NULL AS ARRAY<DOUBLE>), 8)")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("typed capped aggregator clamps per key like the reference semigroup") {
     import spark.implicits._
     val events = Seq(

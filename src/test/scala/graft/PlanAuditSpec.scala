@@ -55,6 +55,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in near-dup plan:\n$plan")
   }
 
+  test("multi-table LSH ANN blocks on (table, key) — no all-pairs join") {
+    val plan = physicalPlan(Similarity.annLshBucketed(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH candidate generation is not an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge equi-join in LSH plan:\n$plan")
+  }
+
+  test("the hyperplane signature stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(
+      graft.functions.VectorFunctions.hyperplaneSig(
+        array(col("id").cast("double"), (col("id") * -1).cast("double")),
+        graft.functions.VectorFunctions.planesFor(8, 2)).as("sig"))
+    val codegenPlan = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(codegenPlan.contains("WholeStageCodegen"), codegenPlan)
+    // the generated code must contain the fused loop nest over the plane
+    // matrix reference, not an interpreted fallback
+    assert(codegenPlan.contains("double[]"), "signature not code-generated")
+  }
+
   test("the codegen dot product stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // exchange-free plan: AQE leaves it alone, so the codegen subtree is

@@ -86,8 +86,10 @@ object Dedup {
     * digest reused): minhashing is per-document state, so exploding the
     * shingle stream into a k-slot min aggregate — a full shuffle — is
     * wasted motion. Hex slices compare as strings exactly like the
-    * oracle's `MIN(substring(md5(...)))`. */
-  private def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String])] = {
+    * oracle's `MIN(substring(md5(...)))`. The shingle-set size rides along
+    * for free (the set is in hand), so Jaccard denominators never need a
+    * second pass over the corpus. */
+  private def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String], Long)] = {
     import s.implicits._
     Corpus.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -95,7 +97,8 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val mins = new Array[String](numMinhash)
-          shinglesOf(text).foreach { sh =>
+          val shingles = shinglesOf(text)
+          shingles.foreach { sh =>
             val ha = hex32(md.digest(("a|" + sh).getBytes("UTF-8")))
             val hb = hex32(md.digest(("b|" + sh).getBytes("UTF-8")))
             var i = 0
@@ -106,7 +109,7 @@ object Dedup {
               i += 1
             }
           }
-          (id, mins.toSeq)
+          (id, mins.toSeq, shingles.size.toLong)
         }
       }
   }
@@ -151,7 +154,7 @@ object Dedup {
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     minhashPerDoc(s, dir)
-      .map { case (id, mh) => (id, mh.mkString(",")) }
+      .map { case (id, mh, _) => (id, mh.mkString(",")) }
       .toDF("doc_id", "signature")
   }
 
@@ -168,31 +171,35 @@ object Dedup {
     * double is bit-deterministic. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     // Cache discipline, which is also the 100 TB shape: the full shingle
-    // set is NEVER cached or even shuffled (signatures and band keys come
-    // from the shuffle-free per-doc minhash pass); only the tiny per-doc
-    // band table and the candidate pairs are cached, each materialized
-    // eagerly so the broadcast builds below read a few KB from storage
-    // instead of racing concurrent jobs through the upstream pipeline.
+    // set is NEVER cached or even shuffled (signatures, band keys, and
+    // Jaccard denominators all come from the one shuffle-free per-doc
+    // minhash pass); only that small per-doc frame is cached — with a
+    // single materialization barrier so the expensive md5 pass runs
+    // exactly once — and everything downstream streams off it.
     import s.implicits._
     val nBands = numMinhash / bandSize
-    val bands = minhashPerDoc(s, dir)
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, mh) =>
-          (0 until nBands).map { b =>
-            val key = (0 until bandSize).map(j => mh(b * bandSize + j)).mkString("|")
-            (id, hex32(md.digest(key.getBytes("UTF-8"))))
-          }
-        }
-      }
-      .toDF("doc_id", "band_key").cache()
+    val sigs = minhashPerDoc(s, dir).toDF("doc_id", "mh", "n_shingles").cache()
+    sigs.count() // the one barrier: materialize the md5 pass exactly once
+    val sizes = sigs.select(col("doc_id"), col("n_shingles"))
+    // Band keys are the raw concatenated minima (equality is what the join
+    // needs — hashing the key first bought nothing); each row carries ALL
+    // band keys so a multi-band collision is kept only in its FIRST
+    // colliding band — exactly-once candidates without a distinct pass.
+    val keyCols = (0 until nBands).map { b =>
+      concat_ws("|", (0 until bandSize).map(j => col("mh")(b * bandSize + j)): _*)
+    }
+    val bands = sigs.select(col("doc_id"), array(keyCols: _*).as("keys"))
+      .select(col("doc_id"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+    val firstBand = coalesce(
+      (0 until nBands).map(b =>
+        when(col("l.keys")(b) === col("r.keys")(b), lit(b))): _*)
     val candidates = bands.as("l").join(bands.as("r"),
-        col("l.band_key") === col("r.band_key") &&
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
+      .where(col("l.band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
       .cache()
-    candidates.count() // sequential materialization of bands + candidates
     // Verification semi-join reduction: re-shingle ONLY candidate docs.
     // Candidates are a vanishing fraction of the corpus, so recomputing
     // their shingles from the (pruned, pushed-down) scan is far cheaper
@@ -203,9 +210,7 @@ object Dedup {
     // so a post-shingle filter would shingle the whole corpus anyway
     val candDocs = Corpus.documents(s, dir)
       .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
-    val shc = shingledFrom(s, candDocs).cache()
-    shc.count()
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shc = shingledFrom(s, candDocs)
     val inter = broadcast(candidates)
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),
@@ -370,6 +375,7 @@ object Dedup {
     * counts move. This is the exact-similarity complement of the
     * MinHash/SimHash sketches. */
   def ngramJaccardTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val nProbes = 20
     val topK = 3
     val sh = shingled(s, dir)
@@ -380,7 +386,12 @@ object Dedup {
       .where(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // set sizes from a narrow per-doc pass — not a second full pass over
+    // the exploded shingle stream plus a shuffle to re-group it
+    val sizes = Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, shinglesOf(text).size.toLong) }
+      .toDF("doc_id", "n")
     val scored = inter
       .join(sizes.as("za"), col("probe_id") === col("za.doc_id"))
       .join(sizes.as("zb"), inter("doc_id") === col("zb.doc_id"))

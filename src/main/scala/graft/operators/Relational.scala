@@ -131,16 +131,21 @@ object Relational {
        |  AND o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY n_name""".stripMargin
 
-  /** Analytic window function: top-3 parts per brand by total revenue
-    * (partitioned row_number — shuffles once on p_brand). */
+  /** Analytic window function: top-3 parts per brand by total revenue.
+    *
+    * lineitem is aggregated by l_partkey BEFORE the part join (partkey
+    * determines brand, so the values are identical): map-side partial
+    * aggregation collapses the fact table to one row per part ahead of any
+    * join, the join input shrinks from |lineitem| to |part|, and the brand
+    * window then shuffles only the aggregated frame — the
+    * aggregate-below-join rewrite Catalyst doesn't apply on its own. */
   def topPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
     val pt = Corpus.part(s, dir).select("p_partkey", "p_brand")
-    val li = Corpus.lineitem(s, dir)
+    val rev = Corpus.lineitem(s, dir)
       .select("l_partkey", "l_extendedprice", "l_discount")
-    val rev = li
-      .join(pt, col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_partkey"))
+      .groupBy(col("l_partkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .join(pt, col("l_partkey") === col("p_partkey"))
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey").asc)
     rev.withColumn("rank", row_number().over(w))

@@ -104,8 +104,10 @@ object Sketches {
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfq = toks.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df falls out of tf (one row per (doc, token) already): no second
+    // tokenize pass, no distinct shuffle — and the tf exchange is reused
+    // by Catalyst for both branches
+    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(dfq, Seq("token")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),

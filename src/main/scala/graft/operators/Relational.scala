@@ -259,22 +259,29 @@ object Relational {
       |GROUP BY o_orderpriority""".stripMargin
 
   /** TPC-H Q10-style returned-item report: top-20 customers by revenue on
-    * returned lineitems. Fact join shuffles on orderkey; nation is
-    * hint-broadcast (bounded), customer is AQE's call (SF-scaling); the
-    * top-k is a partial-agg'd sort-limit. */
+    * returned lineitems. Returned-lineitem revenue is pre-aggregated by
+    * orderkey BELOW the joins (every lineitem has an order, so the join
+    * filters nothing): map-side partials collapse ~4-6 lineitems/order
+    * before the orderkey shuffle, and the per-customer re-aggregation sums
+    * exact DECIMALs so the value is identical to the single-level sum.
+    * nation is hint-broadcast (bounded), customer is AQE's call
+    * (SF-scaling); the top-k is a partial-agg'd sort-limit. */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
-    val li = Corpus.lineitem(s, dir)
+    val liAgg = Corpus.lineitem(s, dir)
       .where(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_order"))
     val ord = Corpus.orders(s, dir).select("o_orderkey", "o_custkey")
     val cust = Corpus.customer(s, dir)
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
     val nat = Corpus.nation(s, dir).select("n_nationkey", "n_name")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    liAgg.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .agg(sum(col("rev_order")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(20)
   }

@@ -63,6 +63,8 @@ object SparkEntry {
     "token_quantiles"    -> ((s, d) => Sketches.tokenQuantiles(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
     "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    // Sequence packing (scale extension)
+    "pack_chunks" -> ((s, d) => Packing.packChunks(s, d)),
     // Similarity search (scale extensions)
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
@@ -110,6 +112,7 @@ object SparkEntry {
     "tfidf_top_terms"    -> Sketches.tfidfTopTermsSql,
     "token_quantiles"    -> Sketches.tokenQuantilesSql,
     "media_meta" -> Multimodal.mediaMetaSql,
+    "pack_chunks" -> Packing.packChunksSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Sequence packing for LLM pre-training (builder-prompt scale extension;
+  * the reference has no training surface, so this is engine-native):
+  * documents are conceptually concatenated in doc_id order and cut into
+  * fixed-capacity token chunks ("concat-and-chunk"), and each document
+  * reports the chunk span it lands in. The downstream writer that emits
+  * actual packed sequences only needs this frame joined back to the text.
+  *
+  * The core is a RUNNING TOTAL over the whole corpus — the textbook
+  * scale-killer if written as one global window (Spark moves every row to
+  * a single partition). Here it is a hierarchical prefix sum instead:
+  *  1. per-doc token counts aggregate into doc_id buckets (one shuffle of
+  *     two-long rows; the text itself never moves);
+  *  2. bucket totals — corpus_size / 4096 rows, a few thousand at 100 TB —
+  *     take the global cumulative window on a frame small enough that the
+  *     single partition is free;
+  *  3. bucket offsets broadcast-join back and a PER-BUCKET window (fully
+  *     parallel) finishes the per-doc offsets.
+  * Every stage is bounded: no partition ever holds more than one bucket of
+  * per-doc rows or the tiny bucket-total frame.
+  *
+  * Offsets stay exact in longs; chunk ids use floor division (offsets are
+  * non-negative, and a 100 TB corpus is ~25 T tokens, far inside the long
+  * range). Empty documents occupy one virtual token so every doc has a
+  * well-defined chunk (mirrored in the oracle via GREATEST(n, 1)).
+  */
+object Packing {
+
+  private val chunkTokens = 2048L // packing capacity (tokens per chunk)
+  private val bucketDocs = 4096L  // prefix-sum fan-in per bucket
+
+  def packChunks(s: SparkSession, dir: String): DataFrame = {
+    val counted = Corpus.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
+    val bucketOffsets = counted.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset",
+        coalesce(sum(col("btotal")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    val local = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = counted
+      .join(broadcast(bucketOffsets), Seq("bucket"))
+      .withColumn("start_offset",
+        col("boffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+    val span = greatest(col("n_tokens"), lit(1L))
+    starts.select(col("doc_id"), col("n_tokens"), col("start_offset"),
+      floor(col("start_offset") / lit(chunkTokens)).as("first_chunk"),
+      floor((col("start_offset") + span - 1) / lit(chunkTokens)).as("last_chunk"),
+      (floor((col("start_offset") + span - 1) / lit(chunkTokens)) -
+        floor(col("start_offset") / lit(chunkTokens)) + 1).as("n_chunks"))
+  }
+
+  val packChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM d)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  start_offset // $chunkTokens AS first_chunk,
+       |  (start_offset + GREATEST(n_tokens, 1) - 1) // $chunkTokens AS last_chunk,
+       |  (start_offset + GREATEST(n_tokens, 1) - 1) // $chunkTokens
+       |    - start_offset // $chunkTokens + 1 AS n_chunks
+       |FROM c""".stripMargin
+}

@@ -62,7 +62,8 @@ object SparkEntry {
     "tfidf_top_terms"    -> ((s, d) => Sketches.tfidfTopTerms(s, d)),
     "token_quantiles"    -> ((s, d) => Sketches.tokenQuantiles(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
-    "media_meta" -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "media_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
     // Sequence packing (scale extension)
     "pack_chunks" -> ((s, d) => Packing.packChunks(s, d)),
     // Similarity search (scale extensions)
@@ -111,8 +112,9 @@ object SparkEntry {
     "hll_distinct_users" -> Sketches.hllDistinctUsersSql,
     "tfidf_top_terms"    -> Sketches.tfidfTopTermsSql,
     "token_quantiles"    -> Sketches.tokenQuantilesSql,
-    "media_meta" -> Multimodal.mediaMetaSql,
-    "pack_chunks" -> Packing.packChunksSql,
+    "media_meta"   -> Multimodal.mediaMetaSql,
+    "media_frames" -> Multimodal.mediaFramesSql,
+    "pack_chunks"  -> Packing.packChunksSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,

@@ -121,4 +121,29 @@ object Multimodal {
       |  64 + (octet_length(encode(text)) * 31) % 719 AS height,
       |  (octet_length(encode(text)) + 4095) // 4096 AS n_frames
       |FROM documents""".stripMargin
+
+  /** Oracle-checked frame-sampling query: the binary-slicing plumbing of
+    * [[frameSample]] (one row per sampled frame, fixed-stride substring of
+    * the opaque payload) with the payload itself projected away. The
+    * oracle derives each frame's length arithmetically — agreement proves
+    * the slicing indexes are right without shipping blobs to DuckDB. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(s, dir))
+      .select(col("docId").as("doc_id"), col("mediaType").as("media_type"),
+        col("frameIdx").cast("long").as("frame_idx"),
+        col("frameLen").cast("long").as("frame_len"))
+
+  val mediaFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    octet_length(encode(text)) AS byte_len
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, media_type, byte_len,
+      |    UNNEST(range(0, LEAST(4, (byte_len - 1) // 1024 + 1))) AS frame_idx
+      |  FROM m)
+      |SELECT doc_id, media_type, frame_idx,
+      |  LEAST(1024, byte_len - frame_idx * 1024) AS frame_len
+      |FROM f""".stripMargin
 }

@@ -64,8 +64,10 @@ object SparkEntry {
     // Multimodal columns (scale extensions; decode itself is stubbed)
     "media_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
-    // Sequence packing (scale extension)
-    "pack_chunks" -> ((s, d) => Packing.packChunks(s, d)),
+    // Sequence packing + curation (scale extensions)
+    "pack_chunks"       -> ((s, d) => Packing.packChunks(s, d)),
+    "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
+    "mix_weights"       -> ((s, d) => Curation.mixWeights(s, d)),
     // Similarity search (scale extensions)
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
@@ -114,7 +116,9 @@ object SparkEntry {
     "token_quantiles"    -> Sketches.tokenQuantilesSql,
     "media_meta"   -> Multimodal.mediaMetaSql,
     "media_frames" -> Multimodal.mediaFramesSql,
-    "pack_chunks"  -> Packing.packChunksSql,
+    "pack_chunks"       -> Packing.packChunksSql,
+    "sample_stratified" -> Curation.sampleStratifiedSql,
+    "mix_weights"       -> Curation.mixWeightsSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,

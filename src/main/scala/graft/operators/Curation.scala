@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Corpus-curation operators for training-data pipelines (builder-prompt
+  * scale extension; the reference has no curation surface): deterministic
+  * stratified sampling and temperature-based mixture weights.
+  *
+  * Sampling uses multiplicative integer hashing, not `rand()`: the keep
+  * decision is a pure function of the row, so it is reproducible across
+  * runs/engines (the DuckDB oracle computes the identical decision),
+  * restartable mid-job, and stable under repartitioning — the properties a
+  * 100 TB curation pass actually needs from "random".
+  */
+object Curation {
+
+  /** Knuth's multiplicative constant; doc_id * K stays far inside a long
+    * at any realistic corpus size (25M docs · 2.6e9 ≈ 6.7e16). */
+  private val mixK = 2654435761L
+
+  /** Per-language downsampling: the dominant language keeps 25 of every
+    * 100 hash slots, the long tail keeps everything — the standard rebalance
+    * before training. A narrow filter over the scan: no shuffle, pushdown
+    * keeps untouched columns out of the read. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .where(pmod(col("doc_id") * lit(mixK), lit(100L)) <
+        when(col("lang") === "en", lit(25L)).otherwise(lit(100L)))
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE (doc_id * $mixK) % 100 <
+       |  CASE WHEN lang = 'en' THEN 25 ELSE 100 END""".stripMargin
+
+  /** Temperature-based mixture weights per language: weight ∝ tokens^0.3
+    * (the standard multilingual rebalancing exponent), normalized to sum
+    * to 1. One narrow token-count pass, one tiny per-language aggregate;
+    * round(4) at the edge absorbs libm pow/division last-ulp differences
+    * between engines (same policy as the tf-idf ln()). */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Corpus.documents(s, dir)
+      .select(col("lang"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = perLang.agg(
+      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("z"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"), 4)
+          .as("weight"))
+  }
+
+  val mixWeightsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_tokens,
+       |  round(power(n_tokens, 0.3) / SUM(power(n_tokens, 0.3)) OVER (), 4) AS weight
+       |FROM t""".stripMargin
+}

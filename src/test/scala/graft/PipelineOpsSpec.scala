@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Packing}
+
+/** Invariants of the curation/packing operators that the row-level oracle
+  * compare can't express: packing's prefix-sum recurrence, sampling's
+  * determinism and stratum behavior, mixture-weight normalization.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // shared, never-stopped session (suites in one JVM would otherwise
+  // tear down each other's SparkContext)
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("pack_chunks offsets are the exact running total in doc_id order") {
+    val rows = Packing.packChunks(spark, sf)
+      .select("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.head._3 === 0L, "first doc must start at offset 0")
+    rows.sliding(2).foreach {
+      case Array((_, n, start, _, _, _), (id2, _, start2, _, _, _)) =>
+        assert(start2 === start + n, s"offset recurrence broken at doc $id2")
+      case _ => ()
+    }
+    rows.foreach { case (id, n, start, first, last, nc) =>
+      val span = math.max(n, 1L)
+      assert(first === start / 2048, s"first_chunk wrong for doc $id")
+      assert(last === (start + span - 1) / 2048, s"last_chunk wrong for doc $id")
+      assert(nc === last - first + 1, s"n_chunks wrong for doc $id")
+    }
+  }
+
+  test("stratified sample is deterministic, a subset, and keeps the long tail whole") {
+    import org.apache.spark.sql.functions._
+    val once = Curation.sampleStratified(spark, sf).collect().map(_.getLong(0)).sorted
+    val twice = Curation.sampleStratified(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(once.sameElements(twice), "hash sampling must be run-stable")
+    val docs = graft.sources.Corpus.documents(spark, sf)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once.forall(all.contains), "sample must be a subset of the corpus")
+    val nonEn = docs.where(col("lang") =!= "en").count()
+    val keptNonEn = Curation.sampleStratified(spark, sf)
+      .where(col("lang") =!= "en").count()
+    assert(keptNonEn === nonEn, "non-dominant languages are kept at 100%")
+  }
+
+  test("mixture weights are normalized and monotone in token count") {
+    val w = Curation.mixWeights(spark, sf)
+      .select("lang", "n_tokens", "weight").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(w.length > 1)
+    val total = w.map(_._3).sum
+    assert(math.abs(total - 1.0) < 0.001, s"weights must sum to ~1, got $total")
+    val byTokens = w.sortBy(_._2).map(_._3)
+    assert(byTokens.sameElements(byTokens.sorted),
+      "more tokens must never get a smaller weight")
+  }
+}

@@ -210,7 +210,10 @@ object Dedup {
     // so a post-shingle filter would shingle the whole corpus anyway
     val candDocs = Corpus.documents(s, dir)
       .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
-    val shc = shingledFrom(s, candDocs)
+    // lazily cached: the intersection join reads it twice (sa/sb) — a
+    // second semi-join + re-shingle pass costs more than storing the small
+    // candidate shingle set
+    val shc = shingledFrom(s, candDocs).cache()
     val inter = broadcast(candidates)
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),

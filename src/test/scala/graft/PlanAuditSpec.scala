@@ -78,6 +78,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(codegenPlan.contains("double[]"), "signature not code-generated")
   }
 
+  test("pack_chunks confines the global window to the tiny bucket frame") {
+    val plan = physicalPlan(graft.operators.Packing.packChunks(spark, sf))
+    // the hierarchical prefix sum allows exactly one single-partition
+    // exchange: the bucket-totals cumulative window (corpus_size/4096 rows).
+    // A second one would mean the per-doc running total collapsed to one
+    // partition — the scale-killer the operator exists to avoid.
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"per-doc window collapsed to a single partition:\n$plan")
+    // the per-doc window must be partitioned (by bucket)
+    assert(plan.contains("Window") && plan.contains("bucket"),
+      s"expected a bucket-partitioned window:\n$plan")
+  }
+
   test("the codegen dot product stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // exchange-free plan: AQE leaves it alone, so the codegen subtree is

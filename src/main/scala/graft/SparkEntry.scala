@@ -68,6 +68,7 @@ object SparkEntry {
     "pack_chunks"       -> ((s, d) => Packing.packChunks(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "mix_weights"       -> ((s, d) => Curation.mixWeights(s, d)),
+    "corpus_retention"  -> ((s, d) => Curation.corpusRetention(s, d)),
     // Similarity search (scale extensions)
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
@@ -119,6 +120,7 @@ object SparkEntry {
     "pack_chunks"       -> Packing.packChunksSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "mix_weights"       -> Curation.mixWeightsSql,
+    "corpus_retention"  -> Curation.corpusRetentionSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,

@@ -57,6 +57,51 @@ object Curation {
           .as("weight"))
   }
 
+  /** End-to-end retention verdict — the query a curation pipeline actually
+    * ships: per document, keep/drop plus the FIRST failing filter as the
+    * reason (duplicate ≻ language ≻ quality, the conventional ordering: a
+    * duplicate is dropped as a duplicate even if it is also low-quality).
+    *
+    * Single-pass shape: fingerprint, predicted language, and quality score
+    * are all computed in ONE projection over the scan (they are pure
+    * expressions of the text); the only exchanges are the keeper-group
+    * aggregate on the fingerprint and the join back — at 100 TB that is
+    * one shuffle of (fingerprint, doc_id) pairs, never a second scan. */
+  def corpusRetention(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val signals = Corpus.documents(s, dir).select(
+      col("doc_id"),
+      md5(norm).as("fingerprint"),
+      TextAnalysis.predictedLang(col("text")).as("predicted"),
+      (TextAnalysis.qualityScore10(col("text")) >= 6L).as("q_keep"))
+    val keepers = signals.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val reason = when(col("doc_id") =!= col("keep_id"), "duplicate")
+      .when(col("predicted") =!= "en", "language")
+      .when(!col("q_keep"), "quality")
+      .otherwise("retained")
+    signals.join(keepers, Seq("fingerprint"))
+      .select(col("doc_id"), reason.as("reason"),
+        (reason === "retained").as("retained"))
+  }
+
+  val corpusRetentionSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       |    (${TextAnalysis.langIdPredictedSql}) AS predicted,
+       |    (${TextAnalysis.qualityScore10Sql}) >= 6 AS q_keep
+       |  FROM documents),
+       |keepers AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM sig GROUP BY 1),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id <> keep_id THEN 'duplicate'
+       |         WHEN predicted <> 'en' THEN 'language'
+       |         WHEN NOT q_keep THEN 'quality'
+       |         ELSE 'retained' END AS reason
+       |  FROM sig JOIN keepers USING (fingerprint))
+       |SELECT doc_id, reason, reason = 'retained' AS retained FROM r""".stripMargin
+
   val mixWeightsSql: String =
     s"""WITH t AS (
        |  SELECT lang, COUNT(*) AS n_docs,

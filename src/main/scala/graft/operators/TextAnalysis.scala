@@ -61,19 +61,31 @@ object TextAnalysis {
        |  CAST(length(text) AS DOUBLE) / len($tokensSql) AS mean_token_len
        |FROM documents""".stripMargin
 
+  /** Integer quality score out of 10 as a pure column expression over the
+    * raw text — shared by [[qualityScore]] and the single-pass
+    * [[Curation]] retention verdict. Every term is exact-int-derived so
+    * the value is identical in any engine. */
+  def qualityScore10(text: Column): Column = {
+    val toks = tokensCol(text)
+    val nTokens = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = length(regexp_replace(text, "[^.!?,;:]", "")).cast("long")
+    val nStop = regexp_count(lower(text), lit(stopwordPattern)).cast("long")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val stopRatio = nStop.cast("double") / nTokens.cast("double")
+    val meanTokLen = nChars.cast("double") / nTokens.cast("double")
+    when(nChars >= 100L && nChars <= 20000L, 4L).otherwise(0L) +
+      when(stopRatio >= 0.01, 2L).otherwise(0L) +
+      when(punctRatio <= 0.2, 2L).otherwise(0L) +
+      when(meanTokLen >= 3.0 && meanTokLen <= 12.0, 2L).otherwise(0L)
+  }
+
   /** Quality scoring: range/ratio heuristics folded into one double score;
     * documents below the cut get `keep = false`. Weights are arbitrary but
-    * fixed; every term is exact-int-derived so the score is reproducible. */
+    * fixed. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    val stats = textStats(s, dir)
-    // integer scoring out of 10, divided once — no float accumulation, so
-    // the value is identical in any engine
-    val lenTerm = when(col("n_chars") >= 100L && col("n_chars") <= 20000L, 4L).otherwise(0L)
-    val stopTerm = when(col("stopword_ratio") >= 0.01, 2L).otherwise(0L)
-    val punctTerm = when(col("punct_ratio") <= 0.2, 2L).otherwise(0L)
-    val tokTerm = when(col("mean_token_len") >= 3.0 && col("mean_token_len") <= 12.0, 2L).otherwise(0L)
-    val score10 = lenTerm + stopTerm + punctTerm + tokTerm
-    stats.select(col("doc_id"),
+    val score10 = qualityScore10(col("text"))
+    Corpus.documents(s, dir).select(col("doc_id"),
       (score10.cast("double") / 10.0).as("quality"),
       (score10 >= 6L).as("keep"))
   }
@@ -102,23 +114,55 @@ object TextAnalysis {
     "es" -> "\\b(el|los|las|es|una)\\b",
     "zh" -> "\\b(de|shi|le|bu|wo)\\b")
 
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val d = Corpus.documents(s, dir)
-    val scored = langMarkers.foldLeft(d) { case (df, (l, pat)) =>
-      df.withColumn(s"score_$l", regexp_count(lower(col("text")), lit(pat)).cast("long"))
+  /** Predicted language as a pure column expression over the raw text
+    * (argmax of marker-word hits, precedence = declaration order) —
+    * shared by [[langId]] and the single-pass [[Curation]] verdict. */
+  def predictedLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, pat) =>
+      l -> regexp_count(lower(text), lit(pat)).cast("long")
     }
-    // argmax with precedence = declaration order: strictly-greater wins
-    val (firstLang, _) = langMarkers.head
-    val pred = langMarkers.tail.foldLeft(
-      (col(s"score_$firstLang"), lit(firstLang))) { case ((bestScore, bestLang), (l, _)) =>
-        val better = col(s"score_$l") > bestScore
-        (when(better, col(s"score_$l")).otherwise(bestScore),
+    val (firstLang, firstScore) = scores.head
+    scores.tail.foldLeft((firstScore, lit(firstLang))) {
+      case ((bestScore, bestLang), (l, score)) =>
+        val better = score > bestScore
+        (when(better, score).otherwise(bestScore),
          when(better, lit(l)).otherwise(bestLang))
     }._2
-    scored.select(
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val pred = predictedLang(col("text"))
+    Corpus.documents(s, dir).select(
       col("doc_id"), col("lang"),
       pred.as("predicted"),
       (pred === col("lang")).as("agree"))
+  }
+
+  /** Scalar-SQL twin of [[qualityScore10]] (an expression over `text`),
+    * for oracles that fold the score into a bigger single-pass query. */
+  val qualityScore10Sql: String =
+    s"""(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 4 ELSE 0 END)
+       | + (CASE WHEN CAST(len(regexp_extract_all(lower(text), '$stopwordPattern')) AS DOUBLE)
+       |      / len($tokensSql) >= 0.01 THEN 2 ELSE 0 END)
+       | + (CASE WHEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |      / length(text) <= 0.2 THEN 2 ELSE 0 END)
+       | + (CASE WHEN CAST(length(text) AS DOUBLE) / len($tokensSql)
+       |      BETWEEN 3.0 AND 12.0 THEN 2 ELSE 0 END)""".stripMargin
+
+  /** Scalar-SQL twin of [[predictedLang]]: the same argmax fold with the
+    * marker-hit counts inlined as expressions over `text`. */
+  val langIdPredictedSql: String = {
+    def scoreExpr(pat: String): String =
+      s"len(regexp_extract_all(lower(text), '$pat'))"
+    val (firstLang, firstPat) = langMarkers.head
+    var bestScore = scoreExpr(firstPat)
+    var bestLang = s"'$firstLang'"
+    langMarkers.tail.foreach { case (l, pat) =>
+      val sc = scoreExpr(pat)
+      bestLang = s"CASE WHEN $sc > $bestScore THEN '$l' ELSE $bestLang END"
+      bestScore = s"CASE WHEN $sc > $bestScore THEN $sc ELSE $bestScore END"
+    }
+    bestLang
   }
 
   val langIdSql: String = {

@@ -50,12 +50,19 @@ object Similarity {
       "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]))) AS nrm " +
       "FROM embeddings"
 
-  /** Brute-force exact top-k: broadcast the query batch against the corpus,
-    * rank per query with a window, keep k. */
-  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = Corpus.embeddings(s, dir)
+  /** Shared base frame: the corpus with its double vector and norm — every
+    * search path starts here, so [[annRecall]] can cache it once. */
+  private def embFrame(s: SparkSession, dir: String): DataFrame =
+    Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force exact top-k: broadcast the query batch against the corpus,
+    * rank per query with a window, keep k. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    annBruteForceFrom(embFrame(s, dir))
+
+  private def annBruteForceFrom(e: DataFrame): DataFrame = {
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -113,11 +120,11 @@ object Similarity {
     * with the tiny query side broadcast. A pair colliding in several
     * tables is kept only in its first colliding table (xor-of-signatures
     * trick), so candidates are scored exactly once — no distinct pass. */
-  def annLshBucketed(s: SparkSession, dir: String): DataFrame = {
-    val e = Corpus.embeddings(s, dir)
-      .select(col("vec_id"), vec(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("sig", VectorFunctions.hyperplaneSig(col("v"), lshPlanes))
+  def annLshBucketed(s: SparkSession, dir: String): DataFrame =
+    annLshBucketedFrom(embFrame(s, dir))
+
+  private def annLshBucketedFrom(e0: DataFrame): DataFrame = {
+    val e = e0.withColumn("sig", VectorFunctions.hyperplaneSig(col("v"), lshPlanes))
     def explodeTables(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
         posexplode(array((0 until lshTables).map(t => tableKeyFromSig(col("sig"), t)): _*))
@@ -189,10 +196,10 @@ object Similarity {
     * engine-specifically); the assignment, cell inversion, and probe
     * machinery are exactly the production IVF shape. Every vector belongs
     * to one cell, so no candidate dedup is needed. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = Corpus.embeddings(s, dir)
-      .select(col("vec_id"), vec(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfFrom(embFrame(s, dir))
+
+  private def annIvfFrom(e: DataFrame): DataFrame = {
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cellScores = e.crossJoin(broadcast(cents))
@@ -260,7 +267,10 @@ object Similarity {
     * All three result sets are ~k·queries rows, so the joins are trivially
     * broadcast — the cost is the three underlying searches. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = annBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+    // one cached base frame serves all three searches (scan + cast + norm
+    // would otherwise run three times inside a single query)
+    val e = embFrame(s, dir).cache()
+    val truth = annBruteForceFrom(e).select(col("query_id"), col("neighbor_id"))
     val total = truth.agg(count(lit(1)).as("total"))
     def recallOf(df: DataFrame, name: String): DataFrame =
       df.select(col("query_id"), col("neighbor_id"))
@@ -269,8 +279,8 @@ object Similarity {
         .crossJoin(broadcast(total))
         .select(lit(name).as("method"), col("hits"),
           (col("hits").cast("double") / col("total").cast("double")).as("recall"))
-    recallOf(annLshBucketed(s, dir), "lsh")
-      .unionAll(recallOf(annIvf(s, dir), "ivf"))
+    recallOf(annLshBucketedFrom(e), "lsh")
+      .unionAll(recallOf(annIvfFrom(e), "ivf"))
   }
 
   val annRecallSql: String =
@@ -323,9 +333,7 @@ object Similarity {
     * materialization barrier is needed — the whole plan is scan → explode →
     * shuffle-join → filter → verify, streaming end to end. */
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
-    val e = Corpus.embeddings(s, dir)
-      .select(col("vec_id"), vec(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    val e = embFrame(s, dir)
     val bands = e
       .select(col("vec_id"),
         VectorFunctions.hyperplaneSig(col("v"), ndPlanes).as("sig"))

@@ -104,12 +104,14 @@ object Sketches {
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    // df falls out of tf (one row per (doc, token) already): no second
-    // tokenize pass, no distinct shuffle — and the tf exchange is reused
-    // by Catalyst for both branches
-    val dfq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df falls out of tf (one row per (doc, token) already) as a window
+    // count partitioned by token: no second tokenize pass, no distinct
+    // shuffle, and no df-side join exchange — one repartition by token
+    // replaces aggregate-plus-join
+    val dfW = Window.partitionBy(col("token"))
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(dfq, Seq("token")).crossJoin(broadcast(n))
+    val scored = tf.withColumn("df", count(lit(1)).over(dfW))
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         round(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 4)

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one place that wires the graft
+  * Catalyst extensions ([[GraftExtensions]] — `graft_dot`,
+  * `graft_hyperplane_sig`) and the configuration every graft workload
+  * needs, so a user replaces
+  * `SparkSession.builder()...` with `GraftSession.builder()...` and every
+  * operator and SQL function in this library just works.
+  *
+  * On a cluster, leave `master` unset and submit normally — only the
+  * local-mode mains (Verify/Bench/tests) pin `local[n]`. Shuffle
+  * partitions default to the cluster's setting unless `shufflePartitions`
+  * is given (the local harnesses pass the core count; at 100 TB you'd size
+  * it to data volume, not cores).
+  */
+object GraftSession {
+
+  def builder(
+      master: Option[String] = None,
+      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); read as long + convert
+      // (see graft.sources.Corpus.normalizeTs)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val b1 = master.fold(b)(m => b.master(m))
+    shufflePartitions.fold(b1)(n => b1.config("spark.sql.shuffle.partitions", n.toString))
+  }
+
+  /** Local-harness convenience: `local[cpus]` with matching shuffle
+    * partitions and no UI — what Verify/Bench/the test session use. */
+  def local(cpus: Int): SparkSession =
+    builder(Some(s"local[$cpus]"), Some(cpus))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

@@ -9,13 +9,9 @@ import graft.sources.Corpus
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = GraftSession.builder(Some("local[4]"), Some(4))
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // production-scale state store; required by transformWithState
       // (multiple column families) and exercises the RocksDB path for all
       // streaming suites

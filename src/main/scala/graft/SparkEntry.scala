@@ -61,6 +61,7 @@ object SparkEntry {
     "hll_distinct_users" -> ((s, d) => Sketches.hllDistinctUsers(s, d)),
     "tfidf_top_terms"    -> ((s, d) => Sketches.tfidfTopTerms(s, d)),
     "token_quantiles"    -> ((s, d) => Sketches.tokenQuantiles(s, d)),
+    "token_quantiles_sketch" -> ((s, d) => Sketches.tokenQuantilesSketch(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
     "media_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "hll_distinct_users" -> Sketches.hllDistinctUsersSql,
     "tfidf_top_terms"    -> Sketches.tfidfTopTermsSql,
     "token_quantiles"    -> Sketches.tokenQuantilesSql,
+    "token_quantiles_sketch" -> Sketches.tokenQuantilesSketchSql,
     "media_meta"   -> Multimodal.mediaMetaSql,
     "media_frames" -> Multimodal.mediaFramesSql,
     "pack_chunks"       -> Packing.packChunksSql,

@@ -171,4 +171,65 @@ object Sketches {
        |  round(quantile_cont(n_tokens, 0.75), 4) AS p75,
        |  round(quantile_cont(n_tokens, 0.9), 4) AS p90
        |FROM d GROUP BY lang""".stripMargin
+
+  /** Quantile estimates from a mergeable log₂-histogram sketch — the
+    * unbounded-cardinality path [[tokenQuantiles]]' Scaladoc promises:
+    * instead of collecting a group's values on one reducer, each value
+    * lands in bucket `bitlength(n)` (pure integer op, no float log), the
+    * per-(lang, bucket) counts merge associatively at any fan-in, and the
+    * quantile is linearly interpolated inside the bucket's [2^(b−1), 2^b)
+    * range. State per group is ≤ 64 longs no matter how many documents —
+    * the same bounded-shuffle contract as the HLL above. The estimate is
+    * deterministic (integer counts + one double interpolation), so the
+    * oracle reproduces it bitwise after the round(4) edge. */
+  def tokenQuantilesSketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val counts = docs.select(col("lang"),
+      size(filter(TextAnalysis.tokensCol(col("text")),
+        t => length(t) > 0)).cast("long").as("n_tokens"))
+    val bucketed = counts
+      .groupBy(col("lang"), length(bin(col("n_tokens"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    val cum = bucketed
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+    val qs = Seq(0.5, 0.9)
+    val probes = cum.crossJoin(
+      broadcast(s.range(qs.length).toDF("qi")
+        .select(element_at(array(qs.map(lit(_)): _*), col("qi").cast("int") + 1).as("q"))))
+    val r = col("q") * col("total").cast("double")
+    val below = (col("cum") - col("cnt")).cast("double")
+    val lo = pow(lit(2.0), col("bucket").cast("double") - 1.0)
+    val hi = pow(lit(2.0), col("bucket").cast("double"))
+    probes
+      .where(below < r && col("cum").cast("double") >= r)
+      .select(col("lang"), col("q"),
+        round(lo + (hi - lo) * (r - below) / col("cnt").cast("double"), 4)
+          .as("est_tokens"))
+  }
+
+  val tokenQuantilesSketchSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT lang, CAST(length(bin(n_tokens)) AS BIGINT) AS bucket, COUNT(*) AS cnt
+       |  FROM d GROUP BY 1, 2),
+       |c AS (
+       |  SELECT lang, bucket, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+       |  FROM b),
+       |p AS (SELECT c.*, q FROM c CROSS JOIN (SELECT UNNEST([0.5, 0.9]) AS q) qq)
+       |SELECT lang, q,
+       |  round(power(2.0, bucket - 1.0)
+       |    + (power(2.0, CAST(bucket AS DOUBLE)) - power(2.0, bucket - 1.0))
+       |      * (q * total - (cum - cnt)) / cnt, 4) AS est_tokens
+       |FROM p
+       |WHERE (cum - cnt) < q * total AND cum >= q * total""".stripMargin
 }

@@ -50,6 +50,7 @@ object SparkEntry {
     "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
+    "winnow_pairs"        -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -107,6 +108,7 @@ object SparkEntry {
     "lang_id"         -> TextAnalysis.langIdSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsSql,
+    "winnow_pairs"        -> TextAnalysis.winnowPairsSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,

@@ -295,4 +295,63 @@ object TextAnalysis {
        |SELECT doc_id, CAST(fp AS BIGINT) AS fp FROM (
        |  SELECT doc_id, UNNEST(list_distinct(mins)) AS fp FROM winnowed)""".stripMargin
   }
+
+  // winnow-pair parameters: drop fingerprints shared by more than maxDf
+  // docs (boilerplate), report pairs sharing at least minShared rare ones
+  private val wMaxDf = 20L
+  private val wMinShared = 5L
+
+  /** Character-level near-dup pairs from the winnowing fingerprints (the
+    * MOSS copy-detection join) — the substring-overlap complement of the
+    * token-level MinHash pipeline: any shared run of ≥ k+w−1 = 11 chars
+    * contributes a shared fingerprint regardless of tokenization.
+    *
+    * Scale shape: an inverted-index self-join on the fingerprint, with the
+    * STOP-FINGERPRINT cap doing the heavy lifting — fingerprints present
+    * in more than [[wMaxDf]] documents are boilerplate and are dropped
+    * before the join (df as a window count, same exchange the join needs
+    * anyway). Without the cap the hot fingerprints alone contribute
+    * quadratic candidate volume; with it, per-fingerprint fan-out is
+    * bounded by maxDf² and total candidates stay near-linear in corpus
+    * size. Containment = shared / min(|fps|) over the capped sets — an
+    * exact integer ratio, oracle-reproducible. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(s, dir)
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val rare = fps.withColumn("df", count(lit(1)).over(dfW))
+      .where(col("df") <= wMaxDf)
+      .select(col("doc_id"), col("fp"))
+      .cache()
+    val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val shared = rare.as("a").join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= wMinShared)
+    shared
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("za.n_fps"), col("zb.n_fps")).cast("double"), 4)
+          .as("containment"))
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH fps AS ($winnowFingerprintsSql),
+       |df AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),
+       |rare AS (
+       |  SELECT doc_id, fps.fp FROM fps JOIN df ON fps.fp = df.fp
+       |  WHERE df.df <= $wMaxDf),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_fps FROM rare GROUP BY 1),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $wMinShared)
+       |SELECT doc_a, doc_b, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / LEAST(za.n_fps, zb.n_fps), 4) AS containment
+       |FROM shared
+       |JOIN sizes za ON doc_a = za.doc_id
+       |JOIN sizes zb ON doc_b = zb.doc_id""".stripMargin
 }

@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "minhash_lsh_pairs"  -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard_topk" -> ((s, d) => Dedup.ngramJaccardTopk(s, d)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,
+    "dedup_clusters"     -> Dedup.dedupClustersSql,
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
     "ngram_jaccard_topk" -> Dedup.ngramJaccardTopkSql,

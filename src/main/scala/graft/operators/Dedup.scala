@@ -370,6 +370,77 @@ object Dedup {
        |    ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
+  /** Connected components over the verified MinHash near-dup pairs — the
+    * step a real dedup pipeline runs after pair generation: transitively
+    * linked documents form one cluster, and every member reports the
+    * cluster's minimum doc_id as its representative (the doc a keep-one
+    * policy would retain).
+    *
+    * Execution is Pregel-style min-label propagation: each superstep joins
+    * the label frame to the edge list and takes the neighborhood minimum,
+    * repeating until a fixpoint. The driver coordinates supersteps (a
+    * scalar convergence count per round — NOT a data loop; every step is a
+    * distributed join) and near-dup clusters have tiny diameter, so the
+    * loop converges in a handful of rounds; production-scale components
+    * would swap in the large-star/small-star contraction, which is the
+    * same join shape with a log-round bound. Min-propagation converges to
+    * the same labels regardless of join order — deterministic, and the
+    * oracle recomputes it as a recursive transitive closure. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    // localCheckpoint truncates each round's lineage — without it the
+    // logical plan grows a full copy of the loop body per superstep and
+    // Catalyst re-analyzes the whole chain every round (the classic
+    // iterative-DataFrame trap). Eager, so it doubles as the round's
+    // materialization.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    // labels only ever decrease, so an unchanged label SUM is a fixpoint —
+    // one scalar aggregate per round instead of a change-detection join
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = -1L // sentinel: round 1 always runs, no initial action
+    var iter = 0
+    var converged = false
+    while (!converged && iter < 8) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val prop = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.label"), coalesce(col("nbr_min"), col("l.label"))).as("label"))
+      // pointer jumping: also adopt the label's own label, so chains halve
+      // every round and convergence is logarithmic in component diameter
+      val ptr = prop.select(col("doc_id").as("p_id"), col("label").as("p_label"))
+      val next = prop.as("p")
+        .join(ptr, col("p.label") === col("p_id"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.label"), coalesce(col("p_label"), col("p.label"))).as("label"))
+        .localCheckpoint()
+      val s2 = labelSum(next)
+      converged = s2 == prevSum
+      prevSum = s2
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+
   /** Exact n-gram Jaccard top-k via an inverted-index join: a small probe
     * set's shingles (filter pushed into the scan) are broadcast against
     * the corpus shingle stream; sharing ≥1 shingle is the candidate

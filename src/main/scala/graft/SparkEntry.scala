@@ -65,8 +65,9 @@ object SparkEntry {
     "token_quantiles"    -> ((s, d) => Sketches.tokenQuantiles(s, d)),
     "token_quantiles_sketch" -> ((s, d) => Sketches.tokenQuantilesSketch(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
-    "media_meta"   -> ((s, d) => Multimodal.mediaMeta(s, d)),
-    "media_frames" -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    "media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "media_frames"   -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
     // Sequence packing + curation (scale extensions)
     "pack_chunks"       -> ((s, d) => Packing.packChunks(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -121,8 +122,9 @@ object SparkEntry {
     "tfidf_top_terms"    -> Sketches.tfidfTopTermsSql,
     "token_quantiles"    -> Sketches.tokenQuantilesSql,
     "token_quantiles_sketch" -> Sketches.tokenQuantilesSketchSql,
-    "media_meta"   -> Multimodal.mediaMetaSql,
-    "media_frames" -> Multimodal.mediaFramesSql,
+    "media_meta"     -> Multimodal.mediaMetaSql,
+    "media_frames"   -> Multimodal.mediaFramesSql,
+    "media_features" -> Multimodal.mediaFeaturesSql,
     "pack_chunks"       -> Packing.packChunksSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "mix_weights"       -> Curation.mixWeightsSql,

@@ -122,6 +122,30 @@ object Multimodal {
       |  (octet_length(encode(text)) + 4095) // 4096 AS n_frames
       |FROM documents""".stripMargin
 
+  /** Oracle-checked feature-extraction query: drives the real batched
+    * decode path ([[decodeFeatures]] — per-partition codec init, iterator
+    * in/out) and exposes the per-slot features as scalar rows. The stub
+    * codec's features are exact integer arithmetic, so the oracle
+    * recomputes them — proving the mapPartitions plumbing delivers every
+    * (doc, slot) exactly once with the right values, which is precisely
+    * what a real-codec swap relies on. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaTable(s, dir)).toDF()
+      .select(col("docId").as("doc_id"), col("mediaType").as("media_type"),
+        posexplode(col("features")).as(Seq("slot", "feature")))
+      .select(col("doc_id"), col("media_type"), col("slot").cast("long").as("slot"),
+        round(col("feature").cast("double"), 4).as("feature"))
+
+  val mediaFeaturesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    UNNEST(range(0, 8)) AS slot
+      |  FROM documents)
+      |SELECT doc_id, media_type, slot,
+      |  round(CAST(((doc_id * 31 + slot) * 2654435761) % 1000 AS DOUBLE) / 1000.0, 4) AS feature
+      |FROM f""".stripMargin
+
   /** Oracle-checked frame-sampling query: the binary-slicing plumbing of
     * [[frameSample]] (one row per sampled frame, fixed-stride substring of
     * the opaque payload) with the payload itself projected away. The

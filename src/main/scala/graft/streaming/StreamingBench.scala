@@ -71,16 +71,17 @@ object StreamingBench {
     throughput(spark, CtrStream.fixedWindowCtr(_, "10 minutes", "0 seconds"),
       "update", "graft_stream_bench", batches, perBatch)
 
-  /** Runs all three streaming CTR paths and returns the JSON object
-    * `Bench` splices in verbatim as `"streaming":{...}`:
-    * fixed / sliding windowed aggregations and the custom merging ad-event
-    * window (flatMapGroupsWithState). */
+  /** Runs the streaming paths and returns the JSON object `Bench` splices
+    * in verbatim as `"streaming":{...}`: fixed / sliding windowed
+    * aggregations, the custom merging ad-event window
+    * (flatMapGroupsWithState), and watermark-bounded exact dedup. */
   def allPaths(spark: SparkSession, batches: Int = 5, perBatch: Int = 60000): String = {
     import spark.implicits._
     val paths: Seq[(String, Dataset[AdEvent] => DataFrame, String)] = Seq(
       ("fixed", CtrStream.fixedWindowCtr(_, "10 minutes", "0 seconds"), "update"),
       ("sliding", CtrStream.slidingWindowCtr(_, "20 minutes", "10 minutes", "0 seconds"), "update"),
-      ("session", (ds: Dataset[AdEvent]) => AdEventWindower.ctrByScreen(ds).toDF(), "append"))
+      ("session", (ds: Dataset[AdEvent]) => AdEventWindower.ctrByScreen(ds).toDF(), "append"),
+      ("dedup", (ds: Dataset[AdEvent]) => StreamDedup.dedupEvents(ds).toDF(), "append"))
     val parts = paths.map { case (name, mk, mode) =>
       val (events, sec) = throughput(spark, mk, mode, s"graft_stream_bench_$name",
         batches, perBatch)

@@ -74,13 +74,15 @@ object Curation {
       md5(norm).as("fingerprint"),
       TextAnalysis.predictedLang(col("text")).as("predicted"),
       (TextAnalysis.qualityScore10(col("text")) >= 6L).as("q_keep"))
-    val keepers = signals.groupBy(col("fingerprint"))
-      .agg(min(col("doc_id")).as("keep_id"))
+    // keeper as a window-min over the fingerprint — an aggregate + join
+    // back would scan (and re-score) the documents twice; the window keeps
+    // it at literally one scan and one exchange (plan-asserted)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
     val reason = when(col("doc_id") =!= col("keep_id"), "duplicate")
       .when(col("predicted") =!= "en", "language")
       .when(!col("q_keep"), "quality")
       .otherwise("retained")
-    signals.join(keepers, Seq("fingerprint"))
+    signals.withColumn("keep_id", min(col("doc_id")).over(wFp))
       .select(col("doc_id"), reason.as("reason"),
         (reason === "retained").as("retained"))
   }

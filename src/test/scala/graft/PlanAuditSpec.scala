@@ -91,6 +91,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a bucket-partitioned window:\n$plan")
   }
 
+  test("corpus_retention reads documents exactly once") {
+    val plan = physicalPlan(graft.operators.Curation.corpusRetention(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"expected one documents scan (single-pass verdict), got $scans:\n$plan")
+  }
+
+  test("winnow_pairs blocks on fingerprints — no all-pairs join") {
+    val plan = physicalPlan(graft.operators.TextAnalysis.winnowPairs(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"winnow candidate generation is not an equi-join:\n$plan")
+  }
+
   test("the codegen dot product stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     // exchange-free plan: AQE leaves it alone, so the codegen subtree is

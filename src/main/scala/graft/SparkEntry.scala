@@ -68,6 +68,7 @@ object SparkEntry {
     "media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_frames"   -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "media_features" -> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "media_resize"   -> ((s, d) => Multimodal.mediaResize(s, d)),
     // Sequence packing + curation (scale extensions)
     "pack_chunks"       -> ((s, d) => Packing.packChunks(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -125,6 +126,7 @@ object SparkEntry {
     "media_meta"     -> Multimodal.mediaMetaSql,
     "media_frames"   -> Multimodal.mediaFramesSql,
     "media_features" -> Multimodal.mediaFeaturesSql,
+    "media_resize"   -> Multimodal.mediaResizeSql,
     "pack_chunks"       -> Packing.packChunksSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "mix_weights"       -> Curation.mixWeightsSql,

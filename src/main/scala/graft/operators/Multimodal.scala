@@ -122,6 +122,37 @@ object Multimodal {
       |  (octet_length(encode(text)) + 4095) // 4096 AS n_frames
       |FROM documents""".stripMargin
 
+  /** Resize: downsample the opaque payload by an integer factor (a real
+    * pipeline decodes, resamples pixels, re-encodes; the stub keeps every
+    * factor-th byte — same per-partition batched execution shape, same
+    * opaque-binary in/out contract, halved metadata dims). */
+  def resize(items: Dataset[MediaItem], factor: Int = 2): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val src = m.bytes
+        val out = new Array[Byte]((src.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = src(i * factor); i += 1 }
+        MediaItem(m.docId, m.mediaType, out, out.length.toLong)
+      }
+    }
+  }
+
+  /** Oracle-checked resize query: the downsampled payload's length and the
+    * halved dimensions, with the bytes projected away — the oracle derives
+    * both arithmetically, pinning the stride indexing. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame =
+    resize(mediaTable(s, dir)).toDF()
+      .select(col("docId").as("doc_id"), col("mediaType").as("media_type"),
+        col("byteLen").as("resized_len"))
+
+  val mediaResizeSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  (octet_length(encode(text)) + 1) // 2 AS resized_len
+      |FROM documents""".stripMargin
+
   /** Oracle-checked feature-extraction query: drives the real batched
     * decode path ([[decodeFeatures]] — per-partition codec init, iterator
     * in/out) and exposes the per-slot features as scalar rows. The stub

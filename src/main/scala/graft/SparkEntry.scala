@@ -56,6 +56,7 @@ object SparkEntry {
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "minhash_lsh_pairs"  -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "contamination"      -> ((s, d) => Dedup.contamination(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard_topk" -> ((s, d) => Dedup.ngramJaccardTopk(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,
     "dedup_clusters"     -> Dedup.dedupClustersSql,
+    "contamination"      -> Dedup.contaminationSql,
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
     "ngram_jaccard_topk" -> Dedup.ngramJaccardTopkSql,

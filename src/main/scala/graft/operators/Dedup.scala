@@ -370,6 +370,55 @@ object Dedup {
        |    ON l.band = r.band AND l.nib = r.nib AND l.doc_id < r.doc_id)
        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
+  /** Benchmark decontamination: flag corpus documents sharing ANY exact
+    * 13-token n-gram with a held-out "benchmark" set (docs 0-9 stand in) —
+    * the standard contamination test run before training, distinct from
+    * [[ngramJaccardTopk]] which ranks by similarity: here one collision is
+    * enough, so the check is a LEFT SEMI join on the n-gram and the engine
+    * stops probing a document at its first hit.
+    *
+    * 100 TB shape: the benchmark side is tiny (a few thousand eval docs),
+    * so its n-gram set broadcasts and the corpus side is a narrow scan +
+    * semi-join — no shuffle of corpus n-grams, no pair materialization. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 13
+    val nBench = 10
+    def grams(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ").split(' ')
+          val it =
+            if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
+            else Iterator.empty
+          it.toSet[String].iterator.map((g: String) => (id, g))
+        }
+        .toDF("doc_id", "gram")
+    val bench = grams(Corpus.documents(s, dir).where(col("doc_id") < nBench))
+      .select(col("gram")).distinct()
+    val corpus = Corpus.documents(s, dir).where(col("doc_id") >= nBench)
+    grams(corpus)
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+  }
+
+  val contaminationSql: String = {
+    val toks = TextAnalysis.tokensSql
+    def gramsSql(filter: String): String =
+      s"""SELECT doc_id, UNNEST(list_distinct(
+         |    CASE WHEN len($toks) >= 13 THEN
+         |      list_transform(range(0, len($toks) - 12), i ->
+         |        array_to_string(($toks)[CAST(i + 1 AS INT):CAST(i + 13 AS INT)], ' '))
+         |    ELSE [] END)) AS gram
+         |FROM documents WHERE $filter""".stripMargin
+    s"""WITH bench AS (SELECT DISTINCT gram FROM (${gramsSql("doc_id < 10")})),
+       |corpus AS (${gramsSql("doc_id >= 10")})
+       |SELECT DISTINCT doc_id, TRUE AS contaminated
+       |FROM corpus WHERE gram IN (SELECT gram FROM bench)""".stripMargin
+  }
+
   /** Connected components over the verified MinHash near-dup pairs — the
     * step a real dedup pipeline runs after pair generation: transitively
     * linked documents form one cluster, and every member reports the

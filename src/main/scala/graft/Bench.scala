@@ -21,7 +21,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus.toInt)
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (JVM, codegen, parquet reader init) so the first
     // timed query doesn't absorb several seconds of one-time setup.

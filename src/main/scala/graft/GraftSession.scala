@@ -31,9 +31,15 @@ object GraftSession {
   }
 
   /** Local-harness convenience: `local[cpus]` with matching shuffle
-    * partitions and no UI — what Verify/Bench/the test session use. */
-  def local(cpus: Int): SparkSession =
-    builder(Some(s"local[$cpus]"), Some(cpus))
+    * partitions and no UI — what Verify/Bench/the test session use.
+    * `cpus` is any master-legal token (so `SPARK_GRAFT_CPUS="*"` keeps
+    * working), passed through to both settings exactly as the harnesses
+    * always did. */
+  def local(cpus: String): SparkSession =
+    builder(Some(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+
+  def local(cpus: Int): SparkSession = local(cpus.toString)
 }

@@ -151,8 +151,15 @@ object VectorFunctions {
 
   /** Deterministic ±1 hyperplane matrix shared by the LSH operators and
     * the SQL oracles: sign(p, d) from the md5 parity of "p|d" — no RNG,
-    * identical on any engine, embeddable as literals in oracle SQL. */
-  def planesFor(n: Int, dims: Int = 64): Seq[Seq[Double]] = (0 until n).map { p =>
+    * identical on any engine, embeddable as literals in oracle SQL.
+    * At most 64 planes: the signature packs one bit per plane into a long,
+    * and Java's `1L << p` silently wraps mod 64 past that. */
+  def planesFor(n: Int, dims: Int = 64): Seq[Seq[Double]] = {
+    require(n >= 1 && n <= 64, s"plane count must be in [1, 64], got $n")
+    planesForUnchecked(n, dims)
+  }
+
+  private def planesForUnchecked(n: Int, dims: Int): Seq[Seq[Double]] = (0 until n).map { p =>
     (0 until dims).map { d =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s"$p|$d".getBytes("UTF-8"))
@@ -171,10 +178,12 @@ object VectorFunctions {
       "built-in")
   }
 
-  /** Resolves the literal plane-count arg of the SQL surface. */
+  /** Resolves the literal plane-count arg of the SQL surface
+    * (int or bigint literal, validated to the packable [1, 64] range). */
   def sigPlanesFromLiteral(e: Expression): Seq[Seq[Double]] =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => planesFor(n)
+      case org.apache.spark.sql.catalyst.expressions.Literal(n: Long, _) => planesFor(n.toInt)
       case other => throw new IllegalArgumentException(
         s"graft_hyperplane_sig expects a literal plane count, got $other")
     }

@@ -49,12 +49,13 @@ object Curation {
           t => length(t) > 0)).cast("long").as("n"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-    val total = perLang.agg(
-      sum(pow(col("n_tokens").cast("double"), lit(0.3))).as("z"))
-    perLang.crossJoin(broadcast(total))
-      .select(col("lang"), col("n_docs"), col("n_tokens"),
-        round(pow(col("n_tokens").cast("double"), lit(0.3)) / col("z"), 4)
-          .as("weight"))
+    // normalizer as a window over the PER-LANGUAGE aggregate (a handful of
+    // rows — the single partition is free), not a separate aggregate
+    // crossJoined back, which would scan + tokenize the corpus twice
+    val z = sum(pow(col("n_tokens").cast("double"), lit(0.3)))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy())
+    perLang.select(col("lang"), col("n_docs"), col("n_tokens"),
+      round(pow(col("n_tokens").cast("double"), lit(0.3)) / z, 4).as("weight"))
   }
 
   /** End-to-end retention verdict — the query a curation pipeline actually

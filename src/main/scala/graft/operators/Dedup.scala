@@ -44,9 +44,15 @@ object Dedup {
     * shingle stream and the per-doc minhash pass; matches the oracle's
     * `string_split(regexp_replace(lower(trim(text)),...))` exactly on this
     * ASCII corpus. */
-  private def shinglesOf(text: String): Set[String] = {
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+  /** The canonical tokenization ([[TextAnalysis.tokensCol]]'s compiled
+    * twin), shared by every per-document kernel in this file so oracle
+    * parity has ONE normalization to keep in sync. */
+  private def normTokens(text: String): Array[String] =
+    text.trim.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("\\s+", " ").split(' ')
+
+  private def shinglesOf(text: String): Set[String] = {
+    val toks = normTokens(text)
     val it =
       if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
       else Iterator(toks.mkString(" "))
@@ -286,8 +292,7 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val votes = new Array[Int](64)
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ").split(' ')
+          val toks = normTokens(text)
           toks.foreach { tok =>
             var half = 0
             while (half < 2) {
@@ -387,8 +392,7 @@ object Dedup {
     def grams(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ").split(' ')
+          val toks = normTokens(text)
           val it =
             if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
             else Iterator.empty
@@ -449,12 +453,17 @@ object Dedup {
       .withColumn("label", col("doc_id")).localCheckpoint()
     // labels only ever decrease, so an unchanged label SUM is a fixpoint —
     // one scalar aggregate per round instead of a change-detection join
+    // (coalesce: an empty edge set — a clean corpus — sums to NULL)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = -1L // sentinel: round 1 always runs, no initial action
     var iter = 0
     var converged = false
-    while (!converged && iter < 8) {
+    // pointer jumping covers 2^iter-hop chains per round, so 12 rounds
+    // handle any component diameter up to 4096 — far past any real
+    // near-dup cluster; a cap exit without convergence is surfaced, not
+    // silently returned as truth
+    while (!converged && iter < 12) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       val prop = labels.as("l")
@@ -475,6 +484,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $iter pointer-jumping rounds " +
+        "(component diameter > 4096?) — refusing to return partial labels")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

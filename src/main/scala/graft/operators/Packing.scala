@@ -37,11 +37,16 @@ object Packing {
   private val bucketDocs = 4096L  // prefix-sum fan-in per bucket
 
   def packChunks(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the counted frame (two longs + bucket per doc)
+    // feeds both the bucket-offsets aggregate and the per-doc join; an
+    // unshared subtree would scan + tokenize the corpus twice, and a
+    // cache() would leak this subtree into other queries' plans
     val counted = Corpus.documents(s, dir)
       .select(col("doc_id"),
         size(filter(TextAnalysis.tokensCol(col("text")),
           t => length(t) > 0)).cast("long").as("n_tokens"))
       .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
+      .localCheckpoint()
     val bucketOffsets = counted.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("btotal"))
       .withColumn("boffset",

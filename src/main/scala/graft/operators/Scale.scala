@@ -70,19 +70,26 @@ object Scale {
         // or engine summation order (oracle hash parity)
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
 
-  /** Oracle-gated wrapper: materialize the bucket layout for `dir` ONCE
-    * per JVM, then run the co-located join. The bucketed write is the
-    * pre-paid exchange — at 100 TB it's paid once and amortized over every
+  /** Oracle-gated wrapper: materialize the bucket layout for `dir` ONCE,
+    * then run the co-located join. The bucketed write is the pre-paid
+    * exchange — at 100 TB it's paid once and amortized over every
     * subsequent join on the same key, so re-paying it on every call would
     * misrepresent the operator's steady-state cost (the bench's separate
-    * `bucketed.layout_sec` entry times the layout explicitly). The oracle
-    * is the plain join + GROUP BY: bucketing changes the shuffle layout,
-    * never the answer. */
-  private val layoutDone = scala.collection.concurrent.TrieMap.empty[String, Unit]
-
+    * `bucketed.layout_sec` entry times the layout explicitly).
+    *
+    * The table name derives from `dir` and done-ness is the CATALOG's
+    * state, not a JVM-global flag: a per-JVM memo with a shared table name
+    * would serve dir A's revenue for dir B after interleaved calls, and
+    * would claim done-ness across a session restart whose fresh in-memory
+    * catalog no longer has the table. The oracle is the plain join +
+    * GROUP BY: bucketing changes the shuffle layout, never the answer. */
   def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
-    layoutDone.getOrElseUpdate(dir, bucketTables(s, dir, buckets = 8, prefix = "graft_bjr"))
-    bucketedJoin(s, "graft_bjr")
+    val prefix = s"graft_bjr_${(dir.hashCode & 0x7fffffff).toHexString}"
+    if (!s.catalog.tableExists(s"${prefix}_orders") ||
+        !s.catalog.tableExists(s"${prefix}_customer")) {
+      bucketTables(s, dir, buckets = 8, prefix = prefix)
+    }
+    bucketedJoin(s, prefix)
   }
 
   val bucketedJoinRevenueSql: String =

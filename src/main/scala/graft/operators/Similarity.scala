@@ -267,9 +267,13 @@ object Similarity {
     * All three result sets are ~k·queries rows, so the joins are trivially
     * broadcast — the cost is the three underlying searches. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    // one cached base frame serves all three searches (scan + cast + norm
-    // would otherwise run three times inside a single query)
-    val e = embFrame(s, dir).cache()
+    // one materialized base frame serves all three searches (scan + cast +
+    // norm would otherwise run three times inside a single query).
+    // localCheckpoint, NOT cache(): a cache() would register the subtree
+    // with the CacheManager and silently turn the OTHER ANN queries'
+    // identical embFrame subtrees into cache reads — corrupting their
+    // bench timings; a checkpoint is private to this plan.
+    val e = embFrame(s, dir).localCheckpoint()
     val truth = annBruteForceFrom(e).select(col("query_id"), col("neighbor_id"))
     val total = truth.agg(count(lit(1)).as("total"))
     def recallOf(df: DataFrame, name: String): DataFrame =

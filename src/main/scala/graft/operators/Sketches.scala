@@ -187,8 +187,12 @@ object Sketches {
     val counts = docs.select(col("lang"),
       size(filter(TextAnalysis.tokensCol(col("text")),
         t => length(t) > 0)).cast("long").as("n_tokens"))
+    // bucket 0 reserved for zero-token documents — bin(0) = "0" would
+    // otherwise land them in bucket 1 ([1, 2)) and bias estimates to ≥ 1
+    val bucketOf = when(col("n_tokens") === 0L, lit(0L))
+      .otherwise(length(bin(col("n_tokens"))).cast("long"))
     val bucketed = counts
-      .groupBy(col("lang"), length(bin(col("n_tokens"))).cast("long").as("bucket"))
+      .groupBy(col("lang"), bucketOf.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -202,8 +206,10 @@ object Sketches {
         .select(element_at(array(qs.map(lit(_)): _*), col("qi").cast("int") + 1).as("q"))))
     val r = col("q") * col("total").cast("double")
     val below = (col("cum") - col("cnt")).cast("double")
-    val lo = pow(lit(2.0), col("bucket").cast("double") - 1.0)
-    val hi = pow(lit(2.0), col("bucket").cast("double"))
+    val lo = when(col("bucket") === 0L, lit(0.0))
+      .otherwise(pow(lit(2.0), col("bucket").cast("double") - 1.0))
+    val hi = when(col("bucket") === 0L, lit(0.0))
+      .otherwise(pow(lit(2.0), col("bucket").cast("double")))
     probes
       .where(below < r && col("cum").cast("double") >= r)
       .select(col("lang"), col("q"),
@@ -217,7 +223,10 @@ object Sketches {
        |    len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS n_tokens
        |  FROM documents),
        |b AS (
-       |  SELECT lang, CAST(length(bin(n_tokens)) AS BIGINT) AS bucket, COUNT(*) AS cnt
+       |  SELECT lang,
+       |    CASE WHEN n_tokens = 0 THEN 0
+       |         ELSE CAST(length(bin(n_tokens)) AS BIGINT) END AS bucket,
+       |    COUNT(*) AS cnt
        |  FROM d GROUP BY 1, 2),
        |c AS (
        |  SELECT lang, bucket, cnt,
@@ -227,8 +236,9 @@ object Sketches {
        |  FROM b),
        |p AS (SELECT c.*, q FROM c CROSS JOIN (SELECT UNNEST([0.5, 0.9]) AS q) qq)
        |SELECT lang, q,
-       |  round(power(2.0, bucket - 1.0)
-       |    + (power(2.0, CAST(bucket AS DOUBLE)) - power(2.0, bucket - 1.0))
+       |  round((CASE WHEN bucket = 0 THEN 0.0 ELSE power(2.0, bucket - 1.0) END)
+       |    + ((CASE WHEN bucket = 0 THEN 0.0 ELSE power(2.0, CAST(bucket AS DOUBLE)) END)
+       |       - (CASE WHEN bucket = 0 THEN 0.0 ELSE power(2.0, bucket - 1.0) END))
        |      * (q * total - (cum - cnt)) / cnt, 4) AS est_tokens
        |FROM p
        |WHERE (cum - cnt) < q * total AND cum >= q * total""".stripMargin

@@ -52,6 +52,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(keptNonEn === nonEn, "non-dominant languages are kept at 100%")
   }
 
+  test("dedup clusters are consistent with their pair edges") {
+    import org.apache.spark.sql.functions._
+    val clusters = graft.operators.Dedup.dedupClusters(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should produce at least one near-dup pair")
+    // paired docs always share a cluster, and the representative is the
+    // cluster's minimum member
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(rep === members.keys.min, s"cluster $rep is not its min member")
+    }
+  }
+
+  test("contamination flags only corpus docs, never the benchmark set") {
+    val flagged = graft.operators.Dedup.contamination(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(flagged.forall(_ >= 10), "benchmark docs (id < 10) must not self-flag")
+  }
+
   test("mixture weights are normalized and monotone in token count") {
     val w = Curation.mixWeights(spark, sf)
       .select("lang", "n_tokens", "weight").collect()

@@ -449,8 +449,15 @@ object Dedup {
     // Catalyst re-analyzes the whole chain every round (the classic
     // iterative-DataFrame trap). Eager, so it doubles as the round's
     // materialization.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    //
+    // Labels seed at min(self, direct neighbors) — the node list needs a
+    // groupBy on src anyway (it was a distinct), so the 1-hop head start
+    // is free and pair-sized components (the common case) converge one
+    // whole superstep earlier.
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr0"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("label"))
+      .localCheckpoint()
     // labels only ever decrease, so an unchanged label SUM is a fixpoint —
     // one scalar aggregate per round instead of a change-detection join
     // (coalesce: an empty edge set — a clean corpus — sums to NULL)

@@ -43,6 +43,22 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 4)
   }
 
+  test("writeAppend roundtrips across the offline formats (json/csv/orc)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.5)).toDF("id", "name", "v")
+    for (fmt <- Seq("json", "csv", "orc")) {
+      val path = tmp(s"io-$fmt") + "/t"
+      Io.writeAppend(df, path, format = fmt)
+      Io.writeAppend(df, path, format = fmt, disposition = Io.CreateNever)
+      val back = spark.read.format(fmt).schema(df.schema).load(path)
+      assert(back.count() === 4, s"$fmt roundtrip lost rows")
+      val sums = back.agg(sum("id"), sum("v")).head()
+      assert(sums.getLong(0) === 6L && sums.getDouble(1) === -2.0,
+        s"$fmt roundtrip corrupted values")
+    }
+  }
+
   test("streamFiles lands sharded files under trigger control") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

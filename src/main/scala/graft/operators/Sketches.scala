@@ -31,8 +31,12 @@ object Sketches {
     * partial max. Exact `countDistinct` is the expensive comparison
     * column; a production pipeline would drop it and keep only the sketch
     * (mergeable, constant memory). */
-  def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
+  /** The sketch itself: one (event_type, bucket, max_rho) row per occupied
+    * register. Mergeable by construction — sketches of disjoint (or even
+    * overlapping) event subsets combine with `groupBy(key, bucket).max` —
+    * which is what makes the operator shuffle ≤ 256 rows per key at any
+    * volume (and what `PipelineOpsSpec` asserts directly). */
+  private[graft] def hllRegisters(ev: DataFrame): DataFrame = {
     val h = md5(concat(col("user_id").cast("string"), lit("|hll")))
     val hashed = ev.select(col("event_type"),
       substring(h, 1, 2).as("bucket"), substring(h, 3, 30).as("rest"))
@@ -46,8 +50,12 @@ object Sketches {
       .when(firstNz.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
     val rho = when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
-    val perBucket = hashed.select(col("event_type"), col("bucket"), rho.as("rho"))
+    hashed.select(col("event_type"), col("bucket"), rho.as("rho"))
       .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Estimate from a register frame ((event_type, bucket, max_rho)). */
+  private[graft] def hllEstimate(perBucket: DataFrame): DataFrame = {
     // registers hold small ranks, so the 2^-rho terms all sit within the
     // double mantissa window: the sum is EXACT in any order (both engines)
     val perType = perBucket.groupBy(col("event_type"))
@@ -57,9 +65,14 @@ object Sketches {
     val est = when(raw <= lit(2.5 * m) && col("nb") < m,
         lit(m.toDouble) * log(lit(m.toDouble) / v)) // linear-counting regime
       .otherwise(raw)
+    perType.select(col("event_type"), round(est, 4).as("approx_users"))
+  }
+
+  def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    perType.select(col("event_type"), round(est, 4).as("approx_users"))
+    hllEstimate(hllRegisters(ev))
       .join(exact, Seq("event_type"))
       .select(col("event_type"), col("approx_users"), col("exact_users"))
   }

@@ -25,6 +25,19 @@ object Corpus {
       .map(_ => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
       .getOrElse(df)
 
+  /** Register every corpus table as a temp view so pure-SQL users can
+    * `spark.sql("SELECT ... FROM lineitem")` after one call — the
+    * library-level counterpart of the reference's "tables just exist in
+    * the warehouse" assumption. `events` gets the same nanos→micros
+    * normalization the typed reader applies, so SQL and DataFrame callers
+    * see identical timestamps. */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(s, dir, n).createOrReplaceTempView(n))
+    events(s, dir).createOrReplaceTempView("events")
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -46,6 +46,15 @@ class BatchQueriesSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("registerViews exposes the corpus to pure SQL") {
+    Corpus.registerViews(spark, sf)
+    val viaSql = spark.sql("SELECT count(*) FROM lineitem").head().getLong(0)
+    assert(viaSql === Corpus.lineitem(spark, sf).count())
+    // events view carries the normalized timestamp type
+    val tsType = spark.sql("SELECT ts FROM events").schema.head.dataType
+    assert(tsType === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("capped semigroup clamps clicks and impressions at 1") {
     val ctr = Ctr.fixedWindow(spark, sf)
     val over = ctr.where(col("clicks") > 1 || col("impressions") > 1).count()

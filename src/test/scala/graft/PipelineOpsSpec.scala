@@ -76,6 +76,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flagged.forall(_ >= 10), "benchmark docs (id < 10) must not self-flag")
   }
 
+  test("HLL registers merge: sketch of halves == sketch of the whole") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val whole = Sketches.hllEstimate(
+      Sketches.hllRegisters(ev.select("event_type", "user_id")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // split arbitrarily, sketch each half, merge registers with max
+    val a = Sketches.hllRegisters(
+      ev.where(col("event_id") % 2 === 0).select("event_type", "user_id"))
+    val b = Sketches.hllRegisters(
+      ev.where(col("event_id") % 2 =!= 0).select("event_type", "user_id"))
+    val merged = a.union(b).groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+    val viaMerge = Sketches.hllEstimate(merged)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaMerge === whole,
+      "merged half-sketches must reproduce the whole-corpus estimate exactly")
+  }
+
   test("mixture weights are normalized and monotone in token count") {
     val w = Curation.mixWeights(spark, sf)
       .select("lang", "n_tokens", "weight").collect()

@@ -214,6 +214,43 @@ object Relational {
       |FROM events
       |GROUP BY user_id""".stripMargin
 
+  /** User sessionization over the event stream: fixed-gap session windows
+    * per user (a user-behavior roll-up, distinct from the ad-CTR session
+    * window which keys on (screen, ad) with a dynamic gap). One shuffle on
+    * user_id; Spark's session_window merges in the aggregate — the oracle
+    * rebuilds the same half-open sessions with the running-max-of-window-
+    * ends islands technique pinned by `ctr_session_window`. */
+  def userSessions(s: SparkSession, dir: String): DataFrame =
+    Corpus.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        dsum(col("value")).as("total_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("n_types"), col("total_value"))
+
+  val userSessionsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_type, value, ts,
+      |    ts + INTERVAL '10 minutes' AS w_end
+      |  FROM events),
+      |m AS (
+      |  SELECT *, MAX(w_end) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM g),
+      |sess AS (
+      |  SELECT *, SUM(CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT MIN(ts) AS session_start, MAX(w_end) AS session_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM sess
+      |GROUP BY user_id, sid""".stripMargin
+
   /** TPC-H Q6-style forecast revenue change: pure scan + filter + agg —
     * the pushdown showcase (every predicate reaches the parquet scan, no
     * join, no shuffle beyond the single partial/final agg). */

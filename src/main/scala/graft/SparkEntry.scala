@@ -40,6 +40,7 @@ object SparkEntry {
     "order_priority_shipped" -> ((s, d) => Relational.orderPriorityShipped(s, d)),
     "events_user_stats"      -> ((s, d) => Relational.eventsUserStats(s, d)),
     "user_sessions"          -> ((s, d) => Relational.userSessions(s, d)),
+    "conversion_funnel"      -> ((s, d) => Relational.conversionFunnel(s, d)),
     "salted_event_counts"    -> ((s, d) => Scale.saltedEventCounts(s, d)),
     "bucketed_join_revenue"  -> ((s, d) => Scale.bucketedJoinRevenue(s, d)),
     "q6_forecast_revenue"    -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "order_priority_shipped" -> Relational.orderPriorityShippedSql,
     "events_user_stats"      -> Relational.eventsUserStatsSql,
     "user_sessions"          -> Relational.userSessionsSql,
+    "conversion_funnel"      -> Relational.conversionFunnelSql,
     "salted_event_counts"    -> Scale.saltedEventCountsSql,
     "bucketed_join_revenue"  -> Scale.bucketedJoinRevenueSql,
     "q6_forecast_revenue"    -> Relational.q6ForecastRevenueSql,

@@ -251,6 +251,41 @@ object Relational {
       |FROM sess
       |GROUP BY user_id, sid""".stripMargin
 
+  /** Conversion funnel over the event stream: per user, the first-touch
+    * timestamp of each stage, then strictly-ordered progression counts
+    * (first view → later first click → later first purchase). One shuffle
+    * on user_id for the pivot; the funnel itself is a single-row
+    * aggregate. First-touch ordering makes the result deterministic —
+    * no per-path session heuristics. */
+  def conversionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val firstTouch = Corpus.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+    firstTouch.agg(
+      count(lit(1)).as("users_total"),
+      count(col("first_view")).as("viewed"),
+      count(when(col("first_click") > col("first_view"), 1)).as("clicked_after_view"),
+      count(when(col("first_click") > col("first_view") &&
+        col("first_purchase") > col("first_click"), 1)).as("purchased_after_click"))
+  }
+
+  val conversionFunnelSql: String =
+    """WITH ft AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT COUNT(*) AS users_total,
+      |  COUNT(first_view) AS viewed,
+      |  COUNT(CASE WHEN first_click > first_view THEN 1 END) AS clicked_after_view,
+      |  COUNT(CASE WHEN first_click > first_view
+      |    AND first_purchase > first_click THEN 1 END) AS purchased_after_click
+      |FROM ft""".stripMargin
+
   /** TPC-H Q6-style forecast revenue change: pure scan + filter + agg —
     * the pushdown showcase (every predicate reaches the parquet scan, no
     * join, no shuffle beyond the single partial/final agg). */

@@ -74,6 +74,7 @@ object SparkEntry {
     "media_resize"   -> ((s, d) => Multimodal.mediaResize(s, d)),
     // Sequence packing + curation (scale extensions)
     "pack_chunks"       -> ((s, d) => Packing.packChunks(s, d)),
+    "pack_shards"       -> ((s, d) => Packing.packShards(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "mix_weights"       -> ((s, d) => Curation.mixWeights(s, d)),
     "corpus_retention"  -> ((s, d) => Curation.corpusRetention(s, d)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "media_features" -> Multimodal.mediaFeaturesSql,
     "media_resize"   -> Multimodal.mediaResizeSql,
     "pack_chunks"       -> Packing.packChunksSql,
+    "pack_shards"       -> Packing.packShardsSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "mix_weights"       -> Curation.mixWeightsSql,
     "corpus_retention"  -> Curation.corpusRetentionSql,

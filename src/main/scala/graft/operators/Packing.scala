@@ -68,6 +68,47 @@ object Packing {
         floor(col("start_offset") / lit(chunkTokens)) + 1).as("n_chunks"))
   }
 
+  /** Materialized packed shards — the step [[packChunks]]' offsets exist to
+    * feed: every token gets its global stream index (doc start offset +
+    * position), tokens group by `idx / capacity` into chunks that cross
+    * document boundaries exactly as concat-and-chunk training shards do,
+    * and each chunk reports its token count plus an md5 of its
+    * space-joined text (rows stay small; the hash pins the full content
+    * and order). Groups are bounded at [[chunkTokens]] tokens, so the
+    * in-group sort is O(capacity log capacity) per chunk — collect_list
+    * alone is NOT order-stable, hence the sort by index before joining. */
+  def packShards(s: SparkSession, dir: String): DataFrame = {
+    val offs = packChunks(s, dir).select(col("doc_id"), col("start_offset"))
+    val toks = Corpus.documents(s, dir)
+      .select(col("doc_id"),
+        filter(TextAnalysis.tokensCol(col("text")), t => length(t) > 0).as("toks"))
+    val exploded = toks.join(offs, Seq("doc_id"))
+      .select(col("start_offset"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .select((col("start_offset") + col("pos")).as("idx"), col("token"))
+    exploded
+      .groupBy(floor(col("idx") / lit(chunkTokens)).as("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("token")))),
+            x => x.getField("token")), " ")).as("chunk_hash"))
+  }
+
+  val packShardsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks,
+       |    CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM d),
+       |e0 AS (SELECT start, toks, UNNEST(range(0, len(toks))) AS i FROM c),
+       |e AS (SELECT start + i AS idx, toks[CAST(i + 1 AS INT)] AS token FROM e0)
+       |SELECT idx // $chunkTokens AS chunk_id, COUNT(*) AS n_tokens,
+       |  md5(string_agg(token, ' ' ORDER BY idx)) AS chunk_hash
+       |FROM e GROUP BY 1""".stripMargin
+
   val packChunksSql: String =
     s"""WITH d AS (
        |  SELECT doc_id,

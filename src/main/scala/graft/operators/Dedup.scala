@@ -494,6 +494,10 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"dedupClusters did not converge in $iter pointer-jumping rounds " +
         "(component diameter > 4096?) — refusing to return partial labels")
+    // labels is checkpointed, so the edge cache has no further consumer —
+    // release it rather than pinning executor storage for the rest of the
+    // session
+    edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -9,9 +9,8 @@ import graft.sources.Corpus
 /** Sequence packing for LLM pre-training (builder-prompt scale extension;
   * the reference has no training surface, so this is engine-native):
   * documents are conceptually concatenated in doc_id order and cut into
-  * fixed-capacity token chunks ("concat-and-chunk"), and each document
-  * reports the chunk span it lands in. The downstream writer that emits
-  * actual packed sequences only needs this frame joined back to the text.
+  * fixed-capacity token chunks ("concat-and-chunk"); [[packChunks]] reports
+  * each document's chunk span, [[packShards]] materializes the chunks.
   *
   * The core is a RUNNING TOTAL over the whole corpus — the textbook
   * scale-killer if written as one global window (Spark moves every row to
@@ -36,17 +35,11 @@ object Packing {
   private val chunkTokens = 2048L // packing capacity (tokens per chunk)
   private val bucketDocs = 4096L  // prefix-sum fan-in per bucket
 
-  def packChunks(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: the counted frame (two longs + bucket per doc)
-    // feeds both the bucket-offsets aggregate and the per-doc join; an
-    // unshared subtree would scan + tokenize the corpus twice, and a
-    // cache() would leak this subtree into other queries' plans
-    val counted = Corpus.documents(s, dir)
-      .select(col("doc_id"),
-        size(filter(TextAnalysis.tokensCol(col("text")),
-          t => length(t) > 0)).cast("long").as("n_tokens"))
-      .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
-      .localCheckpoint()
+  /** The hierarchical prefix sum (steps 2-3 above): adds `start_offset` to
+    * a frame carrying (doc_id, n_tokens, bucket). The input should be
+    * materialized (localCheckpoint) — it feeds both the bucket-offsets
+    * aggregate and the per-doc window. */
+  private def withStartOffsets(counted: DataFrame): DataFrame = {
     val bucketOffsets = counted.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("btotal"))
       .withColumn("boffset",
@@ -56,32 +49,52 @@ object Packing {
       .select(col("bucket"), col("boffset"))
     val local = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val starts = counted
+    counted
       .join(broadcast(bucketOffsets), Seq("bucket"))
       .withColumn("start_offset",
         col("boffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
-    val span = greatest(col("n_tokens"), lit(1L))
-    starts.select(col("doc_id"), col("n_tokens"), col("start_offset"),
-      floor(col("start_offset") / lit(chunkTokens)).as("first_chunk"),
-      floor((col("start_offset") + span - 1) / lit(chunkTokens)).as("last_chunk"),
-      (floor((col("start_offset") + span - 1) / lit(chunkTokens)) -
-        floor(col("start_offset") / lit(chunkTokens)) + 1).as("n_chunks"))
   }
 
-  /** Materialized packed shards — the step [[packChunks]]' offsets exist to
+  def packChunks(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the counted frame (two longs + bucket per doc)
+    // feeds two consumers inside withStartOffsets; an unshared subtree
+    // would scan + tokenize the corpus twice, and a cache() would leak
+    // this subtree into other queries' plans
+    val counted = Corpus.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
+      .localCheckpoint()
+    val span = greatest(col("n_tokens"), lit(1L))
+    withStartOffsets(counted)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / lit(chunkTokens)).as("first_chunk"),
+        floor((col("start_offset") + span - 1) / lit(chunkTokens)).as("last_chunk"),
+        (floor((col("start_offset") + span - 1) / lit(chunkTokens)) -
+          floor(col("start_offset") / lit(chunkTokens)) + 1).as("n_chunks"))
+  }
+
+  /** Materialized packed shards — the step the packing offsets exist to
     * feed: every token gets its global stream index (doc start offset +
     * position), tokens group by `idx / capacity` into chunks that cross
     * document boundaries exactly as concat-and-chunk training shards do,
     * and each chunk reports its token count plus an md5 of its
     * space-joined text (rows stay small; the hash pins the full content
-    * and order). Groups are bounded at [[chunkTokens]] tokens, so the
-    * in-group sort is O(capacity log capacity) per chunk — collect_list
-    * alone is NOT order-stable, hence the sort by index before joining. */
+    * and order). Tokenization happens ONCE: the checkpointed token frame
+    * feeds both the prefix sum (via a narrow projection) and the explode.
+    * Groups are bounded at [[chunkTokens]] tokens, so the in-group sort is
+    * O(capacity log capacity) per chunk — collect_list alone is NOT
+    * order-stable, hence the sort by index before joining. */
   def packShards(s: SparkSession, dir: String): DataFrame = {
-    val offs = packChunks(s, dir).select(col("doc_id"), col("start_offset"))
     val toks = Corpus.documents(s, dir)
       .select(col("doc_id"),
         filter(TextAnalysis.tokensCol(col("text")), t => length(t) > 0).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
+      .localCheckpoint()
+    val offs = withStartOffsets(toks.select(col("doc_id"), col("n_tokens"), col("bucket")))
+      .select(col("doc_id"), col("start_offset"))
     val exploded = toks.join(offs, Seq("doc_id"))
       .select(col("start_offset"), posexplode(col("toks")).as(Seq("pos", "token")))
       .select((col("start_offset") + col("pos")).as("idx"), col("token"))
@@ -94,32 +107,30 @@ object Packing {
             x => x.getField("token")), " ")).as("chunk_hash"))
   }
 
-  val packShardsSql: String =
-    s"""WITH d AS (
+  /** Shared oracle CTE prefix: tokenized docs (`d`: doc_id, toks) and the
+    * cumulative start offset (`c`) — ONE copy of the token filter and the
+    * offset convention for both packing oracles. */
+  private val packBaseSql: String =
+    s"""d AS (
        |  SELECT doc_id, list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0) AS toks
        |  FROM documents),
        |c AS (
-       |  SELECT doc_id, toks,
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
        |    CAST(COALESCE(SUM(len(toks)) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-       |  FROM d),
-       |e0 AS (SELECT start, toks, UNNEST(range(0, len(toks))) AS i FROM c),
-       |e AS (SELECT start + i AS idx, toks[CAST(i + 1 AS INT)] AS token FROM e0)
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM d)""".stripMargin
+
+  val packShardsSql: String =
+    s"""WITH $packBaseSql,
+       |e0 AS (SELECT start_offset, toks, UNNEST(range(0, len(toks))) AS i FROM c),
+       |e AS (SELECT start_offset + i AS idx, toks[CAST(i + 1 AS INT)] AS token FROM e0)
        |SELECT idx // $chunkTokens AS chunk_id, COUNT(*) AS n_tokens,
        |  md5(string_agg(token, ' ' ORDER BY idx)) AS chunk_hash
        |FROM e GROUP BY 1""".stripMargin
 
   val packChunksSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS n_tokens
-       |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, n_tokens,
-       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS start_offset
-       |  FROM d)
+    s"""WITH $packBaseSql
        |SELECT doc_id, n_tokens, start_offset,
        |  start_offset // $chunkTokens AS first_chunk,
        |  (start_offset + GREATEST(n_tokens, 1) - 1) // $chunkTokens AS last_chunk,

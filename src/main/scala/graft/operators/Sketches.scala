@@ -22,15 +22,6 @@ object Sketches {
   private val m = 256 // 2^8 registers; first 2 md5 hex chars = bucket id
   private val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m
 
-  /** Distinct users per event type, estimated with a deterministic HLL
-    * next to the exact count (so the estimate's error is visible in the
-    * result itself).
-    *
-    * 100 TB shape: the shuffle carries one row per (event_type, bucket) —
-    * at most 256 per key regardless of event volume — after a map-side
-    * partial max. Exact `countDistinct` is the expensive comparison
-    * column; a production pipeline would drop it and keep only the sketch
-    * (mergeable, constant memory). */
   /** The sketch itself: one (event_type, bucket, max_rho) row per occupied
     * register. Mergeable by construction — sketches of disjoint (or even
     * overlapping) event subsets combine with `groupBy(key, bucket).max` —
@@ -68,6 +59,15 @@ object Sketches {
     perType.select(col("event_type"), round(est, 4).as("approx_users"))
   }
 
+  /** Distinct users per event type, estimated with a deterministic HLL
+    * next to the exact count (so the estimate's error is visible in the
+    * result itself).
+    *
+    * 100 TB shape: the shuffle carries one row per (event_type, bucket) —
+    * at most 256 per key regardless of event volume — after a map-side
+    * partial max. Exact `countDistinct` is the expensive comparison
+    * column; a production pipeline would drop it and keep only the sketch
+    * (mergeable, constant memory). */
   def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     val ev = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
     val exact = ev.groupBy(col("event_type"))

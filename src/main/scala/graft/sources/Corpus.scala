@@ -25,18 +25,26 @@ object Corpus {
       .map(_ => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
       .getOrElse(df)
 
+  /** Every corpus table, by view name → reader — ONE list shared by the
+    * named reader defs and [[registerViews]], so adding a table cannot
+    * silently miss the SQL surface. */
+  private val allTables: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> (region(_, _)), "nation" -> (nation(_, _)),
+    "customer" -> (customer(_, _)), "supplier" -> (supplier(_, _)),
+    "part" -> (part(_, _)), "orders" -> (orders(_, _)),
+    "lineitem" -> (lineitem(_, _)), "documents" -> (documents(_, _)),
+    "embeddings" -> (embeddings(_, _)), "events" -> (events(_, _)))
+
   /** Register every corpus table as a temp view so pure-SQL users can
     * `spark.sql("SELECT ... FROM lineitem")` after one call — the
     * library-level counterpart of the reference's "tables just exist in
-    * the warehouse" assumption. `events` gets the same nanos→micros
-    * normalization the typed reader applies, so SQL and DataFrame callers
-    * see identical timestamps. */
-  def registerViews(s: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings")
-      .foreach(n => table(s, dir, n).createOrReplaceTempView(n))
-    events(s, dir).createOrReplaceTempView("events")
-  }
+    * the warehouse" assumption. Views go through the typed readers, so
+    * normalizations (e.g. the events nanos→micros timestamp) are
+    * identical for SQL and DataFrame callers. */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    allTables.foreach { case (n, reader) =>
+      reader(s, dir).createOrReplaceTempView(n)
+    }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

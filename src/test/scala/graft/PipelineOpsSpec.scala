@@ -73,6 +73,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("contamination flags only corpus docs, never the benchmark set") {
     val flagged = graft.operators.Dedup.contamination(spark, sf)
       .collect().map(_.getLong(0))
+    assert(flagged.nonEmpty, "fixture contains planted 13-gram overlap; zero flags = broken join")
     assert(flagged.forall(_ >= 10), "benchmark docs (id < 10) must not self-flag")
   }
 

@@ -29,21 +29,6 @@ object Dedup {
   private val numMinhash = 8   // minhash functions
   private val bandSize = 2     // → 4 LSH bands
 
-  /** 3-token shingles of the canonical tokenization, distinct per doc.
-    *
-    * Typed `flatMap` (compiled `sliding(3)`) rather than the column-DSL
-    * `transform(sequence(...), element_at...)` form: Spark's higher-order
-    * array functions are CodegenFallback — interpreted row-at-a-time —
-    * which made this, the largest intermediate of the dedup family, the
-    * hottest code in the whole bench (~2× the query's cost). The
-    * normalization (trim, ROOT-locale lowercase, collapse whitespace,
-    * split on space) matches [[TextAnalysis.tokensCol]] and the SQL
-    * oracle's `string_split(regexp_replace(lower(trim(text)),...))`
-    * exactly on this ASCII corpus. */
-  /** Distinct 3-token shingles of one normalized document — shared by the
-    * shingle stream and the per-doc minhash pass; matches the oracle's
-    * `string_split(regexp_replace(lower(trim(text)),...))` exactly on this
-    * ASCII corpus. */
   /** The canonical tokenization ([[TextAnalysis.tokensCol]]'s compiled
     * twin), shared by every per-document kernel in this file so oracle
     * parity has ONE normalization to keep in sync. */
@@ -51,6 +36,11 @@ object Dedup {
     text.trim.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("\\s+", " ").split(' ')
 
+  /** Distinct 3-token shingles of one normalized document. Compiled
+    * `sliding(3)` rather than the column-DSL `transform(sequence(...))`
+    * form: Spark's higher-order array functions are CodegenFallback —
+    * interpreted row-at-a-time — which made this, the largest intermediate
+    * of the dedup family, the hottest code in the whole bench. */
   private def shinglesOf(text: String): Set[String] = {
     val toks = normTokens(text)
     val it =
@@ -95,7 +85,7 @@ object Dedup {
     * oracle's `MIN(substring(md5(...)))`. The shingle-set size rides along
     * for free (the set is in hand), so Jaccard denominators never need a
     * second pass over the corpus. */
-  private def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String], Long)] = {
+  private[graft] def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String], Long)] = {
     import s.implicits._
     Corpus.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -176,16 +166,19 @@ object Dedup {
     * Jaccard ≥ 0.5. Jaccard = |∩|/|∪| over exact bigint counts → the
     * double is bit-deterministic. */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    // Cache discipline, which is also the 100 TB shape: the full shingle
-    // set is NEVER cached or even shuffled (signatures, band keys, and
-    // Jaccard denominators all come from the one shuffle-free per-doc
-    // minhash pass); only that small per-doc frame is cached — with a
-    // single materialization barrier so the expensive md5 pass runs
-    // exactly once — and everything downstream streams off it.
+    // Materialization discipline, which is also the 100 TB shape: the full
+    // shingle set is NEVER stored or even shuffled (signatures, band keys,
+    // and Jaccard denominators all come from the one shuffle-free per-doc
+    // minhash pass); only that small per-doc frame is materialized, and
+    // everything downstream streams off it. localCheckpoint, NOT cache():
+    // a cache() registers the subtree with the CacheManager and silently
+    // turns minhash_signatures' / dedup_clusters' identical subtrees into
+    // cache reads — corrupting their bench timings; a checkpoint is
+    // private to this plan (same rule as Similarity.annRecall).
     import s.implicits._
     val nBands = numMinhash / bandSize
-    val sigs = minhashPerDoc(s, dir).toDF("doc_id", "mh", "n_shingles").cache()
-    sigs.count() // the one barrier: materialize the md5 pass exactly once
+    val sigs = minhashPerDoc(s, dir).toDF("doc_id", "mh", "n_shingles")
+      .localCheckpoint() // eager: the expensive md5 pass runs exactly once
     val sizes = sigs.select(col("doc_id"), col("n_shingles"))
     // Band keys are the raw concatenated minima (equality is what the join
     // needs — hashing the key first bought nothing); each row carries ALL
@@ -205,7 +198,9 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .where(col("l.band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .cache()
+      .localCheckpoint(false) // lazy: materialized by the first consumer's
+    // job rather than a separate barrier; concurrent broadcast builds may
+    // duplicate the (cheap, sigs-fed) band join but never the md5 pass
     // Verification semi-join reduction: re-shingle ONLY candidate docs.
     // Candidates are a vanishing fraction of the corpus, so recomputing
     // their shingles from the (pruned, pushed-down) scan is far cheaper
@@ -216,10 +211,10 @@ object Dedup {
     // so a post-shingle filter would shingle the whole corpus anyway
     val candDocs = Corpus.documents(s, dir)
       .join(broadcast(docsInPlay), Seq("doc_id"), "left_semi")
-    // lazily cached: the intersection join reads it twice (sa/sb) — a
-    // second semi-join + re-shingle pass costs more than storing the small
-    // candidate shingle set
-    val shc = shingledFrom(s, candDocs).cache()
+    // lazily materialized: the intersection join reads it twice (sa/sb),
+    // and block-level persistence makes the second read hit storage — a
+    // separate materialization barrier would be pure latency
+    val shc = shingledFrom(s, candDocs).localCheckpoint(false)
     val inter = broadcast(candidates)
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),
@@ -342,8 +337,9 @@ object Dedup {
     * the candidate set stays near-linear at corpus scale. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(s, dir)
-    // one small row per (doc, band); cache so the self-join below doesn't
-    // run the 64-bit vote aggregation twice
+    // one small row per (doc, band); localCheckpoint (not cache — see
+    // minhashLshPairs) so the self-join below doesn't run the 64-bit vote
+    // aggregation twice and simhash_signatures' bench timing stays honest
     val bands = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -351,14 +347,23 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.nib").as("nib"))
-      .cache()
+      .localCheckpoint()
     val l = bands.as("l"); val r = bands.as("r")
+    // a pair colliding in several bands is kept only in its FIRST
+    // colliding band — exactly-once candidates with no distinct() pass
+    // over the candidate set (the xor trick minhashLshPairs and
+    // embeddingNearDups already use): band b collides iff bits [16b,
+    // 16b+16) of sigA^sigB are all zero.
+    val xorSig = expr("l.simhash ^ r.simhash")
+    val firstBand = coalesce((0 until 4).map { b =>
+      when(shiftright(xorSig, b * 16).bitwiseAND(lit(65535L)) === 0L, lit(b))
+    }: _*)
     l.join(r,
         col("l.band") === col("r.band") && col("l.nib") === col("r.nib") &&
         col("l.doc_id") < col("r.doc_id"))
+      .where(col("l.band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(expr("l.simhash ^ r.simhash").cast("long")).cast("long").as("hamming"))
-      .distinct()
+        bit_count(xorSig.cast("long")).cast("long").as("hamming"))
       .where(col("hamming") <= 3L)
   }
 
@@ -429,76 +434,121 @@ object Dedup {
     * cluster's minimum doc_id as its representative (the doc a keep-one
     * policy would retain).
     *
-    * Execution is Pregel-style min-label propagation: each superstep joins
-    * the label frame to the edge list and takes the neighborhood minimum,
-    * repeating until a fixpoint. The driver coordinates supersteps (a
-    * scalar convergence count per round — NOT a data loop; every step is a
-    * distributed join) and near-dup clusters have tiny diameter, so the
-    * loop converges in a handful of rounds; production-scale components
-    * would swap in the large-star/small-star contraction, which is the
-    * same join shape with a log-round bound. Min-propagation converges to
-    * the same labels regardless of join order — deterministic, and the
-    * oracle recomputes it as a recursive transitive closure. */
+    * Execution is alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"): each round,
+    * every node points its larger neighbors (large-star) and then its
+    * smaller neighbors and itself (small-star) at the minimum of its
+    * closed neighborhood. Provably O(log² n) rounds — in practice 2-3 for
+    * near-dup clusters — and each star op is ONE window-min over the edge
+    * frame instead of the two joins per round of the pointer-jumping
+    * propagation this replaced. The driver only ever sees scalar
+    * convergence aggregates; every data step is distributed.
+    *
+    * Convergence is detected EXACTLY, not heuristically: an edge set is a
+    * star forest — the fixpoint of both ops — iff every src appears
+    * exactly once and never as a dst, a one-shuffle scalar check. So a
+    * pair-only graph exits before any contraction round, and no confirm
+    * round is ever paid. The result is then proven, not trusted: a final
+    * join asserts every input pair got equal endpoint labels. Labels
+    * constant across all edges ⇒ constant per component, and a
+    * component's minimum node can only ever appear as an edge target
+    * (edges point larger→smaller), so it labels itself — together that
+    * forces every label to be the exact component minimum. A failed
+    * assertion throws rather than returning partial labels.
+    *
+    * The loop's exchanges are sized to the CONTRACTED graph's cardinality,
+    * not the corpus's: after LSH the near-dup pair graph is orders of
+    * magnitude smaller than the corpus, and at 100 TB you size partitions
+    * to the data each stage actually moves. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
-    // localCheckpoint truncates each round's lineage — without it the
-    // logical plan grows a full copy of the loop body per superstep and
-    // Catalyst re-analyzes the whole chain every round (the classic
-    // iterative-DataFrame trap). Eager, so it doubles as the round's
-    // materialization.
-    //
-    // Labels seed at min(self, direct neighbors) — the node list needs a
-    // groupBy on src anyway (it was a distinct), so the 1-hop head start
-    // is free and pair-sized components (the common case) converge one
-    // whole superstep earlier.
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("nbr0"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr0")).as("label"))
+    // canonical direction (src > dst); the eager localCheckpoint cuts the
+    // whole LSH pipeline out of the loop's lineage — without it the plan
+    // grows a copy of the loop body per round and Catalyst re-analysis
+    // dominates (the classic iterative-DataFrame trap)
+    val edges0 = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
       .localCheckpoint()
-    // labels only ever decrease, so an unchanged label SUM is a fixpoint —
-    // one scalar aggregate per round instead of a change-detection join
-    // (coalesce: an empty edge set — a clean corpus — sums to NULL)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = -1L // sentinel: round 1 always runs, no initial action
-    var iter = 0
-    var converged = false
-    // pointer jumping covers 2^iter-hop chains per round, so 12 rounds
-    // handle any component diameter up to 4096 — far past any real
-    // near-dup cluster; a cap exit without convergence is surfaced, not
-    // silently returned as truth
-    while (!converged && iter < 12) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val prop = labels.as("l")
-        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.label"), coalesce(col("nbr_min"), col("l.label"))).as("label"))
-      // pointer jumping: also adopt the label's own label, so chains halve
-      // every round and convergence is logarithmic in component diameter
-      val ptr = prop.select(col("doc_id").as("p_id"), col("label").as("p_label"))
-      val next = prop.as("p")
-        .join(ptr, col("p.label") === col("p_id"), "left")
-        .select(col("p.doc_id").as("doc_id"),
-          least(col("p.label"), coalesce(col("p_label"), col("p.label"))).as("label"))
-        .localCheckpoint()
-      val s2 = labelSum(next)
-      converged = s2 == prevSum
-      prevSum = s2
-      labels = next
-      iter += 1
+    starContract(s, edges0).select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Min-label connected components of a materialized, canonical
+    * (src > dst, no self-loops) edge frame via star contraction; returns
+    * (doc_id, label). Package-visible so the contraction rounds — which a
+    * well-conditioned corpus may never need (the 1-hop labels often pass
+    * the exactness proof outright) — are force-tested on adversarial
+    * graphs in the spec suite. */
+  private[graft] def starContract(s: SparkSession, edges0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var edges = edges0
+
+    // large-star: for every node u, each neighbor v > u is re-pointed at
+    // min(N(u) ∪ {u}). Output stays canonical: src > u ≥ dst.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      sym.select(col("dst"),
+          least(min(col("dst")).over(Window.partitionBy(col("src"))), col("src")).as("m"),
+          col("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
     }
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $iter pointer-jumping rounds " +
-        "(component diameter > 4096?) — refusing to return partial labels")
-    // labels is checkpointed, so the edge cache has no further consumer —
-    // release it rather than pinning executor storage for the rest of the
-    // session
-    edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // small-star: each node u re-points its smaller neighbors (≠ m) and
+    // itself at m = min(N⁻(u) ∪ {u}); input is canonical so m is just the
+    // window min of dst. The round's one distinct collapses the multi-
+    // edges both stars may emit (dupes would break the star-forest check).
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.select(col("src"), col("dst"),
+        min(col("dst")).over(Window.partitionBy(col("src"))).as("m"))
+      withM.where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    // candidate labels of an edge set: every node gets the minimum target
+    // it (or its root) points at; roots label themselves. The min-agg
+    // keeps the label function well-defined even mid-contraction.
+    def labelsOf(e: DataFrame): DataFrame = e
+      .union(e.select(col("dst").as("src"), col("dst").as("dst")))
+      .groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("label"))
+    // the correctness proof doubles as the loop driver: if every initial
+    // pair has equal endpoint labels, the labels are constant per
+    // component, and the component minimum — which edges (always
+    // larger→smaller, always intra-component) can never point anywhere —
+    // labels itself, forcing every label to the exact component minimum.
+    // So a zero here IS the answer being right, star forest or not, and a
+    // simple graph (all components already stars) exits with zero rounds.
+    // left joins: a node missing from the label set is a failure, not a
+    // silently-dropped row — the check proves coverage as well as equality
+    def unmerged(labels: DataFrame): Long = edges0
+      .join(labels.as("la"), col("src") === col("la.doc_id"), "left")
+      .join(labels.as("lb"), col("dst") === col("lb.doc_id"), "left")
+      .where(col("la.label").isNull || col("lb.label").isNull ||
+        col("la.label") =!= col("lb.label"))
+      .count()
+
+    val conf = s.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    try {
+      // ~4M edges per loop partition, never above the session setting:
+      // the loop's exchanges move the contracted graph, not the corpus
+      val nEdges = edges0.count() // cheap: scan of the materialized RDD
+      conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(prevParts.toLong, nEdges / 4000000L + 1L)).toString)
+      var rounds = 0
+      var labels = labelsOf(edges)
+      while (unmerged(labels) > 0) {
+        if (rounds >= 16) throw new IllegalStateException(
+          s"dedupClusters star contraction did not stabilize in $rounds rounds " +
+            "— refusing to return partial labels")
+        // checkpoint each round: both star ops self-union their input, so
+        // an unmaterialized chain would grow the plan 4×/round, and the
+        // label/verify jobs reread the round's result
+        edges = smallStar(largeStar(edges)).localCheckpoint()
+        labels = labelsOf(edges)
+        rounds += 1
+      }
+      System.err.println(s"dedup_clusters: star contraction stabilized in $rounds rounds")
+      labels
+    } finally conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   val dedupClustersSql: String =

@@ -318,10 +318,14 @@ object TextAnalysis {
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val fps = winnowFingerprints(s, dir)
     val dfW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    // localCheckpoint, not cache(): the self-join reads `rare` twice, but a
+    // cache() would register the winnowFingerprints subtree with the
+    // CacheManager and turn winnow_fingerprints' own bench run into a cache
+    // read — a checkpoint is private to this plan (see Dedup.minhashLshPairs)
     val rare = fps.withColumn("df", count(lit(1)).over(dfW))
       .where(col("df") <= wMaxDf)
       .select(col("doc_id"), col("fp"))
-      .cache()
+      .localCheckpoint()
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
     val shared = rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -70,6 +70,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("star contraction collapses adversarial graphs to exact min labels") {
+    import spark.implicits._
+    // graphs where the 1-hop labels FAIL the exactness proof, so the
+    // large-star/small-star rounds must actually run (the corpus fixtures
+    // usually converge in 0 rounds and would leave them untested): a
+    // 33-node path (worst-case diameter), a disjoint pair, and a
+    // two-leaf star keyed by its max node
+    val path = (0L until 32L).map(i => (i + 1, i))
+    val pair = Seq((101L, 100L))
+    val star = Seq((202L, 200L), (202L, 201L))
+    val edges = (path ++ pair ++ star).toDF("src", "dst").localCheckpoint()
+    val labels = graft.operators.Dedup.starContract(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 32L).foreach(n => assert(labels(n) === 0L, s"path node $n mislabeled"))
+    assert(labels(100L) === 100L && labels(101L) === 100L, "pair component")
+    Seq(200L, 201L, 202L).foreach(n =>
+      assert(labels(n) === 200L, s"star node $n mislabeled"))
+    assert(labels.size === 38, "every endpoint must receive exactly one label")
+  }
+
   test("contamination flags only corpus docs, never the benchmark set") {
     val flagged = graft.operators.Dedup.contamination(spark, sf)
       .collect().map(_.getLong(0))

@@ -30,16 +30,33 @@ object GraftSession {
     shufflePartitions.fold(b1)(n => b1.config("spark.sql.shuffle.partitions", n.toString))
   }
 
+  /** Registers the mergeable corpus sketches as SQL aggregate/scalar
+    * functions on a live session (UDF registration is per-session, so —
+    * unlike the Catalyst expressions, which ride in via
+    * `spark.sql.extensions` — this is a post-build step):
+    * `graft_hll_users(str)`, `graft_log2_hist(long)`,
+    * `graft_log2_quantile(array<long>, double)`. */
+  def registerSketches(spark: SparkSession): SparkSession = {
+    import graft.functions.SketchFunctions
+    spark.udf.register("graft_hll_users",
+      org.apache.spark.sql.functions.udaf(SketchFunctions.hllUsers))
+    spark.udf.register("graft_log2_hist",
+      org.apache.spark.sql.functions.udaf(SketchFunctions.log2Hist))
+    spark.udf.register("graft_log2_quantile", SketchFunctions.log2Quantile _)
+    spark
+  }
+
   /** Local-harness convenience: `local[cpus]` with matching shuffle
     * partitions and no UI — what Verify/Bench/the test session use.
     * `cpus` is any master-legal token (so `SPARK_GRAFT_CPUS="*"` keeps
     * working), passed through to both settings exactly as the harnesses
     * always did. */
   def local(cpus: String): SparkSession =
-    builder(Some(s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    registerSketches(
+      builder(Some(s"local[$cpus]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
 
   def local(cpus: Int): SparkSession = local(cpus.toString)
 }

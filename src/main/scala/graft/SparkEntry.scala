@@ -59,6 +59,7 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
     "contamination"      -> ((s, d) => Dedup.contamination(s, d)),
+    "contamination_hashed" -> ((s, d) => Dedup.contaminationHashed(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard_topk" -> ((s, d) => Dedup.ngramJaccardTopk(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,
     "dedup_clusters"     -> Dedup.dedupClustersSql,
     "contamination"      -> Dedup.contaminationSql,
+    "contamination_hashed" -> Dedup.contaminationHashedSql,
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
     "ngram_jaccard_topk" -> Dedup.ngramJaccardTopkSql,

@@ -390,43 +390,74 @@ object Dedup {
     * 100 TB shape: the benchmark side is tiny (a few thousand eval docs),
     * so its n-gram set broadcasts and the corpus side is a narrow scan +
     * semi-join — no shuffle of corpus n-grams, no pair materialization. */
+  private val contamN = 13
+  private val contamBench = 10
+
+  /** Distinct 13-token grams of a documents frame, one row per (doc, gram). */
+  private[graft] def grams13(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = contamN
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = normTokens(text)
+        val it =
+          if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
+          else Iterator.empty
+        it.toSet[String].iterator.map((g: String) => (id, g))
+      }
+      .toDF("doc_id", "gram")
+  }
+
   def contamination(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val n = 13
-    val nBench = 10
-    def grams(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val toks = normTokens(text)
-          val it =
-            if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
-            else Iterator.empty
-          it.toSet[String].iterator.map((g: String) => (id, g))
-        }
-        .toDF("doc_id", "gram")
-    val bench = grams(Corpus.documents(s, dir).where(col("doc_id") < nBench))
+    val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
       .select(col("gram")).distinct()
-    val corpus = Corpus.documents(s, dir).where(col("doc_id") >= nBench)
-    grams(corpus)
+    val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
+    grams13(corpus)
       .join(broadcast(bench), Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
   }
 
-  val contaminationSql: String = {
+  /** [[contamination]] with the broadcast carrying md5(gram) instead of
+    * the gram text: a 13-token gram averages ~90 bytes, the hash 16 — so
+    * a real eval suite's gram set (millions of grams, GBs raw) broadcasts
+    * at ~1/6 the bytes, below the shuffle-join cliff. Same answer up to
+    * md5 collisions inside the benchmark set's n-gram space: P ≈ n²/2¹²⁹
+    * — at 10⁹ distinct grams about 4·10⁻²² — and a collision can only
+    * ever ADD a flagged doc, never drop one. The spec asserts both the
+    * answer equality and the measured payload shrink on this corpus. */
+  def contaminationHashed(s: SparkSession, dir: String): DataFrame = {
+    val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
+      .select(md5(col("gram")).as("gh")).distinct()
+    val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
+    grams13(corpus)
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+  }
+
+  private def gramsSql(filter: String): String = {
     val toks = TextAnalysis.tokensSql
-    def gramsSql(filter: String): String =
-      s"""SELECT doc_id, UNNEST(list_distinct(
-         |    CASE WHEN len($toks) >= 13 THEN
-         |      list_transform(range(0, len($toks) - 12), i ->
-         |        array_to_string(($toks)[CAST(i + 1 AS INT):CAST(i + 13 AS INT)], ' '))
-         |    ELSE [] END)) AS gram
-         |FROM documents WHERE $filter""".stripMargin
+    s"""SELECT doc_id, UNNEST(list_distinct(
+       |    CASE WHEN len($toks) >= 13 THEN
+       |      list_transform(range(0, len($toks) - 12), i ->
+       |        array_to_string(($toks)[CAST(i + 1 AS INT):CAST(i + 13 AS INT)], ' '))
+       |    ELSE [] END)) AS gram
+       |FROM documents WHERE $filter""".stripMargin
+  }
+
+  val contaminationSql: String =
     s"""WITH bench AS (SELECT DISTINCT gram FROM (${gramsSql("doc_id < 10")})),
        |corpus AS (${gramsSql("doc_id >= 10")})
        |SELECT DISTINCT doc_id, TRUE AS contaminated
        |FROM corpus WHERE gram IN (SELECT gram FROM bench)""".stripMargin
-  }
+
+  val contaminationHashedSql: String =
+    s"""WITH bench AS (SELECT DISTINCT md5(gram) AS gh FROM (${gramsSql("doc_id < 10")})),
+       |corpus AS (${gramsSql("doc_id >= 10")})
+       |SELECT DISTINCT doc_id, TRUE AS contaminated
+       |FROM corpus WHERE md5(gram) IN (SELECT gh FROM bench)""".stripMargin
 
   /** Connected components over the verified MinHash near-dup pairs — the
     * step a real dedup pipeline runs after pair generation: transitively

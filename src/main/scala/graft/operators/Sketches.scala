@@ -195,25 +195,37 @@ object Sketches {
     * the same bounded-shuffle contract as the HLL above. The estimate is
     * deterministic (integer counts + one double interpolation), so the
     * oracle reproduces it bitwise after the round(4) edge. */
-  def tokenQuantilesSketch(s: SparkSession, dir: String): DataFrame = {
-    val docs = Corpus.documents(s, dir)
-    val counts = docs.select(col("lang"),
+  /** Per-document token counts with doc_id kept, so callers (and the
+    * mergeability spec) can split the corpus along any line. */
+  private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Corpus.documents(s, dir).select(col("doc_id"), col("lang"),
       size(filter(TextAnalysis.tokensCol(col("text")),
         t => length(t) > 0)).cast("long").as("n_tokens"))
-    // bucket 0 reserved for zero-token documents — bin(0) = "0" would
-    // otherwise land them in bucket 1 ([1, 2)) and bias estimates to ≥ 1
+
+  /** The sketch state itself: per-(lang, bucket) counts, bucket =
+    * bitlength(n_tokens). Mergeable by construction — histograms of any
+    * corpus split recombine with `groupBy(lang, bucket).sum(cnt)` to the
+    * whole corpus's histogram, which the spec asserts directly (the
+    * log₂-histogram twin of the HLL register-merge proof). Bucket 0 is
+    * reserved for zero-token documents — bin(0) = "0" would otherwise
+    * land them in bucket 1 ([1, 2)) and bias estimates to ≥ 1. */
+  private[graft] def logHistogram(counts: DataFrame): DataFrame = {
     val bucketOf = when(col("n_tokens") === 0L, lit(0L))
       .otherwise(length(bin(col("n_tokens"))).cast("long"))
-    val bucketed = counts
-      .groupBy(col("lang"), bucketOf.as("bucket"))
+    counts.groupBy(col("lang"), bucketOf.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a (lang, bucket, cnt) histogram frame:
+    * linear interpolation inside the matching bucket's [2^(b−1), 2^b). */
+  private[graft] def histQuantiles(bucketed: DataFrame, qs: Seq[Double]): DataFrame = {
+    val s = bucketed.sparkSession
     val wCum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col("lang"))
     val cum = bucketed
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("total", sum(col("cnt")).over(wTot))
-    val qs = Seq(0.5, 0.9)
     val probes = cum.crossJoin(
       broadcast(s.range(qs.length).toDF("qi")
         .select(element_at(array(qs.map(lit(_)): _*), col("qi").cast("int") + 1).as("q"))))
@@ -229,6 +241,9 @@ object Sketches {
         round(lo + (hi - lo) * (r - below) / col("cnt").cast("double"), 4)
           .as("est_tokens"))
   }
+
+  def tokenQuantilesSketch(s: SparkSession, dir: String): DataFrame =
+    histQuantiles(logHistogram(tokenCounts(s, dir)), Seq(0.5, 0.9))
 
   val tokenQuantilesSketchSql: String =
     s"""WITH d AS (

@@ -74,20 +74,31 @@ object StreamingBench {
   /** Runs the streaming paths and returns the JSON object `Bench` splices
     * in verbatim as `"streaming":{...}`: fixed / sliding windowed
     * aggregations, the custom merging ad-event window
-    * (flatMapGroupsWithState), and watermark-bounded exact dedup. */
+    * (flatMapGroupsWithState), and watermark-bounded exact dedup — each
+    * once on the default (HDFS-backed) state store and once on RocksDB,
+    * the store the 100 TB arguments (O(1) ListState appends, state larger
+    * than heap) actually assume. */
   def allPaths(spark: SparkSession, batches: Int = 5, perBatch: Int = 60000): String = {
-    import spark.implicits._
     val paths: Seq[(String, Dataset[AdEvent] => DataFrame, String)] = Seq(
       ("fixed", CtrStream.fixedWindowCtr(_, "10 minutes", "0 seconds"), "update"),
       ("sliding", CtrStream.slidingWindowCtr(_, "20 minutes", "10 minutes", "0 seconds"), "update"),
       ("session", (ds: Dataset[AdEvent]) => AdEventWindower.ctrByScreen(ds).toDF(), "append"),
       ("dedup", (ds: Dataset[AdEvent]) => StreamDedup.dedupEvents(ds).toDF(), "append"))
-    val parts = paths.map { case (name, mk, mode) =>
-      val (events, sec) = throughput(spark, mk, mode, s"graft_stream_bench_$name",
-        batches, perBatch)
+    def run(suffix: String): Seq[String] = paths.map { case (name, mk, mode) =>
+      val (events, sec) = throughput(spark, mk, mode,
+        s"graft_stream_bench$suffix$name", batches, perBatch)
       val rate = if (sec > 0) events / sec else 0.0
       s""""$name":{"events":$events,"batches":$batches,"sec":$sec,"events_per_sec":$rate}"""
     }
-    parts.mkString("{", ",", "}")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    val defaults = run("_")
+    val rocks =
+      try {
+        spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        run("_rocksdb_")
+      } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    (defaults :+ rocks.mkString("\"rocksdb\":{", ",", "}")).mkString("{", ",", "}")
   }
 }

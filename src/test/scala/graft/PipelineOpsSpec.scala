@@ -97,6 +97,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flagged.forall(_ >= 10), "benchmark docs (id < 10) must not self-flag")
   }
 
+  test("hashed contamination matches raw and shrinks the broadcast payload") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.operators.Dedup.contamination(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    val hashed = graft.operators.Dedup.contaminationHashed(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    assert(raw.sameElements(hashed), "hashing the gram must not change the verdict")
+    // measured broadcast payload: raw gram text vs 16-byte md5 per gram
+    val bench = graft.operators.Dedup.grams13(
+        graft.sources.Corpus.documents(spark, sf).where(col("doc_id") < 10))
+      .select(col("gram")).distinct()
+    val r = bench.agg(
+      sum(length(col("gram"))).as("raw_bytes"), count(lit(1)).as("n")).head()
+    val rawBytes = r.getLong(0)
+    val hashedBytes = r.getLong(1) * 16
+    assert(hashedBytes * 3 < rawBytes,
+      s"hashed payload $hashedBytes B should be well under a third of raw $rawBytes B")
+  }
+
   test("HLL registers merge: sketch of halves == sketch of the whole") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches
@@ -116,6 +135,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(viaMerge === whole,
       "merged half-sketches must reproduce the whole-corpus estimate exactly")
+  }
+
+  test("log2 histogram merges: sketch of halves == sketch of the whole") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val counts = Sketches.tokenCounts(spark, sf)
+    val whole = Sketches.logHistogram(counts)
+    val wholeRows = whole.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // split arbitrarily, sketch each half, merge histograms with sum
+    val a = Sketches.logHistogram(counts.where(col("doc_id") % 2 === 0))
+    val b = Sketches.logHistogram(counts.where(col("doc_id") % 2 =!= 0))
+    val merged = a.union(b).groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mergedRows = merged.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mergedRows === wholeRows,
+      "merged half-histograms must reproduce the whole-corpus histogram exactly")
+    // and therefore identical quantile estimates
+    val viaMerge = Sketches.histQuantiles(merged, Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val direct = Sketches.tokenQuantilesSketch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(viaMerge === direct)
+  }
+
+  test("registered sketch SQL functions reproduce the operator results") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    GraftSession.registerSketches(spark)
+    graft.sources.Corpus.registerViews(spark, sf)
+    // HLL as a SQL aggregate == the relational register pipeline
+    val viaSql = spark.sql(
+      """SELECT event_type, graft_hll_users(CAST(user_id AS STRING)) AS approx_users
+        |FROM events GROUP BY event_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaOp = Sketches.hllDistinctUsers(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaOp, "SQL HLL must match the operator estimate bitwise")
+    // log2 histogram + quantile as SQL == the relational sketch
+    Sketches.tokenCounts(spark, sf).createOrReplaceTempView("graft_tok_counts")
+    val qSql = spark.sql(
+      """SELECT lang,
+        |  graft_log2_quantile(graft_log2_hist(n_tokens), 0.5D) AS p50,
+        |  graft_log2_quantile(graft_log2_hist(n_tokens), 0.9D) AS p90
+        |FROM graft_tok_counts GROUP BY lang""".stripMargin)
+      .collect().flatMap(r =>
+        Seq((r.getString(0), 0.5) -> r.getDouble(1), (r.getString(0), 0.9) -> r.getDouble(2)))
+      .toMap
+    val qOp = Sketches.tokenQuantilesSketch(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(qSql === qOp, "SQL log2 quantiles must match the operator bitwise")
   }
 
   test("mixture weights are normalized and monotone in token count") {

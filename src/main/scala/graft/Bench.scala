@@ -94,7 +94,10 @@ object Bench {
           s""","streaming":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson$bucketed$streaming,"sf":"$sfDir"}""")
+    // "value" (the headline total) goes LAST: the driver archives a tail
+    // slice of this line, and r4's ledger couldn't quote the artifact
+    // verbatim because the leading total had been truncated away
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs$errJson$bucketed$streaming,"value":$total}""")
     spark.stop()
   }
 }

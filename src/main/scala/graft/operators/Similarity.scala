@@ -315,13 +315,6 @@ object Similarity {
   private val ndBands = 8
   private val ndPlanes: Seq[Seq[Double]] = planesFor(2 * ndBands)
 
-  /** 2-bit key of band b sliced out of the packed 16-bit signature:
-    * `2 * bit(2b) + bit(2b+1)` — same value the per-plane dot products
-    * produced, now two shifts on an already-computed long. */
-  private def bandKeyFromSig(sig: Column, b: Int): Column =
-    shiftright(sig, 2 * b).bitwiseAND(lit(1L)) * 2 +
-      shiftright(sig, 2 * b + 1).bitwiseAND(lit(1L))
-
   /** Embedding-cosine near-dup pairs (threshold 0.4 — chosen for the
     * synthetic corpus whose max pairwise cosine is ~0.48; production
     * near-dup dedup would run the same plan at ~0.95).
@@ -336,20 +329,37 @@ object Similarity {
     * signatures carried through the join), so no `distinct` pass and no
     * materialization barrier is needed — the whole plan is scan → explode →
     * shuffle-join → filter → verify, streaming end to end. */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(s, dir, bitsPerBand = 2)
+
+  /** `bitsPerBand` scales bucket sparsity with corpus size — the (b, L)
+    * scaling lever the class comment documents: on uncorrelated vectors
+    * expected candidates are n²·L/2^(2b), so b must grow with log₂ n for
+    * the candidate set to stay near-linear (at a production ~0.95-cosine
+    * threshold the per-bit agreement ~0.9 keeps recall high as b grows;
+    * at this corpus's 0.4 threshold wider bands trade recall for
+    * sparsity). The default b = 2 is what the DuckDB oracle mirrors; the
+    * scale-trajectory runs exercise b = 4 at 10× (see BASELINE.md). */
+  private[graft] def embeddingNearDups(
+      s: SparkSession, dir: String, bitsPerBand: Int): DataFrame = {
+    val bb = bitsPerBand
+    val mask = (1L << bb) - 1L
+    val planes = if (bb == 2) ndPlanes else planesFor(bb * ndBands)
     val e = embFrame(s, dir)
+    def bandKey(sig: Column, b: Int): Column =
+      shiftright(sig, bb * b).bitwiseAND(lit(mask))
     val bands = e
       .select(col("vec_id"),
-        VectorFunctions.hyperplaneSig(col("v"), ndPlanes).as("sig"))
+        VectorFunctions.hyperplaneSig(col("v"), planes).as("sig"))
       .select(col("vec_id"), col("sig"),
-        posexplode(array((0 until ndBands).map(b => bandKeyFromSig(col("sig"), b)): _*))
+        posexplode(array((0 until ndBands).map(b => bandKey(col("sig"), b)): _*))
           .as(Seq("band", "key")))
-    // band b collides ⟺ both of its sign bits agree ⟺ ((sigX ^ sigY) >> 2b) & 3 == 0;
+    // band b collides ⟺ all its sign bits agree ⟺ ((sigX ^ sigY) >> bb·b) & mask == 0;
     // keep a pair only in its first colliding band — exactly-once without distinct()
     val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
     val firstBand = coalesce(
       (0 until ndBands).map(b =>
-        when(shiftright(xorSig, 2 * b).bitwiseAND(lit(3L)) === 0, lit(b))): _*)
+        when(shiftright(xorSig, bb * b).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -364,7 +374,10 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
-  /** SQL for one 2-bit band key on alias `a` (mirrors [[bandKeyCol]]). */
+  /** SQL for one 2-bit band key on alias `a`. The bit order differs from
+    * the Spark-side slice, but each engine is internally consistent and a
+    * per-band bijection of key values leaves the collision sets — and so
+    * the result — identical. */
   private def bandKeySql(alias: String, b: Int): String = {
     def bit(p: Int): String = {
       val planeLit = ndPlanes(p).map(x => if (x > 0) "1.0" else "-1.0")

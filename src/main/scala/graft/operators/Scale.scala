@@ -28,10 +28,6 @@ object Scale {
   val saltedEventCountsSql: String =
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"
 
-  /** Bucketed co-located join: write both sides bucketed by the join key,
-    * then join without any shuffle — the bucket layout IS the exchange,
-    * paid once at write time and amortized over every subsequent join.
-    * Returns the joined frame; [[bucketTables]] materializes the layout. */
   /** Drop `name` from the catalog AND clear its warehouse directory: a
     * fresh metastore (new JVM) doesn't know tables whose data a previous
     * run left behind, and `saveAsTable` refuses a managed-table location
@@ -60,6 +56,10 @@ object Scale {
       .mode("overwrite").saveAsTable(s"${prefix}_customer")
   }
 
+  /** Bucketed co-located join: write both sides bucketed by the join key,
+    * then join without any shuffle — the bucket layout IS the exchange,
+    * paid once at write time and amortized over every subsequent join.
+    * Returns the joined frame; [[bucketTables]] materializes the layout. */
   def bucketedJoin(s: SparkSession, prefix: String): DataFrame =
     s.table(s"${prefix}_orders")
       .join(s.table(s"${prefix}_customer"),

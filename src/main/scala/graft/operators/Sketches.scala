@@ -185,16 +185,6 @@ object Sketches {
        |  round(quantile_cont(n_tokens, 0.9), 4) AS p90
        |FROM d GROUP BY lang""".stripMargin
 
-  /** Quantile estimates from a mergeable log₂-histogram sketch — the
-    * unbounded-cardinality path [[tokenQuantiles]]' Scaladoc promises:
-    * instead of collecting a group's values on one reducer, each value
-    * lands in bucket `bitlength(n)` (pure integer op, no float log), the
-    * per-(lang, bucket) counts merge associatively at any fan-in, and the
-    * quantile is linearly interpolated inside the bucket's [2^(b−1), 2^b)
-    * range. State per group is ≤ 64 longs no matter how many documents —
-    * the same bounded-shuffle contract as the HLL above. The estimate is
-    * deterministic (integer counts + one double interpolation), so the
-    * oracle reproduces it bitwise after the round(4) edge. */
   /** Per-document token counts with doc_id kept, so callers (and the
     * mergeability spec) can split the corpus along any line. */
   private[graft] def tokenCounts(s: SparkSession, dir: String): DataFrame =
@@ -242,6 +232,17 @@ object Sketches {
           .as("est_tokens"))
   }
 
+  /** Quantile estimates from a mergeable log₂-histogram sketch — the
+    * unbounded-cardinality path [[tokenQuantiles]]' Scaladoc promises:
+    * instead of collecting a group's values on one reducer, each value
+    * lands in bucket `bitlength(n)` (pure integer op, no float log), the
+    * per-(lang, bucket) counts merge associatively at any fan-in
+    * ([[logHistogram]]), and the quantile is linearly interpolated inside
+    * the bucket's range ([[histQuantiles]]). State per group is ≤ 64 longs
+    * no matter how many documents — the same bounded-shuffle contract as
+    * the HLL above. The estimate is deterministic (integer counts + one
+    * double interpolation), so the oracle reproduces it bitwise after the
+    * round(4) edge. */
   def tokenQuantilesSketch(s: SparkSession, dir: String): DataFrame =
     histQuantiles(logHistogram(tokenCounts(s, dir)), Seq(0.5, 0.9))
 

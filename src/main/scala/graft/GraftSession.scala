@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
   * `graft_hyperplane_sig`) and the configuration every graft workload
   * needs, so a user replaces
   * `SparkSession.builder()...` with `GraftSession.builder()...` and every
-  * operator and SQL function in this library just works.
+  * operator and Catalyst-injected SQL function in this library just
+  * works. The sketch AGGREGATE functions ride on per-session UDF
+  * registration (Spark offers no extensions hook for `Aggregator`-backed
+  * UDAFs), so cluster users additionally call
+  * `GraftSession.registerSketches(spark)` on the built session — the
+  * local harness path does it automatically.
   *
   * On a cluster, leave `master` unset and submit normally — only the
   * local-mode mains (Verify/Bench/tests) pin `local[n]`. Shuffle

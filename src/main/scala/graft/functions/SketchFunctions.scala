@@ -21,8 +21,15 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object SketchFunctions {
 
-  private val m = 256
-  private val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m
+  /** The ONE definition of the HLL's shape, shared with the column form
+    * in [[graft.operators.Sketches]] so the register count and bias
+    * correction can never drift between the two surfaces (the derivation
+    * itself exists in both column-DSL and scalar form by necessity; the
+    * spec suite pins them bitwise-equal). */
+  private[graft] val hllRegisters = 256
+  private val m = hllRegisters
+  private[graft] val hllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m
+  private val alphaM2 = hllAlphaM2
 
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -30,6 +37,11 @@ object SketchFunctions {
   final case class HllBuf(regs: Array[Int])
 
   private val hexDigits = "0123456789abcdef".toCharArray
+
+  // one digest per thread, not per row: reduce() runs in the aggregate
+  // hot path and a JCA provider lookup per event would dominate it
+  private val mdPool: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   /** (bucket, rho) of one value — identical to the column form in
     * [[graft.operators.Sketches.hllRegisters]]: first 2 md5 hex chars =
@@ -66,7 +78,7 @@ object SketchFunctions {
     new Aggregator[String, HllBuf, Double] {
       def zero: HllBuf = HllBuf(new Array[Int](m))
       def reduce(b: HllBuf, value: String): HllBuf = {
-        val (bucket, rho) = bucketRho(MessageDigest.getInstance("MD5"), value)
+        val (bucket, rho) = bucketRho(mdPool.get(), value)
         if (rho > b.regs(bucket)) b.regs(bucket) = rho
         b
       }
@@ -101,7 +113,11 @@ object SketchFunctions {
     new Aggregator[Long, HistBuf, Seq[Long]] {
       def zero: HistBuf = HistBuf(new Array[Long](64))
       def reduce(b: HistBuf, n: Long): HistBuf = {
-        val bucket = if (n <= 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n)
+        // negatives are outside the sketch's domain (the relational twin
+        // bins length-like values); silently bucketing them as zeros
+        // would skew estimates with no error — reject loudly instead
+        require(n >= 0L, s"graft_log2_hist: negative input $n (domain is n ≥ 0)")
+        val bucket = if (n == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n)
         b.counts(bucket) += 1L
         b
       }

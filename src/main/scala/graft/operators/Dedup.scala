@@ -26,8 +26,8 @@ import graft.sources.Corpus
   */
 object Dedup {
 
-  private val numMinhash = 8   // minhash functions
-  private val bandSize = 2     // → 4 LSH bands
+  private[graft] val numMinhash = 8   // minhash functions
+  private[graft] val bandSize = 2     // → 4 LSH bands
 
   /** The canonical tokenization ([[TextAnalysis.tokensCol]]'s compiled
     * twin), shared by every per-document kernel in this file so oracle
@@ -41,7 +41,7 @@ object Dedup {
     * form: Spark's higher-order array functions are CodegenFallback —
     * interpreted row-at-a-time — which made this, the largest intermediate
     * of the dedup family, the hottest code in the whole bench. */
-  private def shinglesOf(text: String): Set[String] = {
+  private[graft] def shinglesOf(text: String): Set[String] = {
     val toks = normTokens(text)
     val it =
       if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
@@ -165,7 +165,19 @@ object Dedup {
     * self-join on band keys for candidates, verify with exact shingle
     * Jaccard ≥ 0.5. Jaccard = |∩|/|∪| over exact bigint counts → the
     * double is bit-deterministic. */
-  def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    minhashLshPairsImpl(s, dir)._1
+
+  /** Returns the pairs frame plus its checkpointed intermediates, so a
+    * caller that outlives the result (dedupClusters) can release their
+    * storage blocks once it has materialized downstream — `Dataset
+    * .unpersist` can't do it (checkpoint RDDs bypass the CacheManager;
+    * see [[org.apache.spark.sql.graft.Bridge.releaseCheckpoint]]). For
+    * the standalone query the blocks are bounded by construction
+    * (per-doc signatures, candidates, candidate shingles) and reclaimed
+    * by the ContextCleaner when the frames are GC'd. */
+  private[graft] def minhashLshPairsImpl(
+      s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     // Materialization discipline, which is also the 100 TB shape: the full
     // shingle set is NEVER stored or even shuffled (signatures, band keys,
     // and Jaccard denominators all come from the one shuffle-free per-doc
@@ -221,7 +233,7 @@ object Dedup {
         col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val pairs = inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -229,6 +241,7 @@ object Dedup {
          (col("za.n_shingles") + col("zb.n_shingles") - col("n_inter")).cast("double"))
           .as("jaccard"))
       .where(col("jaccard") >= 0.5)
+    (pairs, Seq(sigs, candidates, shc))
   }
 
   val minhashLshPairsSql: String = {
@@ -427,11 +440,13 @@ object Dedup {
     * ever ADD a flagged doc, never drop one. The spec asserts both the
     * answer equality and the measured payload shrink on this corpus. */
   def contaminationHashed(s: SparkSession, dir: String): DataFrame = {
+    // unhex: the broadcast must carry the 16 RAW bytes, not md5's 32-char
+    // hex rendering — hex would halve the claimed payload win
     val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
-      .select(md5(col("gram")).as("gh")).distinct()
+      .select(unhex(md5(col("gram"))).as("gh")).distinct()
     val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
     grams13(corpus)
-      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
       .join(broadcast(bench), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
@@ -454,10 +469,10 @@ object Dedup {
        |FROM corpus WHERE gram IN (SELECT gram FROM bench)""".stripMargin
 
   val contaminationHashedSql: String =
-    s"""WITH bench AS (SELECT DISTINCT md5(gram) AS gh FROM (${gramsSql("doc_id < 10")})),
+    s"""WITH bench AS (SELECT DISTINCT unhex(md5(gram)) AS gh FROM (${gramsSql("doc_id < 10")})),
        |corpus AS (${gramsSql("doc_id >= 10")})
        |SELECT DISTINCT doc_id, TRUE AS contaminated
-       |FROM corpus WHERE md5(gram) IN (SELECT gh FROM bench)""".stripMargin
+       |FROM corpus WHERE unhex(md5(gram)) IN (SELECT gh FROM bench)""".stripMargin
 
   /** Connected components over the verified MinHash near-dup pairs — the
     * step a real dedup pipeline runs after pair generation: transitively
@@ -475,30 +490,35 @@ object Dedup {
     * propagation this replaced. The driver only ever sees scalar
     * convergence aggregates; every data step is distributed.
     *
-    * Convergence is detected EXACTLY, not heuristically: an edge set is a
-    * star forest — the fixpoint of both ops — iff every src appears
-    * exactly once and never as a dst, a one-shuffle scalar check. So a
-    * pair-only graph exits before any contraction round, and no confirm
-    * round is ever paid. The result is then proven, not trusted: a final
-    * join asserts every input pair got equal endpoint labels. Labels
-    * constant across all edges ⇒ constant per component, and a
-    * component's minimum node can only ever appear as an edge target
-    * (edges point larger→smaller), so it labels itself — together that
-    * forces every label to be the exact component minimum. A failed
-    * assertion throws rather than returning partial labels.
+    * The loop is VERIFICATION-DRIVEN: each iteration derives candidate
+    * labels (min target per node) and checks them against the initial
+    * edge set — equal endpoint labels on every input pair is the
+    * termination condition AND the correctness proof, so the returned
+    * labels are proven, not trusted. Labels constant across all edges ⇒
+    * constant per component, and a component's minimum node can only
+    * ever appear as an edge target (edges point larger→smaller,
+    * intra-component), so it labels itself — together that forces every
+    * label to be the exact component minimum. A graph whose 1-hop labels
+    * already pass (pairs, triangles, min-rooted stars) exits with ZERO
+    * contraction rounds; a cap without convergence throws rather than
+    * returning partial labels.
     *
     * The loop's exchanges are sized to the CONTRACTED graph's cardinality,
     * not the corpus's: after LSH the near-dup pair graph is orders of
     * magnitude smaller than the corpus, and at 100 TB you size partitions
     * to the data each stage actually moves. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val (pairsAll, lshDeps) = minhashLshPairsImpl(s, dir)
+    val pairs = pairsAll.select(col("doc_a"), col("doc_b"))
     // canonical direction (src > dst); the eager localCheckpoint cuts the
     // whole LSH pipeline out of the loop's lineage — without it the plan
     // grows a copy of the loop body per round and Catalyst re-analysis
     // dominates (the classic iterative-DataFrame trap)
     val edges0 = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
       .localCheckpoint()
+    // edges0 is materialized: the LSH pipeline's own checkpoints have no
+    // further consumer — free their blocks now instead of waiting for GC
+    lshDeps.foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     starContract(s, edges0).select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -573,11 +593,18 @@ object Dedup {
         // checkpoint each round: both star ops self-union their input, so
         // an unmaterialized chain would grow the plan 4×/round, and the
         // label/verify jobs reread the round's result
-        edges = smallStar(largeStar(edges)).localCheckpoint()
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        // the superseded round has no consumer left (edges0, which the
+        // verification join rereads every iteration, is kept alive)
+        if (edges ne edges0) org.apache.spark.sql.graft.Bridge.releaseCheckpoint(edges)
+        edges = next
         labels = labelsOf(edges)
         rounds += 1
       }
       System.err.println(s"dedup_clusters: star contraction stabilized in $rounds rounds")
+      // the returned labels read only the FINAL round's edges; after ≥1
+      // round, edges0's blocks can go too
+      if (edges ne edges0) org.apache.spark.sql.graft.Bridge.releaseCheckpoint(edges0)
       labels
     } finally conf.set("spark.sql.shuffle.partitions", prevParts)
   }

@@ -19,8 +19,10 @@ import graft.sources.Corpus
   */
 object Sketches {
 
-  private val m = 256 // 2^8 registers; first 2 md5 hex chars = bucket id
-  private val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m
+  // shared with the scalar Aggregator surface (graft_hll_users) so the
+  // sketch shape can never drift between the two forms
+  private val m = graft.functions.SketchFunctions.hllRegisters // first 2 md5 hex chars = bucket id
+  private val alphaM2: Double = graft.functions.SketchFunctions.hllAlphaM2
 
   /** The sketch itself: one (event_type, bucket, max_rho) row per occupied
     * register. Mergeable by construction — sketches of disjoint (or even

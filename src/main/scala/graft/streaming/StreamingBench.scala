@@ -93,12 +93,21 @@ object StreamingBench {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerKey)
     val defaults = run("_")
+    // a RocksDB failure (e.g. missing/incompatible native lib) must not
+    // discard the default-store results already paid for — it degrades to
+    // an err entry inside its own block
     val rocks =
       try {
         spark.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        run("_rocksdb_")
+        run("_rocksdb_").mkString("\"rocksdb\":{", ",", "}")
+      } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+          s""""rocksdb":{"err":"$msg"}"""
       } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
-    (defaults :+ rocks.mkString("\"rocksdb\":{", ",", "}")).mkString("{", ",", "}")
+    (defaults :+ rocks).mkString("{", ",", "}")
   }
 }

@@ -11,4 +11,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Frees the storage blocks behind a `localCheckpoint()`ed frame.
+    * `Dataset.unpersist` only talks to the CacheManager, which knows
+    * nothing about checkpoint RDDs — their blocks otherwise live until
+    * the ContextCleaner GCs the RDD reference. No-op on non-checkpoint
+    * plans. */
+  def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

@@ -53,6 +53,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "winnow_fingerprints" -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "winnow_pairs"        -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
+    "repetition_stats"    -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "unigram_logprob"     -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -119,6 +121,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "winnow_fingerprints" -> TextAnalysis.winnowFingerprintsSql,
     "winnow_pairs"        -> TextAnalysis.winnowPairsSql,
+    "repetition_stats"    -> TextAnalysis.repetitionStatsSql,
+    "unigram_logprob"     -> TextAnalysis.unigramLogprobSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,

@@ -203,6 +203,121 @@ object TextAnalysis {
       |    AS head_fingerprint
       |FROM documents""".stripMargin
 
+  /** Gopher-style repetition signals, per document: type-token ratio,
+    * duplicate-bigram fraction, and the top token's frequency share — the
+    * standard cheap filters against degenerate/repetitive text before
+    * training. Compiled per-doc loop (hash map + bigram set) for the same
+    * reason as [[winnowFingerprints]]: per-token work belongs in one
+    * narrow codegen-adjacent pass, and the operator never shuffles.
+    *
+    * Determinism: every ratio is one IEEE division of exact integer
+    * counts (no rounding step needed — both engines produce the
+    * bit-identical quotient). */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty)
+          val n = toks.length
+          if (n == 0) (id, 0L, 0.0, 0.0, 0.0)
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            toks.foreach(t => counts.merge(t, 1, Integer.sum))
+            var mx = 0
+            val vi = counts.values.iterator()
+            while (vi.hasNext) { val v = vi.next(); if (v > mx) mx = v }
+            val dupBigram =
+              if (n < 2) 0.0
+              else {
+                val bg = new java.util.HashSet[String]()
+                var i = 0
+                while (i < n - 1) { bg.add(toks(i) + " " + toks(i + 1)); i += 1 }
+                1.0 - bg.size.toDouble / (n - 1).toDouble
+              }
+            (id, n.toLong, counts.size.toDouble / n, dupBigram, mx.toDouble / n)
+          }
+        }
+      }
+      .toDF("doc_id", "n_tokens", "distinct_ratio", "dup_bigram_frac", "top_token_frac")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter($tokensSql, x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(range(0, len(toks) - 1), i ->
+       |        toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)])
+       |    ELSE [] END AS bg
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |       ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END
+       |    AS distinct_ratio,
+       |  CASE WHEN len(bg) = 0 THEN 0.0
+       |       ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END
+       |    AS dup_bigram_frac,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |       ELSE CAST(list_aggregate(list_transform(list_distinct(toks),
+       |              x -> len(list_filter(toks, y -> y = x))), 'max') AS DOUBLE)
+       |            / len(toks) END AS top_token_frac
+       |FROM b""".stripMargin
+
+  /** CCNet-style unigram language-model quality score: the average
+    * log-probability of a document's tokens under the corpus's own
+    * unigram distribution — degenerate docs full of rare junk score low,
+    * template-heavy docs score high.
+    *
+    * Per-token log-probs are QUANTIZED to 10⁻⁴ (round to integer after
+    * ×10⁴) and summed as BIGINTs, so the per-doc aggregate is exact in
+    * any execution order on any engine — the float-sum-ordering trap that
+    * makes naive avg(ln(p)) un-oracle-able simply doesn't exist here. The
+    * final score is one double division of exact integers.
+    *
+    * 100 TB shape: token frequencies are a corpus-bounded table (Heaps'
+    * law — millions of rows at web scale), aggregated with map-side
+    * partial counts and broadcast back; the per-doc pass is a narrow map
+    * + one shuffle on doc_id with partial sums. A production variant
+    * would cap the broadcast at top-K vocab with an OOV floor. */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.documents(s, dir).select(col("doc_id"),
+        explode(tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val q = toks.join(broadcast(freq), Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("cnt").cast("double") / col("total").cast("double")) * 10000.0, 0)
+          .cast("long").as("qlp"))
+    q.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qlp")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sq").cast("double") / (col("n_tokens").cast("double") * 10000.0))
+          .as("lm_score"))
+  }
+
+  val unigramLogprobSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS token FROM (
+       |    SELECT doc_id, UNNEST($tokensSql) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT SUM(cnt) AS total FROM freq),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 10000.0, 0) AS BIGINT) AS qlp
+       |  FROM tok JOIN freq USING (token) CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(qlp) AS DOUBLE) / (COUNT(*) * 10000.0) AS lm_score
+       |FROM q GROUP BY doc_id""".stripMargin
+
   // Karp–Rabin winnowing parameters: k-gram size, winnow window, base, prime
   private val wK = 8
   private val wW = 4

@@ -97,6 +97,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(flagged.forall(_ >= 10), "benchmark docs (id < 10) must not self-flag")
   }
 
+  test("repetition and unigram-LM scores obey their mathematical ranges") {
+    val rep = graft.operators.TextAnalysis.repetitionStats(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (n, dr, dup, top) =>
+      assert(n > 0)
+      assert(dr > 0.0 && dr <= 1.0, s"distinct_ratio $dr out of range")
+      assert(dup >= 0.0 && dup < 1.0, s"dup_bigram_frac $dup out of range")
+      assert(top >= 1.0 / n && top <= 1.0, s"top_token_frac $top out of range")
+      assert(top >= dr / n, "top share can't be below uniform")
+    }
+    // the synthetic corpus's tiny vocabulary guarantees real repetition
+    assert(rep.count(_._3 > 0.0) > rep.length / 2,
+      "small-vocab corpus must show duplicate bigrams in most docs")
+    val lm = graft.operators.TextAnalysis.unigramLogprob(spark, sf)
+      .collect().map(r => r.getDouble(2))
+    assert(lm.nonEmpty)
+    // probabilities < 1 ⇒ strictly negative scores, bounded by the
+    // rarest-possible token (p = 1/total_tokens)
+    assert(lm.forall(s => s < 0.0), "unigram log-probs must be negative")
+  }
+
   test("hashed contamination matches raw and shrinks the broadcast payload") {
     import org.apache.spark.sql.functions._
     val raw = graft.operators.Dedup.contamination(spark, sf)

@@ -175,6 +175,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 3, plan)
   }
 
+  test("unigram_logprob broadcasts the vocab and partial-aggregates per doc") {
+    val plan = physicalPlan(graft.operators.TextAnalysis.unigramLogprob(spark, sf))
+    // the corpus-bounded frequency table must come back as a broadcast
+    // hash join — a shuffle join here would re-shuffle the token stream
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab frequencies not broadcast:\n$plan")
+    // per-doc quantized sums: partial + final hash aggregate
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
   test("windowed CTR aggregation is a partial+final hash aggregate") {
     val plan = physicalPlan(graft.operators.Ctr.fixedWindow(spark, sf))
     val hashAggs = "HashAggregate".r.findAllIn(plan).length

@@ -579,11 +579,14 @@ object Dedup {
     val conf = s.conf
     val prevParts = conf.get("spark.sql.shuffle.partitions")
     try {
-      // ~4M edges per loop partition, never above the session setting:
-      // the loop's exchanges move the contracted graph, not the corpus
+      // ~125k edges (≈2 MB) per loop partition, never above the session
+      // setting: the loop's exchanges move the contracted graph, not the
+      // corpus, so partition count follows ITS cardinality — small enough
+      // that a corpus-sized setting would schedule mostly-empty tasks,
+      // large enough that a multi-million-edge graph still fans out
       val nEdges = edges0.count() // cheap: scan of the materialized RDD
       conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(prevParts.toLong, nEdges / 4000000L + 1L)).toString)
+        math.max(1L, math.min(prevParts.toLong, nEdges / 125000L + 1L)).toString)
       var rounds = 0
       var labels = labelsOf(edges)
       while (unmerged(labels) > 0) {

@@ -29,12 +29,9 @@ object Dedup {
   private[graft] val numMinhash = 8   // minhash functions
   private[graft] val bandSize = 2     // → 4 LSH bands
 
-  /** The canonical tokenization ([[TextAnalysis.tokensCol]]'s compiled
-    * twin), shared by every per-document kernel in this file so oracle
-    * parity has ONE normalization to keep in sync. */
+  // the ONE canonical scala-side tokenizer lives in TextAnalysis
   private def normTokens(text: String): Array[String] =
-    text.trim.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").split(' ')
+    TextAnalysis.normTokens(text)
 
   /** Distinct 3-token shingles of one normalized document. Compiled
     * `sliding(3)` rather than the column-DSL `transform(sequence(...))`
@@ -524,10 +521,12 @@ object Dedup {
 
   /** Min-label connected components of a materialized, canonical
     * (src > dst, no self-loops) edge frame via star contraction; returns
-    * (doc_id, label). Package-visible so the contraction rounds — which a
-    * well-conditioned corpus may never need (the 1-hop labels often pass
-    * the exactness proof outright) — are force-tested on adversarial
-    * graphs in the spec suite. */
+    * (doc_id, label). The input frame is caller-owned and left intact
+    * (only loop-internal round checkpoints are released). Package-visible
+    * so the contraction rounds — which a well-conditioned corpus may
+    * never need (the 1-hop labels often pass the exactness proof
+    * outright) — are force-tested on adversarial graphs in the spec
+    * suite. */
   private[graft] def starContract(s: SparkSession, edges0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var edges = edges0
@@ -545,7 +544,9 @@ object Dedup {
     // small-star: each node u re-points its smaller neighbors (≠ m) and
     // itself at m = min(N⁻(u) ∪ {u}); input is canonical so m is just the
     // window min of dst. The round's one distinct collapses the multi-
-    // edges both stars may emit (dupes would break the star-forest check).
+    // edges both stars may emit — not load-bearing for correctness (the
+    // label-equality proof ignores dupes) but it bounds edge growth
+    // across rounds and keeps the nEdges-based partition sizing honest.
     def smallStar(e: DataFrame): DataFrame = {
       val withM = e.select(col("src"), col("dst"),
         min(col("dst")).over(Window.partitionBy(col("src"))).as("m"))
@@ -605,9 +606,9 @@ object Dedup {
         rounds += 1
       }
       System.err.println(s"dedup_clusters: star contraction stabilized in $rounds rounds")
-      // the returned labels read only the FINAL round's edges; after ≥1
-      // round, edges0's blocks can go too
-      if (edges ne edges0) org.apache.spark.sql.graft.Bridge.releaseCheckpoint(edges0)
+      // edges0 is CALLER-owned — it stays usable after this returns (its
+      // blocks fall to the ContextCleaner with the caller's reference);
+      // only the loop-owned round intermediates were released above
       labels
     } finally conf.set("spark.sql.shuffle.partitions", prevParts)
   }

@@ -23,6 +23,14 @@ object TextAnalysis {
   def tokensCol(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
+  /** [[tokensCol]]'s compiled twin — THE one scala-side tokenizer, shared
+    * by every per-document kernel (dedup shingling, minhash, simhash,
+    * n-grams, repetition stats) so oracle parity has a single
+    * normalization to keep in sync. */
+  private[graft] def normTokens(text: String): Array[String] =
+    text.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(' ')
+
   val tokensSql: String =
     "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
 
@@ -219,8 +227,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ").split(' ').filter(_.nonEmpty)
+          val toks = normTokens(text).filter(_.nonEmpty)
           val n = toks.length
           if (n == 0) (id, 0L, 0.0, 0.0, 0.0)
           else {
@@ -275,10 +282,15 @@ object TextAnalysis {
     * template-heavy docs score high.
     *
     * Per-token log-probs are QUANTIZED to 10⁻⁴ (round to integer after
-    * ×10⁴) and summed as BIGINTs, so the per-doc aggregate is exact in
-    * any execution order on any engine — the float-sum-ordering trap that
-    * makes naive avg(ln(p)) un-oracle-able simply doesn't exist here. The
-    * final score is one double division of exact integers.
+    * ×10⁴) and summed as BIGINTs, so the per-doc aggregate is
+    * order-independent — the float-sum-ordering trap that makes naive
+    * avg(ln(p)) un-oracle-able doesn't exist here; the final score is one
+    * double division of exact integers. What quantization does NOT remove
+    * is cross-engine ln() last-ulp divergence: if ln(p)·10⁴ lands within
+    * one ulp of a .5 boundary the two engines can round to adjacent
+    * integers. No such boundary occurs in this corpus's vocabulary;
+    * at web-scale vocab an occasional ±10⁻⁴ score step would be the
+    * failure mode (per-token, not compounding).
     *
     * 100 TB shape: token frequencies are a corpus-bounded table (Heaps'
     * law — millions of rows at web scale), aggregated with map-side

@@ -17,11 +17,12 @@ object CcScale {
     import spark.implicits._
 
     val nNodes = nEdges * 2
-    // deterministic pseudo-random endpoints from md5 (no Math.random):
-    // canonical (src > dst), self-loops dropped
+    // deterministic pseudo-random endpoints from murmur3 hash (no
+    // Math.random); pmod, not abs(..)%n — abs(Int.MinValue) overflows
+    // under ANSI mode. Canonical (src > dst), self-loops dropped.
     val rand = spark.range(nEdges).select(
-        (abs(hash(col("id"), lit(1))).cast("long") % nNodes).as("a"),
-        (abs(hash(col("id"), lit(2))).cast("long") % nNodes).as("b"))
+        pmod(hash(col("id"), lit(1)).cast("long"), lit(nNodes)).as("a"),
+        pmod(hash(col("id"), lit(2)).cast("long"), lit(nNodes)).as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))

@@ -106,7 +106,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(dr > 0.0 && dr <= 1.0, s"distinct_ratio $dr out of range")
       assert(dup >= 0.0 && dup < 1.0, s"dup_bigram_frac $dup out of range")
       assert(top >= 1.0 / n && top <= 1.0, s"top_token_frac $top out of range")
-      assert(top >= dr / n, "top share can't be below uniform")
+      // uniform-over-distinct-tokens floor: max count ≥ n/distinct,
+      // so top = max/n ≥ 1/distinct = 1/(dr·n)
+      assert(top >= 1.0 / (dr * n) - 1e-12, "top share below uniform floor")
     }
     // the synthetic corpus's tiny vocabulary guarantees real repetition
     assert(rep.count(_._3 > 0.0) > rep.length / 2,

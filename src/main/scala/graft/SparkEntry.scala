@@ -55,6 +55,7 @@ object SparkEntry {
     "winnow_pairs"        -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     "repetition_stats"    -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "unigram_logprob"     -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
+    "context_windows"     -> ((s, d) => TextAnalysis.contextWindows(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "winnow_pairs"        -> TextAnalysis.winnowPairsSql,
     "repetition_stats"    -> TextAnalysis.repetitionStatsSql,
     "unigram_logprob"     -> TextAnalysis.unigramLogprobSql,
+    "context_windows"     -> TextAnalysis.contextWindowsSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,

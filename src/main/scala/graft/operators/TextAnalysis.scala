@@ -330,6 +330,59 @@ object TextAnalysis {
        |  CAST(SUM(qlp) AS DOUBLE) / (COUNT(*) * 10000.0) AS lm_score
        |FROM q GROUP BY doc_id""".stripMargin
 
+  // context-window parameters: window length and stride in tokens
+  // (overlap = len − stride); sized so this corpus's ~60-token docs
+  // produce real multi-window output
+  private val cwLen = 32L
+  private val cwStride = 24L
+
+  /** Overlapping context windows per document — the training-prep step
+    * that materializes fixed-length attention windows with stride
+    * overlap (the sliding complement of [[Packing.packChunks]]' greedy
+    * sequential packing): window w covers token span
+    * [w·stride, min(w·stride + len, n)), and the final window always
+    * reaches the document tail. Offsets only — the caller slices text or
+    * token ids from them — so the operator is a pure narrow map emitting
+    * a handful of integer rows per document; at 100 TB it parallelizes
+    * embarrassingly and shuffles nothing.
+    *
+    * All arithmetic is integer (ceil-div via `(x + s − 1) / s`), so the
+    * oracle matches exactly with no float edge anywhere. */
+  def contextWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (len, stride) = (cwLen, cwStride)
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val n = normTokens(text).count(_.nonEmpty).toLong
+        val nWin =
+          if (n <= len) 1L
+          else (n - len + stride - 1L) / stride + 1L
+        (0L until nWin).iterator.map { w =>
+          val start = w * stride
+          val end = math.min(start + len, n)
+          (id, w, start, end, end - start)
+        }
+      }
+      .toDF("doc_id", "win_id", "start_tok", "end_tok", "win_tokens")
+  }
+
+  val contextWindowsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($tokensSql, x -> length(x) > 0)) AS BIGINT) AS n
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, n, UNNEST(range(0,
+       |    CASE WHEN n <= $cwLen THEN 1
+       |         ELSE (n - $cwLen + ${cwStride - 1}) // $cwStride + 1 END)) AS win_id
+       |  FROM t)
+       |SELECT doc_id, win_id,
+       |  win_id * $cwStride AS start_tok,
+       |  LEAST(win_id * $cwStride + $cwLen, n) AS end_tok,
+       |  LEAST(win_id * $cwStride + $cwLen, n) - win_id * $cwStride AS win_tokens
+       |FROM w""".stripMargin
+
   // Karp–Rabin winnowing parameters: k-gram size, winnow window, base, prime
   private val wK = 8
   private val wW = 4

@@ -121,6 +121,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lm.forall(s => s < 0.0), "unigram log-probs must be negative")
   }
 
+  test("context windows tile each document with stride overlap and reach the tail") {
+    val rows = graft.operators.TextAnalysis.contextWindows(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.values.exists(_.length > 1), "fixture must produce multi-window docs")
+    rows.foreach { case (doc, ws) =>
+      val sorted = ws.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, w, start, end, nt), i) =>
+        assert(w == i, s"doc $doc: window ids must be consecutive")
+        assert(start == w * 24, s"doc $doc: start must be win_id*stride")
+        assert(end - start == nt && nt <= 32, s"doc $doc: bad window size")
+      }
+      // consecutive windows overlap by len - stride; the tail is covered
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1, _), (_, _, s2, _, _)) =>
+          assert(s2 < e1, s"doc $doc: windows must overlap")
+        case _ => ()
+      }
+      assert(sorted.last._4 >= sorted.map(_._4).max, s"doc $doc: last window must reach the tail")
+    }
+  }
+
   test("hashed contamination matches raw and shrinks the broadcast payload") {
     import org.apache.spark.sql.functions._
     val raw = graft.operators.Dedup.contamination(spark, sf)

@@ -82,6 +82,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "mix_weights"       -> ((s, d) => Curation.mixWeights(s, d)),
     "corpus_retention"  -> ((s, d) => Curation.corpusRetention(s, d)),
+    "source_kl"         -> ((s, d) => Curation.sourceKl(s, d)),
     // Similarity search (scale extensions)
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
@@ -147,6 +148,7 @@ object SparkEntry {
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "mix_weights"       -> Curation.mixWeightsSql,
     "corpus_retention"  -> Curation.corpusRetentionSql,
+    "source_kl"         -> Curation.sourceKlSql,
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,

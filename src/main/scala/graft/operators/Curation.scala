@@ -114,4 +114,63 @@ object Curation {
        |SELECT lang, n_docs, n_tokens,
        |  round(power(n_tokens, 0.3) / SUM(power(n_tokens, 0.3)) OVER (), 4) AS weight
        |FROM t""".stripMargin
+
+  /** Per-source distribution-shift detector: KL(Pₛ ‖ P_corpus) over token
+    * unigram distributions — the data-mixing QA check that flags a source
+    * whose vocabulary drifted from the corpus (scraper broke, language
+    * flipped, template flood) before it poisons a training mix.
+    *
+    * KL_s = (1/C_s) Σ_t c_st · ln((c_st·C)/(C_s·c_t)). The per-term
+    * log-ratio is quantized to 10⁻⁴ (round(ln·10⁴) → BIGINT, same
+    * technique as [[TextAnalysis.unigramLogprob]]) and the weighted sum
+    * Σ c_st·q_st accumulates in BIGINTs — order-free, so the oracle
+    * matches despite float-sum non-associativity. The ln argument is one
+    * double division of exact integer products (c_st·C and C_s·c_t both
+    * fit a long comfortably at any per-source token count this side of
+    * 10¹⁸), identical in both engines.
+    *
+    * 100 TB shape: everything derives from ONE (source, token) count
+    * aggregate (map-side partial) — per-source and per-token marginals
+    * are second-level sums of it, vocabulary-bounded, broadcast back.
+    * At web-scale vocab the broadcasts become top-K + OOV-bucket
+    * semi-joins; nothing is ever quadratic. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.documents(s, dir).select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val cst = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val cs = cst.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+    val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ctot = ct.agg(sum(col("c_t")).as("c"))
+    val q = round(log((col("c_st") * col("c")).cast("double") /
+        (col("c_s") * col("c_t")).cast("double")) * 10000.0, 0)
+      .cast("long")
+    cst.join(broadcast(ct), Seq("token"))
+      .join(broadcast(cs), Seq("source"))
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("c_s"), (col("c_st") * q).as("term"))
+      .groupBy(col("source"), col("c_s"))
+      .agg(sum(col("term")).as("st"))
+      .select(col("source"), col("c_s").as("n_tokens"),
+        (col("st").cast("double") / (col("c_s").cast("double") * 10000.0)).as("kl"))
+  }
+
+  val sourceKlSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, t AS token FROM (
+       |    SELECT source, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |cst AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+       |cs AS (SELECT source, SUM(c_st) AS c_s FROM cst GROUP BY 1),
+       |ct AS (SELECT token, SUM(c_st) AS c_t FROM cst GROUP BY 1),
+       |ctot AS (SELECT SUM(c_t) AS c FROM ct),
+       |terms AS (
+       |  SELECT source, c_s,
+       |    c_st * CAST(round(ln(CAST(c_st * c AS DOUBLE)
+       |      / CAST(c_s * c_t AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS term
+       |  FROM cst JOIN ct USING (token) JOIN cs USING (source) CROSS JOIN ctot)
+       |SELECT source, CAST(c_s AS BIGINT) AS n_tokens,
+       |  CAST(SUM(term) AS DOUBLE) / (c_s * 10000.0) AS kl
+       |FROM terms GROUP BY source, c_s""".stripMargin
 }

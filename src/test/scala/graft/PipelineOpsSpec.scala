@@ -237,6 +237,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(qSql === qOp, "SQL log2 quantiles must match the operator bitwise")
   }
 
+  test("source KL divergences are non-negative and finite") {
+    val kl = Curation.sourceKl(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(kl.length > 1)
+    kl.foreach { case (src, n, d) =>
+      assert(n > 0, s"source $src has no tokens")
+      // Gibbs' inequality up to the 1e-4 per-term quantization
+      assert(d >= -0.001, s"source $src KL $d below the quantization floor")
+      assert(!d.isNaN && !d.isInfinite, s"source $src KL not finite")
+    }
+    // same-generator sources must all sit close to the corpus distribution
+    assert(kl.map(_._3).max < 1.0,
+      "homogeneous synthetic sources should not show large divergence")
+  }
+
   test("mixture weights are normalized and monotone in token count") {
     val w = Curation.mixWeights(spark, sf)
       .select("lang", "n_tokens", "weight").collect()

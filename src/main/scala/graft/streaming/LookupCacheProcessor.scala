@@ -93,7 +93,7 @@ class LookupCacheProcessor[K, V, L](
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[Enriched[K, V, L]] = {
     // GC fire: flush buffer with None → DLQ, clear all state (ref :112-130)
-    val fireTs = new Timestamp(expiredTimerInfo.getExpiryTimeInMs)
+    val fireTs = new Timestamp(expiredTimerInfo.getExpiryTimeInMs())
     val out = if (buffer.exists())
       buffer.get().map(v => Enriched[K, V, L](key, v, None, fireTs)).toSeq
     else Seq.empty

@@ -61,7 +61,7 @@ class RepeaterProcessor[K, V](
       expiredTimerInfo: ExpiredTimerInfo): Iterator[Repeated[K, V]] = {
     val out = Seq.newBuilder[Repeated[K, V]]
     val wm = timerValues.getCurrentWatermarkInMs()
-    var fire = expiredTimerInfo.getExpiryTimeInMs
+    var fire = expiredTimerInfo.getExpiryTimeInMs()
     var live = cache.exists()
     while (live && fire <= wm) {
       // each tick emits first, THEN checks TTL (ref :99-113)

@@ -56,6 +56,7 @@ object SparkEntry {
     "repetition_stats"    -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "unigram_logprob"     -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "context_windows"     -> ((s, d) => TextAnalysis.contextWindows(s, d)),
+    "bigram_logprob"      -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -126,6 +127,7 @@ object SparkEntry {
     "repetition_stats"    -> TextAnalysis.repetitionStatsSql,
     "unigram_logprob"     -> TextAnalysis.unigramLogprobSql,
     "context_windows"     -> TextAnalysis.contextWindowsSql,
+    "bigram_logprob"      -> TextAnalysis.bigramLogprobSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,

@@ -330,6 +330,85 @@ object TextAnalysis {
        |  CAST(SUM(qlp) AS DOUBLE) / (COUNT(*) * 10000.0) AS lm_score
        |FROM q GROUP BY doc_id""".stripMargin
 
+  /** Interpolated bigram LM quality score — [[unigramLogprob]]'s
+    * next-order sibling: avg over positions i ≥ 1 of
+    * ln(0.7·P(tᵢ|tᵢ₋₁) + 0.3·P(tᵢ)), the Jelinek–Mercer interpolation
+    * that never hits ln(0) on unseen bigrams. Context-sensitive
+    * repetition (template floods score high, shuffled-token junk scores
+    * low even when unigram stats look normal).
+    *
+    * Oracle exactness: both engines evaluate the SAME expression tree —
+    * two exact-integer divisions, one multiply-add — so the interpolated
+    * probability is bit-identical; its log is then quantized to 10⁻⁴ and
+    * summed as BIGINTs exactly like the unigram path. Docs with fewer
+    * than 2 tokens have no positions and (consistently on both sides)
+    * produce no row.
+    *
+    * 100 TB shape: the bigram table is the one genuinely growing piece
+    * (≈ corpus-bounded but much larger than the unigram vocab); here it
+    * broadcasts, at web scale it becomes a top-K table + unigram backoff
+    * — the interpolation already degrades gracefully to exactly that. */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = normTokens(text).filter(_.nonEmpty)
+        (1 until toks.length).iterator.map(i => (id, toks(i - 1), toks(i)))
+      }
+      .toDF("doc_id", "prev", "cur")
+    val cbt = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bt"))
+    val cprev = cbt.groupBy(col("prev")).agg(sum(col("c_bt")).as("c_prev"))
+    val toks = Corpus.documents(s, dir).select(
+        explode(tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val cuni = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
+    val ctot = cuni.agg(sum(col("c_t")).as("c"))
+    val p = lit(0.7) * (col("c_bt").cast("double") / col("c_prev").cast("double")) +
+      lit(0.3) * (col("c_t").cast("double") / col("c").cast("double"))
+    val q = round(log(p) * 10000.0, 0).cast("long")
+    bigrams
+      .join(broadcast(cbt), Seq("prev", "cur"))
+      .join(broadcast(cprev), Seq("prev"))
+      .join(broadcast(cuni), col("cur") === col("token"))
+      .crossJoin(broadcast(ctot))
+      .select(col("doc_id"), q.as("qlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qlp")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sq").cast("double") / (col("n_bigrams").cast("double") * 10000.0))
+          .as("bi_score"))
+  }
+
+  val bigramLogprobSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter($tokensSql, x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
+       |    SELECT doc_id, UNNEST(list_transform(range(0, len(toks) - 1), i ->
+       |      {'prev': toks[CAST(i + 1 AS INT)], 'cur': toks[CAST(i + 2 AS INT)]})) AS b
+       |    FROM t)),
+       |cbt AS (SELECT prev, cur, COUNT(*) AS c_bt FROM bg GROUP BY 1, 2),
+       |cprev AS (SELECT prev, SUM(c_bt) AS c_prev FROM cbt GROUP BY 1),
+       |tok AS (SELECT t2 AS token FROM (
+       |    SELECT UNNEST($tokensSql) AS t2 FROM documents) WHERE length(t2) > 0),
+       |cuni AS (SELECT token, COUNT(*) AS c_t FROM tok GROUP BY 1),
+       |ctot AS (SELECT SUM(c_t) AS c FROM cuni),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(round(ln(0.7 * (CAST(c_bt AS DOUBLE) / CAST(c_prev AS DOUBLE))
+       |      + 0.3 * (CAST(c_t AS DOUBLE) / CAST(c AS DOUBLE))) * 10000.0, 0)
+       |      AS BIGINT) AS qlp
+       |  FROM bg
+       |  JOIN cbt USING (prev, cur)
+       |  JOIN cprev USING (prev)
+       |  JOIN cuni ON bg.cur = cuni.token
+       |  CROSS JOIN ctot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(qlp) AS DOUBLE) / (COUNT(*) * 10000.0) AS bi_score
+       |FROM q GROUP BY doc_id""".stripMargin
+
   // context-window parameters: window length and stride in tokens
   // (overlap = len − stride); sized so this corpus's ~60-token docs
   // produce real multi-window output

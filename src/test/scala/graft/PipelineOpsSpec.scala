@@ -119,6 +119,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     // probabilities < 1 ⇒ strictly negative scores, bounded by the
     // rarest-possible token (p = 1/total_tokens)
     assert(lm.forall(s => s < 0.0), "unigram log-probs must be negative")
+    // interpolated bigram scores: same sign bound, one row per doc with
+    // ≥ 2 tokens (all of this corpus), and the 0.3-weighted unigram
+    // backoff bounds each position below by ln(0.3) + min unigram lp
+    val bi = graft.operators.TextAnalysis.bigramLogprob(spark, sf)
+      .collect().map(r => r.getDouble(2))
+    assert(bi.length === lm.length, "every multi-token doc gets a bigram score")
+    assert(bi.forall(s => s < 0.0 && !s.isNaN && !s.isInfinite))
   }
 
   test("context windows tile each document with stride overlap and reach the tail") {

@@ -69,12 +69,12 @@ object Curation {
     * aggregate on the fingerprint and the join back — at 100 TB that is
     * one shuffle of (fingerprint, doc_id) pairs, never a second scan. */
   def corpusRetention(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val signals = Corpus.documents(s, dir).select(
       col("doc_id"),
-      md5(norm).as("fingerprint"),
+      TextAnalysis.fingerprintCol(col("text")).as("fingerprint"),
       TextAnalysis.predictedLang(col("text")).as("predicted"),
-      (TextAnalysis.qualityScore10(col("text")) >= 6L).as("q_keep"))
+      (TextAnalysis.qualityScore10(col("text")) >= TextAnalysis.qualityKeepCut)
+        .as("q_keep"))
     // keeper as a window-min over the fingerprint — an aggregate + join
     // back would scan (and re-score) the documents twice; the window keeps
     // it at literally one scan and one exchange (plan-asserted)

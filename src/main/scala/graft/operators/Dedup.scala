@@ -120,9 +120,8 @@ object Dedup {
   /** Exact dedup: group identical normalized content, keep the lowest id
     * (hash-groupBy — a single shuffle on the fingerprint). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     Corpus.documents(s, dir)
-      .select(col("doc_id"), md5(norm).as("fingerprint"))
+      .select(col("doc_id"), TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }

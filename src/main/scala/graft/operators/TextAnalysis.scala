@@ -23,6 +23,21 @@ object TextAnalysis {
   def tokensCol(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
+  /** Canonical text normalization (lowercase, collapse whitespace) — the
+    * string [[tokensCol]] splits and the exact-dedup fingerprint hashes;
+    * ONE definition shared by every operator (batch and streaming). */
+  def normTextCol(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact-content fingerprint of the normalized text — shared by
+    * `dedup_exact`, `doc_fingerprint`, the retention verdicts (batch and
+    * streaming), and their oracles. */
+  def fingerprintCol(text: Column): Column = md5(normTextCol(text))
+
+  /** The retention quality cut shared by [[qualityScore]],
+    * `Curation.corpusRetention`, and `CurationStream.retention`. */
+  val qualityKeepCut = 6L
+
   /** [[tokensCol]]'s compiled twin — THE one scala-side tokenizer, shared
     * by every per-document kernel (dedup shingling, minhash, simhash,
     * n-grams, repetition stats) so oracle parity has a single
@@ -95,7 +110,7 @@ object TextAnalysis {
     val score10 = qualityScore10(col("text"))
     Corpus.documents(s, dir).select(col("doc_id"),
       (score10.cast("double") / 10.0).as("quality"),
-      (score10 >= 6L).as("keep"))
+      (score10 >= qualityKeepCut).as("keep"))
   }
 
   val qualityScoreSql: String =
@@ -196,13 +211,11 @@ object TextAnalysis {
   /** Document fingerprinting: full-content hash of the normalized text plus
     * a coarse "head" hash (first 64 normalized chars) — the rolling-hash
     * prefix trick for cheap candidate blocking. */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
     Corpus.documents(s, dir).select(
       col("doc_id"),
-      md5(norm).as("fingerprint"),
-      md5(substring(norm, 1, 64)).as("head_fingerprint"))
-  }
+      fingerprintCol(col("text")).as("fingerprint"),
+      md5(substring(normTextCol(col("text")), 1, 64)).as("head_fingerprint"))
 
   val docFingerprintSql: String =
     """SELECT doc_id,
@@ -297,12 +310,20 @@ object TextAnalysis {
     * partial counts and broadcast back; the per-doc pass is a narrow map
     * + one shuffle on doc_id with partial sums. A production variant
     * would cap the broadcast at top-K vocab with an OOV floor. */
-  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(doc, token) stream and its corpus-wide (freq, total) unigram
+    * statistics — the shared base of [[unigramLogprob]] and
+    * [[bigramLogprob]]'s interpolation backoff. */
+  private def unigramStats(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val toks = Corpus.documents(s, dir).select(col("doc_id"),
         explode(tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
+    (toks, freq, total)
+  }
+
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val (toks, freq, total) = unigramStats(s, dir)
     val q = toks.join(broadcast(freq), Seq("token"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
@@ -359,11 +380,9 @@ object TextAnalysis {
       .toDF("doc_id", "prev", "cur")
     val cbt = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bt"))
     val cprev = cbt.groupBy(col("prev")).agg(sum(col("c_bt")).as("c_prev"))
-    val toks = Corpus.documents(s, dir).select(
-        explode(tokensCol(col("text"))).as("token"))
-      .where(length(col("token")) > 0)
-    val cuni = toks.groupBy(col("token")).agg(count(lit(1)).as("c_t"))
-    val ctot = cuni.agg(sum(col("c_t")).as("c"))
+    val (_, freq, total) = unigramStats(s, dir)
+    val cuni = freq.select(col("token"), col("cnt").as("c_t"))
+    val ctot = total.select(col("total").as("c"))
     val p = lit(0.7) * (col("c_bt").cast("double") / col("c_prev").cast("double")) +
       lit(0.3) * (col("c_t").cast("double") / col("c").cast("double"))
     val q = round(log(p) * 10000.0, 0).cast("long")
@@ -434,8 +453,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val n = normTokens(text).count(_.nonEmpty).toLong
+        // a token-less document yields NO windows (an empty "context
+        // window" row would materialize as an empty training sample)
         val nWin =
-          if (n <= len) 1L
+          if (n == 0L) 0L
+          else if (n <= len) 1L
           else (n - len + stride - 1L) / stride + 1L
         (0L until nWin).iterator.map { w =>
           val start = w * stride
@@ -453,7 +475,8 @@ object TextAnalysis {
        |  FROM documents),
        |w AS (
        |  SELECT doc_id, n, UNNEST(range(0,
-       |    CASE WHEN n <= $cwLen THEN 1
+       |    CASE WHEN n = 0 THEN 0
+       |         WHEN n <= $cwLen THEN 1
        |         ELSE (n - $cwLen + ${cwStride - 1}) // $cwStride + 1 END)) AS win_id
        |  FROM t)
        |SELECT doc_id, win_id,

@@ -19,9 +19,11 @@ import graft.operators.TextAnalysis
   * boolean in flatMapGroupsWithState (one bit of state per distinct
   * document ever seen; at 100 TB that state lives in RocksDB partitioned
   * by fingerprint, the same shape as [[StreamDedup]]). Within one
-  * micro-batch the group iterator's order is the arrival order Spark
-  * presents; across batches the policy is exactly first-wins, which the
-  * equivalence spec pins against the batch operator. */
+  * micro-batch the group's rows are processed in doc_id order — the
+  * shuffle-fetch order Spark presents is NOT deterministic, so the
+  * smallest doc_id wins the batch (exactly the batch operator's keep-min
+  * policy, per batch); across batches the policy is first-arrival. The
+  * equivalence spec pins both against the batch operator. */
 object CurationStream {
 
   final case class DocVerdict(doc_id: Long, reason: String, retained: Boolean)
@@ -33,17 +35,19 @@ object CurationStream {
   def retention(docs: DataFrame): Dataset[DocVerdict] = {
     val s = docs.sparkSession
     import s.implicits._
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val sig = docs.select(col("doc_id"),
-        md5(norm).as("fingerprint"),
+        TextAnalysis.fingerprintCol(col("text")).as("fingerprint"),
         TextAnalysis.predictedLang(col("text")).as("predicted"),
-        (TextAnalysis.qualityScore10(col("text")) >= 6L).as("qKeep"))
+        (TextAnalysis.qualityScore10(col("text")) >= TextAnalysis.qualityKeepCut)
+          .as("qKeep"))
       .as[Sig]
     sig.groupByKey(_.fingerprint)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[Sig], st: GroupState[Boolean]) => {
           var seen = st.getOption.getOrElse(false)
-          val out = rows.map { r =>
+          // doc_id order: the per-(batch, fingerprint) group is a handful
+          // of rows, and sorting makes the winner deterministic
+          val out = rows.toVector.sortBy(_.doc_id).map { r =>
             val reason =
               if (seen) "duplicate"
               else {
@@ -53,7 +57,7 @@ object CurationStream {
                 else "retained"
               }
             DocVerdict(r.doc_id, reason, reason == "retained")
-          }.toVector // materialize before the state update below runs
+          }
           st.update(seen)
           out.iterator
         })

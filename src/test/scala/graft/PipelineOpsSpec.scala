@@ -129,6 +129,8 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("context windows tile each document with stride overlap and reach the tail") {
+    val nTokens = graft.operators.Sketches.tokenCounts(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     val rows = graft.operators.TextAnalysis.contextWindows(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -148,7 +150,10 @@ class PipelineOpsSpec extends AnyFunSuite {
           assert(s2 < e1, s"doc $doc: windows must overlap")
         case _ => ()
       }
-      assert(sorted.last._4 >= sorted.map(_._4).max, s"doc $doc: last window must reach the tail")
+      // real tail coverage: the last window must end exactly at the
+      // document's independently-computed token count
+      assert(sorted.last._4 === nTokens(doc),
+        s"doc $doc: last window ends at ${sorted.last._4}, not n=${nTokens(doc)}")
     }
   }
 

@@ -40,7 +40,8 @@ object GraftSession {
     * unlike the Catalyst expressions, which ride in via
     * `spark.sql.extensions` — this is a post-build step):
     * `graft_hll_users(str)`, `graft_log2_hist(long)`,
-    * `graft_log2_quantile(array<long>, double)`. */
+    * `graft_log2_quantile(array<long>, double)`,
+    * `graft_top_terms(str)` (Space-Saving heavy hitters). */
   def registerSketches(spark: SparkSession): SparkSession = {
     import graft.functions.SketchFunctions
     spark.udf.register("graft_hll_users",
@@ -48,6 +49,9 @@ object GraftSession {
     spark.udf.register("graft_log2_hist",
       org.apache.spark.sql.functions.udaf(SketchFunctions.log2Hist))
     spark.udf.register("graft_log2_quantile", SketchFunctions.log2Quantile _)
+    spark.udf.register("graft_top_terms",
+      org.apache.spark.sql.functions.udaf(SketchFunctions.spaceSaving,
+        org.apache.spark.sql.Encoders.STRING))
     spark
   }
 

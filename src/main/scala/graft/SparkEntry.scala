@@ -46,6 +46,10 @@ object SparkEntry {
     "q6_forecast_revenue"    -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q12_late_shipments"     -> ((s, d) => Relational.q12LateShipments(s, d)),
     "q10_returned_items"     -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q13_customer_distribution" -> ((s, d) => Relational.q13CustomerDistribution(s, d)),
+    "q14_promo_revenue"         -> ((s, d) => Relational.q14PromoRevenue(s, d)),
+    "q15_top_supplier"          -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q18_big_orders"            -> ((s, d) => Relational.q18BigOrders(s, d)),
     // Text analysis (scale extensions)
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -64,6 +68,8 @@ object SparkEntry {
     "dedup_clusters"     -> ((s, d) => Dedup.dedupClusters(s, d)),
     "contamination"      -> ((s, d) => Dedup.contamination(s, d)),
     "contamination_hashed" -> ((s, d) => Dedup.contaminationHashed(s, d)),
+    "contamination_bloom"  -> ((s, d) => Dedup.contaminationBloom(s, d)),
+    "dup_gram_fraction"    -> ((s, d) => Dedup.dupGramFraction(s, d)),
     "simhash_signatures" -> ((s, d) => Dedup.simhashSignatures(s, d)),
     "simhash_pairs"      -> ((s, d) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard_topk" -> ((s, d) => Dedup.ngramJaccardTopk(s, d)),
@@ -72,6 +78,7 @@ object SparkEntry {
     "tfidf_top_terms"    -> ((s, d) => Sketches.tfidfTopTerms(s, d)),
     "token_quantiles"    -> ((s, d) => Sketches.tokenQuantiles(s, d)),
     "token_quantiles_sketch" -> ((s, d) => Sketches.tokenQuantilesSketch(s, d)),
+    "heavy_hitters"          -> ((s, d) => Sketches.heavyHitters(s, d)),
     // Multimodal columns (scale extensions; decode itself is stubbed)
     "media_meta"     -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "media_frames"   -> ((s, d) => Multimodal.mediaFrames(s, d)),
@@ -118,6 +125,10 @@ object SparkEntry {
     "q6_forecast_revenue"    -> Relational.q6ForecastRevenueSql,
     "q12_late_shipments"     -> Relational.q12LateShipmentsSql,
     "q10_returned_items"     -> Relational.q10ReturnedItemsSql,
+    "q13_customer_distribution" -> Relational.q13CustomerDistributionSql,
+    "q14_promo_revenue"         -> Relational.q14PromoRevenueSql,
+    "q15_top_supplier"          -> Relational.q15TopSupplierSql,
+    "q18_big_orders"            -> Relational.q18BigOrdersSql,
     "text_stats"      -> TextAnalysis.textStatsSql,
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,
@@ -134,6 +145,9 @@ object SparkEntry {
     "dedup_clusters"     -> Dedup.dedupClustersSql,
     "contamination"      -> Dedup.contaminationSql,
     "contamination_hashed" -> Dedup.contaminationHashedSql,
+    // bloom prefilter + exact confirm returns exactly the broadcast-join answer
+    "contamination_bloom"  -> Dedup.contaminationSql,
+    "dup_gram_fraction"    -> Dedup.dupGramFractionSql,
     "simhash_signatures" -> Dedup.simhashSignaturesSql,
     "simhash_pairs"      -> Dedup.simhashPairsSql,
     "ngram_jaccard_topk" -> Dedup.ngramJaccardTopkSql,
@@ -141,6 +155,7 @@ object SparkEntry {
     "tfidf_top_terms"    -> Sketches.tfidfTopTermsSql,
     "token_quantiles"    -> Sketches.tokenQuantilesSql,
     "token_quantiles_sketch" -> Sketches.tokenQuantilesSketchSql,
+    "heavy_hitters"          -> Sketches.heavyHittersSql,
     "media_meta"     -> Multimodal.mediaMetaSql,
     "media_frames"   -> Multimodal.mediaFramesSql,
     "media_features" -> Multimodal.mediaFeaturesSql,

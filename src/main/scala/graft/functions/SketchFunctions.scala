@@ -131,6 +131,137 @@ object SketchFunctions {
       def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
     }
 
+  /** One Space-Saving slot: estimated count and max overestimate. */
+  final case class SSEntry(token: String, cnt: Long, err: Long)
+
+  final case class SSBuf(keys: Array[String], counts: Array[Long], errs: Array[Long])
+
+  /** Space-Saving capacity (Metwally et al., "Efficient computation of
+    * frequent and top-k elements"). Estimates obey
+    * `true ≤ est ≤ true + n/capacity`; when a group's distinct-key count
+    * never exceeds the capacity the sketch degenerates to EXACT counts and
+    * the merge is a plain order-independent sum — the regime the
+    * oracle-checked query runs in (31-word vocabulary vs 64 slots). The
+    * under-capacity regime is property-tested instead (`SketchSqlSpec`):
+    * exactness can't survive nondeterministic merge orders, error bounds
+    * do. */
+  private[graft] val ssCapacity = 64
+
+  /** Mergeable Space-Saving top-k sketch over string keys.
+    *
+    * reduce: hit → +1; free slot → (tok, 1, 0); full → evict the min-count
+    * slot (smallest key on ties, for reproducibility) and charge the new
+    * key its count as potential error.
+    *
+    * merge (mergeable-summaries form): a key absent from the other sketch
+    * could have occurred up to that sketch's min stored count times, so
+    * its estimate and error both grow by that min; then keep the top
+    * `capacity` by (cnt desc, key asc). When neither side is full both
+    * mins are zero and the merge is the exact sum.
+    *
+    * finish: surviving slots sorted (cnt desc, key asc). Ranking/cutoff
+    * belongs to the caller (top-k is a query decision, not sketch state). */
+  val spaceSaving: Aggregator[String, SSBuf, Seq[SSEntry]] =
+    new Aggregator[String, SSBuf, Seq[SSEntry]] {
+      private val k = ssCapacity
+      def zero: SSBuf = SSBuf(new Array[String](k), new Array[Long](k), new Array[Long](k))
+
+      def reduce(b: SSBuf, tok: String): SSBuf = {
+        var i = 0
+        var free = -1
+        var mn = -1
+        while (i < k) {
+          val key = b.keys(i)
+          if (key == null) { if (free < 0) free = i }
+          else if (key == tok) { b.counts(i) += 1L; return b }
+          else if (mn < 0 || b.counts(i) < b.counts(mn) ||
+            (b.counts(i) == b.counts(mn) && key < b.keys(mn))) mn = i
+          i += 1
+        }
+        if (free >= 0) {
+          b.keys(free) = tok; b.counts(free) = 1L; b.errs(free) = 0L
+        } else {
+          val m0 = b.counts(mn)
+          b.keys(mn) = tok; b.counts(mn) = m0 + 1L; b.errs(mn) = m0
+        }
+        b
+      }
+
+      private def minCount(b: SSBuf): Long = {
+        var full = true
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < k) {
+          if (b.keys(i) == null) full = false
+          else if (b.counts(i) < mn) mn = b.counts(i)
+          i += 1
+        }
+        if (full) mn else 0L
+      }
+
+      def merge(a: SSBuf, b: SSBuf): SSBuf = {
+        val minA = minCount(a)
+        val minB = minCount(b)
+        val m = new java.util.TreeMap[String, (Long, Long)]()
+        var i = 0
+        while (i < k) {
+          if (a.keys(i) != null) m.put(a.keys(i), (a.counts(i), a.errs(i)))
+          i += 1
+        }
+        i = 0
+        while (i < k) {
+          val key = b.keys(i)
+          if (key != null) {
+            val prev = m.get(key)
+            m.put(key,
+              if (prev == null) (b.counts(i) + minA, b.errs(i) + minA)
+              else (prev._1 + b.counts(i), prev._2 + b.errs(i)))
+          }
+          i += 1
+        }
+        // keys known only to one side are charged the other side's min
+        val it = m.entrySet().iterator()
+        val all = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)](m.size())
+        while (it.hasNext) {
+          val e = it.next()
+          val key = e.getKey
+          val (c, er) = e.getValue
+          val inB = {
+            var j = 0; var found = false
+            while (j < k && !found) { if (b.keys(j) == key) found = true; j += 1 }
+            found
+          }
+          val inA = {
+            var j = 0; var found = false
+            while (j < k && !found) { if (a.keys(j) == key) found = true; j += 1 }
+            found
+          }
+          val (c2, e2) =
+            if (inA && !inB) (c + minB, er + minB)
+            else (c, er) // both, or B-only (minA already applied)
+          all += ((key, c2, e2))
+        }
+        val top = all.sortBy { case (key, c, _) => (-c, key) }.take(k)
+        val out = SSBuf(new Array[String](k), new Array[Long](k), new Array[Long](k))
+        var j = 0
+        top.foreach { case (key, c, er) =>
+          out.keys(j) = key; out.counts(j) = c; out.errs(j) = er; j += 1
+        }
+        out
+      }
+
+      def finish(b: SSBuf): Seq[SSEntry] = {
+        val entries = (0 until k).iterator
+          .filter(i => b.keys(i) != null)
+          .map(i => SSEntry(b.keys(i), b.counts(i), b.errs(i)))
+          .toIndexedSeq
+        entries.sortBy(e => (-e.cnt, e.token))
+      }
+
+      def bufferEncoder: Encoder[SSBuf] = Encoders.product[SSBuf]
+      def outputEncoder: Encoder[Seq[SSEntry]] = ExpressionEncoder[Seq[SSEntry]]()
+    }
+
   /** Linear interpolation of quantile `q` inside a log₂ histogram's
     * matching bucket — the scalar half of the SQL surface, identical to
     * the relational interpolation (incl. the round(4) edge). NaN on an

@@ -470,6 +470,85 @@ object Dedup {
        |SELECT DISTINCT doc_id, TRUE AS contaminated
        |FROM corpus WHERE unhex(md5(gram)) IN (SELECT gh FROM bench)""".stripMargin
 
+  /** [[contamination]] with a Bloom-filter prefilter instead of a
+    * broadcast of the benchmark gram set: the only thing broadcast is the
+    * bloom (fixed bits/item at a chosen fpp — ~1.2 GB for 10⁹ grams at 1%,
+    * vs 16 GB of raw md5s), the prefilter drops the overwhelmingly-clean
+    * bulk of the corpus stream, and the few survivors are confirmed with
+    * an exact SHUFFLE semi-join (the benchmark set is never broadcast at
+    * all). False positives only ever ADD confirm-stage work, never answers
+    * — the oracle is therefore [[contaminationSql]] verbatim.
+    *
+    * The prefilter is a scala UDF (Spark exposes no public might-contain
+    * expression; the internal one serves its runtime-filter rewrite) —
+    * acceptable here because the UDF guards the join, it isn't the join:
+    * per row it is one hash probe, and the exact join behind it does the
+    * semantics. The spec measures the bloom's serialized size against the
+    * hashed-set payload on this corpus. */
+  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
+      .select(md5(col("gram")).as("gh")).distinct()
+      .localCheckpoint() // bench is read twice (count + confirm join); keep it private to this plan
+    val bf = bench.stat.bloomFilter("gh", math.max(bench.count(), 1L), 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+    val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
+    grams13(corpus)
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+      .where(mightContain(col("gh")))
+      .join(bench, Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+  }
+
+  /** Serialized bloom payload vs raw-hash payload for [[contaminationBloom]]
+    * on this corpus — exposed for the spec's measured-size assertion. */
+  private[graft] def contaminationBloomSizes(s: SparkSession, dir: String): (Long, Long) = {
+    val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
+      .select(md5(col("gram")).as("gh")).distinct()
+    val n = bench.count()
+    val bf = bench.stat.bloomFilter("gh", math.max(n, 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    (bos.size().toLong, n * 16L)
+  }
+
+  /** Per-document duplicated-span fraction — the ExactSubstr-lite signal
+    * from "Deduplicating Training Data Makes Language Models Better": for
+    * each document, the fraction of its distinct 13-token grams that occur
+    * in at least one OTHER document. Docs dominated by corpus-repeated
+    * spans (boilerplate, templates, mirrored text) score near 1 and are
+    * the ones a span-level dedup pass would rewrite.
+    *
+    * Scale shape: grams are md5-hashed before the exchange (16-byte keys,
+    * not ~90-byte gram strings), document frequency is a window count over
+    * the SAME exchange the per-doc rollup needs next (the tfidf
+    * df-from-tf trick — 2 shuffles total, none carrying raw text), and
+    * nothing is ever joined all-pairs. Collisions: P ≈ n²/2¹²⁹ across
+    * corpus gram space — vanishing, and symmetric on both engines since
+    * the oracle hashes identically. */
+  def dupGramFraction(s: SparkSession, dir: String): DataFrame = {
+    val g = grams13(Corpus.documents(s, dir))
+      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    g.withColumn("df", count(lit(1)).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+  }
+
+  val dupGramFractionSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unhex(md5(gram)) AS gh FROM (${gramsSql("TRUE")})),
+       |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gh) AS df FROM g)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+       |FROM d GROUP BY doc_id""".stripMargin
+
   /** Connected components over the verified MinHash near-dup pairs — the
     * step a real dedup pipeline runs after pair generation: transitively
     * linked documents form one cluster, and every member reports the

@@ -369,4 +369,137 @@ object Relational {
        |GROUP BY c_custkey, c_name, c_acctbal, n_name
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
+
+  /** TPC-H Q13-style customer order-count distribution: how many customers
+    * placed exactly N orders, INCLUDING the zero-order customers the inner
+    * join would drop.
+    *
+    * Scale shape: orders (the big side) is pre-aggregated to one row per
+    * customer key BEFORE the join, so the left-outer join moves
+    * |customers| + |distinct custkeys| rows instead of |orders| — the
+    * classic aggregate-below-outer-join rewrite Catalyst cannot do itself
+    * (it would change the join's null semantics). The final distribution
+    * groupBy runs on a tiny domain (max orders per customer) and
+    * partial-aggregates to almost nothing. */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Corpus.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Corpus.customer(s, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13CustomerDistributionSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM per_cust GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q14-style promo revenue share: conditional aggregation over the
+    * lineitem ⋈ part join, one month of shipments.
+    *
+    * Scale shape: the shipdate range predicate reaches the scan (pushed +
+    * partition-prunable on a date-partitioned layout), so the join input is
+    * one month of the fact table, not all of it. `part` is an SF-scaling
+    * dimension — no broadcast hint; AQE broadcasts it today and degrades to
+    * shuffle join at 100× (see the file-head broadcast policy). Both
+    * conditional sums ride the same partial aggregate. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val pt = Corpus.part(s, dir).select("p_partkey", "p_type")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(rev).cast("double")).as("promo_revenue_pct"),
+        sum(rev).cast("double").as("total_revenue"))
+  }
+
+  val q14PromoRevenueSql: String =
+    s"""SELECT
+       |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlRevenue
+       |                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    / CAST(SUM($sqlRevenue) AS DOUBLE) AS promo_revenue_pct,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS total_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin
+
+  /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
+    * then the supplier(s) whose revenue equals the global max — the
+    * aggregate → scalar-max → join-back shape (distinct from
+    * [[topPartsPerBrand]]'s window top-k: the max is a 1-row broadcast, so
+    * no per-group window state and ties surface naturally).
+    *
+    * Revenue equality across engines is safe because both totals are exact
+    * DECIMAL sums cast to double only at the end ([[dsum]] rule). */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Corpus.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val sup = Corpus.supplier(s, dir).select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, CAST(SUM($sqlRevenue) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin
+
+  /** TPC-H Q18-style large-volume orders: orders whose total quantity
+    * exceeds a threshold, joined back to order/customer detail — the
+    * HAVING-on-aggregate semi-join shape.
+    *
+    * Scale shape: the heavy lifting is one partial-aggregated groupBy on
+    * the fact table's own key (map-side combine collapses each order's
+    * lines before the exchange); the surviving keys are a tiny fraction
+    * (~1% at threshold 300), so the two detail joins move almost nothing.
+    * Deterministic top-k: o_totalprice DESC then o_orderkey ASC. */
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Corpus.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > 300.0)
+    val ord = Corpus.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Corpus.customer(s, dir).select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  val q18BigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 20""".stripMargin
 }

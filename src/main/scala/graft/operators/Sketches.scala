@@ -273,4 +273,47 @@ object Sketches {
        |      * (q * total - (cum - cnt)) / cnt, 4) AS est_tokens
        |FROM p
        |WHERE (cum - cnt) < q * total AND cum >= q * total""".stripMargin
+
+  /** Top-5 terms per source via the mergeable Space-Saving sketch
+    * ([[graft.functions.SketchFunctions.spaceSaving]]) — the heavy-hitters
+    * counterpart of the HLL/log₂-histogram family: per-group state is
+    * bounded at `capacity` slots no matter the token volume, reduce runs
+    * map-side, and partials merge associatively after the shuffle.
+    *
+    * Oracle-exactness regime: this corpus's vocabulary (31 words) is under
+    * the 64-slot capacity, so every estimate IS the exact count and the
+    * merge is order-independent — the oracle compares against exact SQL
+    * counts. Over-capacity behavior (the 100 TB regime, where estimates
+    * carry ≤ n/capacity error) is property-tested in `SketchSqlSpec`
+    * rather than oracle-checked, because under nondeterministic merge
+    * orders only the BOUND is deterministic, not the estimate.
+    * Deterministic top-k cutoff: (cnt desc, token asc) row_number ≤ 5. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Corpus.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val ss = udaf(graft.functions.SketchFunctions.spaceSaving,
+      org.apache.spark.sql.Encoders.STRING)
+    val byRank = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    toks.groupBy(col("source")).agg(ss(col("token")).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.token").as("token"), col("e.cnt").as("cnt"))
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+      .where(col("rnk") <= 5)
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, t AS token FROM (
+       |    SELECT source, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |c AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+       |r AS (
+       |  SELECT source, token, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
+       |  FROM c)
+       |SELECT source, token, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin
 }

@@ -116,4 +116,38 @@ class BatchQueriesSpec extends AnyFunSuite {
       .orderBy("l_returnflag", "l_linestatus").collect()
     assert(a.sameElements(b))
   }
+
+  test("q13 distribution accounts for every customer exactly once") {
+    val d = Relational.q13CustomerDistribution(spark, sf)
+    val total = d.agg(sum(col("custdist"))).head().getLong(0)
+    assert(total == Corpus.customer(spark, sf).count())
+    // zero-order customers are kept by the outer join (or provably absent)
+    val zeroBucket = d.where(col("c_count") === 0).count()
+    val custWithOrders = Corpus.orders(spark, sf)
+      .join(Corpus.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_custkey")).distinct().count()
+    assert((zeroBucket > 0) == (custWithOrders < total),
+      "the 0-orders bucket must appear iff some customer has no orders")
+  }
+
+  test("q14 promo share lies in [0, 100] and is consistent with its parts") {
+    val r = Relational.q14PromoRevenue(spark, sf).head()
+    val pct = r.getDouble(0)
+    assert(pct >= 0.0 && pct <= 100.0, s"promo pct out of range: $pct")
+    assert(r.getDouble(1) > 0.0, "expected revenue in the window")
+  }
+
+  test("q15 returns exactly the max-revenue suppliers") {
+    val rows = Relational.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, "every returned supplier must carry the same (max) revenue")
+  }
+
+  test("q18 rows all exceed the quantity threshold, capped at 20") {
+    val rows = Relational.q18BigOrders(spark, sf).collect()
+    assert(rows.length <= 20)
+    assert(rows.forall(_.getDouble(5) > 300.0), "sum_qty must exceed the threshold")
+  }
 }

@@ -176,6 +176,80 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"hashed payload $hashedBytes B should be well under a third of raw $rawBytes B")
   }
 
+  test("bloom contamination matches the broadcast-join verdict and shrinks the broadcast") {
+    val raw = graft.operators.Dedup.contamination(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    val bloom = graft.operators.Dedup.contaminationBloom(spark, sf)
+      .collect().map(_.getLong(0)).sorted
+    assert(raw.sameElements(bloom),
+      "bloom prefilter + exact confirm must return exactly the broadcast-join verdict")
+    val (bloomBytes, hashedBytes) = graft.operators.Dedup.contaminationBloomSizes(spark, sf)
+    assert(bloomBytes < hashedBytes,
+      s"bloom payload $bloomBytes B should undercut the md5-set payload $hashedBytes B")
+  }
+
+  test("dup-gram fraction is bounded, non-vacuous, and covers exactly the gram-bearing docs") {
+    import org.apache.spark.sql.functions._
+    val dgf = graft.operators.Dedup.dupGramFraction(spark, sf)
+    val bad = dgf.where(col("dup_frac") < 0.0 || col("dup_frac") > 1.0 ||
+      col("n_dup_grams") > col("n_grams") || col("n_grams") <= 0).count()
+    assert(bad == 0, "dup_frac must be a valid fraction of the doc's grams")
+    // rows exist exactly for documents with >= 13 tokens (gram-bearing)
+    val eligible = graft.sources.Corpus.documents(spark, sf)
+      .where(size(graft.operators.TextAnalysis.tokensCol(col("text"))) >= 13).count()
+    assert(dgf.count() == eligible)
+    // the synthetic corpus carries replicated spans: both partial and
+    // fully-duplicated docs must surface (non-vacuous operator)
+    assert(dgf.where(col("dup_frac") === 1.0).count() > 0, "expected fully-duplicated docs")
+    assert(dgf.where(col("dup_frac") > 0.0 && col("dup_frac") < 1.0).count() > 0,
+      "expected partially-duplicated docs")
+  }
+
+  test("space-saving heavy hitters are exact, partition-invariant, and SQL-exposed here") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val hh = graft.operators.Sketches.heavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // exact counts by plain aggregation, same deterministic cutoff
+    val toks = graft.sources.Corpus.documents(spark, sf)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("token").asc)
+    val exact = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hh === exact,
+      "under-capacity Space-Saving must reproduce exact counts")
+    // partition-invariance of the distributed merge in the exact regime
+    val ss = udaf(graft.functions.SketchFunctions.spaceSaving,
+      org.apache.spark.sql.Encoders.STRING)
+    val once = toks.repartition(1).groupBy(col("source")).agg(ss(col("token")).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val many = toks.repartition(13).groupBy(col("source")).agg(ss(col("token")).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(once === many, "merge order must not change the under-capacity sketch")
+    // SQL surface
+    GraftSession.registerSketches(spark)
+    graft.sources.Corpus.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT source, e.token AS token, e.cnt AS cnt
+        |FROM (
+        |  SELECT source, explode(top) AS e FROM (
+        |    SELECT source, graft_top_terms(token) AS top FROM (
+        |      SELECT source,
+        |        explode(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')) AS token
+        |      FROM documents)
+        |    WHERE length(token) > 0
+        |    GROUP BY source))""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val fullExact = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaSql === fullExact, "graft_top_terms must expose the exact counts via SQL")
+  }
+
   test("HLL registers merge: sketch of halves == sketch of the whole") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches

@@ -191,4 +191,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val hashAggs = "HashAggregate".r.findAllIn(plan).length
     assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n$plan")
   }
+
+  test("dup_gram_fraction never goes all-pairs and never collapses to one partition") {
+    val plan = physicalPlan(graft.operators.Dedup.dupGramFraction(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-gram df must come from a hash-partitioned window, not a join:\n$plan")
+    // the df window partitions by gram hash; a SinglePartition exchange
+    // would mean the whole gram stream serialized through one task
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"gram window collapsed to a single partition:\n$plan")
+    assert(plan.contains("Window"), s"expected the df window:\n$plan")
+  }
+
+  test("heavy hitters aggregate partial+final with bounded per-group state") {
+    val plan = physicalPlan(graft.operators.Sketches.heavyHitters(spark, sf))
+    // the Space-Saving udaf runs as an object aggregate (complex buffer);
+    // partial (map-side) + final after the shuffle is what bounds the
+    // exchange at `capacity` slots per group
+    val objAggs = "ObjectHashAggregate".r.findAllIn(plan).length +
+      "SortAggregate".r.findAllIn(plan).length
+    assert(objAggs >= 2, s"expected partial+final sketch aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -87,3 +87,46 @@ object DotProductProps extends Properties("graft_dot") {
     DotProduct(nul, lit).eval(null) == null && DotProduct(lit, nul).eval(null) == null
   }
 }
+
+/** The Space-Saving sketch's guarantees under arbitrary partition splits
+  * and merge orders — the properties that make `graft_top_terms` safe as a
+  * distributed aggregate. The oracle-checked query runs in the exact
+  * (under-capacity) regime; these properties cover the 100 TB regime the
+  * oracle can't: over-capacity streams where only the BOUNDS are
+  * deterministic. */
+object SpaceSavingProps extends Properties("space-saving") {
+
+  private val agg = graft.functions.SketchFunctions.spaceSaving
+  private val k = graft.functions.SketchFunctions.ssCapacity
+
+  // skewed pool of 4·k possible keys so streams overflow the capacity
+  private val tokGen: Gen[String] = Gen.frequency(
+    (40, Gen.const("hot")),
+    (15, Gen.oneOf("warm1", "warm2", "warm3")),
+    (5, Gen.chooseNum(0, 4 * k - 1).map("t" + _)))
+
+  private def sketchOf(stream: List[String], nSplits: Int) = {
+    val chunkSize = math.max(1, (stream.size + nSplits - 1) / math.max(nSplits, 1))
+    val bufs = stream.grouped(chunkSize)
+      .map(c => c.foldLeft(agg.zero)(agg.reduce)).toList
+    agg.finish(bufs.reduceOption(agg.merge).getOrElse(agg.zero))
+  }
+
+  property("estimates bracket true counts under arbitrary splits") =
+    forAll(Gen.listOf(tokGen), Gen.chooseNum(1, 7)) { (stream, nSplits) =>
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      sketchOf(stream, nSplits).forall { e =>
+        val t = truth.getOrElse(e.token, 0L)
+        e.cnt >= t && e.cnt - e.err <= t
+      }
+    }
+
+  property("exact and split-invariant when distinct keys fit the capacity") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e")), Gen.chooseNum(1, 7)) {
+      (stream, nSplits) =>
+        val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val out = sketchOf(stream, nSplits)
+        out.size == truth.size &&
+          out.forall(e => truth.get(e.token).contains(e.cnt) && e.err == 0L)
+    }
+}

@@ -61,6 +61,8 @@ object SparkEntry {
     "unigram_logprob"     -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     "context_windows"     -> ((s, d) => TextAnalysis.contextWindows(s, d)),
     "bigram_logprob"      -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
+    "bpe_merges"          -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "bm25_topk"           -> ((s, d) => Retrieval.bm25Topk(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
     "minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
@@ -139,6 +141,8 @@ object SparkEntry {
     "unigram_logprob"     -> TextAnalysis.unigramLogprobSql,
     "context_windows"     -> TextAnalysis.contextWindowsSql,
     "bigram_logprob"      -> TextAnalysis.bigramLogprobSql,
+    "bpe_merges"          -> TextAnalysis.bpeMergesSql,
+    "bm25_topk"           -> Retrieval.bm25TopkSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,
     "minhash_lsh_pairs"  -> Dedup.minhashLshPairsSql,

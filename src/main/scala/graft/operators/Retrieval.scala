@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Corpus
+
+/** Retrieval scoring over the document corpus — the ranked-search
+  * capability a curation pipeline uses to pull topically-relevant
+  * training data toward a probe query (and the complement of the
+  * similarity family's embedding-space search: lexical, term-at-a-time,
+  * no vectors required).
+  *
+  * The reference's only retrieval surface is SQL-predicate row
+  * restriction (`/root/reference/src/main/scala/org/mkuthan/beam/examples/bigquery/TypedBigQueryStorage.scala:14-16`);
+  * BM25 is the standard ranked extension of that capability.
+  */
+object Retrieval {
+
+  // classic Okapi BM25 constants
+  private val k1 = 1.2
+  private val b = 0.75
+
+  /** Fixed probe query over the corpus vocabulary. */
+  private[graft] val queryTerms: Seq[String] =
+    Seq("spark", "table", "scan", "window", "join")
+
+  /** Okapi BM25 top-10 documents for [[queryTerms]].
+    *
+    * Oracle exactness: every per-(doc, term) score is ONE expression tree
+    * evaluated identically by both engines (exact-integer tf/df/dl fed
+    * through the same IEEE multiply/divide/ln sequence), then quantized to
+    * 10⁻⁴ and summed as BIGINTs — the same order-free trick as
+    * [[TextAnalysis.unigramLogprob]], because a float sum's value depends
+    * on partition order but an integer sum's does not. Final ranking is
+    * (quantized score desc, doc_id asc) — total order, no float ties.
+    *
+    * 100 TB shape: the exploded token stream is filtered to the query's
+    * terms BEFORE any exchange (the `isin` runs in the same codegen stage
+    * as the explode — rows for non-query terms never leave the scan task;
+    * a production search system would replace this full-scan term filter
+    * with an inverted-index source, which only changes the scan), so the
+    * only full-corpus work is the bounded (N, total-tokens) aggregate that
+    * every BM25 implementation needs for avgdl — one broadcast row. Term
+    * df comes from the already-filtered tf frame (≤ |query| rows after
+    * aggregation, broadcast back). Per-doc length rides the document row
+    * as a column — never a shuffle. The top-10 is a TakeOrdered, not a
+    * global sort. */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val base = Corpus.documents(s, dir).select(
+      col("doc_id"),
+      filter(toks, t => length(t) > 0).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    // bounded corpus stats: one row, broadcast everywhere
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    // per-(doc, query-term) tf — the explode is filtered to query terms
+    // before the aggregation exchange
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .where(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per query term, from the tf frame (≤ |query| rows)
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val tfPart = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val qscore = round(idf * tfPart * 10000.0, 0).cast("long")
+    tf.join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), qscore.as("qs"))
+      .groupBy(col("doc_id")).agg(sum(col("qs")).as("sq"))
+      .select(col("doc_id"), (col("sq").cast("double") / 10000.0).as("bm25"))
+      .orderBy(col("sq").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("bm25"))
+  }
+
+  val bm25TopkSql: String = {
+    val terms = queryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, token, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, dl, UNNEST(toks) AS token FROM d)
+       |  WHERE token IN $terms
+       |  GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * ((CAST(tf AS DOUBLE) * ${k1 + 1.0})
+       |          / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b
+       |              * CAST(dl AS DOUBLE)
+       |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |      * 10000.0, 0) AS BIGINT) AS qs
+       |  FROM tf JOIN dft USING (token) CROSS JOIN stats),
+       |agg AS (SELECT doc_id, SUM(qs) AS sq FROM scored GROUP BY 1)
+       |SELECT doc_id, CAST(sq AS DOUBLE) / 10000.0 AS bm25
+       |FROM agg
+       |ORDER BY sq DESC, doc_id ASC
+       |LIMIT 10""".stripMargin
+  }
+}

@@ -623,6 +623,52 @@ object TextAnalysis {
           .as("containment"))
   }
 
+  /** First-iteration BPE merge candidates: the top-20 adjacent character
+    * pairs over all token occurrences — the statistic a byte-pair-encoding
+    * tokenizer trainer computes (and greedily merges) each round. Running
+    * it over the training corpus is the standard first step of inducing a
+    * corpus-fitted tokenizer, and the count table is exactly the
+    * map-side-combining aggregation Spark does best.
+    *
+    * Scale shape: the pair stream is a compiled narrow map over the scan
+    * (per-char work, same rationale as [[winnowFingerprints]]); the only
+    * exchange is the pair-count aggregate, whose key domain is bounded by
+    * the character alphabet squared — so the global top-20 window runs on
+    * a frame of at most |Σ|² rows, the same
+    * confined-to-a-tiny-frame pattern as [[Packing.packChunks]]' bucket
+    * window, not a scale risk. Deterministic cutoff: (cnt desc, pair asc). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Corpus.documents(s, dir)
+      .select(col("text")).as[String]
+      .flatMap { text =>
+        normTokens(text).iterator.flatMap { t =>
+          (0 until t.length - 1).iterator.map(i => t.substring(i, i + 2))
+        }
+      }
+      .toDF("pair")
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair").asc)
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+      .where(col("rnk") <= 20)
+  }
+
+  val bpeMergesSql: String =
+    s"""WITH tok AS (
+       |  SELECT t FROM (SELECT UNNEST($tokensSql) AS t FROM documents)
+       |  WHERE length(t) >= 2),
+       |p AS (
+       |  SELECT UNNEST(list_transform(range(1, length(t)), i ->
+       |    substring(t, CAST(i AS INT), 2))) AS pair
+       |  FROM tok),
+       |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1),
+       |r AS (
+       |  SELECT pair, cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rnk
+       |  FROM c)
+       |SELECT pair, cnt, rnk FROM r WHERE rnk <= 20""".stripMargin
+
   val winnowPairsSql: String =
     s"""WITH fps AS ($winnowFingerprintsSql),
        |df AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),

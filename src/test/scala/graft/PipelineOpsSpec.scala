@@ -250,6 +250,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(viaSql === fullExact, "graft_top_terms must expose the exact counts via SQL")
   }
 
+  test("bpe merge candidates are well-ranked character pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.TextAnalysis.bpeMerges(spark, sf)
+      .orderBy(col("rnk")).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2), "pairs must be 2 chars")
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing in rank")
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 20L), "ranks must be 1..20")
+  }
+
+  test("bm25 ranks query-term-bearing docs with positive descending scores") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Retrieval.bm25Topk(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0.0), "top-10 scores must be positive")
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing")
+    // every returned doc must actually contain at least one query term
+    val ids = rows.map(_.getLong(0)).toSet
+    val bearing = graft.sources.Corpus.documents(spark, sf)
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .filter(r => graft.operators.Retrieval.queryTerms
+        .exists(t => r.getString(1).toLowerCase.split("\\s+").contains(t)))
+      .map(_.getLong(0)).toSet
+    assert(bearing == ids, "every ranked doc must contain a query term")
+  }
+
   test("HLL registers merge: sketch of halves == sketch of the whole") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches

@@ -203,6 +203,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the df window:\n$plan")
   }
 
+  test("bm25 broadcasts term stats and finishes with TakeOrdered, not a global sort") {
+    val plan = physicalPlan(graft.operators.Retrieval.bm25Topk(spark, sf))
+    // term df (≤ |query| rows) must come back as a broadcast, like the
+    // unigram vocab — a shuffle join here would re-shuffle the tf frame
+    assert(plan.contains("BroadcastHashJoin"), s"term stats not broadcast:\n$plan")
+    // top-10 must be a TakeOrdered (per-partition top-k + driver merge),
+    // never a full sort of the per-doc score frame
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k is a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("bpe merges confine the global ranking window to the bounded pair frame") {
+    val plan = physicalPlan(graft.operators.TextAnalysis.bpeMerges(spark, sf))
+    // exactly one single-partition exchange is allowed: the global top-20
+    // window over the (≤ alphabet²-row) aggregated pair counts — the same
+    // confinement contract as pack_chunks' bucket window
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"ranking window not confined to the pair frame:\n$plan")
+    // partial+final aggregation below it (map-side combine on the pair counts)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"pair counts must partial-aggregate before the exchange:\n$plan")
+  }
+
   test("heavy hitters aggregate partial+final with bounded per-group state") {
     val plan = physicalPlan(graft.operators.Sketches.heavyHitters(spark, sf))
     // the Space-Saving udaf runs as an object aggregate (complex buffer);

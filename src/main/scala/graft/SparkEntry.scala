@@ -50,6 +50,8 @@ object SparkEntry {
     "q14_promo_revenue"         -> ((s, d) => Relational.q14PromoRevenue(s, d)),
     "q15_top_supplier"          -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "q18_big_orders"            -> ((s, d) => Relational.q18BigOrders(s, d)),
+    "q22_idle_customers"        -> ((s, d) => Relational.q22IdleCustomers(s, d)),
+    "sales_rollup"              -> ((s, d) => Relational.salesRollup(s, d)),
     // Text analysis (scale extensions)
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -131,6 +133,8 @@ object SparkEntry {
     "q14_promo_revenue"         -> Relational.q14PromoRevenueSql,
     "q15_top_supplier"          -> Relational.q15TopSupplierSql,
     "q18_big_orders"            -> Relational.q18BigOrdersSql,
+    "q22_idle_customers"        -> Relational.q22IdleCustomersSql,
+    "sales_rollup"              -> Relational.salesRollupSql,
     "text_stats"      -> TextAnalysis.textStatsSql,
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,

@@ -502,4 +502,60 @@ object Relational {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-style lapsed high-balance customers: above-average
+    * balance, no orders since 2000 — the ANTI-join shape (Catalyst
+    * `LeftAnti`), the one join flavor the suite didn't yet exercise, plus
+    * a 1-row scalar broadcast for the average.
+    *
+    * Scale shape: the scalar average is one bounded aggregate; the
+    * anti-join probes the distinct recent-order custkeys (date predicate
+    * pushed to the orders scan, keys pre-aggregated to one row before the
+    * join, like q13's rewrite); both sides shuffle on custkey once. The
+    * exact-decimal average makes the `>` cut engine-identical. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Corpus.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+    val active = Corpus.orders(s, dir)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  val q22IdleCustomersSql: String =
+    """WITH avg_bal AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ab
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM customer CROSS JOIN avg_bal
+      |WHERE c_acctbal > ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Revenue ROLLUP over (returnflag, linestatus): subtotals per flag and
+    * a grand total in one pass — Spark's `rollup` grouping-sets surface
+    * (partial aggregation expands each row into its grouping sets before
+    * the exchange; one shuffle, no re-scan per level). NULL group keys
+    * mark the subtotal rows, identically in both engines. */
+  def salesRollup(s: SparkSession, dir: String): DataFrame = {
+    val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Corpus.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val salesRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 }

@@ -151,4 +151,42 @@ class BatchQueriesSpec extends AnyFunSuite {
     assert(rows.length <= 20)
     assert(rows.forall(_.getDouble(5) > 300.0), "sum_qty must exceed the threshold")
   }
+
+  test("q22 anti-join keeps only customers with no recent orders") {
+    val total = Relational.q22IdleCustomers(spark, sf)
+      .agg(sum(col("n_cust"))).head().getLong(0)
+    assert(total > 0, "corpus must contain lapsed high-balance customers")
+    // recomputing with a semi join instead must be disjoint: anti + semi
+    // partition the filtered customers
+    val cust = Corpus.customer(spark, sf)
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("ab")).head().getDouble(0)
+    val rich = cust.where(col("c_acctbal") > avgBal).count()
+    val active = Corpus.orders(spark, sf)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val richActive = cust.where(col("c_acctbal") > avgBal)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(total == rich - richActive, "anti + semi must partition the rich customers")
+  }
+
+  test("rollup subtotals are consistent with the detail rows") {
+    val r = Relational.salesRollup(spark, sf).collect()
+      .map(row => (Option(row.getString(0)), Option(row.getString(1))) ->
+        (row.getDouble(2), row.getLong(3))).toMap
+    val grand = r((None, None))
+    val flagTotals = r.collect { case ((Some(f), None), v) => f -> v }
+    assert(flagTotals.nonEmpty)
+    // per-flag subtotals sum to the grand total (counts are exact; revenue
+    // sums are decimal-exact so doubles compare equal)
+    assert(flagTotals.values.map(_._2).sum == grand._2)
+    assert(math.abs(flagTotals.values.map(_._1).sum - grand._1) < 1e-6)
+    // detail rows sum to their flag's subtotal
+    flagTotals.foreach { case (f, (rev, n)) =>
+      val details = r.collect { case ((Some(`f`), Some(_)), v) => v }
+      assert(details.map(_._2).sum == n)
+      assert(math.abs(details.map(_._1).sum - rev) < 1e-6)
+    }
+  }
 }

@@ -226,6 +226,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair counts must partial-aggregate before the exchange:\n$plan")
   }
 
+  test("q22 runs as a hash anti-join with the date predicate pushed down") {
+    val df = Relational.q22IdleCustomers(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("LeftAnti"), s"expected an anti-join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"recent-order predicate not pushed to the orders scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rollup expands grouping sets before one exchange, not one scan per level") {
+    val plan = physicalPlan(graft.operators.Relational.salesRollup(spark, sf))
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"rollup must read lineitem exactly once:\n$plan")
+    assert(plan.contains("Expand"), s"expected grouping-set Expand:\n$plan")
+  }
+
   test("heavy hitters aggregate partial+final with bounded per-group state") {
     val plan = physicalPlan(graft.operators.Sketches.heavyHitters(spark, sf))
     // the Space-Saving udaf runs as an object aggregate (complex buffer);

@@ -52,6 +52,7 @@ object SparkEntry {
     "q18_big_orders"            -> ((s, d) => Relational.q18BigOrders(s, d)),
     "q22_idle_customers"        -> ((s, d) => Relational.q22IdleCustomers(s, d)),
     "sales_rollup"              -> ((s, d) => Relational.salesRollup(s, d)),
+    "event_gaps"                -> ((s, d) => Relational.eventGaps(s, d)),
     // Text analysis (scale extensions)
     "text_stats"      -> ((s, d) => TextAnalysis.textStats(s, d)),
     "quality_score"   -> ((s, d) => TextAnalysis.qualityScore(s, d)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "ann_brute_force"     -> ((s, d) => Similarity.annBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "ann_recall"          -> ((s, d) => Similarity.annRecall(s, d)),
     "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
   )
@@ -135,6 +137,7 @@ object SparkEntry {
     "q18_big_orders"            -> Relational.q18BigOrdersSql,
     "q22_idle_customers"        -> Relational.q22IdleCustomersSql,
     "sales_rollup"              -> Relational.salesRollupSql,
+    "event_gaps"                -> Relational.eventGapsSql,
     "text_stats"      -> TextAnalysis.textStatsSql,
     "quality_score"   -> TextAnalysis.qualityScoreSql,
     "lang_id"         -> TextAnalysis.langIdSql,
@@ -177,6 +180,7 @@ object SparkEntry {
     "ann_brute_force"     -> Similarity.annBruteForceSql,
     "ann_lsh_bucketed"    -> Similarity.annLshBucketedSql,
     "ann_ivf"             -> Similarity.annIvfSql,
+    "ann_pq"              -> Similarity.annPqSql,
     "ann_recall"          -> Similarity.annRecallSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
   )

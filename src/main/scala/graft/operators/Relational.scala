@@ -214,6 +214,48 @@ object Relational {
       |FROM events
       |GROUP BY user_id""".stripMargin
 
+  /** Inter-event gap statistics per user — the lag() analytic-window shape
+    * (ordered per-partition access to the PREVIOUS row, the one window
+    * flavor the ranking/top-k queries don't exercise). Gaps are exact
+    * microsecond integers (`unix_micros` / `epoch_us`), so min/max/avg are
+    * engine-identical; ordering ties on ts break by event_id so lag() is
+    * total-ordered. One shuffle on user_id; the window sort and the
+    * aggregate ride the same exchange. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    // order by the microsecond value itself (== ts order, and still in
+    // scope after the projection), tie-broken by event_id
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    Corpus.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") / count(col("gap_us")).cast("double"))
+          .as("avg_gap_us"))
+      .where(col("n_gaps") > 0)
+  }
+
+  val eventGapsSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(gap_us) AS n_gaps,
+      |  MIN(gap_us) AS min_gap_us,
+      |  MAX(gap_us) AS max_gap_us,
+      |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us
+      |FROM g
+      |GROUP BY user_id
+      |HAVING COUNT(gap_us) > 0""".stripMargin
+
   /** User sessionization over the event stream: fixed-gap session windows
     * per user (a user-behavior roll-up, distinct from the ad-CTR session
     * window which keys on (screen, ad) with a dynamic gap). One shuffle on

@@ -64,6 +64,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(j.where(col("lsh_max") > col("bf_max")).count() == 0)
   }
 
+  test("PQ ANN: k results per query, distances non-decreasing, real recall") {
+    val pq = Similarity.annPq(spark, sf)
+    val counts = pq.groupBy("query_id").count()
+    assert(counts.where(col("count") =!= 5L).count() == 0)
+    // approx distances non-decreasing in rank per query
+    val badOrder = pq.as("a").join(pq.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.rank") < col("b.rank") &&
+          col("a.approx_dist") > col("b.approx_dist")).count()
+    assert(badOrder == 0, "ADC distance must be non-decreasing in rank")
+    // recall@5 against brute force: 4-byte codes lose information, but on
+    // this corpus the 16-entry sample codebook must still recover a
+    // nontrivial share of true neighbors (measured, not assumed)
+    val bf = Similarity.annBruteForce(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pq.select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.2, s"PQ recall@5 collapsed to $recall")
+  }
+
   test("embedding near-dups symmetric-free and above threshold") {
     val p = Similarity.embeddingNearDups(spark, sf)
     assert(p.where(col("vec_a") >= col("vec_b")).count() == 0)

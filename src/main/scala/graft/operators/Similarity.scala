@@ -352,15 +352,16 @@ object Similarity {
        |FROM ranked WHERE rank <= $topK""".stripMargin
   }
 
-  /** Recall@k of the two approximate ANN paths against the brute-force
-    * ground truth — the quality metric that makes the scale paths'
-    * accuracy a verified artifact instead of a comment. For each method,
-    * `hits` counts (query, neighbor) pairs present in both that method's
-    * top-k and brute-force's top-k; `recall = hits / |ground truth|`.
-    * All three result sets are ~k·queries rows, so the joins are trivially
-    * broadcast — the cost is the three underlying searches. */
+  /** Recall@k of the three approximate ANN paths (LSH, IVF, PQ) against
+    * the brute-force ground truth — the quality metric that makes the
+    * scale paths' accuracy a verified artifact instead of a comment. For
+    * each method, `hits` counts (query, neighbor) pairs present in both
+    * that method's top-k and brute-force's top-k;
+    * `recall = hits / |ground truth|`. All result sets are ~k·queries
+    * rows, so the joins are trivially broadcast — the cost is the four
+    * underlying searches. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    // one materialized base frame serves all three searches (scan + cast +
+    // one materialized base frame serves all four searches (scan + cast +
     // norm would otherwise run three times inside a single query).
     // localCheckpoint, NOT cache(): a cache() would register the subtree
     // with the CacheManager and silently turn the OTHER ANN queries'
@@ -378,19 +379,24 @@ object Similarity {
           (col("hits").cast("double") / col("total").cast("double")).as("recall"))
     recallOf(annLshBucketedFrom(e), "lsh")
       .unionAll(recallOf(annIvfFrom(e), "ivf"))
+      .unionAll(recallOf(annPqFrom(e), "pq"))
   }
 
   val annRecallSql: String =
     s"""WITH bf AS ($annBruteForceSql),
        |lsh AS ($annLshBucketedSql),
        |ivf AS ($annIvfSql),
+       |pq AS ($annPqSql),
        |n AS (SELECT COUNT(*) AS total FROM bf),
        |h AS (
        |  SELECT 'lsh' AS method, COUNT(*) AS hits
        |  FROM lsh JOIN bf USING (query_id, neighbor_id)
        |  UNION ALL
        |  SELECT 'ivf' AS method, COUNT(*) AS hits
-       |  FROM ivf JOIN bf USING (query_id, neighbor_id))
+       |  FROM ivf JOIN bf USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'pq' AS method, COUNT(*) AS hits
+       |  FROM pq JOIN bf USING (query_id, neighbor_id))
        |SELECT method, hits, CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
        |FROM h CROSS JOIN n""".stripMargin
 

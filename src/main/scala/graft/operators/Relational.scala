@@ -242,10 +242,15 @@ object Relational {
   }
 
   val eventGapsSql: String =
+    // ORDER BY epoch_us(ts), not raw ts: DuckDB reads the parquet at nano
+    // resolution while Spark's Corpus reader truncates to micros, so a
+    // raw-ts sort could pair lag() rows differently on intra-microsecond
+    // collisions — ordering both engines by the same microsecond value
+    // (+ event_id) keeps the pairing identical
     """WITH g AS (
       |  SELECT user_id,
       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
-      |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+      |      PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
       |  FROM events)
       |SELECT user_id, COUNT(*) AS n_events,
       |  COUNT(gap_us) AS n_gaps,

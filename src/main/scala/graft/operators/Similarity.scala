@@ -57,6 +57,24 @@ object Similarity {
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** The ONE per-query top-k epilogue shared by every search path: rank
+    * within each query_id by `ordering` (which must end in a unique
+    * tie-break column), keep [[topK]], project `out` (may reference the
+    * `rank` column). Single-sources the rank cast and cutoff policy. */
+  private def rankTopK(scored: DataFrame, ordering: Seq[Column], out: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(ordering: _*)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(out: _*)
+  }
+
+  /** The cosine paths' shared projection: (query_id, rank, neighbor, sim). */
+  private def rankBySim(scored: DataFrame): DataFrame =
+    rankTopK(scored,
+      Seq(col("sim").desc, col("neighbor_id").asc),
+      Seq(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim")))
+
   /** Brute-force exact top-k: broadcast the query batch against the corpus,
     * rank per query with a window, keep k. */
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
@@ -68,12 +86,7 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    rankBySim(scored)
   }
 
   val annBruteForceSql: String =
@@ -143,12 +156,7 @@ object Similarity {
       .where(col("tbl") === firstTbl)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    rankBySim(scored)
   }
 
   /** SQL for the key of LSH table t on alias `a` (mirrors
@@ -220,12 +228,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim"))
+    rankBySim(scored)
   }
 
   val annIvfSql: String =
@@ -274,12 +277,20 @@ object Similarity {
     * the sum of M table lookups — no original vectors touched at query
     * time.
     *
+    * Vectors are NORMALIZED before quantization, so squared L2 is
+    * 2 − 2·cosine — monotone with the cosine ground truth the other
+    * search paths rank by; the pq row in [[annRecall]] therefore measures
+    * quantization loss alone, not a metric substitution.
+    *
     * Oracle exactness: every per-subspace squared distance is one shared
-    * expression tree (‖x‖² − 2x·c + ‖c‖² over codegen'd slice dots),
-    * QUANTIZED to 10⁻⁴ longs before both the argmin code assignment and
-    * the ADC sum — assignment ties break on centroid id, the sum is
-    * order-free integer addition, and the final ranking (distance asc,
-    * neighbor asc) is total. Same discipline as [[TextAnalysis.unigramLogprob]].
+    * expression tree (‖x‖² − 2x·c + ‖c‖² over codegen'd slice dots of the
+    * normalized vectors). Code assignment argmins the RAW double (both
+    * engines evaluate the identical tree bit-for-bit — the IVF argmax
+    * precedent), tie-broken on centroid id; only the order-free ADC SUM
+    * uses the 10⁻⁴-quantized value (the [[TextAnalysis.unigramLogprob]]
+    * discipline, and its same documented residual: a term landing within
+    * one ulp of a .5 rounding boundary could step one quantum — none
+    * occurs in this corpus).
     *
     * 100 TB shape: encoding is a narrow pass (M·K codegen'd slice dots per
     * vector, no shuffle); the query table is M·K·|queries| longs broadcast;
@@ -289,19 +300,21 @@ object Similarity {
     annPqFrom(embFrame(s, dir))
 
   private def annPqFrom(e: DataFrame): DataFrame = {
-    val cb = e.where(col("vec_id") < pqK)
+    val en = e.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val cb = en.where(col("vec_id") < pqK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val withM = e.select(col("vec_id"), col("v"),
+    val withM = en.select(col("vec_id"), col("v"),
       explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
     val xs = slice(col("v"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
     val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
     val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
     val cells = withM.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("m"), col("cid"),
+      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"),
         round(d2 * 10000.0, 0).cast("long").as("qd2"))
-    // code assignment: deterministic (distance, cid) lexicographic min
+    // code assignment: deterministic (raw distance, cid) lexicographic min
     val codes = cells.groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("qd2"), col("cid"))).as("b"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
       .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
     // the query-side ADC table: M×K quantized distances per query
     val qtab = cells.where(col("vec_id") < nQueries)
@@ -310,38 +323,40 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qd2")).as("sq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sq").asc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        (col("sq").cast("double") / 10000.0).as("approx_dist"))
+    rankTopK(
+      scored.select(col("query_id"), col("vec_id").as("neighbor_id"), col("sq")),
+      Seq(col("sq").asc, col("neighbor_id").asc),
+      Seq(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("sq").cast("double") / 10000.0).as("approx_dist")))
   }
 
   val annPqSql: String = {
     def sliceDot(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${pqSubDims + 1}), i -> $a[m.m*$pqSubDims+i] * $b[m.m*$pqSubDims+i]))"
-    s"""WITH e AS ($sqlVecs),
+    s"""WITH e0 AS ($sqlVecs),
+       |e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e0),
        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $pqK),
        |cells AS (
        |  SELECT e.vec_id, m.m, c.cid,
-       |    CAST(round((${sliceDot("e.v", "e.v")}
+       |    (${sliceDot("e.v", "e.v")}
        |      - 2.0 * ${sliceDot("e.v", "c.cv")}
-       |      + ${sliceDot("c.cv", "c.cv")}) * 10000.0, 0) AS BIGINT) AS qd2
+       |      + ${sliceDot("c.cv", "c.cv")}) AS d2
        |  FROM e
        |  CROSS JOIN (SELECT UNNEST([${(0 until pqM).mkString(", ")}]) AS m) m
        |  CROSS JOIN cb c),
+       |q AS (SELECT vec_id, m, cid, d2,
+       |    CAST(round(d2 * 10000.0, 0) AS BIGINT) AS qd2 FROM cells),
        |codes AS (
        |  SELECT vec_id, m, cid FROM (
        |    SELECT vec_id, m, cid,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY qd2 ASC, cid ASC) AS rn
-       |    FROM cells) WHERE rn = 1),
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM q) WHERE rn = 1),
        |qtab AS (
-       |  SELECT vec_id AS query_id, m, cid, qd2 FROM cells WHERE vec_id < $nQueries),
+       |  SELECT vec_id AS query_id, m, cid, qd2 FROM q WHERE vec_id < $nQueries),
        |scored AS (
-       |  SELECT q.query_id, c.vec_id AS neighbor_id, SUM(q.qd2) AS sq
-       |  FROM codes c JOIN qtab q ON c.m = q.m AND c.cid = q.cid
-       |  WHERE c.vec_id <> q.query_id
+       |  SELECT qt.query_id, c.vec_id AS neighbor_id, SUM(qt.qd2) AS sq
+       |  FROM codes c JOIN qtab qt ON c.m = qt.m AND c.cid = qt.cid
+       |  WHERE c.vec_id <> qt.query_id
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT query_id, neighbor_id, sq,
@@ -362,7 +377,7 @@ object Similarity {
     * underlying searches. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     // one materialized base frame serves all four searches (scan + cast +
-    // norm would otherwise run three times inside a single query).
+    // norm would otherwise run four times inside a single query).
     // localCheckpoint, NOT cache(): a cache() would register the subtree
     // with the CacheManager and silently turn the OTHER ANN queries'
     // identical embFrame subtrees into cache reads — corrupting their

@@ -45,6 +45,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("ann brute force: k results per query, sims sorted and in [-1,1]") {
     val r = Similarity.annBruteForce(spark, sf)
     val counts = r.groupBy("query_id").count()
+    assert(counts.count() == 10, "every query must return results")
     assert(counts.where(col("count") =!= 5L).count() == 0)
     assert(r.where(col("sim") > 1.0 || col("sim") < -1.0).count() == 0)
     // rank 1 sim >= rank k sim per query
@@ -67,6 +68,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("PQ ANN: k results per query, distances non-decreasing, real recall") {
     val pq = Similarity.annPq(spark, sf)
     val counts = pq.groupBy("query_id").count()
+    assert(counts.count() == 10, "every query must return results")
     assert(counts.where(col("count") =!= 5L).count() == 0)
     // approx distances non-decreasing in rank per query
     val badOrder = pq.as("a").join(pq.as("b"),

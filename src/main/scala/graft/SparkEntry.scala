@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "ann_recall"          -> ((s, d) => Similarity.annRecall(s, d)),
     "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
+    "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,5 +184,6 @@ object SparkEntry {
     "ann_pq"              -> Similarity.annPqSql,
     "ann_recall"          -> Similarity.annRecallSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
+    "embedding_outliers"  -> Similarity.embeddingOutliersSql,
   )
 }

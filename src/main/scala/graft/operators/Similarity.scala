@@ -367,6 +367,94 @@ object Similarity {
        |FROM ranked WHERE rank <= $topK""".stripMargin
   }
 
+  /** Label-outlier detection — the mislabeled-example sweep a training-data
+    * QA pipeline runs over an embedding column: each label's mean direction
+    * (centroid of the normalized vectors) is computed, every member is
+    * scored by cosine to its own centroid, and the 3 least-typical vectors
+    * per label surface for review.
+    *
+    * Oracle exactness: the centroid is per-(label, dim) sums of
+    * 10⁻⁶-quantized normalized components divided by the count (order-free
+    * integers → one exact division); the cosine numerator and the
+    * centroid's squared norm are sums of 10⁻⁸-quantized per-dim products
+    * (order-free again); the final score is deterministic double
+    * arithmetic on those exact integers. Ranking (cos asc, vec_id asc) is
+    * total.
+    *
+    * 100 TB shape: two passes — (1) per-(label, dim) partial sums
+    * (map-side combine collapses each partition to ≤ labels×64 rows before
+    * the exchange; the centroid table is labels×64 rows, broadcast back),
+    * (2) a narrow rescore + one groupBy(vec). The explode is the
+    * demonstration-clear form; a production run would fuse the per-dim
+    * loop into an Aggregator (the [[graft.functions.SketchFunctions]]
+    * pattern) to avoid the 64× row inflation — the exchange volume is the
+    * same either way because of the map-side combine. */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Corpus.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val dims64 = e.select(col("vec_id"), col("label"),
+        posexplode(transform(col("v"), x => x / col("nrm"))).as(Seq("dim", "nv")))
+    val qnv = round(col("nv") * 1000000.0, 0).cast("long")
+    val cent = dims64.groupBy(col("label"), col("dim"))
+      .agg(sum(qnv).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / (col("n").cast("double") * 1000000.0)).as("c"))
+    val c2 = cent.groupBy(col("label"))
+      .agg(sum(round(col("c") * col("c") * 100000000.0, 0).cast("long")).as("qc2"))
+    val scored = dims64.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("label"), col("vec_id"),
+        round(col("nv") * col("c") * 100000000.0, 0).cast("long").as("qterm"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("qterm")).as("qdot"))
+      .join(broadcast(c2), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        ((col("qdot").cast("double") / 100000000.0) /
+          sqrt(col("qc2").cast("double") / 100000000.0)).as("cos_centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("label"), col("rnk"), col("vec_id"),
+        round(col("cos_centroid"), 6).as("cos_centroid"))
+  }
+
+  val embeddingOutliersSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i ->
+       |      CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT vec_id, label, i.i AS dim, v[i.i] / nrm AS nv
+       |  FROM e CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS i) i),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(round(nv * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS c
+       |  FROM d GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT label,
+       |    SUM(CAST(round(c * c * 100000000.0, 0) AS BIGINT)) AS qc2
+       |  FROM cent GROUP BY 1),
+       |scored AS (
+       |  SELECT d.label, d.vec_id,
+       |    SUM(CAST(round(d.nv * cent.c * 100000000.0, 0) AS BIGINT)) AS qdot
+       |  FROM d JOIN cent ON d.label = cent.label AND d.dim = cent.dim
+       |  GROUP BY 1, 2),
+       |cosd AS (
+       |  SELECT s.label, s.vec_id,
+       |    (CAST(qdot AS DOUBLE) / 100000000.0)
+       |      / sqrt(CAST(qc2 AS DOUBLE) / 100000000.0) AS cos_centroid
+       |  FROM scored s JOIN c2 ON s.label = c2.label),
+       |ranked AS (
+       |  SELECT label, vec_id, cos_centroid,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY cos_centroid ASC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM cosd)
+       |SELECT label, rnk, vec_id, round(cos_centroid, 6) AS cos_centroid
+       |FROM ranked WHERE rnk <= 3""".stripMargin
+
   /** Recall@k of the three approximate ANN paths (LSH, IVF, PQ) against
     * the brute-force ground truth — the quality metric that makes the
     * scale paths' accuracy a verified artifact instead of a comment. For

@@ -16,7 +16,9 @@ object DocScale {
       "contamination_bloom" -> (() => graft.operators.Dedup.contaminationBloom(spark, dir).count()),
       "heavy_hitters" -> (() => graft.operators.Sketches.heavyHitters(spark, dir).count()),
       "bm25_topk" -> (() => graft.operators.Retrieval.bm25Topk(spark, dir).count()),
-      "bpe_merges" -> (() => graft.operators.TextAnalysis.bpeMerges(spark, dir).count()))
+      "bpe_merges" -> (() => graft.operators.TextAnalysis.bpeMerges(spark, dir).count()),
+      "ann_pq" -> (() => graft.operators.Similarity.annPq(spark, dir).count()),
+      "embedding_outliers" -> (() => graft.operators.Similarity.embeddingOutliers(spark, dir).count()))
 
     ops.foreach { case (name, run) =>
       def once(): Double = {

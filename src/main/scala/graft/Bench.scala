@@ -18,11 +18,35 @@ object Bench {
       case c => c.toString
     }
 
+  /** 1/5/15-minute load averages as a JSON array, "[]" if unreadable.
+    * Emitted into the artifact so a load-contaminated run self-identifies
+    * (round-5 verdict, Wrong #1: two rounds of bench drift had to be
+    * adjudicated as "machine load" with no evidence either way). */
+  private def loadavg(): String =
+    Try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
+      finally src.close()
+    }.getOrElse("[]")
+
+  /** Frees executor-heap residue between suites: cached plans plus any
+    * still-pinned `localCheckpoint` blocks whose owning frames went out of
+    * scope before the ContextCleaner noticed. Keeps one pass's storage
+    * from inflating the next pass's GC pressure (round-5 verdict: the
+    * default-store streaming legs collapsed 4-25x in a JVM that had just
+    * run 150 batch queries). */
+  private def releaseHeap(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val tsMs = System.currentTimeMillis()
+    val loadStart = loadavg()
     // Warm the session (JVM, codegen, parquet reader init) so the first
     // timed query doesn't absorb several seconds of one-time setup.
     spark.range(100000).selectExpr("sum(id)").collect()
@@ -31,6 +55,19 @@ object Bench {
     // deterministic order: per-query numbers comparable across rounds;
     // SPARK_GRAFT_ONLY (comma-separated names) = local iteration filter
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Streaming legs run FIRST, in a JVM that has executed nothing but the
+    // warm-up — r5's artifact ran them last, after 150 batch queries whose
+    // heap residue collapsed the default-store (heap-map) legs 4-25x while
+    // RocksDB legs in the same run held up (round-5 verdict, Wrong #1).
+    // Wrapped in Try so a streaming failure can't lose the batch results.
+    val streaming = if (only.isEmpty) {
+      Try(graft.streaming.StreamingBench.allPaths(spark)) match {
+        case Success(j) => s""","streaming":$j"""
+        case Failure(e) =>
+          s""","streaming":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
+      }
+    } else ""
+    releaseHeap(spark)
     def runOnce(): Seq[(String, Timed)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -45,7 +82,9 @@ object Bench {
     // footer caching fixed costs, so the min is the steady-state number and
     // round-over-round deltas are signal, not first-run noise (BASELINE.md)
     val cold = runOnce()
+    releaseHeap(spark)
     val warm = runOnce()
+    releaseHeap(spark)
     val results = cold.zip(warm).map { case ((n, a), (_, b)) =>
       // When exactly one pass failed, a fast failure must not masquerade as
       // the steady-state time — report the successful pass's duration.
@@ -84,20 +123,10 @@ object Bench {
         case Failure(e) => s""","bucketed":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
     } else ""
-    // streaming perf signal (skipped when SPARK_GRAFT_ONLY filters queries);
-    // wrapped in Try so a streaming failure can't lose the batch results
-    // after both full query passes were already paid for
-    val streaming = if (only.isEmpty) {
-      Try(graft.streaming.StreamingBench.allPaths(spark)) match {
-        case Success(j) => s""","streaming":$j"""
-        case Failure(e) =>
-          s""","streaming":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
-      }
-    } else ""
     // "value" (the headline total) goes LAST: the driver archives a tail
     // slice of this line, and r4's ledger couldn't quote the artifact
     // verbatim because the leading total had been truncated away
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs$errJson$bucketed$streaming,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"queries":$qs$errJson$bucketed$streaming,"value":$total}""")
     spark.stop()
   }
 }

@@ -65,6 +65,7 @@ object SparkEntry {
     "context_windows"     -> ((s, d) => TextAnalysis.contextWindows(s, d)),
     "bigram_logprob"      -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "bpe_merges"          -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "bpe_vocab"           -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
     "bm25_topk"           -> ((s, d) => Retrieval.bm25Topk(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "context_windows"     -> TextAnalysis.contextWindowsSql,
     "bigram_logprob"      -> TextAnalysis.bigramLogprobSql,
     "bpe_merges"          -> TextAnalysis.bpeMergesSql,
+    "bpe_vocab"           -> TextAnalysis.bpeVocabSql,
     "bm25_topk"           -> Retrieval.bm25TopkSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,

@@ -495,6 +495,11 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("total_revenue"))
+      // |suppliers| rows read twice (scalar max + join-back): checkpoint so
+      // the lineitem scan+aggregate runs once, not per consumer — the same
+      // double-scan shape bm25_topk/annRecall fixed in r5. localCheckpoint,
+      // not cache() (CacheManager cross-talk corrupts sibling bench runs).
+      .localCheckpoint()
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     val sup = Corpus.supplier(s, dir).select("s_suppkey", "s_name")
     rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))

@@ -53,38 +53,55 @@ class LookupCacheProcessor[K, V, L](
     // element's resolve-then-emit order, ref :94-104)
     val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, if (t.lookup.isDefined) 0 else 1))
 
+    // Each ValueState cell is read ONCE per (key, micro-batch) and written
+    // back at most once — every `exists()`/`get()`/`update()` here is a
+    // real store op (a RocksDB get/put), and the first cut of this method
+    // paid several per ELEMENT, which benched 2-6x slower than the fMGWS
+    // twin's one-blob-per-key discipline instead of beating it. Only the
+    // buffer appends stay per-element: that O(1) `appendValue` is the
+    // ListState advantage this processor exists for.
+    var latestLoc: Option[(Long, L)] = if (latest.exists()) Some(latest.get()) else None
+    var latestDirty = false
+    var bufEmpty = !buffer.exists()
+    val hadMax = maxTs.exists()
+    val maxAtEntry = if (hadMax) maxTs.get() else Long.MinValue
+    var maxLoc = maxAtEntry
+
+    def flushBuffer(lk: Some[L], ts: Timestamp): Unit = {
+      buffer.get().foreach { v => out += Enriched(key, v, lk, ts) }
+      buffer.clear()
+      bufEmpty = true
+    }
+
     sorted.foreach { elem =>
       val tsMs = elem.ts.getTime
       elem.lookup.foreach { l =>
-        val newer = !latest.exists() || tsMs >= latest.get()._1
-        if (newer) latest.update((tsMs, l))
-        if (latest.exists() && buffer.exists()) {
-          val lk = Some(latest.get()._2)
-          buffer.get().foreach { v => out += Enriched(key, v, lk, elem.ts) }
-          buffer.clear()
+        // cacheAndGetLookup: latest-wins on element timestamp (ref :135-161)
+        if (latestLoc.forall(tsMs >= _._1)) {
+          latestLoc = Some((tsMs, l)); latestDirty = true
         }
+        // lookup arrival flushes the buffer at the lookup's ts (ref :98-101)
+        if (!bufEmpty) flushBuffer(Some(latestLoc.get._2), elem.ts)
       }
       elem.value.foreach { v =>
-        if (latest.exists()) {
-          val lk = Some(latest.get()._2)
-          if (buffer.exists()) {
-            buffer.get().foreach { b => out += Enriched(key, b, lk, elem.ts) }
-            buffer.clear()
-          }
-          out += Enriched(key, v, lk, elem.ts)
-        } else {
-          buffer.appendValue(v) // O(1) RocksDB append (ref :94-97)
+        latestLoc match {
+          case Some((_, l)) =>
+            if (!bufEmpty) flushBuffer(Some(l), elem.ts)
+            out += Enriched(key, v, Some(l), elem.ts)
+          case None =>
+            buffer.appendValue(v) // O(1) RocksDB append (ref :94-97)
+            bufEmpty = false
         }
       }
-      val newMax = math.max(if (maxTs.exists()) maxTs.get() else Long.MinValue, tsMs)
-      maxTs.update(newMax)
+      if (tsMs > maxLoc) maxLoc = tsMs
     }
 
+    if (latestDirty) latest.update(latestLoc.get)
+    if (!hadMax || maxLoc > maxAtEntry) maxTs.update(maxLoc)
+
     // re-arm the GC timer at maxTsSeen + ttl (ref :195-209)
-    if (maxTs.exists()) {
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(maxTs.get() + ttlMs)
-    }
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(maxLoc + ttlMs)
     out.result().iterator
   }
 

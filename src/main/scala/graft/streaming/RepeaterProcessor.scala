@@ -38,20 +38,29 @@ class RepeaterProcessor[K, V](
       rows: Iterator[(K, V, Timestamp)],
       timerValues: TimerValues): Iterator[Repeated[K, V]] = {
     val out = Seq.newBuilder[Repeated[K, V]]
+    // One state read per (key, micro-batch), one write-back at the end:
+    // every ValueState touch is a real store op (RocksDB get/put), so the
+    // refresh loop runs on locals — same discipline as
+    // [[LookupCacheProcessor.handleInputRows]].
+    var cached = cache.exists()
+    var lastLoc = if (cached) lastSeen.get() else Long.MinValue
+    var valueLoc: Option[V] = None
     rows.toSeq.sortBy(_._3.getTime).foreach { case (_, v, ts) =>
       val tsMs = ts.getTime
-      if (!cache.exists()) {
+      if (!cached) {
         // first sighting: emit immediately + arm at ts + interval (ref :75-80)
         out += Repeated(key, v, ts, repeated = false)
-        cache.update(v)
-        lastSeen.update(tsMs)
+        cached = true
+        lastLoc = tsMs
         getHandle.registerTimer(tsMs + intervalMs)
       } else {
         // refresh cache + lastSeen silently (ref :82-86)
-        cache.update(v)
-        lastSeen.update(math.max(lastSeen.get(), tsMs))
+        lastLoc = math.max(lastLoc, tsMs)
       }
+      valueLoc = Some(v)
     }
+    valueLoc.foreach(cache.update)
+    if (valueLoc.isDefined) lastSeen.update(lastLoc)
     out.result().iterator
   }
 

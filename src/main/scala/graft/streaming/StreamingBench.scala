@@ -149,11 +149,22 @@ object StreamingBench {
       else (0 until stateKeys).map { k =>
         (s"k$k", s"lk$k", new Timestamp(base + b.toLong * n + n - 1)): (String, String, Timestamp)
       }
-    // screens at the ad paths' 100 ms timescale; with a 30 s join TTL the
-    // average match fan-out is ~1, so output volume tracks input volume
+    // interval-join inputs get their own id space: 2000 screen ids, not the
+    // shared generator's 20 — a symmetric hash join probes every state row
+    // under the equi-key, so 20 ids × 60k rows/batch means each ad scans
+    // hundreds of screens (measured 2k events/s: a key-cardinality artifact
+    // of the generator, not the plan). Production screen ids are high-
+    // cardinality; the bench's should be too. 100 ms timescale; with the
+    // 30 s join TTL average match fan-out stays ~1.
+    val screenIds = 2000
+    val intervalAds = (b: Int, n: Int) => (0 until n).map { i =>
+      val g = b.toLong * n + i
+      AdEvent(s"ad${g % 50}", s"screen${g % screenIds}",
+        if (g % 3 == 0) "Click" else "Impression", new Timestamp(base + g * 100L))
+    }
     val screens = (b: Int, n: Int) => (0 until n / 20).map { i =>
       val g = b.toLong * n + i * 20
-      Screen(s"screen${g % 20}", s"pub${g % 7}", new Timestamp(base + g * 100L))
+      Screen(s"screen${g % screenIds}", s"pub${g % 7}", new Timestamp(base + g * 100L))
     }
     def wm(ds: Dataset[(String, String, Timestamp)]): Dataset[(String, String, Timestamp)] =
       ds.withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]
@@ -195,7 +206,7 @@ object StreamingBench {
         values(stateKeys), lateLookups, "append", qn, batches, perBatch)),
       Leg("interval", twsOnly = false, qn => throughput2[AdEvent, Screen](spark,
         (ads, scs) => IntervalJoin.adScreenJoin(ads, scs, "30 seconds", "0 seconds"),
-        adEvt, screens, "append", qn, batches, perBatch)))
+        intervalAds, screens, "append", qn, batches, perBatch)))
   }
 
   /** Runs the streaming paths and returns the JSON object `Bench` splices

@@ -18,7 +18,10 @@ object DocScale {
       "bm25_topk" -> (() => graft.operators.Retrieval.bm25Topk(spark, dir).count()),
       "bpe_merges" -> (() => graft.operators.TextAnalysis.bpeMerges(spark, dir).count()),
       "ann_pq" -> (() => graft.operators.Similarity.annPq(spark, dir).count()),
-      "embedding_outliers" -> (() => graft.operators.Similarity.embeddingOutliers(spark, dir).count()))
+      "embedding_outliers" -> (() => graft.operators.Similarity.embeddingOutliers(spark, dir).count()),
+      // the DEFAULT (self-sizing bitsPerBand) entry — the r6 done-criterion
+      // is this row staying <=2x between 1x and 10x corpora
+      "embedding_near_dups" -> (() => graft.operators.Similarity.embeddingNearDups(spark, dir).count()))
 
     ops.foreach { case (name, run) =>
       def once(): Double = {

@@ -230,24 +230,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     val many = toks.repartition(13).groupBy(col("source")).agg(ss(col("token")).as("top"))
       .collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
     assert(once === many, "merge order must not change the under-capacity sketch")
-    // SQL surface
+    // SQL surface — the token stream comes from the ONE canonical
+    // tokenizer (TextAnalysis.tokensCol) registered as a view, so this
+    // test cannot silently validate a divergent tokenization if the
+    // canonical definition ever changes (round-5 advice).
     GraftSession.registerSketches(spark)
-    graft.sources.Corpus.registerViews(spark, sf)
+    toks.createOrReplaceTempView("graft_doc_tokens")
     val viaSql = spark.sql(
       """SELECT source, e.token AS token, e.cnt AS cnt
         |FROM (
         |  SELECT source, explode(top) AS e FROM (
-        |    SELECT source, graft_top_terms(token) AS top FROM (
-        |      SELECT source,
-        |        explode(split(regexp_replace(lower(trim(text)), '\\s+', ' '), ' ')) AS token
-        |      FROM documents)
-        |    WHERE length(token) > 0
+        |    SELECT source, graft_top_terms(token) AS top
+        |    FROM graft_doc_tokens
         |    GROUP BY source))""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val fullExact = toks.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(viaSql === fullExact, "graft_top_terms must expose the exact counts via SQL")
+  }
+
+  test("heavy_hitters oracle corpora stay under the Space-Saving capacity") {
+    import org.apache.spark.sql.functions._
+    // The heavy_hitters DuckDB oracle compares sketch output against EXACT
+    // SQL counts, which is only sound while every source's distinct-token
+    // count fits in the sketch's slots (over capacity the sketch answers
+    // carry bounded error by design — SpaceSavingProps covers that regime).
+    // Assert the precondition on every corpus the oracle harness points at,
+    // so a richer corpus fails HERE with a clear message instead of as an
+    // opaque hash mismatch in the correctness gate (round-5 advice).
+    val capacity = graft.functions.SketchFunctions.ssCapacity
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val maxVocab = graft.sources.Corpus.documents(spark, dir)
+          .select(col("source"),
+            explode(graft.operators.TextAnalysis.tokensCol(col("text"))).as("token"))
+          .where(length(col("token")) > 0)
+          .groupBy(col("source"))
+          .agg(countDistinct(col("token")).as("v"))
+          .agg(max(col("v"))).head().getLong(0)
+        assert(maxVocab <= capacity,
+          s"$dir: a source has $maxVocab distinct tokens > Space-Saving capacity " +
+            s"$capacity — the heavy_hitters oracle is only exact under capacity; " +
+            "either raise SketchFunctions.ssCapacity or drop the oracle row for " +
+            "this corpus (estimates are bound-checked in SpaceSavingProps instead)")
+      }
   }
 
   test("bpe merge candidates are well-ranked character pairs") {

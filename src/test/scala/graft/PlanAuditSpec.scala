@@ -224,6 +224,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // partial+final aggregation below it (map-side combine on the pair counts)
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"pair counts must partial-aggregate before the exchange:\n$plan")
+    // r6: pair extraction is pure DSL — the whole pass stays inside
+    // codegen, no typed-flatMap object boundary (round-5 verdict nit)
+    assert(!plan.contains("SerializeFromObject"),
+      s"pair extraction must not leave codegen via a typed flatMap:\n$plan")
   }
 
   test("q22 runs as a hash anti-join with the date predicate pushed down") {

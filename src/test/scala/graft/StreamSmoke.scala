@@ -1,11 +1,15 @@
 package graft
 
-// Dev-only: tiny-config smoke of StreamingBench.allPaths JSON shape
+// Dev-only: StreamingBench.allPaths JSON at a chosen size —
+//   Test/runMain graft.StreamSmoke [batches] [perBatch] [cpus]
+// defaults to the tiny shape-smoke config (2 x 2000).
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4)
+    val batches = args.lift(0).map(_.toInt).getOrElse(2)
+    val perBatch = args.lift(1).map(_.toInt).getOrElse(2000)
+    val spark = GraftSession.local(args.lift(2).getOrElse("4"))
     spark.sparkContext.setLogLevel("WARN")
-    val j = graft.streaming.StreamingBench.allPaths(spark, batches = 2, perBatch = 2000)
+    val j = graft.streaming.StreamingBench.allPaths(spark, batches, perBatch)
     println(s"[smoke] $j")
     spark.stop()
   }

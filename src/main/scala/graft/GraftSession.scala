@@ -31,6 +31,15 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (see graft.sources.Corpus.normalizeTs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB ListState appends are only O(1) with row tracking off:
+      // with it on (Spark's default), every merge() does a full GET of the
+      // accumulated list for the numRows metric, so n appends cost O(n²)
+      // bytes read — measured as a single pegged core inside
+      // handleMetricsUpdate under the state-heavy lookup-cache leg. The
+      // trade is an approximate numTotalStateRows metric, the documented
+      // contract of this knob; the 100 TB posture (LookupCacheProcessor's
+      // O(1)-append argument) needs the O(1), not the metric.
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
     val b1 = master.fold(b)(m => b.master(m))
     shufflePartitions.fold(b1)(n => b1.config("spark.sql.shuffle.partitions", n.toString))
   }

@@ -25,7 +25,13 @@ import graft.streaming.LookupCacheJoin.{Enriched, Tagged}
   * (`appendValue`), not a read-modify-write of one monolithic state blob;
   * and each state cell is read only when touched. The timer is a real
   * named timer — re-arming deletes the old one instead of overloading a
-  * single timeout slot.
+  * single timeout slot. Two operational preconditions for the O(1) claim,
+  * both load-bearing (each was found as a pegged single core in a bench):
+  * `spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=false`
+  * (on, Spark's default, every merge GETs the whole accumulated list for
+  * the numRows metric → n appends read O(n²) bytes; GraftSession sets it
+  * off), and the per-key-batch ValueState discipline in
+  * [[handleInputRows]] (every exists/get/update is a real store op).
   */
 class LookupCacheProcessor[K, V, L](
     ttlMs: Long)(implicit

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+import graft.streaming.LookupCacheJoin.{CacheState, Enriched, Tagged}
+
+/** Key-salting wrapper for the TTL lookup-cache join — the skew
+  * mitigation for the case the reference explicitly scopes OUT: its
+  * cache-join section claims "unlimited scalability as long as keys are
+  * distributed evenly" (`/root/reference/README.md`, lookup-cache
+  * section). One hot key funnels every element through a single state
+  * partition/task, so throughput degenerates to one core no matter the
+  * cluster size.
+  *
+  * Mitigation: values scatter over `salts` sub-keys `(k, hash(v) % salts)`
+  * (deterministic, so a retried task re-salts identically); lookups
+  * replicate to every sub-key. Each salted group then resolves
+  * latest-wins independently against the SAME lookup sequence, so the
+  * enriched output is element-for-element identical to the unsalted
+  * operator's — the salt only splits the buffer, never the lookup state.
+  * The one observable difference: a GC flush (DLQ row) fires per salted
+  * group at that group's own `maxTsSeen + ttl`, so DLQ emission
+  * timestamps can differ from the unsalted operator's single timer (the
+  * flushed (key, value) set is identical). Lookup replication costs
+  * `salts` extra lookup rows per lookup — lookups are the rare side, so
+  * this is the cheap direction to replicate.
+  */
+object SaltedLookupCache {
+
+  /** Drop-in alternative to [[LookupCacheJoin.join]] /
+    * [[LookupCacheProcessor.join]] for skewed key distributions. */
+  def join[K, V, L](
+      values: Dataset[(K, V, Timestamp)],
+      lookups: Dataset[(K, L, Timestamp)],
+      ttlMs: Long,
+      salts: Int,
+      useTransformWithState: Boolean = true,
+      watermarkDelay: String = "0 seconds")(implicit
+      kiEnc: Encoder[(K, Int)],
+      vEnc: Encoder[V],
+      svEnc: Encoder[((K, Int), V, Timestamp)],
+      slEnc: Encoder[((K, Int), L, Timestamp)],
+      taggedEnc: Encoder[Tagged[(K, Int), V, L]],
+      latestEnc: Encoder[(Long, L)],
+      stateEnc: Encoder[CacheState[(K, Int), V, L]],
+      outSaltedEnc: Encoder[Enriched[(K, Int), V, L]],
+      outEnc: Encoder[Enriched[K, V, L]]): Dataset[Enriched[K, V, L]] = {
+    val n = math.max(1, salts)
+    val sv = values.map { case (k, v, ts) =>
+      ((k, (v.hashCode & Int.MaxValue) % n), v, ts)
+    }
+    val sl = lookups.flatMap { case (k, l, ts) =>
+      (0 until n).map(s => ((k, s), l, ts))
+    }
+    val joined =
+      if (useTransformWithState) LookupCacheProcessor.join(sv, sl, ttlMs, watermarkDelay)
+      else LookupCacheJoin.join(sv, sl, ttlMs, watermarkDelay)
+    joined.map(e => Enriched[K, V, L](e.key._1, e.value, e.lookup, e.emitTs))
+  }
+}

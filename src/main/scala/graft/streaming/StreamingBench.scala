@@ -172,6 +172,16 @@ object StreamingBench {
     val repeatIntervalMs = 10000L // ~30 re-emits per key over the run
     val repeatTtlMs = 60000L      // every key stays live (seen every 50 ms)
     val lookupTtlMs = 3600000L    // outlives the run: no GC mid-measurement
+    // Two-stream legs need a real watermark delay: the engine's continuous
+    // trigger can split one scripted (values, lookups) pair into two
+    // micro-batches, and with a 0 s delay the values' micro-batch advances
+    // the watermark past the batch-start-stamped lookups — which are then
+    // silently DROPPED as late, the lookup never resolves, and the
+    // "steady-state" leg degenerates into unbounded buffering (caught via
+    // a jstack of a pegged single core: every element in ListState
+    // appendValue). The delay spans the whole run's event time, so nothing
+    // is ever late and GC timers (maxTs + 1 h TTL > watermark) stay quiet.
+    val lookupWmDelay = "2 hours"
 
     Seq(
       Leg("fixed", twsOnly = false, qn => throughputOf[AdEvent](spark,
@@ -193,16 +203,16 @@ object StreamingBench {
         ds => RepeaterProcessor.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),
         values(50), "append", qn, batches, perBatch)),
       Leg("lookup", twsOnly = false, qn => throughput2[(String, String, Timestamp), (String, String, Timestamp)](spark,
-        (vs, ls) => LookupCacheJoin.join(vs, ls, lookupTtlMs).toDF(),
+        (vs, ls) => LookupCacheJoin.join(vs, ls, lookupTtlMs, lookupWmDelay).toDF(),
         values(stateKeys), earlyLookups, "append", qn, batches, perBatch)),
       Leg("lookup_tws", twsOnly = true, qn => throughput2[(String, String, Timestamp), (String, String, Timestamp)](spark,
-        (vs, ls) => LookupCacheProcessor.join(vs, ls, lookupTtlMs).toDF(),
+        (vs, ls) => LookupCacheProcessor.join(vs, ls, lookupTtlMs, lookupWmDelay).toDF(),
         values(stateKeys), earlyLookups, "append", qn, batches, perBatch)),
       Leg("lookup_heavy", twsOnly = false, qn => throughput2[(String, String, Timestamp), (String, String, Timestamp)](spark,
-        (vs, ls) => LookupCacheJoin.join(vs, ls, lookupTtlMs).toDF(),
+        (vs, ls) => LookupCacheJoin.join(vs, ls, lookupTtlMs, lookupWmDelay).toDF(),
         values(stateKeys), lateLookups, "append", qn, batches, perBatch)),
       Leg("lookup_heavy_tws", twsOnly = true, qn => throughput2[(String, String, Timestamp), (String, String, Timestamp)](spark,
-        (vs, ls) => LookupCacheProcessor.join(vs, ls, lookupTtlMs).toDF(),
+        (vs, ls) => LookupCacheProcessor.join(vs, ls, lookupTtlMs, lookupWmDelay).toDF(),
         values(stateKeys), lateLookups, "append", qn, batches, perBatch)),
       Leg("interval", twsOnly = false, qn => throughput2[AdEvent, Screen](spark,
         (ads, scs) => IntervalJoin.adScreenJoin(ads, scs, "30 seconds", "0 seconds"),

@@ -20,7 +20,13 @@ for name, sql in sorted(oracle.items()):
         continue
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver corpora are single files; locally generated ones (Sf1Gen)
+        # are Spark-written directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        import os
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     try:
         got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         exp = con.sql(sql).df()

@@ -66,6 +66,7 @@ object SparkEntry {
     "bigram_logprob"      -> ((s, d) => TextAnalysis.bigramLogprob(s, d)),
     "bpe_merges"          -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "bpe_vocab"           -> ((s, d) => TextAnalysis.bpeVocab(s, d)),
+    "bpe_encode"          -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
     "bm25_topk"           -> ((s, d) => Retrieval.bm25Topk(s, d)),
     // Deduplication (scale extensions)
     "dedup_exact"        -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -152,6 +153,7 @@ object SparkEntry {
     "bigram_logprob"      -> TextAnalysis.bigramLogprobSql,
     "bpe_merges"          -> TextAnalysis.bpeMergesSql,
     "bpe_vocab"           -> TextAnalysis.bpeVocabSql,
+    "bpe_encode"          -> TextAnalysis.bpeEncodeSql,
     "bm25_topk"           -> Retrieval.bm25TopkSql,
     "dedup_exact"        -> Dedup.dedupExactSql,
     "minhash_signatures" -> Dedup.minhashSignaturesSql,

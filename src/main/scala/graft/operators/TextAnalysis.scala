@@ -747,11 +747,11 @@ object TextAnalysis {
     ms.toDF("rnd", "lhs", "rhs", "cnt")
   }
 
-  /** Loop-unrolled DuckDB oracle for [[bpeVocab]]: w0 is the encoded
+  /** Shared CTE prefix for the BPE oracles: w0 is the encoded
     * word-frequency table; each round r computes the pair counts (two
-    * positionally-zipped UNNESTs), takes the deterministic top-1, and
-    * rewrites w(r-1) with the same non-overlapping `replace`. */
-  val bpeVocabSql: String = {
+    * positionally-zipped UNNESTs), takes the deterministic top-1 (t$r),
+    * and rewrites w(r-1) with the same non-overlapping `replace`. */
+  private val bpeVocabCtes: String = {
     val tok =
       s"""tok AS (
          |  SELECT t FROM (SELECT UNNEST($tokensSql) AS t FROM documents)
@@ -774,10 +774,88 @@ object TextAnalysis {
          |                 '(' || t.lhs || t.rhs || ')') AS enc, w.cnt AS cnt
          |  FROM w${r - 1} w CROSS JOIN t$r t)""".stripMargin
     }
+    s"$tok,\n${rounds.mkString(",\n")}"
+  }
+
+  /** Loop-unrolled DuckDB oracle for [[bpeVocab]]. */
+  val bpeVocabSql: String = {
     val out = (1 to bpeVocabRounds)
       .map(r => s"SELECT CAST($r AS BIGINT) AS rnd, lhs, rhs, cnt FROM t$r")
       .mkString("\nUNION ALL\n")
-    s"WITH $tok,\n${rounds.mkString(",\n")}\n$out"
+    s"WITH $bpeVocabCtes\n$out"
+  }
+
+  /** Apply the [[bpeVocab]]-induced merge table to every document — the
+    * tokenizer-APPLICATION half of BPE (induce merges with [[bpeVocab]],
+    * encode the corpus here). Per document: clean-word count, character
+    * count, post-merge BPE symbol count, and the chars-per-symbol
+    * compression ratio (exact long/long IEEE division, oracle-bitwise).
+    *
+    * Scale shape: induction's driver loop yields k SCALAR merges which are
+    * baked into the encode plan as string literals, so the corpus pass is
+    * one narrow whole-stage-codegen projection — no join, no shuffle, no
+    * explode. At 100 TB the vocabulary induction runs once over the
+    * (vocab-sized) word-frequency table and the encode cost is a pure map
+    * over documents; symbol counting is `length(enc) - length(replace(enc,
+    * '(', ''))` on the "(sym)(sym)" encoding, the same trick both engines
+    * share. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val ms = bpeVocab(s, dir).orderBy(col("rnd")).select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def encFinal(t: Column): Column =
+      ms.foldLeft(regexp_replace(t, "(.)", "($1)")) { case (c, (l, r)) =>
+        replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+    def symCount(t: Column): Column = {
+      val e = encFinal(t)
+      (length(e) - length(replace(e, lit("(")))).cast("long")
+    }
+    Corpus.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokensCol(col("text")),
+          t => length(t) >= 2 && t.rlike("^[a-z0-9]+$")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), t => length(t).cast("long")),
+          lit(0L), _ + _).as("n_chars"),
+        aggregate(transform(col("ws"), symCount(_)), lit(0L), _ + _)
+          .as("n_bpe_symbols"))
+      .withColumn("compression",
+        when(col("n_bpe_symbols") === 0L, lit(0.0))
+          .otherwise(col("n_chars").cast("double") /
+            col("n_bpe_symbols").cast("double")))
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: reuses [[bpeVocabCtes]] (t1..tk are
+    * the merge rows), cross-joins the k scalar merges into each document
+    * row, and applies them in induction order inside one list lambda. */
+  val bpeEncodeSql: String = {
+    val merged = (1 to bpeVocabRounds).foldLeft(
+      "regexp_replace(t, '(.)', '(\\1)', 'g')") { (c, r) =>
+      s"replace($c, '(' || m$r.lhs || ')(' || m$r.rhs || ')', '(' || m$r.lhs || m$r.rhs || ')')"
+    }
+    val joins = (1 to bpeVocabRounds).map(r => s"t$r m$r").mkString(", ")
+    s"""WITH $bpeVocabCtes,
+       |docs AS (
+       |  SELECT doc_id, list_filter($tokensSql,
+       |    x -> length(x) >= 2 AND regexp_matches(x, '^[a-z0-9]+$$')) AS ws
+       |  FROM documents),
+       |encd AS (
+       |  SELECT doc_id, ws,
+       |    list_transform(ws, t -> $merged) AS encs
+       |  FROM docs, $joins)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(list_sum(list_transform(encs,
+       |    e -> length(e) - length(replace(e, '(', '')))), 0) AS BIGINT) AS n_bpe_symbols,
+       |  CASE WHEN COALESCE(list_sum(list_transform(encs,
+       |         e -> length(e) - length(replace(e, '(', '')))), 0) = 0 THEN 0.0
+       |       ELSE CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS DOUBLE)
+       |            / CAST(COALESCE(list_sum(list_transform(encs,
+       |                e -> length(e) - length(replace(e, '(', '')))), 0) AS DOUBLE) END
+       |    AS compression
+       |FROM encd""".stripMargin
   }
 
   val winnowPairsSql: String =

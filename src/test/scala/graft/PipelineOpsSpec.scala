@@ -407,4 +407,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byTokens.sameElements(byTokens.sorted),
       "more tokens must never get a smaller weight")
   }
+
+  test("bpe_encode compresses with the induced merges in a shuffle-free pass") {
+    val enc = graft.operators.TextAnalysis.bpeEncode(spark, sf)
+    // the encode pass itself must be a narrow map: merges are plan
+    // literals, so the final frame has no Exchange at all
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "encode must not shuffle — merges are baked in as literals")
+    val rows = enc.collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // merging only ever reduces symbols: chars >= bpe symbols >= words
+    assert(rows.forall { case (w, c, b, _) => b <= c && (w == 0 || b >= w) })
+    assert(rows.forall { case (w, c, b, ratio) =>
+      if (b == 0) ratio == 0.0 else ratio == c.toDouble / b.toDouble })
+    // the induced merges must actually fire somewhere in the corpus
+    assert(rows.exists { case (_, c, b, _) => b < c },
+      "at least one document must compress below its character count")
+  }
 }

@@ -849,11 +849,8 @@ object TextAnalysis {
        |  CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS BIGINT) AS n_chars,
        |  CAST(COALESCE(list_sum(list_transform(encs,
        |    e -> length(e) - length(replace(e, '(', '')))), 0) AS BIGINT) AS n_bpe_symbols,
-       |  CASE WHEN COALESCE(list_sum(list_transform(encs,
-       |         e -> length(e) - length(replace(e, '(', '')))), 0) = 0 THEN 0.0
-       |       ELSE CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS DOUBLE)
-       |            / CAST(COALESCE(list_sum(list_transform(encs,
-       |                e -> length(e) - length(replace(e, '(', '')))), 0) AS DOUBLE) END
+       |  CASE WHEN n_bpe_symbols = 0 THEN 0.0
+       |       ELSE CAST(n_chars AS DOUBLE) / CAST(n_bpe_symbols AS DOUBLE) END
        |    AS compression
        |FROM encd""".stripMargin
   }

@@ -106,6 +106,7 @@ object SparkEntry {
     "ann_recall"          -> ((s, d) => Similarity.annRecall(s, d)),
     "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    "kmeans_assign"       -> ((s, d) => Similarity.kmeansAssign(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,5 +190,6 @@ object SparkEntry {
     "ann_recall"          -> Similarity.annRecallSql,
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "embedding_outliers"  -> Similarity.embeddingOutliersSql,
+    "kmeans_assign"       -> Similarity.kmeansAssignSql,
   )
 }

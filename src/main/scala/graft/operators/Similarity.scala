@@ -639,4 +639,111 @@ object Similarity {
   /** The committed oracle mirrors [[bitsForCount]]'s choice at the
     * driver's verification corpus (sf0.01, 500 vectors → b = 2). */
   val embeddingNearDupsSql: String = embeddingNearDupsSqlFor(2)
+
+  // --- k-means clustering (kmeans_assign) -------------------------------
+
+  private val kmClusters = 8
+  private val kmRounds = 2
+
+  /** Lloyd's k-means over the embedding corpus: deterministic init (the k
+    * smallest vec_ids), [[kmRounds]] update rounds, final assignment.
+    *
+    * Cross-engine exactness: every floating sum that crosses rows is
+    * quantized per TERM and summed as BIGINTs — squared-distance terms at
+    * 1e8, centroid-mean components at 1e6 (the [[embeddingOutliers]]
+    * convention) — so no result depends on float summation order; argmin
+    * ties break on the cluster index.
+    *
+    * Scale shape ([[TextAnalysis.bpeVocab]]'s driver-loop discipline): the
+    * driver state per round is k×64 scalars. Centroids are baked into the
+    * assignment as LITERALS, so each assignment pass is one narrow
+    * whole-stage-codegen projection over the (localCheckpoint'ed, single
+    * scan) vector frame — no join, no shuffle; each update round is one
+    * per-(cluster,dim) map-side-combinable aggregate whose exchange is
+    * bounded at k×64 rows regardless of corpus size. */
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Corpus.embeddings(s, dir)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .localCheckpoint()
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      e.orderBy(col("vec_id")).limit(kmClusters).select(col("v")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    def qdist(cv: Seq[Double]): Column =
+      aggregate(
+        zip_with(col("v"), typedLit(cv),
+          (x, c) => round((x - c) * (x - c) * lit(1e8), 0).cast("long")),
+        lit(0L), _ + _)
+    def assigned: DataFrame = {
+      val best = cents.zipWithIndex
+        .map { case (cv, i) =>
+          struct(qdist(cv).as("qd"), lit(i.toLong).as("c"))
+        }
+        .reduceLeft((a, b) => least(a, b))
+      e.select(col("vec_id"), col("v"), best.getField("c").as("cluster"))
+    }
+    for (_ <- 1 to kmRounds) {
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(round(col("x") * 1000000.0, 0).cast("long")).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          (col("qs").cast("double") / (col("n").cast("double") * 1000000.0))
+            .as("c"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+      // a cluster that lost every member keeps its previous centroid —
+      // mirrored by the oracle's COALESCE against the prior round
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        old.indices.map(d => upd.getOrElse((ci.toLong, d), old(d)))
+      }
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
+
+  /** Loop-unrolled DuckDB oracle for [[kmeansAssign]]: c0 is the
+    * deterministic init; each round r assigns via quantized squared
+    * distances (row_number tie-broken on cluster) and rebuilds the
+    * centroid lists with the same quantized means, carrying forward any
+    * emptied cluster's previous centroid. */
+  val kmeansAssignSql: String = {
+    val dimRange = s"range(1, ${dims + 1})"
+    def assign(a: String, c: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT q.vec_id, q.cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY q.qd, q.cluster) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, c.cluster,
+         |        list_sum(list_transform($dimRange, i ->
+         |          CAST(round((e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]) * 100000000.0, 0) AS BIGINT))) AS qd
+         |      FROM e CROSS JOIN $c c) q)
+         |  WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, cPrev: String, c: String): String =
+      s"""$u AS (
+         |  SELECT a.cluster, i.i AS dim,
+         |    CAST(SUM(CAST(round(e.v[i.i] * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000.0) AS c
+         |  FROM $a a JOIN e USING (vec_id)
+         |  CROSS JOIN (SELECT UNNEST($dimRange) AS i) i
+         |  GROUP BY 1, 2),
+         |$c AS (
+         |  SELECT p.cluster, list(COALESCE(u.c, p.cv[d.dim]) ORDER BY d.dim) AS cv
+         |  FROM $cPrev p
+         |  CROSS JOIN (SELECT UNNEST($dimRange) AS dim) d
+         |  LEFT JOIN $u u ON u.cluster = p.cluster AND u.dim = d.dim
+         |  GROUP BY p.cluster)""".stripMargin
+    val rounds = (1 to kmRounds).map { r =>
+      assign(s"a$r", s"c${r - 1}") + ",\n" +
+        update(s"u$r", s"a$r", s"c${r - 1}", s"c$r")
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmClusters)),
+       |${rounds.mkString(",\n")},
+       |${assign("afinal", s"c$kmRounds")}
+       |SELECT vec_id, cluster FROM afinal""".stripMargin
+  }
 }

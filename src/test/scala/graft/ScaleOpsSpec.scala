@@ -112,4 +112,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(l.where(!col("predicted").isin(known: _*)).count() == 0)
     assert(l.where(col("agree") =!= (col("predicted") === col("lang"))).count() == 0)
   }
+
+  test("kmeans: total assignment into k clusters via a shuffle-free pass") {
+    val a = Similarity.kmeansAssign(spark, sf)
+    // final assignment is a narrow map over the checkpointed vectors:
+    // centroids are plan literals, so no Exchange anywhere in the frame
+    assert(!a.queryExecution.executedPlan.toString.contains("Exchange"),
+      "assignment must not shuffle — centroids are baked in as literals")
+    val n = graft.sources.Corpus.embeddings(spark, sf).count()
+    assert(a.count() === n, "every vector gets exactly one cluster")
+    val clusters = a.select("cluster").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(clusters.forall(c => c >= 0 && c < 8), "cluster ids in [0, k)")
+    assert(clusters.length > 1, "Lloyd rounds must separate the corpus")
+  }
 }

@@ -123,10 +123,11 @@ object Bench {
         case Failure(e) => s""","bucketed":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
     } else ""
-    // "value" (the headline total) goes LAST: the driver archives a tail
-    // slice of this line, and r4's ledger couldn't quote the artifact
-    // verbatim because the leading total had been truncated away
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"queries":$qs$errJson$bucketed$streaming,"value":$total}""")
+    // Key order matters: the driver archives a TAIL slice of this line, so
+    // the most-load-bearing keys go last — per-query map then the headline
+    // total (r4's ledger lost a leading total; r6's lost the whole query
+    // map because the large streaming block sat after it).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"loadavg_start":$loadStart,"loadavg_end":${loadavg()}$streaming$bucketed$errJson,"queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

@@ -33,7 +33,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The near-dup query self-sizes its LSH band width from the corpus
+    // vector count (Similarity.bitsForCount), so its oracle must be sized
+    // for THIS sf dir, not the static map's sf0.01-shaped b = 2 — at sf1
+    // the mismatch used to require a manual PrintNearDupSql swap before
+    // running check_par.py. One cheap count here removes that step; at
+    // sf0.01 the generated SQL is byte-identical to the static entry.
+    val ndSql: Option[(String, String)] =
+      try {
+        val n = graft.sources.Corpus.embeddings(spark, sfDir).count()
+        Some("embedding_near_dups" ->
+          graft.operators.Similarity.embeddingNearDupsSqlFor(
+            graft.operators.Similarity.bitsForCount(n)))
+      } catch { case _: Throwable => None }
+    val json = (SparkEntry.oracleSql ++ ndSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

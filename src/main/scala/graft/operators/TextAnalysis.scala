@@ -827,14 +827,19 @@ object TextAnalysis {
   }
 
   /** DuckDB oracle for [[bpeEncode]]: reuses [[bpeVocabCtes]] (t1..tk are
-    * the merge rows), cross-joins the k scalar merges into each document
-    * row, and applies them in induction order inside one list lambda. */
+    * the merge rows), LEFT-joins the k scalar merges into each document
+    * row, and applies them in induction order inside one list lambda.
+    * LEFT JOIN + COALESCE(lhs, '') so a corpus that exhausts merges before
+    * round k degrades that round to a no-op replace (pattern `()()` never
+    * occurs in the `(c1)(c2)` encoding) instead of emptying the result —
+    * Spark's [[bpeEncode]] likewise just applies the merges that exist. */
   val bpeEncodeSql: String = {
     val merged = (1 to bpeVocabRounds).foldLeft(
       "regexp_replace(t, '(.)', '(\\1)', 'g')") { (c, r) =>
-      s"replace($c, '(' || m$r.lhs || ')(' || m$r.rhs || ')', '(' || m$r.lhs || m$r.rhs || ')')"
+      s"replace($c, '(' || COALESCE(m$r.lhs, '') || ')(' || COALESCE(m$r.rhs, '') || ')'," +
+        s" '(' || COALESCE(m$r.lhs, '') || COALESCE(m$r.rhs, '') || ')')"
     }
-    val joins = (1 to bpeVocabRounds).map(r => s"t$r m$r").mkString(", ")
+    val joins = (1 to bpeVocabRounds).map(r => s"LEFT JOIN t$r m$r ON TRUE").mkString(" ")
     s"""WITH $bpeVocabCtes,
        |docs AS (
        |  SELECT doc_id, list_filter($tokensSql,
@@ -843,7 +848,7 @@ object TextAnalysis {
        |encd AS (
        |  SELECT doc_id, ws,
        |    list_transform(ws, t -> $merged) AS encs
-       |  FROM docs, $joins)
+       |  FROM docs $joins)
        |SELECT doc_id,
        |  CAST(len(ws) AS BIGINT) AS n_words,
        |  CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0) AS BIGINT) AS n_chars,

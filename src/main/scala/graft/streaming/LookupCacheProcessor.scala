@@ -105,9 +105,14 @@ class LookupCacheProcessor[K, V, L](
     if (latestDirty) latest.update(latestLoc.get)
     if (!hadMax || maxLoc > maxAtEntry) maxTs.update(maxLoc)
 
-    // re-arm the GC timer at maxTsSeen + ttl (ref :195-209)
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-    getHandle.registerTimer(maxLoc + ttlMs)
+    // re-arm the GC timer at maxTsSeen + ttl (ref :195-209) — only when a
+    // timestamp was actually seen (prior state or this batch's rows): an
+    // empty-iterator invocation for a stateless key would otherwise arm a
+    // timer at Long.MinValue + ttl, which fires immediately.
+    if (maxLoc != Long.MinValue) {
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(maxLoc + ttlMs)
+    }
     out.result().iterator
   }
 

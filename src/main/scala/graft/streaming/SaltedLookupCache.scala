@@ -49,7 +49,7 @@ object SaltedLookupCache {
       outEnc: Encoder[Enriched[K, V, L]]): Dataset[Enriched[K, V, L]] = {
     val n = math.max(1, salts)
     val sv = values.map { case (k, v, ts) =>
-      ((k, (v.hashCode & Int.MaxValue) % n), v, ts)
+      ((k, stableSalt(v, ts, n)), v, ts)
     }
     val sl = lookups.flatMap { case (k, l, ts) =>
       (0 until n).map(s => ((k, s), l, ts))
@@ -58,5 +58,24 @@ object SaltedLookupCache {
       if (useTransformWithState) LookupCacheProcessor.join(sv, sl, ttlMs, watermarkDelay)
       else LookupCacheJoin.join(sv, sl, ttlMs, watermarkDelay)
     joined.map(e => Enriched[K, V, L](e.key._1, e.value, e.lookup, e.emitTs))
+  }
+
+  /** Deterministic salt for a value: a retried/replayed task MUST re-salt
+    * every element identically or the replay lands elements in different
+    * state partitions than the checkpoint recorded. `v.hashCode` alone is
+    * unsafe — for payloads without a value-based hashCode (arrays, plain
+    * classes) it is the JVM identity hash, which differs per object
+    * instance. Use a value-stable hash where the type guarantees one
+    * (case classes, strings, numbers) and fall back to the element's
+    * event timestamp (deterministic per element) for opaque payloads. */
+  private[streaming] def stableSalt(v: Any, ts: Timestamp, n: Int): Int = {
+    val h: Long = v match {
+      case p: Product => scala.util.hashing.MurmurHash3.productHash(p).toLong
+      case s: String => scala.util.hashing.MurmurHash3.stringHash(s).toLong
+      case x: java.lang.Number => x.longValue()
+      case _ => 0L // identity-hash payload: spread by timestamp only
+    }
+    val mixed = (h * 31 + ts.getTime) * 0x9E3779B97F4A7C15L
+    (((mixed ^ (mixed >>> 32)).toInt) & Int.MaxValue) % n
   }
 }

@@ -164,7 +164,10 @@ object StreamingBench {
     }
     val screens = (b: Int, n: Int) => (0 until n / 20).map { i =>
       val g = b.toLong * n + i * 20
-      Screen(s"screen${g % screenIds}", s"pub${g % 7}", new Timestamp(base + g * 100L))
+      // id from the screen-row index (g/20), not g: g is always a multiple
+      // of 20 here, so `g % screenIds` would cover only screenIds/20
+      // distinct ids and 95% of ads could never match.
+      Screen(s"screen${(g / 20) % screenIds}", s"pub${g % 7}", new Timestamp(base + g * 100L))
     }
     def wm(ds: Dataset[(String, String, Timestamp)]): Dataset[(String, String, Timestamp)] =
       ds.withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]

@@ -231,6 +231,25 @@ object StreamingBench {
     * actually assume. The transformWithState twins run only on RocksDB
     * (a Spark engine requirement, not a choice here). */
   def allPaths(spark: SparkSession, batches: Int = 5, perBatch: Int = 60000): String = {
+    // State partitions sized to the actual runtime parallelism, not the
+    // batch shuffle default (32): a streaming query fixes its state
+    // partition count at start, and EVERY micro-batch then commits one
+    // store per partition — per stateful operator, and ×4 for a
+    // stream-stream join (two sides × keyToNumValues/keyWithIndexToValue).
+    // On the 4-core bench runner 32 partitions is 8× over-partitioned and
+    // the commit overhead dominates the short micro-batches (interval leg
+    // measured 2.4× faster at parts=4, graft.IntervalProbe). Same sizing
+    // rule a 1000-executor deployment wants: state partitions ≈ cluster
+    // cores, set per streaming query, independent of the batch default.
+    // r7 step-change: leg numbers before this fix are in BENCH_r06.json.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, spark.sparkContext.defaultParallelism.toString)
+    try allPathsInner(spark, batches, perBatch)
+    finally prevParts.fold(spark.conf.unset(partsKey))(spark.conf.set(partsKey, _))
+  }
+
+  private def allPathsInner(spark: SparkSession, batches: Int, perBatch: Int): String = {
     val all = legs(spark, batches, perBatch)
     def run(suffix: String, tws: Boolean): Seq[String] =
       all.filter(l => tws || !l.twsOnly).map { leg =>
@@ -239,7 +258,9 @@ object StreamingBench {
         s""""${leg.name}":{"events":$events,"batches":$batches,"sec":$sec,"events_per_sec":$rate}"""
       }
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val joinFmtKey = "spark.sql.streaming.join.stateFormatVersion"
     val prev = spark.conf.getOption(providerKey)
+    val prevFmt = spark.conf.getOption(joinFmtKey)
     val defaults = run("_", tws = false)
     // a RocksDB failure (e.g. missing/incompatible native lib) must not
     // discard the default-store results already paid for — it degrades to
@@ -248,6 +269,12 @@ object StreamingBench {
       try {
         spark.conf.set(providerKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // join state format 3 (RocksDB-only): ONE store with virtual
+        // column families instead of the classic four per partition —
+        // every micro-batch commits 1 store instead of 4 on the interval
+        // leg. Measured steady-state 37 → 53k ev/s (graft.IntervalProbe,
+        // r7); the production config any RocksDB deployment should run.
+        spark.conf.set(joinFmtKey, "3")
         run("_rocksdb_", tws = true).mkString("\"rocksdb\":{", ",", "}")
       } catch {
         case e: Throwable =>
@@ -255,7 +282,10 @@ object StreamingBench {
             .flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
           s""""rocksdb":{"err":"$msg"}"""
-      } finally prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+      } finally {
+        prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+        prevFmt.fold(spark.conf.unset(joinFmtKey))(spark.conf.set(joinFmtKey, _))
+      }
     (defaults :+ rocks).mkString("{", ",", "}")
   }
 }

@@ -107,6 +107,7 @@ object SparkEntry {
     "embedding_near_dups" -> ((s, d) => Similarity.embeddingNearDups(s, d)),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "kmeans_assign"       -> ((s, d) => Similarity.kmeansAssign(s, d)),
+    "semdedup"            -> ((s, d) => Similarity.semDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -191,5 +192,6 @@ object SparkEntry {
     "embedding_near_dups" -> Similarity.embeddingNearDupsSql,
     "embedding_outliers"  -> Similarity.embeddingOutliersSql,
     "kmeans_assign"       -> Similarity.kmeansAssignSql,
+    "semdedup"            -> Similarity.semDedupSql,
   )
 }

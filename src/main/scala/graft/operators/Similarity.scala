@@ -661,7 +661,13 @@ object Similarity {
     * scan) vector frame — no join, no shuffle; each update round is one
     * per-(cluster,dim) map-side-combinable aggregate whose exchange is
     * bounded at k×64 rows regardless of corpus size. */
-  def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(s, dir).select(col("vec_id"), col("cluster"))
+
+  /** [[kmeansAssign]] still carrying the vector column — the reusable
+    * core for compositions that need cluster AND vector per row
+    * ([[semDedup]]). Returns (vec_id, v, cluster). */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .localCheckpoint()
@@ -698,7 +704,7 @@ object Similarity {
         old.indices.map(d => upd.getOrElse((ci.toLong, d), old(d)))
       }
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    assigned
   }
 
   /** Loop-unrolled DuckDB oracle for [[kmeansAssign]]: c0 is the
@@ -706,7 +712,13 @@ object Similarity {
     * distances (row_number tie-broken on cluster) and rebuilds the
     * centroid lists with the same quantized means, carrying forward any
     * emptied cluster's previous centroid. */
-  val kmeansAssignSql: String = {
+  val kmeansAssignSql: String =
+    s"WITH $kmeansCtes\nSELECT vec_id, cluster FROM afinal"
+
+  /** The k-means WITH body (e, c0, per-round assign/update CTEs, final
+    * assignment `afinal`) — shared verbatim by [[kmeansAssignSql]] and
+    * [[semDedupSql]] so both oracles run the identical clustering. */
+  private lazy val kmeansCtes: String = {
     val dimRange = s"range(1, ${dims + 1})"
     def assign(a: String, c: String): String =
       s"""$a AS (
@@ -737,13 +749,64 @@ object Similarity {
       assign(s"a$r", s"c${r - 1}") + ",\n" +
         update(s"u$r", s"a$r", s"c${r - 1}", s"c$r")
     }
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmClusters)),
        |${rounds.mkString(",\n")},
-       |${assign("afinal", s"c$kmRounds")}
-       |SELECT vec_id, cluster FROM afinal""".stripMargin
+       |${assign("afinal", s"c$kmRounds")}""".stripMargin
   }
+
+  // --- SemDeDup: cluster-then-dedup semantic deduplication --------------
+
+  private val sdThreshold = 0.4
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, the LAION/web-scale curation recipe): k-means
+    * clusters the corpus ([[kmeansAssign]]), then duplicates are sought
+    * only WITHIN a cluster — a pair is a semantic duplicate when cosine ≥
+    * [[sdThreshold]] (0.4 fits this synthetic corpus, max pairwise cosine
+    * ~0.48; production text dedup runs ~0.95+). Keep rule, deterministic:
+    * a row is dropped iff a SMALLER vec_id in its cluster sits within the
+    * threshold, so every duplicate neighborhood keeps exactly its
+    * smallest id and the output is replay-stable.
+    *
+    * 100 TB shape — the paper's core trick is that clustering bounds the
+    * quadratic search: the pair join shuffles on cluster id and compares
+    * Σ cᵢ² within-block pairs instead of n² (k scales as n / target block
+    * size; k = [[kmClusters]] here only so the loop-unrolled oracle stays
+    * finite). Assignment itself is the shuffle-free centroid-literal
+    * projection of [[kmeansAssign]]; the drop set is a distinct over dup
+    * pair endpoints, bounded by the duplicate count, and lands back on
+    * the corpus as one left anti-style probe. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val m = kmeansAssigned(s, dir).withColumn("nrm", norm(col("v")))
+    val a = m.select(col("cluster").as("ca"), col("vec_id").as("vec_a"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = m.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val drops = a.join(b, col("ca") === col("cb") && col("vec_a") < col("vec_b"))
+      .where(dot(col("av"), col("bv")) / (col("an") * col("bn")) >= sdThreshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    m.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup").isNull.as("keep"))
+  }
+
+  /** Oracle for [[semDedup]]: the identical clustering CTEs, then the
+    * within-cluster pair scan and smallest-id keep rule in DuckDB. */
+  val semDedupSql: String =
+    s"""WITH $kmeansCtes,
+       |ev AS ($sqlVecs),
+       |m AS (
+       |  SELECT a.vec_id, a.cluster, ev.v, ev.nrm
+       |  FROM afinal a JOIN ev USING (vec_id)),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, ${dims + 1}), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm) >= $sdThreshold)
+       |SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS keep
+       |FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id""".stripMargin
 }

@@ -246,6 +246,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"expected grouping-set Expand:\n$plan")
   }
 
+  test("semdedup pair search blocks on cluster id — no all-pairs join") {
+    val plan = physicalPlan(Similarity.semDedup(spark, sf))
+    // the paper's point: clustering bounds the quadratic scan, so the
+    // pair join must be an equi-join on cluster, never a cartesian
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pair search is not cluster-blocked:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge equi-join in semdedup plan:\n$plan")
+  }
+
   test("heavy hitters aggregate partial+final with bounded per-group state") {
     val plan = physicalPlan(graft.operators.Sketches.heavyHitters(spark, sf))
     // the Space-Saving udaf runs as an object aggregate (complex buffer);

@@ -156,6 +156,89 @@ object Curation {
         (col("st").cast("double") / (col("c_s").cast("double") * 10000.0)).as("kl"))
   }
 
+  // --- DSIR importance weights (dsir_logratio) --------------------------
+
+  private val dsirBuckets = 256
+  private val dsirTarget = "src1"
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): score every document by
+    * how much its hashed-feature profile resembles a TARGET corpus
+    * relative to the RAW pool, the standard recipe for carving a
+    * domain-matched training set out of a web crawl.
+    *
+    * Features are hashed token buckets — the first two hex chars of
+    * md5(token), [[dsirBuckets]] buckets, engine-identical by the repo's
+    * md5 convention — so the feature space is fixed-size no matter the
+    * vocabulary (the paper's trick for web-scale). Bucket log-ratios use
+    * add-one smoothing: λ(b) = ln[(ct_b+1)(R+B) / (cr_b+1)(T+B)]; a
+    * document's log importance weight is Σ λ(bucket(tᵢ)) over token
+    * positions. DSIR then resamples keeping docs ∝ exp(logw); the
+    * deterministic score is what's emitted (the keep decision composes
+    * with [[sampleStratified]]'s hash-slot sampling).
+    *
+    * Oracle exactness: the smoothed ratio's numerator/denominator are
+    * formed as exact-integer-valued doubles (IEEE multiply is
+    * exact-rounded, identical in both engines — BIGINT products would
+    * overflow at web scale where R ~ 10¹²), one ln of one division is
+    * quantized to 10⁻⁴ per BUCKET (256 values), and per-doc sums run
+    * over those quantized longs — order-free, the [[sourceKl]] policy.
+    *
+    * 100 TB shape: one tokenize pass materialized via localCheckpoint
+    * (three consumers — raw counts, target counts, per-doc rollup — would
+    * otherwise re-tokenize the corpus three times); both bucket
+    * aggregates are map-side combinable down to ≤ B rows; the λ table is
+    * B rows broadcast; the per-doc rollup's exchange carries ~1 row per
+    * doc thanks to partial aggregation over the doc-contiguous explode. */
+  def dsirLogratio(s: SparkSession, dir: String): DataFrame = {
+    val tok = Corpus.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("token")), 1, 2).as("b"))
+      .localCheckpoint()
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.where(col("source") === dsirTarget)
+      .groupBy(col("b")).agg(count(lit(1)).as("ctg"))
+    val buckets = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cr"), coalesce(col("ctg"), lit(0L)).as("ctg"))
+    val totals = buckets.agg(sum(col("cr")).as("rtot"), sum(col("ctg")).as("ttot"))
+    val lam = buckets.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(
+          ((col("ctg") + 1).cast("double") * (col("rtot") + dsirBuckets).cast("double")) /
+          ((col("cr") + 1).cast("double") * (col("ttot") + dsirBuckets).cast("double")))
+          * 10000.0, 0).cast("long").as("qlam"))
+    tok.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qlam")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sq").cast("double") / 10000.0).as("logw"))
+  }
+
+  val dsirLogratioSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, substring(md5(t), 1, 2) AS b FROM (
+       |    SELECT doc_id, source, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |raw AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY 1),
+       |tgt AS (SELECT b, COUNT(*) AS ctg FROM tok WHERE source = '$dsirTarget' GROUP BY 1),
+       |bk AS (
+       |  SELECT raw.b, cr, COALESCE(ctg, 0) AS ctg
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       |tot AS (SELECT SUM(cr) AS rtot, SUM(ctg) AS ttot FROM bk),
+       |lam AS (
+       |  SELECT b,
+       |    CAST(round(ln((CAST(ctg + 1 AS DOUBLE) * CAST(rtot + $dsirBuckets AS DOUBLE))
+       |      / (CAST(cr + 1 AS DOUBLE) * CAST(ttot + $dsirBuckets AS DOUBLE)))
+       |      * 10000.0, 0) AS BIGINT) AS qlam
+       |  FROM bk CROSS JOIN tot)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(qlam) AS DOUBLE) / 10000.0 AS logw
+       |FROM tok JOIN lam USING (b)
+       |GROUP BY doc_id""".stripMargin
+
   val sourceKlSql: String =
     s"""WITH tok AS (
        |  SELECT source, t AS token FROM (

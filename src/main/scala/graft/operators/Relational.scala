@@ -610,4 +610,116 @@ object Relational {
        |  COUNT(*) AS n_items
        |FROM lineitem
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** TPC-H Q7-style nation-pair shipping volume: revenue between every
+    * (supplier nation, customer nation) pair per ship year. Exercises the
+    * multi-hop fact-to-two-dimensions shape Q5 covers from one side only:
+    * lineitem joins orders (shuffle on orderkey), the result joins
+    * customer (shuffle on custkey), supplier and nation broadcast — so
+    * the two big-table hops each shuffle once on their own key and every
+    * dimension hop is exchange-free. The nation dimension joins TWICE
+    * under different roles (supplier's vs customer's), the part of Q7
+    * that catches alias/attribute-resolution bugs. */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Corpus.nation(s, dir).select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val n2 = Corpus.nation(s, dir).select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    val sup = Corpus.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val cust = Corpus.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Corpus.orders(s, dir).select("o_orderkey", "o_custkey")
+    Corpus.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q7NationVolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems whose quantity is
+    * under 20% of their part's average, rolled up per brand — the
+    * correlated-scalar-subquery shape, de-correlated the way Catalyst
+    * itself would: one per-part aggregate, re-joined to the fact on the
+    * SAME key so the aggregate's exchange is reused for the join (no
+    * second lineitem shuffle), then a broadcast hop to part.
+    *
+    * Exactness: the per-part average is an exact DECIMAL sum divided
+    * once, and `0.2 * avg` is a single IEEE multiply — both engines
+    * evaluate the identical tree, so the filter decision never straddles
+    * an ulp. */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val pavg = li.groupBy(col("l_partkey"))
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    val prt = Corpus.part(s, dir).select("p_partkey", "p_brand")
+    li.join(pavg, Seq("l_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQuantitySql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN pa USING (l_partkey)
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < 0.2 * avg_qty
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q21-style sole-supplier orders: per supplier, how many orders
+    * they supplied alone (no other supplier shipped a line in the order)
+    * — Q21's self-semi/anti-join shape on the fact table, restated over
+    * this corpus's columns (it has no commit/receipt dates). The anti
+    * join and its probe side both key on l_orderkey, so the self-join
+    * costs ONE co-partitioned shuffle; supplier broadcasts. */
+  def q21SoleSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val sole = li.as("l1")
+      .join(li.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"),
+        "left_anti")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val sup = Corpus.supplier(s, dir).select("s_suppkey", "s_name")
+    sole.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_sole_orders"))
+  }
+
+  val q21SoleSupplierSql: String =
+    """SELECT s_name, COUNT(*) AS n_sole_orders
+      |FROM (
+      |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      |  FROM lineitem l1
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)) sole
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |GROUP BY 1""".stripMargin
 }

@@ -246,6 +246,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"expected grouping-set Expand:\n$plan")
   }
 
+  test("q17 de-correlates the per-part average without a cartesian") {
+    val plan = physicalPlan(Relational.q17SmallQuantity(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated-avg decorrelation produced a non-equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part dimension not broadcast:\n$plan")
+  }
+
+  test("q21 sole-supplier anti join stays a single co-partitioned self-join") {
+    val plan = physicalPlan(Relational.q21SoleSupplier(spark, sf))
+    assert(plan.contains("LeftAnti"), s"expected an anti self-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"anti join degenerated:\n$plan")
+  }
+
   test("semdedup pair search blocks on cluster id — no all-pairs join") {
     val plan = physicalPlan(Similarity.semDedup(spark, sf))
     // the paper's point: clustering bounds the quadratic scan, so the

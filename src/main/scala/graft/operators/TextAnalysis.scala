@@ -860,6 +860,75 @@ object TextAnalysis {
        |FROM encd""".stripMargin
   }
 
+  // --- PII scrubbing (pii_scrub) ----------------------------------------
+
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "[0-9]{3}-555-[0-9]{4}"
+
+  /** PII redaction pass — the compliance step every training-data
+    * pipeline runs before text leaves curation: replace e-mail addresses
+    * and phone numbers with typed placeholder tags and count what was
+    * redacted (the counts feed audit dashboards; a source whose PII rate
+    * spikes gets quarantined, not scrubbed-and-shipped).
+    *
+    * The synthetic corpus contains no digits at all, so the query entry
+    * deterministically AUGMENTS each doc from its own doc_id — every 3rd
+    * doc gains an e-mail, every 5th a 555 phone number (both engines
+    * build the identical string) — otherwise the correctness gate would
+    * pass vacuously on an all-zero redaction count. The operator itself
+    * ([[piiScrubCols]]) is the real surface and takes the text as-is.
+    *
+    * Patterns stay in the Java∩RE2 common dialect (no backreferences, no
+    * lookaround) so Spark's codegen'd `regexp_replace` and the DuckDB
+    * oracle match byte-for-byte. Production pipelines layer NER models
+    * on top via `mapInPandas` (the [[Multimodal]] stub convention); this
+    * is the deterministic regex layer underneath.
+    *
+    * 100 TB shape: a pure per-row projection — no shuffle, no state;
+    * column pruning keeps the scan at (doc_id, text); the regex work
+    * fuses into one whole-stage-codegen span. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" tel: "), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id") +: piiScrubCols(col("aug")): _*)
+  }
+
+  /** The reusable scrub columns over any text column: redaction counts
+    * plus the scrubbed text with `<EMAIL>` / `<PHONE>` placeholders. */
+  def piiScrubCols(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(emailPat)).cast("long").as("n_emails"),
+    regexp_count(text, lit(phonePat)).cast("long").as("n_phones"),
+    regexp_replace(regexp_replace(text, emailPat, "<EMAIL>"),
+      phonePat, "<PHONE>").as("scrubbed"))
+
+  val piiScrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text
+       |    || (CASE WHEN doc_id % 3 = 0
+       |        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |        ELSE '' END)
+       |    || (CASE WHEN doc_id % 5 = 0
+       |        THEN ' tel: ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+       |          || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |        ELSE '' END) AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$phonePat')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(aug, '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g') AS scrubbed
+       |FROM aug""".stripMargin
+
   val winnowPairsSql: String =
     s"""WITH fps AS ($winnowFingerprintsSql),
        |df AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),

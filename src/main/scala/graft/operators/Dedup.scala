@@ -479,11 +479,12 @@ object Dedup {
     * all). False positives only ever ADD confirm-stage work, never answers
     * — the oracle is therefore [[contaminationSql]] verbatim.
     *
-    * The prefilter is a scala UDF (Spark exposes no public might-contain
-    * expression; the internal one serves its runtime-filter rewrite) —
-    * acceptable here because the UDF guards the join, it isn't the join:
-    * per row it is one hash probe, and the exact join behind it does the
-    * semantics. The spec measures the bloom's serialized size against the
+    * The prefilter is the codegen'd
+    * [[graft.functions.BloomMightContain]] expression (r7; previously a
+    * Scala UDF, which cost a UTF8String→String conversion per gram and
+    * split the scan's whole-stage-codegen span — Spark exposes no public
+    * might-contain expression; its internal one serves the runtime-filter
+    * rewrite). The spec measures the bloom's serialized size against the
     * hashed-set payload on this corpus. */
   /** The ONE construction of [[contaminationBloom]]'s benchmark side:
     * (checkpointed md5'd gram frame, gram count, bloom) — shared with the
@@ -500,12 +501,10 @@ object Dedup {
 
   def contaminationBloom(s: SparkSession, dir: String): DataFrame = {
     val (bench, _, bf) = benchBloom(s, dir)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
     val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
     grams13(corpus)
       .select(col("doc_id"), md5(col("gram")).as("gh"))
-      .where(mightContain(col("gh")))
+      .where(graft.functions.BloomFunctions.mightContain(bf, col("gh")))
       .join(bench, Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))

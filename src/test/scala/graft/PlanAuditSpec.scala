@@ -246,6 +246,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Expand"), s"expected grouping-set Expand:\n$plan")
   }
 
+  test("contamination_bloom probes the filter without a ScalaUDF") {
+    val plan = physicalPlan(graft.operators.Dedup.contaminationBloom(spark, sf))
+    assert(!plan.contains("ScalaUDF"),
+      s"bloom probe fell back to a UDF (codegen boundary):\n$plan")
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"expected the native bloom probe expression:\n$plan")
+  }
+
   test("q17 de-correlates the per-part average without a cartesian") {
     val plan = physicalPlan(Relational.q17SmallQuantity(spark, sf))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),

@@ -59,7 +59,8 @@ object LookupCacheJoin {
 
     val taggedValues = values.map { case (k, v, ts) => Tagged[K, V, L](k, Some(v), None, ts) }
     val taggedLookups = lookups.map { case (k, l, ts) => Tagged[K, V, L](k, None, Some(l), ts) }
-    val union = taggedValues.union(taggedLookups).withWatermark("ts", watermarkDelay)
+    val union = observeArrivals(
+      taggedValues.union(taggedLookups).withWatermark("ts", watermarkDelay))
 
     union
       .groupByKey(_.key)
@@ -118,4 +119,41 @@ object LookupCacheJoin {
         out.result().iterator
       }
   }
+
+  /** Name of the per-batch observed-metrics row both lookup-cache engines
+    * attach to their unioned input ([[observeArrivals]]). */
+  val arrivalsMetric = "graft_lookup_cache_arrivals"
+
+  /** Attaches per-batch arrival counts to the tagged union: `n_values`,
+    * `n_lookups`, and `min_ts`/`max_ts` (epoch ms) — read from
+    * `StreamingQueryProgress.observedMetrics` under [[arrivalsMetric]].
+    *
+    * Why it exists: a lookup stamped behind the union's watermark is
+    * dropped by the engine BEFORE the stateful function sees it (bench
+    * defect, round 6: a 0 s delay let the value side's micro-batch
+    * advance the watermark past batch-start-stamped lookups — the lookup
+    * never resolved and every value buffered forever, with no visible
+    * signal). The arrival counts plus [[lateDrops]] make that
+    * misconfiguration observable per batch instead of a silent state
+    * leak. */
+  private[streaming] def observeArrivals[K, V, L](
+      union: Dataset[Tagged[K, V, L]]): Dataset[Tagged[K, V, L]] = {
+    import org.apache.spark.sql.functions._
+    union.observe(arrivalsMetric,
+      count(when(col("value").isNotNull, 1)).as("n_values"),
+      count(when(col("lookup").isNotNull, 1)).as("n_lookups"),
+      min(unix_millis(col("ts"))).as("min_ts"),
+      max(unix_millis(col("ts"))).as("max_ts"))
+  }
+
+  /** Rows the engine dropped as late at this query's stateful operator(s)
+    * in one progress — values and lookups combined (Spark's
+    * `numRowsDroppedByWatermark` doesn't distinguish; pair it with the
+    * [[arrivalsMetric]] counts to attribute). Nonzero on a lookup-cache
+    * join means the watermark delay is too tight for the lookup side's
+    * lag: enrichments quietly stop resolving and values buffer until GC.
+    * Sum it across a run via a `StreamingQueryListener` or by polling
+    * `query.recentProgress`. */
+  def lateDrops(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+    p.stateOperators.map(_.numRowsDroppedByWatermark).sum
 }

@@ -147,7 +147,8 @@ object LookupCacheProcessor {
 
     val taggedValues = values.map { case (k, v, ts) => Tagged[K, V, L](k, Some(v), None, ts) }
     val taggedLookups = lookups.map { case (k, l, ts) => Tagged[K, V, L](k, None, Some(l), ts) }
-    val union = taggedValues.union(taggedLookups).withWatermark("ts", watermarkDelay)
+    val union = LookupCacheJoin.observeArrivals(
+      taggedValues.union(taggedLookups).withWatermark("ts", watermarkDelay))
 
     union
       .groupByKey(_.key)

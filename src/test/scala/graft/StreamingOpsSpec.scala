@@ -185,6 +185,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       LookupCacheJoin.Enriched("pub1", "screenA", None, ts("12:10:00"))))
   }
 
+  test("lookup cache: late-dropped lookups surface in arrivals + lateDrops metrics") {
+    // The watermark-misconfiguration failure mode (r6 bench defect): with a
+    // 0 s delay, a value batch advances the watermark past a lagging
+    // lookup, the engine drops the lookup BEFORE the stateful function
+    // sees it, and enrichment silently stops. The observe() arrival count
+    // plus lateDrops(progress) must make that visible — on both engines.
+    for (tws <- Seq(false, true)) {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val values = MemoryStream[(String, String, Timestamp)]
+      val lookups = MemoryStream[(String, String, Timestamp)]
+      val out =
+        if (tws) LookupCacheProcessor.join(values.toDS(), lookups.toDS(), minutes(60))
+        else LookupCacheJoin.join(values.toDS(), lookups.toDS(), minutes(60))
+      val name = s"lcdrop_${if (tws) "tw" else "fm"}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        values.addData(("pub1", "screenA", ts("12:10:00")))
+        q.processAllAvailable() // watermark → 12:10 (0 s delay)
+        lookups.addData(("pub1", "v1", ts("12:00:00"))) // behind the watermark
+        q.processAllAvailable()
+        val progresses = q.recentProgress.toSeq
+        assert(progresses.map(LookupCacheJoin.lateDrops).sum >= 1,
+          s"engine tws=$tws: late lookup did not surface in numRowsDroppedByWatermark")
+        val observed = progresses
+          .flatMap(p => Option(p.observedMetrics.get(LookupCacheJoin.arrivalsMetric)))
+        assert(observed.map(_.getAs[Long]("n_lookups")).sum === 1L,
+          s"engine tws=$tws: arrival metric should count the (dropped) lookup")
+        assert(observed.map(_.getAs[Long]("n_values")).sum === 1L)
+        assert(spark.table(name).isEmpty,
+          s"engine tws=$tws: the late lookup must not have resolved the buffered value")
+      } finally q.stop()
+    }
+  }
+
   test("lookup cache: lookup refresh keeps key alive past the original ttl") {
     val rows = runLookupScenario("lc5", 10) { (values, lookups, q) =>
       lookups.addData(("pub1", "v1", ts("12:00:00")))

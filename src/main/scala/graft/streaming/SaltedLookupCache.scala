@@ -29,6 +29,28 @@ import graft.streaming.LookupCacheJoin.{CacheState, Enriched, Tagged}
   */
 object SaltedLookupCache {
 
+  /** The documented sizing rule (BASELINE.md, key-skew regime): the salt
+    * count should match the cluster's task slots — fewer leaves cores
+    * idle under one hot key, more only multiplies lookup replication. */
+  def defaultSalts(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, spark.sparkContext.defaultParallelism)
+
+  /** [[join]] with `salts` self-sized to the session's task slots. */
+  def join[K, V, L](
+      values: Dataset[(K, V, Timestamp)],
+      lookups: Dataset[(K, L, Timestamp)],
+      ttlMs: Long)(implicit
+      kiEnc: Encoder[(K, Int)],
+      vEnc: Encoder[V],
+      svEnc: Encoder[((K, Int), V, Timestamp)],
+      slEnc: Encoder[((K, Int), L, Timestamp)],
+      taggedEnc: Encoder[Tagged[(K, Int), V, L]],
+      latestEnc: Encoder[(Long, L)],
+      stateEnc: Encoder[CacheState[(K, Int), V, L]],
+      outSaltedEnc: Encoder[Enriched[(K, Int), V, L]],
+      outEnc: Encoder[Enriched[K, V, L]]): Dataset[Enriched[K, V, L]] =
+    join(values, lookups, ttlMs, defaultSalts(values.sparkSession))
+
   /** Drop-in alternative to [[LookupCacheJoin.join]] /
     * [[LookupCacheProcessor.join]] for skewed key distributions. */
   def join[K, V, L](
@@ -68,7 +90,7 @@ object SaltedLookupCache {
     * instance. Use a value-stable hash where the type guarantees one
     * (case classes, strings, numbers) and fall back to the element's
     * event timestamp (deterministic per element) for opaque payloads. */
-  private[streaming] def stableSalt(v: Any, ts: Timestamp, n: Int): Int = {
+  private[graft] def stableSalt(v: Any, ts: Timestamp, n: Int): Int = {
     val h: Long = v match {
       case p: Product => scala.util.hashing.MurmurHash3.productHash(p).toLong
       case s: String => scala.util.hashing.MurmurHash3.stringHash(s).toLong

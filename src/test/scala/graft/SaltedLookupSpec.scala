@@ -90,6 +90,69 @@ class SaltedLookupSpec extends AnyFunSuite {
       "salted fMGWS output diverged from the unsalted operator")
   }
 
+  test("stableSalt is content-stable for identity-hashCode payloads (arrays)") {
+    val t = ts("12:00:00")
+    // Two DISTINCT array instances with equal content — exactly what a task
+    // retry produces when it re-deserializes the batch. Under the old
+    // `v.hashCode` these got independent identity hashes, so a replayed
+    // micro-batch could land the element in a different salt group than the
+    // checkpoint recorded.
+    val a1 = Array[Byte](1, 2, 3, 4)
+    val a2 = Array[Byte](1, 2, 3, 4)
+    assert(a1 ne a2)
+    (1 to 64).foreach { n =>
+      assert(SaltedLookupCache.stableSalt(a1, t, n) ===
+        SaltedLookupCache.stableSalt(a2, t, n),
+        s"equal-content arrays must salt identically (salts=$n)")
+    }
+    // ...and the timestamp fallback still spreads opaque payloads across
+    // groups rather than funneling them all into salt 0
+    val spread = (0 until 100).map(i =>
+      SaltedLookupCache.stableSalt(a1, ts(f"12:00:${i % 60}%02d"), 8)).toSet
+    assert(spread.size > 1, "timestamp mixing must spread opaque payloads")
+    // value-stable types keep their content hash: same string, new instance
+    assert(SaltedLookupCache.stableSalt(new String("hot001"), t, 8) ===
+      SaltedLookupCache.stableSalt("hot001", t, 8))
+  }
+
+  test("salted join matches unsalted output for an Array[Byte] payload (self-sized salts)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def run(name: String, salted: Boolean): Seq[(String, String, Option[String], Long)] = {
+      val values = MemoryStream[(String, Array[Byte], Timestamp)]
+      val lookups = MemoryStream[(String, String, Timestamp)]
+      val out =
+        if (salted) SaltedLookupCache.join(values.toDS(), lookups.toDS(), minutes(60))
+        else LookupCacheProcessor.join(values.toDS(), lookups.toDS(), minutes(60))
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        values.addData((0 until 40).map(i =>
+          ("hotpub", f"hot$i%02d".getBytes("UTF-8"), ts(f"12:00:${i % 60}%02d"))) ++
+          Seq(("coldA", "a0".getBytes("UTF-8"), ts("12:00:10"))))
+        q.processAllAvailable()
+        lookups.addData(("hotpub", "vHot", ts("12:01:40")), ("coldA", "vA", ts("12:01:40")))
+        q.processAllAvailable()
+        values.addData((40 until 80).map(i =>
+          ("hotpub", f"hot$i%02d".getBytes("UTF-8"), ts(f"12:02:${i % 60}%02d"))))
+        q.processAllAvailable()
+        spark.table(name).as[LookupCacheJoin.Enriched[String, Array[Byte], String]]
+          .collect().toSeq
+          .map(e => (e.key, new String(e.value, "UTF-8"), e.lookup, e.emitTs.getTime))
+          .sorted
+      } finally { q.stop(); spark.sql(s"DROP VIEW IF EXISTS $name") }
+    }
+    val plain = run("slc_arr_plain", salted = false)
+    assert(plain.size === 81, "every byte-array value must enrich")
+    assert(run("slc_arr_salted", salted = true) === plain,
+      "salted output diverged for an identity-hashCode payload type")
+  }
+
+  test("defaultSalts sizes to the session's task slots") {
+    assert(SaltedLookupCache.defaultSalts(spark) ===
+      spark.sparkContext.defaultParallelism)
+    assert(SaltedLookupCache.defaultSalts(spark) >= 1)
+  }
+
   test("salted GC flush drains the same DLQ (key, value) set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

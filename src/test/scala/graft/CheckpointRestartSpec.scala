@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{LookupCacheJoin, LookupCacheProcessor, Repeater, RepeaterProcessor}
+
+/** Checkpoint-restart equivalence for the STATEFUL join/timer paths.
+  *
+  * The file sink already has an exactly-once restart test
+  * (`IoMultimodalSpec`); this suite extends the guarantee to the two
+  * operators that keep per-key state and event-time timers — the TTL
+  * lookup-cache join (reference `LookupCacheDoFn`) and the repeater
+  * (reference `RepeatDoFn`) — on BOTH engines. Each scenario runs twice:
+  * once uninterrupted, once killed mid-scenario (with an in-flight
+  * uncommitted batch and more data arriving while the query is down) and
+  * restarted from its checkpoint. The recovered run must produce the
+  * byte-identical output set: buffered values, cached lookups, and armed
+  * timers all live in checkpointed state, so recovery must neither lose,
+  * duplicate, nor re-time any emission.
+  */
+class CheckpointRestartSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def ts(hhmmss: String): Timestamp =
+    Timestamp.from(Instant.parse(s"1970-01-01T${hhmmss}Z"))
+
+  private def minutes(n: Int): Long = n * 60L * 1000L
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------------------------- lookup cache
+
+  /** Phase 1: values buffer (no lookup). Phase 2: first lookup flushes the
+    * buffer. KILL POINT: phase-3 data is added and the query stopped
+    * WITHOUT draining, so batch replay from the last committed offset is
+    * exercised, then more data arrives while the query is down. */
+  private def lookupRun(tws: Boolean, interrupt: Boolean): Seq[(String, String, Option[String], Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp(s"ckpt-lookup-$tws-$interrupt")
+    val values = MemoryStream[(String, String, Timestamp)]
+    val lookups = MemoryStream[(String, String, Timestamp)]
+    def start() = {
+      val out =
+        if (tws) LookupCacheProcessor.join(values.toDS(), lookups.toDS(), minutes(60))
+        else LookupCacheJoin.join(values.toDS(), lookups.toDS(), minutes(60))
+      out.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    values.addData(("p1", "a", ts("12:00:00")), ("p2", "b", ts("12:00:05")))
+    q1.processAllAvailable()
+    lookups.addData(("p1", "L1", ts("12:01:00")))
+    if (interrupt) {
+      values.addData(("p1", "c", ts("12:02:00"))) // in-flight at the kill
+      q1.stop()
+      lookups.addData(("p2", "L2", ts("12:02:30"))) // arrives while down
+      values.addData(("p2", "d", ts("12:03:00")))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    } else {
+      q1.processAllAvailable()
+      values.addData(("p1", "c", ts("12:02:00")))
+      q1.processAllAvailable()
+      lookups.addData(("p2", "L2", ts("12:02:30")))
+      values.addData(("p2", "d", ts("12:03:00")))
+      q1.processAllAvailable()
+      q1.stop()
+    }
+    spark.read.parquet(s"$dir/out")
+      .as[LookupCacheJoin.Enriched[String, String, String]]
+      .collect().toSeq.map(e => (e.key, e.value, e.lookup, e.emitTs.getTime)).sorted
+  }
+
+  for (tws <- Seq(true, false)) {
+    val engine = if (tws) "transformWithState" else "fMGWS"
+    test(s"lookup-cache join recovers equivalently from its checkpoint ($engine)") {
+      val clean = lookupRun(tws, interrupt = false)
+      // buffered a+b flush at the p1 lookup (a) / stay cached-waiting (b);
+      // c enriches from cache; d enriches from the post-restart L2
+      assert(clean.size === 4, s"scenario must enrich all four values: $clean")
+      assert(lookupRun(tws, interrupt = true) === clean,
+        "restarted run diverged from the uninterrupted run")
+    }
+  }
+
+  // ------------------------------------------------------------ repeater
+
+  /** Phase 1: one element arrives and emits; the watermark then advances
+    * past two re-emission ticks. KILL POINT: the query stops with a
+    * watermark-advancer batch in flight; while it is down the watermark
+    * data for the remaining ticks (through TTL expiry) arrives. Recovery
+    * must fire the checkpointed event-time timers exactly as the
+    * uninterrupted run does. */
+  private def repeatRun(tws: Boolean, interrupt: Boolean): Seq[(String, String, Long, Boolean)] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp(s"ckpt-repeat-$tws-$interrupt")
+    val in = MemoryStream[(String, String, Timestamp)]
+    def start() = {
+      val ds = in.toDS().withWatermark("_3", "0 seconds").as[(String, String, Timestamp)]
+      val out =
+        if (tws) RepeaterProcessor.repeat(ds, minutes(10), minutes(30))
+        else Repeater.repeat(ds, minutes(10), minutes(30))
+      out.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").start()
+    }
+    val q1 = start()
+    in.addData(("screen1", "v1", ts("12:00:00")))
+    q1.processAllAvailable()
+    if (interrupt) {
+      in.addData(("__wm__", "w1", ts("12:25:00"))) // in-flight at the kill
+      q1.stop()
+      in.addData(("__wm__", "w2", ts("12:45:00"))) // arrives while down
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+    } else {
+      in.addData(("__wm__", "w1", ts("12:25:00")))
+      q1.processAllAvailable()
+      in.addData(("__wm__", "w2", ts("12:45:00")))
+      q1.processAllAvailable()
+      q1.stop()
+    }
+    spark.read.parquet(s"$dir/out")
+      .as[Repeater.Repeated[String, String]]
+      .collect().toSeq.filter(_.key == "screen1")
+      .map(r => (r.key, r.value, r.emitTs.getTime, r.repeated)).sorted
+  }
+
+  for (tws <- Seq(true, false)) {
+    val engine = if (tws) "transformWithState" else "fMGWS"
+    test(s"repeater recovers its event-time timers from the checkpoint ($engine)") {
+      val clean = repeatRun(tws, interrupt = false)
+      // first emit at 12:00 + ticks 12:10/12:20 (before the kill window)
+      // and 12:30 = lastSeen+ttl (the expiry tick still emits) after it
+      assert(clean.map(_._3) === Seq(ts("12:00:00"), ts("12:10:00"),
+        ts("12:20:00"), ts("12:30:00")).map(_.getTime), s"unexpected ticks: $clean")
+      assert(repeatRun(tws, interrupt = true) === clean,
+        "restarted repeater diverged from the uninterrupted run")
+    }
+  }
+}

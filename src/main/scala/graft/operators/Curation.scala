@@ -256,4 +256,86 @@ object Curation {
        |SELECT source, CAST(c_s AS BIGINT) AS n_tokens,
        |  CAST(SUM(term) AS DOUBLE) / (c_s * 10000.0) AS kl
        |FROM terms GROUP BY source, c_s""".stripMargin
+
+  /** The composed end-to-end curation funnel — the report a pretraining
+    * data pipeline actually publishes: per SOURCE, how many documents went
+    * in and where they fell out, stage by stage (exact-duplicate →
+    * language → quality → eval-set contamination), plus the retained
+    * token budget. Drop attribution is first-failing-filter, the same
+    * precedence [[corpusRetention]] pins per document; contamination uses
+    * [[Dedup.contamination]]'s convention (doc_id < 10 is the held-out
+    * benchmark, so the curated corpus is doc_id >= 10).
+    *
+    * 100 TB shape: TWO scans of the corpus — one projection computing
+    * every per-doc signal (fingerprint, language, quality, token count)
+    * with a single (fingerprint)-exchange window for the keeper id, and
+    * one 13-gram explode for the contamination semi-join (gram
+    * candidates can't come out of the first scan's projection without
+    * exploding it too). The contaminated-id set joins back via broadcast
+    * — eval-suite overlap is a tiny fraction of any real corpus; at a
+    * scale where it isn't, drop the hint and this degrades to a shuffle
+    * join on doc_id, nothing else changes. The final per-source rollup
+    * is a map-side-combinable aggregate over single-digit groups. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val signals = Corpus.documents(s, dir).where(col("doc_id") >= 10)
+      .select(
+        col("doc_id"), col("source"),
+        TextAnalysis.fingerprintCol(col("text")).as("fingerprint"),
+        TextAnalysis.predictedLang(col("text")).as("predicted"),
+        (TextAnalysis.qualityScore10(col("text")) >= TextAnalysis.qualityKeepCut)
+          .as("q_keep"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    val contaminated = Dedup.contamination(s, dir)
+    val reason = when(col("doc_id") =!= col("keep_id"), "duplicate")
+      .when(col("predicted") =!= "en", "language")
+      .when(!col("q_keep"), "quality")
+      .when(col("contaminated"), "contaminated")
+      .otherwise("retained")
+    signals
+      .withColumn("keep_id", min(col("doc_id")).over(wFp))
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("reason", reason)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(col("reason") === "duplicate", 1L).otherwise(0L)).as("drop_duplicate"),
+        sum(when(col("reason") === "language", 1L).otherwise(0L)).as("drop_language"),
+        sum(when(col("reason") === "quality", 1L).otherwise(0L)).as("drop_quality"),
+        sum(when(col("reason") === "contaminated", 1L).otherwise(0L)).as("drop_contaminated"),
+        sum(when(col("reason") === "retained", 1L).otherwise(0L)).as("docs_kept"),
+        sum(when(col("reason") === "retained", col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, source,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       |    (${TextAnalysis.langIdPredictedSql}) AS predicted,
+       |    (${TextAnalysis.qualityScore10Sql}) >= 6 AS q_keep,
+       |    CAST(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents WHERE doc_id >= 10),
+       |keepers AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM sig GROUP BY 1),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (${Dedup.gramsSql("doc_id >= 10")})
+       |  WHERE gram IN (SELECT DISTINCT gram FROM (${Dedup.gramsSql("doc_id < 10")}))),
+       |r AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN doc_id <> keep_id THEN 'duplicate'
+       |         WHEN predicted <> 'en' THEN 'language'
+       |         WHEN NOT q_keep THEN 'quality'
+       |         WHEN doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+       |         ELSE 'retained' END AS reason
+       |  FROM sig JOIN keepers USING (fingerprint))
+       |SELECT source,
+       |  COUNT(*) AS docs_in,
+       |  CAST(SUM(CASE WHEN reason = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS drop_duplicate,
+       |  CAST(SUM(CASE WHEN reason = 'language' THEN 1 ELSE 0 END) AS BIGINT) AS drop_language,
+       |  CAST(SUM(CASE WHEN reason = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+       |  CAST(SUM(CASE WHEN reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS drop_contaminated,
+       |  CAST(SUM(CASE WHEN reason = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       |  CAST(SUM(CASE WHEN reason = 'retained' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM r GROUP BY source""".stripMargin
 }

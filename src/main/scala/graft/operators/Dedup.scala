@@ -448,7 +448,7 @@ object Dedup {
       .withColumn("contaminated", lit(true))
   }
 
-  private def gramsSql(filter: String): String = {
+  private[operators] def gramsSql(filter: String): String = {
     val toks = TextAnalysis.tokensSql
     s"""SELECT doc_id, UNNEST(list_distinct(
        |    CASE WHEN len($toks) >= 13 THEN

@@ -98,6 +98,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one documents scan (single-pass verdict), got $scans:\n$plan")
   }
 
+  test("curation_pipeline: three document scans, broadcasts, no cartesian") {
+    val plan = physicalPlan(graft.operators.Curation.curationPipeline(spark, sf))
+    // one signals scan (every per-doc filter computed in a single
+    // projection) + one corpus 13-gram explode + one benchmark gram scan —
+    // a fourth scan would mean a stage is re-reading instead of reusing
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 3, s"expected 3 documents scans, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"curation funnel must stay equi-join only:\n$plan")
+    // bench grams + contaminated ids both ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected broadcast contamination semi-join and id join-back:\n$plan")
+  }
+
   test("winnow_pairs blocks on fingerprints — no all-pairs join") {
     val plan = physicalPlan(graft.operators.TextAnalysis.winnowPairs(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -281,6 +281,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"anti join degenerated:\n$plan")
   }
 
+  test("q4 correlated EXISTS runs as a left-semi hash join on orderkey") {
+    val plan = physicalPlan(Relational.q4OrderPriority(spark, sf))
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlated EXISTS degenerated to a non-equi join:\n$plan")
+  }
+
+  test("q16 NOT IN lowers to a plain anti join (keys non-null, no NAAJ fallback)") {
+    val plan = physicalPlan(Relational.q16SupplierCnt(spark, sf))
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"NOT IN degenerated (null-aware cartesian fallback):\n$plan")
+    // count-distinct rolls up via the standard two-level Expand-free rewrite
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+  }
+
+  test("q19 disjunctive predicate keeps the partkey equi hash join (no cartesian)") {
+    val plan = physicalPlan(Relational.q19DiscountedRevenue(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-conjunctions broke the equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge join on partkey:\n$plan")
+  }
+
+  test("q2 min-cost join-back reuses the per-part exchange (no cartesian)") {
+    val plan = physicalPlan(Relational.q2MinCostSupplier(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"min join-back degenerated:\n$plan")
+  }
+
   test("semdedup pair search blocks on cluster id — no all-pairs join") {
     val plan = physicalPlan(Similarity.semDedup(spark, sf))
     // the paper's point: clustering bounds the quadratic scan, so the

@@ -312,6 +312,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"min join-back degenerated:\n$plan")
   }
 
+  test("q13 join-side predicate keeps the outer join (zero-order customers survive)") {
+    val plan = physicalPlan(Relational.q13OrderDistribution(spark, sf))
+    assert(plan.contains("LeftOuter"), s"outer join lost (predicate pulled to WHERE?):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"outer join degenerated:\n$plan")
+  }
+
+  test("q15 scalar max broadcasts; supplier join-back is an equi hash join") {
+    val plan = physicalPlan(Relational.q15TopSupplier(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no hash/merge join on suppkey:\n$plan")
+  }
+
+  test("q22 never-ordered test stays an equi anti join beside the scalar avg") {
+    val plan = physicalPlan(Relational.q22GlobalSales(spark, sf))
+    assert(plan.linesIterator.exists(l => l.contains("LeftAnti") &&
+      (l.contains("HashJoin") || l.contains("SortMergeJoin"))),
+      s"anti join degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast cartesian:\n$plan")
+  }
+
   test("semdedup pair search blocks on cluster id — no all-pairs join") {
     val plan = physicalPlan(Similarity.semDedup(spark, sf))
     // the paper's point: clustering bounds the quadratic scan, so the

@@ -1126,46 +1126,4 @@ object Relational {
       |  GROUP BY c_custkey) c_orders
       |GROUP BY c_count""".stripMargin
 
-  /** TPC-H Q22-style: wealthy customers in target countries with no urgent
-    * order. This corpus has no c_phone, so c_nationkey plays the
-    * country-code role; and every customer has ≥1 order here, so the
-    * NOT EXISTS tests "no 1-URGENT order" (same anti-join shape, non-vacuous
-    * result). The average-balance threshold is computed once as an exact
-    * DECIMAL sum over a `localCheckpoint`ed slice (read twice: threshold +
-    * main branch) and broadcast; the anti join on custkey is the only
-    * shuffle at 100 TB, carrying the filtered customer slice and orders'
-    * pruned 2-column projection. */
-  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
-    val codes = Seq(1, 3, 5, 7, 9, 11, 13)
-    val cust = Corpus.customer(s, dir)
-      .where(col("c_nationkey").isin(codes: _*))
-      .select("c_custkey", "c_nationkey", "c_acctbal")
-      .localCheckpoint()
-    val avgBal = cust.where(col("c_acctbal") > 0.0)
-      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
-            count(lit(1))).as("avg_bal"))
-    val urgent = Corpus.orders(s, dir)
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select("o_custkey")
-    cust.crossJoin(broadcast(avgBal))
-      .where(col("c_acctbal") > col("avg_bal"))
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
-  }
-
-  val q22GlobalSalesSql: String =
-    """WITH cust AS (
-      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
-      |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-      |SELECT c_nationkey, COUNT(*) AS numcust,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
-      |FROM cust
-      |WHERE c_acctbal > (
-      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
-      |    FROM cust WHERE c_acctbal > 0.0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders
-      |                  WHERE o_custkey = c_custkey
-      |                    AND o_orderpriority = '1-URGENT')
-      |GROUP BY c_nationkey""".stripMargin
 }

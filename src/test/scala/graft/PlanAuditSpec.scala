@@ -326,14 +326,6 @@ class PlanAuditSpec extends AnyFunSuite {
       || plan.contains("ShuffledHashJoin"), s"no hash/merge join on suppkey:\n$plan")
   }
 
-  test("q22 never-ordered test stays an equi anti join beside the scalar avg") {
-    val plan = physicalPlan(Relational.q22GlobalSales(spark, sf))
-    assert(plan.linesIterator.exists(l => l.contains("LeftAnti") &&
-      (l.contains("HashJoin") || l.contains("SortMergeJoin"))),
-      s"anti join degenerated to a nested loop:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"non-broadcast cartesian:\n$plan")
-  }
-
   test("semdedup pair search blocks on cluster id — no all-pairs join") {
     val plan = physicalPlan(Similarity.semDedup(spark, sf))
     // the paper's point: clustering bounds the quadratic scan, so the

@@ -15,15 +15,26 @@ object Corpus {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`: the
-    * corpus `events.parquet` carries TIMESTAMP(NANOS) which Spark has no
-    * native type for. The nanos long is truncated to microseconds here —
-    * exactly what DuckDB does when it reads the same file, so oracle
-    * comparisons stay exact. */
+  /** Normalize `ts` to a session-timezone TIMESTAMP whatever the corpus
+    * file's encoding is — the driver has shipped both:
+    *
+    *  - TIMESTAMP(NANOS): Spark has no nanos type; sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` and the long is
+    *    truncated to micros here — exactly what DuckDB does reading the
+    *    same file, so oracle comparisons stay exact.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ; the cast reinterprets the wall-clock in the
+    *    session timezone (UTC, pinned by GraftSession) — the same naive
+    *    reading DuckDB uses, so instants and oracles agree unchanged. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-      .getOrElse(df)
+    df.schema.find(_.name == "ts").map(_.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }).getOrElse(df)
 
   /** Every corpus table, by view name → reader — ONE list shared by the
     * named reader defs and [[registerViews]], so adding a table cannot

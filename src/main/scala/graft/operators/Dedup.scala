@@ -107,7 +107,7 @@ object Dedup {
       }
   }
 
-  private val shingledSql: String =
+  private[graft] val shingledSql: String =
     s"""SELECT doc_id, UNNEST(list_distinct(
        |  CASE WHEN len(${TextAnalysis.tokensSql}) >= 3 THEN
        |    list_transform(range(0, len(${TextAnalysis.tokensSql}) - 2),
@@ -717,9 +717,23 @@ object Dedup {
     * counts move. This is the exact-similarity complement of the
     * MinHash/SimHash sketches. */
   def ngramJaccardTopk(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val nProbes = 20
     val topK = 3
+    val scored = jaccardScored(s, dir, 20)
+      .select(col("query_id").as("probe_id"), col("neighbor_id"), col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("jaccard"))
+  }
+
+  /** The inverted-index scoring frame behind [[ngramJaccardTopk]],
+    * parameterized on the probe-set size so [[Retrieval.hybridRrf]] can
+    * reuse it as its lexical leg: exact shingle-Jaccard of every
+    * (probe, candidate) pair sharing ≥1 shingle, probes broadcast. */
+  private[graft] def jaccardScored(s: SparkSession, dir: String, nProbes: Int): DataFrame = {
+    import s.implicits._
     val sh = shingled(s, dir)
     val probes = shingledFrom(s,
         Corpus.documents(s, dir).where(col("doc_id") < nProbes))
@@ -734,18 +748,12 @@ object Dedup {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, shinglesOf(text).size.toLong) }
       .toDF("doc_id", "n")
-    val scored = inter
+    inter
       .join(sizes.as("za"), col("probe_id") === col("za.doc_id"))
       .join(sizes.as("zb"), inter("doc_id") === col("zb.doc_id"))
-      .select(col("probe_id"), inter("doc_id").as("neighbor_id"),
+      .select(col("probe_id").as("query_id"), inter("doc_id").as("neighbor_id"),
         (col("n_inter").cast("double") /
           (col("za.n") + col("zb.n") - col("n_inter")).cast("double")).as("jaccard"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("jaccard").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("jaccard"))
   }
 
   val ngramJaccardTopkSql: String =
@@ -768,4 +776,68 @@ object Dedup {
        |    ORDER BY jaccard DESC, neighbor_id ASC) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT probe_id, rank, neighbor_id, jaccard FROM r WHERE rank <= 3""".stripMargin
+
+  /** MinHash-LSH banding recall, measured — the dedup analog of
+    * [[Similarity.annRecall]]: what fraction of the pairs that truly have
+    * shingle-Jaccard ≥ 0.5 does the 4-band × 2-hash construction surface?
+    * One verified-artifact row: (n_truth, n_pairs, n_hit, recall).
+    *
+    * Ground truth is complete by construction: J(a,b) ≥ 0.5 > 0 implies
+    * the pair shares at least one shingle, so the shared-shingle
+    * inverted-index join generates every qualifying pair (same equi-join
+    * family as [[ngramJaccardTopk]]'s candidates — no all-pairs pass).
+    * [[minhashLshPairs]] verifies its candidates with the same exact
+    * Jaccard, so pairs ⊆ truth and precision is 1.0 identically; recall
+    * is the quality number the banding parameters trade against cost.
+    *
+    * 100 TB shape: the truth join's fan-out is Σ_shingle df² — bounded on
+    * a deduplicatable corpus (df tracks copy counts); a production run at
+    * extreme scale would cap df like [[TextAnalysis.winnowPairs]] and
+    * report recall over the capped universe. Three 1-row aggregates
+    * broadcast into the output row. */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).localCheckpoint() // read 2×: inter + sizes
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .where(col("n_inter").cast("double") /
+        (col("za.n") + col("zb.n") - col("n_inter")).cast("double") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // read 2×: count + hit join
+    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // read 2×: count + hit join
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    val nHit = pairs.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(broadcast(nPairs)).crossJoin(broadcast(nHit))
+      .select(col("n_truth"), col("n_pairs"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
+  val minhashRecallSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes za ON doc_a = za.doc_id
+       |  JOIN sizes zb ON doc_b = zb.doc_id
+       |  WHERE CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) >= 0.5),
+       |p AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
+       |hit AS (SELECT COUNT(*) AS c FROM p JOIN truth USING (doc_a, doc_b))
+       |SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM p) AS n_pairs,
+       |  (SELECT c FROM hit) AS n_hit,
+       |  CAST((SELECT c FROM hit) AS DOUBLE)
+       |    / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) AS recall""".stripMargin
 }

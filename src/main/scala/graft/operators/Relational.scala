@@ -1126,4 +1126,50 @@ object Relational {
       |  GROUP BY c_custkey) c_orders
       |GROUP BY c_count""".stripMargin
 
+  /** Key-skew diagnostic over the event stream's partitioning key — the
+    * profile a 100 TB deployment runs BEFORE choosing a shuffle/state key
+    * or a salt count (BASELINE.md's salted-lookup crossover rule needs
+    * exactly these numbers: hot-key share vs per-batch volume). Emits the
+    * top-5 hottest keys with corpus-level context on every row: total
+    * rows, distinct keys, the mean rows/key, each hot key's share, and
+    * its skew ratio (share × n_keys — 1.0 means perfectly even).
+    *
+    * Shape: one map-side-combined shuffle on the key (the aggregate
+    * Spark already needs for the counts), a 1-row global aggregate OF the
+    * per-key frame (not a second corpus scan) broadcast back onto a
+    * TakeOrdered top-5 — no global sort, nothing driver-side. */
+  def keySkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val perKey = Corpus.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read 2×: global stats + top-k
+    val stats = perKey.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val topk = perKey
+      .orderBy(col("cnt").desc, col("user_id").asc).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("user_id").asc)).cast("long"))
+    topk.crossJoin(broadcast(stats))
+      .select(col("rank"), col("user_id"), col("cnt"),
+        col("n_rows"), col("n_keys"),
+        round(col("cnt").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share"),
+        round(col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"), 4).as("skew_ratio"))
+  }
+
+  val keySkewProfileSql: String =
+    """WITH per_key AS (
+      |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys
+      |  FROM per_key),
+      |topk AS (
+      |  SELECT user_id, cnt, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+      |  FROM per_key ORDER BY cnt DESC, user_id ASC LIMIT 5)
+      |SELECT rank, user_id, cnt, n_rows, n_keys,
+      |  round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share,
+      |  round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+      |    / CAST(n_rows AS DOUBLE), 4) AS skew_ratio
+      |FROM topk CROSS JOIN stats""".stripMargin
 }

@@ -120,4 +120,100 @@ object Retrieval {
        |ORDER BY sq DESC, doc_id ASC
        |LIMIT 10""".stripMargin
   }
+
+  // Hybrid-retrieval RRF constants: the standard k=60 damping
+  // (Cormack/Clarke/Buettcher 2009), 10 probe entities, top-10 per leg
+  // fused to a final top-5.
+  private val rrfDamp = 60
+  private val rrfQueries = 10
+  private val rrfLegK = 10
+  private val rrfOutK = 5
+
+  /** Hybrid retrieval via reciprocal-rank fusion: for each of the first
+    * [[rrfQueries]] corpus entities (doc_id ≙ vec_id — the synthetic
+    * corpus keys a document and its embedding identically), fuse the
+    * lexical leg (exact n-gram Jaccard ranks, [[Dedup.jaccardScored]])
+    * with the vector leg (exact cosine ranks, [[Similarity.cosineScored]])
+    * by rrf(d) = Σ_legs 1/(k + rank_leg(d)), keeping [[rrfOutK]] per
+    * query. A document surfaced by only one leg contributes one term —
+    * standard RRF, which is why the fusion needs a FULL outer join.
+    *
+    * Determinism: each leg's rank is an integer from an exactly-ranked
+    * window (ties broken by neighbor_id); the fused score is a 1-or-2-term
+    * sum of doubles derived from those integers in a fixed coalesce order
+    * — no aggregation-order float hazard on either engine.
+    *
+    * 100 TB shape: both legs reuse audited broadcast shapes (query batch
+    * broadcast against the corpus; probe shingles broadcast against the
+    * inverted index) and each emits ≤ queries × legK rows, so the fusion
+    * join and final window run on a few hundred rows regardless of corpus
+    * size. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def legRanks(scored: DataFrame, score: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(score).desc, col("neighbor_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .where(col("r") <= rrfLegK)
+        .select(col("query_id"), col("neighbor_id"), col("r"))
+    }
+    val vr = legRanks(Similarity.cosineScored(s, dir, rrfQueries), "sim")
+      .withColumnRenamed("r", "vr")
+    val jr = legRanks(Dedup.jaccardScored(s, dir, rrfQueries), "jaccard")
+      .withColumnRenamed("r", "jr")
+    val fused = vr.join(jr, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(rrfDamp) + col("vr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfDamp) + col("jr")), lit(0.0))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= rrfOutK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("rrf"))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH e AS (${Similarity.sqlVecs}),
+       |vscored AS (
+       |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+       |    ${Similarity.sqlDot} / (qa.nrm * ca.nrm) AS sim
+       |  FROM e qa JOIN e ca ON ca.vec_id <> qa.vec_id
+       |  WHERE qa.vec_id < $rrfQueries),
+       |vr AS (
+       |  SELECT query_id, neighbor_id, r AS vr FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS r
+       |    FROM vscored) WHERE r <= $rrfLegK),
+       |sh AS (${Dedup.shingledSql}),
+       |probes AS (SELECT doc_id AS query_id, shingle FROM sh
+       |  WHERE doc_id < $rrfQueries),
+       |inter AS (
+       |  SELECT p.query_id, s.doc_id, COUNT(*) AS n_inter
+       |  FROM sh s JOIN probes p USING (shingle)
+       |  WHERE s.doc_id <> p.query_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |jscored AS (
+       |  SELECT query_id, inter.doc_id AS neighbor_id,
+       |    CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON query_id = za.doc_id
+       |  JOIN sizes zb ON inter.doc_id = zb.doc_id),
+       |jr AS (
+       |  SELECT query_id, neighbor_id, r AS jr FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY jaccard DESC, neighbor_id ASC) AS r
+       |    FROM jscored) WHERE r <= $rrfLegK),
+       |fused AS (
+       |  SELECT COALESCE(vr.query_id, jr.query_id) AS query_id,
+       |    COALESCE(vr.neighbor_id, jr.neighbor_id) AS neighbor_id,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($rrfDamp + vr), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / ($rrfDamp + jr), CAST(0.0 AS DOUBLE)) AS score
+       |  FROM vr FULL OUTER JOIN jr
+       |    ON vr.query_id = jr.query_id AND vr.neighbor_id = jr.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS rrf FROM (
+       |  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM fused) WHERE rank <= $rrfOutK""".stripMargin
 }

@@ -43,9 +43,9 @@ object Similarity {
   /** cosine(a, b), assuming non-zero vectors (the corpus guarantees it). */
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private val sqlDot =
+  private[graft] val sqlDot =
     "list_sum(list_transform(range(1, 65), i -> qa.v[i] * ca.v[i]))"
-  private val sqlVecs =
+  private[graft] val sqlVecs =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]))) AS nrm " +
       "FROM embeddings"
@@ -80,14 +80,23 @@ object Similarity {
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     annBruteForceFrom(embFrame(s, dir))
 
-  private def annBruteForceFrom(e: DataFrame): DataFrame = {
-    val q = e.where(col("vec_id") < nQueries)
+  private def annBruteForceFrom(e: DataFrame): DataFrame =
+    rankBySim(cosineScoredFrom(e, nQueries))
+
+  /** Exact cosine scores of every (query, candidate) pair for the first
+    * `nQ` vec_ids — the brute-force inner frame, shared with
+    * [[Retrieval.hybridRrf]]'s vector leg (broadcast query batch; the
+    * corpus side never shuffles). */
+  private def cosineScoredFrom(e: DataFrame, nQ: Int): DataFrame = {
+    val q = e.where(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    rankBySim(scored)
   }
+
+  private[graft] def cosineScored(s: SparkSession, dir: String, nQ: Int): DataFrame =
+    cosineScoredFrom(embFrame(s, dir), nQ)
 
   val annBruteForceSql: String =
     s"""WITH e AS ($sqlVecs),

@@ -337,6 +337,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in semdedup plan:\n$plan")
   }
 
+  test("hybrid_rrf fuses two broadcast legs — no cartesian, no global sort") {
+    val plan = physicalPlan(graft.operators.Retrieval.hybridRrf(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"hybrid fusion went cartesian:\n$plan")
+    // vector leg: broadcast query batch (non-equi self-pair filter);
+    // lexical leg + fusion: equi joins
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"no broadcast leg in hybrid plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no equi join in hybrid plan:\n$plan")
+  }
+
+  test("minhash_recall: hit join is an equi join; only 1-row frames cross") {
+    val plan = physicalPlan(graft.operators.Dedup.minhashRecall(spark, sf))
+    // the pair-universe joins (truth inverted index, hit intersection)
+    // must stay equi; the ONLY nested-loop joins allowed are the crosses
+    // of the three 1-row count aggregates (IdentityBroadcastMode)
+    assert(!plan.contains("CartesianProduct"), s"unplanned cartesian:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"hit intersection is not an equi join:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"nested-loop joins beyond the two 1-row crosses:\n$plan")
+  }
+
+  test("key_skew_profile: one key shuffle, stats broadcast, top-k not a global sort") {
+    val df = graft.operators.Relational.keySkewProfile(spark, sf)
+    val plan = physicalPlan(df)
+    // the per-key aggregate must partial+final combine (map-side) and the
+    // 1-row stats frame must broadcast back onto the top-k
+    assert(plan.contains("HashAggregate"), s"no hash aggregate on the key:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"global stats not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("heavy hitters aggregate partial+final with bounded per-group state") {
     val plan = physicalPlan(graft.operators.Sketches.heavyHitters(spark, sf))
     // the Space-Saving udaf runs as an object aggregate (complex buffer);

@@ -76,4 +76,45 @@ object Io {
     println(s"$prefix: $n rows")
     n
   }
+
+  /** Ingest re-layout (compaction): rewrite a parquet table so that scans
+    * parallelize. Spark cannot split a parquet ROW GROUP across tasks, so
+    * a table shipped as one monolithic file with one row group (the
+    * round-7 corpus regeneration did exactly this — see BASELINE.md,
+    * "Corpus regeneration re-baseline": a measured 1.85× scan slowdown)
+    * serializes every downstream scan no matter what
+    * `maxPartitionBytes` says. The first stage of a 100 TB pipeline over
+    * externally-produced files is this rewrite; every scan after it
+    * splits into `ceil(bytes / targetBytes)` tasks.
+    *
+    * Output file count is sized from the INPUT's on-disk bytes (compressed
+    * parquet → parquet of the same codec keeps the ratio), clamped to at
+    * least the session's default parallelism so small tables still fan
+    * out. Returns the file count written.
+    *
+    * `sortBy` optionally range-clusters rows before the write (a
+    * repartitionByRange + local sort), so parquet row-group min/max stats
+    * line up with the cluster key and downstream range predicates skip
+    * whole files — the data-skipping half of the layout story. */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(inPath), hconf)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(
+      spark.sparkContext.defaultParallelism,
+      math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, sortBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+    laid.write.mode("overwrite").parquet(outPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

@@ -30,6 +30,34 @@ class IoMultimodalSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------- Io
 
+  test("compact re-lays a monolithic table into splittable sorted files") {
+    import org.apache.spark.sql.functions._
+    val in = tmp("compact-in")
+    val out = tmp("compact-out")
+    // a deliberately-monolithic source: one file, one row group
+    spark.range(100000).select(col("id"),
+      (col("id") % 97).as("k"), md5(col("id").cast("string")).as("pad"))
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    // tiny targetBytes forces the byte-based sizing branch above the
+    // parallelism clamp
+    val files = Io.compact(spark, in, out, targetBytes = 64 * 1024,
+      sortBy = Seq("k"))
+    assert(files > 1, s"compact produced a single file ($files)")
+    val re = spark.read.parquet(out)
+    // content identical
+    assert(re.count() === 100000)
+    assert(re.agg(sum(col("id"))).head().getLong(0) === 4999950000L)
+    // range clustering: each output file covers a narrow k-range, so a
+    // point predicate prunes most files via row-group stats; cheap proxy
+    // assertion — per-file distinct k counts are far below the global 97
+    val perFile = re.groupBy(input_file_name().as("f"))
+      .agg(countDistinct(col("k")).as("nk"))
+      .agg(max(col("nk"))).head().getLong(0)
+    assert(perFile < 97, s"files not k-clustered (max distinct k per file = $perFile)")
+    // and the scan now splits: as many input partitions as files
+    assert(re.rdd.getNumPartitions > 1)
+  }
+
   test("writeAppend appends and CREATE_NEVER fails fast on a missing target") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -19,9 +19,10 @@ package graft
 //   source count scale 10x.
 // - embeddings: replica k cyclically shifts vectors by k dims (norms and
 //   intra-replica cosines exact, cross-replica cosines drop to noise).
-// - events: ts is rewritten TIMESTAMP(NANOS)-long → TIMESTAMP(MICROS)
-//   with the same `div 1000` truncation Corpus/DuckDB apply on read, so
-//   both engines see values identical to a nanos file's.
+// - events: ts is normalized through Corpus.events (handles both corpus
+//   encodings — TIMESTAMP(NANOS)-long with `div 1000` truncation, and
+//   micros NTZ) and written as TIMESTAMP(MICROS), so both engines see
+//   the same values the source corpus yields on read.
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,9 +57,10 @@ object Sf1Gen {
     replicate("orders", Seq("o_orderkey", "o_custkey"), 8)
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$src/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Corpus.events normalizes ts to TIMESTAMP under either corpus
+    // encoding (nanos-as-long or micros NTZ) — the replicas inherit the
+    // normalized micros values either way.
+    val ev = graft.sources.Corpus.events(spark, src)
     write("events", (0 until reps).map { k =>
       ev.withColumn("event_id", col("event_id") + lit(k * off))
         .withColumn("user_id", col("user_id") + lit(k * off))

@@ -338,4 +338,74 @@ object Curation {
        |  CAST(SUM(CASE WHEN reason = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
        |  CAST(SUM(CASE WHEN reason = 'retained' THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
        |FROM r GROUP BY source""".stripMargin
+
+  /** Per-source corpus report card — the one-row-per-source summary a
+    * curation run publishes alongside its output (the "data card" every
+    * released training corpus carries): document and token volume, mean
+    * heuristic quality, exact-duplicate exposure, and the dominant
+    * detected language.
+    *
+    * Single-pass shape: every per-doc feature (token count, quality,
+    * predicted language, content fingerprint) is one projection over the
+    * scan, localCheckpoint'ed for its three consumers — the fingerprint
+    * count join (the dedup shuffle the retention verdict already pays),
+    * the per-source rollup, and the per-(source, language) mode. At
+    * 100 TB: one corpus scan, one fingerprint shuffle, two narrow
+    * aggregates over the checkpointed per-doc frame; the language mode's
+    * argmax is `max(struct(cnt, lang))` so its exchange carries one row
+    * per (source, language). */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Corpus.documents(s, dir).select(col("source"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore10(col("text")).as("q"),
+        TextAnalysis.predictedLang(col("text")).as("pred"),
+        TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .localCheckpoint() // scan+featurize once for the three consumers
+    val fpCnt = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val main = perDoc.join(fpCnt, Seq("fp"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        round(sum(col("q")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("mean_quality"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+    val mode = perDoc.groupBy(col("source"), col("pred"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy(col("source"))
+      .agg(max(struct(col("pc"), col("pred"))).as("m"))
+      .select(col("source"), col("m.pred").as("top_lang"))
+    main.join(broadcast(mode), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        col("top_lang"))
+  }
+
+  val sourceReportSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS BIGINT) AS n_tok,
+       |    (${TextAnalysis.qualityScore10Sql}) AS q,
+       |    (${TextAnalysis.langIdPredictedSql}) AS pred,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents),
+       |fp_cnt AS (SELECT fp, COUNT(*) AS c FROM per_doc GROUP BY 1),
+       |main AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    round(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality,
+       |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |  FROM per_doc JOIN fp_cnt USING (fp) GROUP BY 1),
+       |mode AS (
+       |  SELECT source, pred AS top_lang FROM (
+       |    SELECT source, pred,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY COUNT(*) DESC, pred DESC) AS rn
+       |    FROM per_doc GROUP BY source, pred) WHERE rn = 1)
+       |SELECT source, n_docs, n_tokens, mean_quality, n_dup_docs,
+       |  round(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+       |  top_lang
+       |FROM main JOIN mode USING (source)""".stripMargin
 }

@@ -68,11 +68,11 @@ object Bench {
       }
     } else ""
     releaseHeap(spark)
-    def runOnce(): Seq[(String, Timed)] = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(dir: String): Seq[(String, Timed)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val err = Try(fn(spark, sfDir).count()) match {
+        val err = Try(fn(spark, dir).count()) match {
           case Success(_) => None
           case Failure(e) => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
@@ -81,9 +81,9 @@ object Bench {
     // two passes, per-query min: the first run absorbs codegen/JIT/parquet
     // footer caching fixed costs, so the min is the steady-state number and
     // round-over-round deltas are signal, not first-run noise (BASELINE.md)
-    val cold = runOnce()
+    val cold = runOnce(sfDir)
     releaseHeap(spark)
-    val warm = runOnce()
+    val warm = runOnce(sfDir)
     releaseHeap(spark)
     val results = cold.zip(warm).map { case ((n, a), (_, b)) =>
       // When exactly one pass failed, a fast failure must not masquerade as
@@ -95,14 +95,26 @@ object Bench {
       }
       n -> Timed(sec, a.err.orElse(b.err))
     }
-    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t.sec }
+    // 3-decimal rounding everywhere: the driver archives only a 2000-char
+    // TAIL slice of this stdout line, and r6/r7 both overflowed it —
+    // full-precision doubles cost ~6 wasted chars per number and bought
+    // nothing (round-7 verdict, Wrong #3)
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + r3(t.sec) }
       .mkString("{", ",", "}")
+    // the same per-query seconds as a bare array, alphabetical by query
+    // name (= the map's order): 98 full-name map entries are ~2.4 KB and
+    // CANNOT fit the tail window even rounded, so the array is the form
+    // the driver artifact is guaranteed to retain — names recoverable as
+    // sorted(SparkEntry.queries.keys) (see README "Bench artifact")
+    val qArr = results.map { case (_, t) => r3(t.sec).toString }
+      .mkString("[", ",", "]")
     val errors = results.collect { case (k, Timed(_, Some(e))) =>
       s"\"" + k + "\":\"" + jsonEscape(e) + "\"" }
     val errJson =
       if (errors.isEmpty) ""
       else s""","error_count":${errors.size},"errors":${errors.mkString("{", ",", "}")}"""
-    val total = results.map(_._2.sec).sum
+    val total = r3(results.map(_._2.sec).sum)
     // Bucketed-join amortization split (round-2 verdict, Wrong #3): the
     // bucketed_join_revenue query entry memoizes its layout, so min-of-2
     // already reports the amortized join; this section times the two halves
@@ -117,17 +129,57 @@ object Bench {
         val t1 = System.nanoTime()
         Scale.bucketedJoin(spark, "graft_bjr_split").count()
         val joinSec = (System.nanoTime() - t1) / 1e9
-        s""","bucketed":{"layout_sec":$layoutSec,"join_sec":$joinSec}"""
+        s""","bucketed":{"layout_sec":${r3(layoutSec)},"join_sec":${r3(joinSec)}}"""
       } match {
         case Success(j) => j
         case Failure(e) => s""","bucketed":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
       }
     } else ""
-    // Key order matters: the driver archives a TAIL slice of this line, so
-    // the most-load-bearing keys go last — per-query map then the headline
-    // total (r4's ledger lost a leading total; r6's lost the whole query
-    // map because the large streaming block sat after it).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"loadavg_start":$loadStart,"loadavg_end":${loadavg()}$streaming$bucketed$errJson,"queries":$qs,"value":$total}""")
+    // Compaction-aware prelude (round-7 verdict, stretch #7): when the
+    // corpus ships as one row group per file — Spark cannot split a row
+    // group, so every scan is single-task no matter what
+    // maxPartitionBytes says — measure the layout tax as a first-class
+    // artifact column: Io.compact the corpus to /tmp and run ONE extra
+    // (JVM-warm) pass there. raw_total is the warm raw pass, the
+    // apples-to-apples comparand; the headline value stays min-of-2 on
+    // the corpus AS SHIPPED.
+    val relayout = if (only.isEmpty) {
+      Try {
+        val tables = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        val stats = tables.map(t =>
+          graft.sources.Io.rowGroupStats(spark, s"$sfDir/$t.parquet"))
+        val files = stats.map(_._1).sum
+        val groups = stats.map(_._2).sum
+        if (groups == files) {
+          val dst = s"/tmp/graft_bench_relayout_$tsMs"
+          val t0 = System.nanoTime()
+          tables.foreach(t =>
+            graft.sources.Io.compact(spark, s"$sfDir/$t.parquet", s"$dst/$t.parquet"))
+          val compactSec = (System.nanoTime() - t0) / 1e9
+          releaseHeap(spark)
+          val pass = runOnce(dst)
+          releaseHeap(spark)
+          Try {
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              new java.net.URI(dst), spark.sparkContext.hadoopConfiguration)
+            fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+          }
+          s""","relayout":{"files":$files,"compact_sec":${r3(compactSec)},"total":${r3(pass.map(_._2.sec).sum)},"raw_total":${r3(warm.map(_._2.sec).sum)}}"""
+        } else ""
+      } match {
+        case Success(j) => j
+        case Failure(e) => s""","relayout":{"err":"${jsonEscape(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
+      }
+    } else ""
+    // Key order matters: the driver archives a 2000-char TAIL slice of
+    // this line, so the most-load-bearing keys go LAST — loadavg (the
+    // load-contamination telemetry, cut from both r6 and r7 artifacts),
+    // the per-query seconds array, then the headline total. The full-name
+    // query map stays for humans and local refs but sits earlier: at 98
+    // queries it cannot fit the window, and the array + sorted names
+    // carries the same data.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs$streaming$bucketed$relayout$errJson,"queries":$qs,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
     spark.stop()
   }
 }

@@ -33,20 +33,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The near-dup query self-sizes its LSH band width from the corpus
-    // vector count (Similarity.bitsForCount), so its oracle must be sized
-    // for THIS sf dir, not the static map's sf0.01-shaped b = 2 — at sf1
-    // the mismatch used to require a manual PrintNearDupSql swap before
-    // running check_par.py. One cheap count here removes that step; at
-    // sf0.01 the generated SQL is byte-identical to the static entry.
-    val ndSql: Option[(String, String)] =
+    // Self-sizing queries derive a parameter from the corpus vector count
+    // (Similarity.bitsForCount for the near-dup LSH band width,
+    // Similarity.clustersForCount for the k-means/semdedup k), so their
+    // oracles must be sized for THIS sf dir, not the static map's
+    // sf0.01-shaped values — at sf1 the near-dup mismatch used to require
+    // a manual PrintNearDupSql swap before running check_par.py. One
+    // cheap count here removes that step for all three; at sf0.01 the
+    // generated SQL is byte-identical to the static entries.
+    val sizedSql: Map[String, String] =
       try {
         val n = graft.sources.Corpus.embeddings(spark, sfDir).count()
-        Some("embedding_near_dups" ->
-          graft.operators.Similarity.embeddingNearDupsSqlFor(
-            graft.operators.Similarity.bitsForCount(n)))
-      } catch { case _: Throwable => None }
-    val json = (SparkEntry.oracleSql ++ ndSql)
+        val k = graft.operators.Similarity.clustersForCount(n)
+        Map(
+          "embedding_near_dups" ->
+            graft.operators.Similarity.embeddingNearDupsSqlFor(
+              graft.operators.Similarity.bitsForCount(n)),
+          "kmeans_assign" -> graft.operators.Similarity.kmeansAssignSqlFor(k),
+          "semdedup" -> graft.operators.Similarity.semDedupSqlFor(k))
+      } catch { case _: Throwable => Map.empty }
+    val json = (SparkEntry.oracleSql ++ sizedSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -91,7 +91,7 @@ object Curation {
   val corpusRetentionSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id,
-       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       |    ${TextAnalysis.fingerprintSql} AS fingerprint,
        |    (${TextAnalysis.langIdPredictedSql}) AS predicted,
        |    (${TextAnalysis.qualityScore10Sql}) >= 6 AS q_keep
        |  FROM documents),
@@ -311,7 +311,7 @@ object Curation {
   val curationPipelineSql: String =
     s"""WITH sig AS (
        |  SELECT doc_id, source,
-       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       |    ${TextAnalysis.fingerprintSql} AS fingerprint,
        |    (${TextAnalysis.langIdPredictedSql}) AS predicted,
        |    (${TextAnalysis.qualityScore10Sql}) >= 6 AS q_keep,
        |    CAST(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0))
@@ -389,7 +389,7 @@ object Curation {
        |    CAST(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)) AS BIGINT) AS n_tok,
        |    (${TextAnalysis.qualityScore10Sql}) AS q,
        |    (${TextAnalysis.langIdPredictedSql}) AS pred,
-       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |    ${TextAnalysis.fingerprintSql} AS fp
        |  FROM documents),
        |fp_cnt AS (SELECT fp, COUNT(*) AS c FROM per_doc GROUP BY 1),
        |main AS (

@@ -9,9 +9,13 @@ import graft.sources.Corpus
   * `binary` columns with typed metadata (builder-prompt scale extension;
   * the reference has no media surface, so this is engine-native).
   *
-  * The media decode itself is STUBBED — this container ships no image or
-  * audio codecs — with a deterministic fake derived from the payload
-  * bytes. Everything around the stub is real and tested: the
+  * The IMAGE decode is real — `javax.imageio` ships in the JDK
+  * (PNG/BMP/GIF/JPEG), so decodable image payloads yield true dimensions
+  * and pooled-luma features (`RealImageDecodeSpec`). Only audio/video —
+  * codecs genuinely absent from this container — and undecodable
+  * payloads (the synthetic corpus's text stand-in bytes) take the
+  * deterministic fallback, which is what every media_* oracle checks.
+  * Everything around the codec is real and tested either way: the
   * binary+metadata schema, the per-partition batched execution shape
   * (codec handle initialized once per partition, the `mapInPandas`/
   * `mapPartitions` production pattern), deterministic frame sampling via
@@ -53,11 +57,54 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** STUB decoder — deterministic fake in place of a real codec. A
-    * production implementation swaps only this object (e.g. JNI/TwelveLabs
-    * bindings); it is instantiated once per partition, never per row. */
-  private object FakeCodec {
+  /** Decoder with a REAL image path and a deterministic fallback.
+    *
+    * Image payloads go through `javax.imageio` first — the JDK ships
+    * PNG/BMP/GIF/JPEG readers, no external codec needed — yielding true
+    * dimensions and dim pooled luma features (mean brightness over
+    * vertical strips: the simplest honest stand-in for a pooled visual
+    * embedding). Payloads that are NOT a decodable image fall back to the
+    * deterministic fake: that covers this container's entire synthetic
+    * corpus (text bytes standing in for media) and the genuinely absent
+    * codecs (audio/video), so every media_* oracle is fallback-shaped and
+    * unchanged. A production swap replaces only [[fallback]] and the
+    * audio/video branches; `RealImageDecodeSpec` pins the live path with
+    * in-test PNG and BMP bytes. */
+  private object Codec {
     def decode(item: MediaItem, dim: Int): MediaFeatures = {
+      val img =
+        if (item.mediaType == "image")
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(item.bytes))
+          catch { case _: Throwable => null }
+        else null
+      if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val feats = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          val x0 = i * w / dim
+          val x1 = math.max(x0 + 1, (i + 1) * w / dim)
+          var sum = 0.0; var n = 0
+          var x = x0
+          while (x < x1) {
+            var y = 0
+            while (y < h) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+              n += 1; y += 1
+            }
+            x += 1
+          }
+          feats(i) = if (n == 0) 0.0f else (sum / n).toFloat
+          i += 1
+        }
+        MediaFeatures(item.docId, item.mediaType, w, h, nFrames = 1, feats)
+      } else fallback(item, dim)
+    }
+
+    /** Deterministic fake for undecodable payloads — exact integer
+      * arithmetic, recomputed by the DuckDB oracles. */
+    def fallback(item: MediaItem, dim: Int): MediaFeatures = {
       val n = item.byteLen
       val feats = new Array[Float](dim)
       var i = 0
@@ -81,7 +128,7 @@ object Multimodal {
   def decodeFeatures(items: Dataset[MediaItem], dim: Int = 8): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      val codec = FakeCodec // per-partition init point for a real codec
+      val codec = Codec // per-partition init point for heavier codecs
       it.map(codec.decode(_, dim))
     }
   }

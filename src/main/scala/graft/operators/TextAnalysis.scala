@@ -34,6 +34,18 @@ object TextAnalysis {
     * streaming), and their oracles. */
   def fingerprintCol(text: Column): Column = md5(normTextCol(text))
 
+  /** [[normTextCol]] in DuckDB SQL — the ONE canonical normalization,
+    * SQL form (plain triple-quote: `\s` must reach DuckDB verbatim). */
+  val normTextSql: String =
+    """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  /** [[fingerprintCol]] in DuckDB SQL. Every oracle that fingerprints
+    * content references THIS val (`dedupExactSql`, `docFingerprintSql`,
+    * `Curation.corpusRetentionSql`/`curationPipelineSql`/
+    * `sourceReportSql`) — a tweak to the canonical normalization cannot
+    * silently skew one consumer's dup counts (round-7 advice). */
+  val fingerprintSql: String = s"md5($normTextSql)"
+
   /** The retention quality cut shared by [[qualityScore]],
     * `Curation.corpusRetention`, and `CurationStream.retention`. */
   val qualityKeepCut = 6L
@@ -218,11 +230,11 @@ object TextAnalysis {
       md5(substring(normTextCol(col("text")), 1, 64)).as("head_fingerprint"))
 
   val docFingerprintSql: String =
-    """SELECT doc_id,
-      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-      |  md5(substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64))
-      |    AS head_fingerprint
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  $fingerprintSql AS fingerprint,
+       |  md5(substring($normTextSql, 1, 64))
+       |    AS head_fingerprint
+       |FROM documents""".stripMargin
 
   /** Gopher-style repetition signals, per document: type-token ratio,
     * duplicate-bigram fraction, and the top token's frequency share — the

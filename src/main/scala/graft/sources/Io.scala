@@ -77,6 +77,29 @@ object Io {
     n
   }
 
+  /** Layout probe: (parquet file count, total row-group count) for a
+    * table path (single file or directory of part files). `rowGroups ==
+    * files` is the one-row-group-per-file signature of an
+    * externally-produced monolithic corpus — the layout [[compact]]
+    * exists to fix, and the trigger for Bench's relayout prelude. Footer
+    * reads only; no data pages touched. */
+  def rowGroupStats(spark: SparkSession, path: String): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val groups = files.map { s =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, hconf))
+      try rdr.getFooter.getBlocks.size
+      finally rdr.close()
+    }.sum
+    (files.size, groups)
+  }
+
   /** Ingest re-layout (compaction): rewrite a parquet table so that scans
     * parallelize. Spark cannot split a parquet ROW GROUP across tasks, so
     * a table shipped as one monolithic file with one row group (the
@@ -103,8 +126,16 @@ object Io {
       targetBytes: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(inPath), hconf)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    // in and out may live on DIFFERENT filesystems (hdfs → s3a, file →
+    // hdfs): resolve each from its own URI, and refuse a same-path call —
+    // mode("overwrite") would clobber the input before the lazy read runs
+    val inFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(inPath), hconf)
+    val outFs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(outPath), hconf)
+    val inQ = inFs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    val outQ = outFs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(inQ != outQ,
+      s"Io.compact would overwrite its own input (in == out == $inQ)")
+    val bytes = inFs.getContentSummary(inQ).getLength
     val files = math.max(
       spark.sparkContext.defaultParallelism,
       math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -114,7 +145,7 @@ object Io {
       else df.repartitionByRange(files, sortBy.map(org.apache.spark.sql.functions.col): _*)
         .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
     laid.write.mode("overwrite").parquet(outPath)
-    fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+    outFs.listStatus(outQ)
       .count(s => s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -337,6 +337,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in semdedup plan:\n$plan")
   }
 
+  test("kmeans large-k assignment: centroid frame broadcast, no shuffle of pairs") {
+    // k self-sizes as n/64 (Similarity.clustersForCount), so past ~1k
+    // vectors assignment leaves the literal-bake path; force k = 32 on
+    // the audit corpus and check the distributed-argmin shape: the k-row
+    // centroid frame rides a broadcast (nested-loop cross is fine — it IS
+    // the n×k compare), and the only exchange is the vec_id argmin
+    val df = Similarity.kmeansAssignForcedK(spark, sf, 32)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids not broadcast in large-k assignment:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"large-k assignment went cartesian (unbroadcast):\n$plan")
+    // self-check the rule that chooses the path
+    assert(Similarity.clustersForCount(500) == 8)    // sf0.01: literal path
+    assert(Similarity.clustersForCount(2000) == 32)  // sf0.1: broadcast path
+    assert(Similarity.clustersForCount(20000) == 313)
+    assert(Similarity.clustersForCount(100000000L) == 4096) // driver-state cap
+  }
+
   test("hybrid_rrf fuses two broadcast legs — no cartesian, no global sort") {
     val plan = physicalPlan(graft.operators.Retrieval.hybridRrf(spark, sf))
     assert(!plan.contains("CartesianProduct"),
@@ -356,6 +375,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // must stay equi; the ONLY nested-loop joins allowed are the crosses
     // of the three 1-row count aggregates (IdentityBroadcastMode)
     assert(!plan.contains("CartesianProduct"), s"unplanned cartesian:\n$plan")
+    // the truth side must be df-capped BEFORE the self-join (round-7
+    // verdict: the uncapped Σdf² term was the suite's one scale-killer);
+    // the checkpoint truncates it out of the joined plan, so audit the
+    // pre-checkpoint subtree: a window count over shingle + a filter on it
+    val capped = physicalPlan(
+      graft.operators.Dedup.recallCappedShingles(spark, sf))
+    assert(capped.contains("Window"),
+      s"truth-side df window count missing:\n$capped")
+    assert(capped.contains(s"<= ${graft.operators.Dedup.recallTruthMaxDf}"),
+      s"truth-side df cap (<= ${graft.operators.Dedup.recallTruthMaxDf}) " +
+        s"missing from plan:\n$capped")
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"),
       s"hit intersection is not an equi join:\n$plan")

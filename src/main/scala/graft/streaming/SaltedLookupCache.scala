@@ -88,14 +88,26 @@ object SaltedLookupCache {
     * unsafe — for payloads without a value-based hashCode (arrays, plain
     * classes) it is the JVM identity hash, which differs per object
     * instance. Use a value-stable hash where the type guarantees one
-    * (case classes, strings, numbers) and fall back to the element's
-    * event timestamp (deterministic per element) for opaque payloads. */
+    * (case classes, strings, numbers) or where contents can be hashed
+    * directly (arrays — the common opaque payload, hashed element-wise so
+    * a re-deserialized copy salts identically), and fall back to the
+    * element's event timestamp (deterministic per element) for the rest.
+    *
+    * Documented trade on that LAST fallback: a truly opaque payload class
+    * spreads by timestamp only, so a hot key whose events share one
+    * coarse timestamp would collapse onto one salt — acceptable because
+    * every payload this engine ships (tuples/case classes, strings,
+    * numbers, arrays) hashes by content, and a caller with an exotic
+    * payload type can wrap it in a case class to opt into content
+    * hashing (spec-pinned in SaltedLookupSpec). */
   private[graft] def stableSalt(v: Any, ts: Timestamp, n: Int): Int = {
     val h: Long = v match {
       case p: Product => scala.util.hashing.MurmurHash3.productHash(p).toLong
       case s: String => scala.util.hashing.MurmurHash3.stringHash(s).toLong
       case x: java.lang.Number => x.longValue()
-      case _ => 0L // identity-hash payload: spread by timestamp only
+      case a: Array[Byte] => scala.util.hashing.MurmurHash3.bytesHash(a).toLong
+      case a: Array[_] => scala.util.hashing.MurmurHash3.arrayHash(a).toLong
+      case _ => 0L // truly opaque payload: spread by timestamp only
     }
     val mixed = (h * 31 + ts.getTime) * 0x9E3779B97F4A7C15L
     (((mixed ^ (mixed >>> 32)).toInt) & Int.MaxValue) % n

@@ -55,4 +55,29 @@ class KeySkewStreamSpec extends AnyFunSuite {
       spark.sql("DROP VIEW IF EXISTS graft_key_skew")
     }
   }
+
+  test("update mode emits one refreshed global row per micro-batch (the documented contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val in = MemoryStream[Long]
+    val q = KeySkewStream.hotKeys(in.toDF().toDF("user_id"))
+      .writeStream.format("memory").queryName("graft_key_skew_upd")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+      // the sink accumulates the per-batch UPDATES of the single global
+      // row: one row per micro-batch, each with the cumulative count
+      val counts = spark.table("graft_key_skew_upd")
+        .select("n_rows").as[Long].collect().toSeq.sorted
+      assert(counts === Seq(50L, 110L),
+        s"expected one updated global row per batch (50 then 110): $counts")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_key_skew_upd")
+    }
+  }
 }

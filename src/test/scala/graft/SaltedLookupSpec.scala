@@ -115,6 +115,29 @@ class SaltedLookupSpec extends AnyFunSuite {
       SaltedLookupCache.stableSalt("hot001", t, 8))
   }
 
+  test("same-timestamp array payloads spread by CONTENT, not timestamp (r7 note)") {
+    // A hot key whose events share one coarse timestamp — a burst landing
+    // in the same second — used to collapse onto a single salt for array
+    // payloads (timestamp-only fallback). Content hashing restores the
+    // spread while staying replay-deterministic.
+    val t = ts("12:00:00")
+    val salts = (0 until 64).map { i =>
+      SaltedLookupCache.stableSalt(s"payload$i".getBytes("UTF-8"), t, 8)
+    }.toSet
+    assert(salts.size > 4,
+      s"same-ts distinct-content byte arrays must spread across salts: $salts")
+    // non-byte arrays hash element-wise too
+    val ls = (0 until 64).map { i =>
+      SaltedLookupCache.stableSalt(Array(i.toLong, 2L * i), t, 8)
+    }.toSet
+    assert(ls.size > 4, s"same-ts Array[Long] payloads must spread: $ls")
+    // the documented residual trade: a truly opaque class still spreads
+    // by timestamp only — same ts, same salt
+    final class Opaque(val x: Int)
+    assert(SaltedLookupCache.stableSalt(new Opaque(1), t, 8) ===
+      SaltedLookupCache.stableSalt(new Opaque(2), t, 8))
+  }
+
   test("salted join matches unsalted output for an Array[Byte] payload (self-sized salts)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

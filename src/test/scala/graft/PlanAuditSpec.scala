@@ -55,6 +55,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in near-dup plan:\n$plan")
   }
 
+  test("keyless range join routes through the band equi-join — no nested loop") {
+    val plan = physicalPlan(graft.operators.RangeJoin.concurrentViews(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"no equi-join on the band id:\n$plan")
+  }
+
   test("multi-table LSH ANN blocks on (table, key) — no all-pairs join") {
     val plan = physicalPlan(Similarity.annLshBucketed(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

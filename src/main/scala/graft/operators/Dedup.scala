@@ -89,22 +89,51 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val mins = new Array[String](numMinhash)
-          val shingles = shinglesOf(text)
-          shingles.foreach { sh =>
-            val ha = hex32(md.digest(("a|" + sh).getBytes("UTF-8")))
-            val hb = hex32(md.digest(("b|" + sh).getBytes("UTF-8")))
-            var i = 0
-            while (i < numMinhash) {
-              val src = if (i < 4) ha else hb
-              val slice = src.substring((i % 4) * 8, (i % 4) * 8 + 8)
-              if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
-              i += 1
-            }
-          }
-          (id, mins.toSeq, shingles.size.toLong)
+          val (mins, nShingles) = signatureOf(md, text)
+          (id, mins.toSeq, nShingles.toLong)
         }
       }
+  }
+
+  /** The k minhash minima + shingle-set size of ONE document — the per-doc
+    * kernel of [[minhashPerDoc]], factored out so the streaming
+    * at-ingestion near-dup detector ([[graft.streaming.StreamNearDup]])
+    * computes byte-identical signatures to the batch sweep. `md` is the
+    * caller's reused digest instance (one per partition/task). */
+  private[graft] def signatureOf(
+      md: java.security.MessageDigest, text: String): (Array[String], Int) = {
+    val mins = new Array[String](numMinhash)
+    val shingles = shinglesOf(text)
+    shingles.foreach { sh =>
+      val ha = hex32(md.digest(("a|" + sh).getBytes("UTF-8")))
+      val hb = hex32(md.digest(("b|" + sh).getBytes("UTF-8")))
+      var i = 0
+      while (i < numMinhash) {
+        val src = if (i < 4) ha else hb
+        val slice = src.substring((i % 4) * 8, (i % 4) * 8 + 8)
+        if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+        i += 1
+      }
+    }
+    (mins, shingles.size)
+  }
+
+  /** LSH band keys of one signature — scala twin of the batch band-key
+    * column expression (band index || minima slices, '|'-joined), shared
+    * with the streaming detector so a stream-flagged band collision is
+    * exactly a batch band collision. */
+  private[graft] def bandKeysOf(mins: Array[String]): Array[String] = {
+    val nBands = numMinhash / bandSize
+    Array.tabulate(nBands) { b =>
+      val sb = new StringBuilder
+      sb.append(b)
+      var j = 0
+      while (j < bandSize) {
+        sb.append('|').append(mins(b * bandSize + j))
+        j += 1
+      }
+      sb.toString
+    }
   }
 
   private[graft] val shingledSql: String =

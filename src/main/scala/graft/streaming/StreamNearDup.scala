@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming MinHash-LSH near-duplicate detection at ingestion — the
+  * unbounded twin of the batch `minhash_lsh_pairs` sweep (and the fuzzy
+  * sibling of [[StreamDedup]]'s exact path).
+  *
+  * A training-data pipeline at 100 TB cannot afford to re-run the batch
+  * LSH self-join on every ingest increment; the streaming form keeps the
+  * last `retention` of band keys as keyed state and flags each arriving
+  * document whose signature collides with an already-seen document in any
+  * band — the same candidate definition as the batch operator (signatures
+  * and band keys are computed by the SAME per-doc kernel,
+  * `Dedup.signatureOf`/`bandKeysOf`, so a streamed collision IS a batch
+  * band collision restricted to the retention horizon).
+  *
+  * Scale shape: one doc → 4 band rows (constant fan-out), one shuffle on
+  * the band key, state = one (docId, ts) pair per distinct band key seen
+  * within retention, evicted by event-time timeout once the watermark
+  * passes `firstSeenTs + retention`. Partitioned by band key — the same
+  * even-distribution contract as every keyed operator here; band keys are
+  * 2×32-bit minhash slices, so hot keys only arise from genuinely
+  * mass-duplicated content (boilerplate), which is exactly what the
+  * detector exists to surface.
+  *
+  * Trade-offs (inherent to bounded state, mirroring [[StreamDedup]]):
+  * a near-dup of a document older than `retention` is not flagged, and
+  * the "original" is the earliest-by-(ts, docId) document seen so far —
+  * out-of-order arrival within a micro-batch is resolved by sorting, but
+  * an original arriving AFTER its duplicate's batch was processed cannot
+  * retroactively re-attribute the hit.
+  */
+object StreamNearDup {
+
+  /** One ingested document. */
+  final case class DocEvent(docId: Long, text: String, ts: Timestamp)
+
+  /** One (band key, doc) routing row — public because encoder codegen
+    * must reach it from generated projections. */
+  final case class BandRow(key: String, docId: Long, ts: Timestamp)
+
+  /** First-seen doc per band key. */
+  final case class SeenState(docId: Long, tsMs: Long)
+
+  /** One band collision: `docId` shares `band`'s key with earlier
+    * `dupOf`. A doc colliding in several bands emits one hit per band;
+    * [[flagged]] collapses them to one verdict per doc. */
+  final case class BandHit(docId: Long, dupOf: Long, band: Int, ts: Timestamp)
+
+  /** Per-band collision events for an unbounded document stream.
+    *
+    * @param docs           ingest stream
+    * @param watermarkDelay max out-of-orderness of `ts`
+    * @param retentionMs    how long a band key can vouch for "seen";
+    *                       state for a key is dropped once the watermark
+    *                       passes firstSeen + retention
+    */
+  def candidates(
+      docs: Dataset[DocEvent],
+      watermarkDelay: String = "10 minutes",
+      retentionMs: Long = 60L * 60L * 1000L): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
+    val bands = docs
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { d =>
+          val keys = Dedup.bandKeysOf(Dedup.signatureOf(md, d.text)._1)
+          keys.iterator.map(k => BandRow(k, d.docId, d.ts))
+        }
+      }
+      // watermark AFTER the typed map — a typed .map erases event-time
+      // column metadata (same constraint as LookupCacheJoin.join)
+      .withWatermark("ts", watermarkDelay)
+
+    bands
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SeenState, BandHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandRow], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[BandHit]
+            // earliest-by-(ts, docId) is the original; sort restores
+            // event-time order within the micro-batch
+            var st = state.getOption.orNull
+            val band = key.takeWhile(_ != '|').toInt
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+              if (st == null) st = SeenState(r.docId, r.ts.getTime)
+              else if (r.docId != st.docId)
+                out += BandHit(r.docId, st.docId, band, r.ts)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.tsMs + retentionMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** One verdict per document: a doc's first band collision, collapsed to
+    * a single row however many bands collide. Chains a second stateful
+    * stage (dedup on docId) after the fMGWS stage; Spark's conservative
+    * global-watermark check cannot prove fMGWS output timestamps are
+    * watermark-safe and rejects the chain, so callers must set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * for this query. It IS safe here: every hit is stamped at the
+    * triggering row's event time, which by upstream admission is within
+    * `watermarkDelay` of the watermark — the downstream dedup never sees
+    * a row it would discard as late (same reasoning as
+    * [[LookupCacheJoin]]'s "keep terminal or give downstream generous
+    * delays" contract, SURVEY.md §7.5.4). */
+  def flagged(
+      docs: Dataset[DocEvent],
+      watermarkDelay: String = "10 minutes",
+      retentionMs: Long = 60L * 60L * 1000L): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    candidates(docs, watermarkDelay, retentionMs)
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("docId")
+      .map(h => (h.docId, h.dupOf))
+  }
+}

@@ -100,6 +100,38 @@ object Io {
     (files.size, groups)
   }
 
+  /** Skipping probe: per row group, the footer (min, max) of an INT64
+    * column — what a stats-aware scan consults to decide whether the
+    * group can satisfy a range predicate at all. The measured half of the
+    * clustering story: after [[compact]]`(sortBy)` or [[compactZ]], the
+    * fraction of groups whose [min, max] misses a predicate's range IS
+    * the fraction of I/O the layout saves. Footer reads only. */
+  def columnRangeStats(
+      spark: SparkSession, path: String, column: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), hconf)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files =
+      (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+       else Seq(fs.getFileStatus(p)))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    files.flatMap { s =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, hconf))
+      try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val cc = b.getColumns.asScala
+          .find(_.getPath.toDotString == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$column' in ${s.getPath}"))
+        val st = cc.getStatistics
+        (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+         st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+      }
+      finally rdr.close()
+    }
+  }
+
   /** Ingest re-layout (compaction): rewrite a parquet table so that scans
     * parallelize. Spark cannot split a parquet ROW GROUP across tasks, so
     * a table shipped as one monolithic file with one row group (the
@@ -124,7 +156,54 @@ object Io {
       inPath: String,
       outPath: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): Int = {
+      sortBy: Seq[String] = Nil): Int =
+    sizedRewrite(spark, inPath, outPath, targetBytes) { (df, files) =>
+      if (sortBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, sortBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
+    }
+
+  /** [[compact]] with Z-ORDER clustering: rows are laid out along a Morton
+    * curve over `zorderBy`'s quantile-bucket ranks
+    * ([[graft.functions.ZOrderKey]]), so parquet min/max stats line up
+    * with EVERY clustered column at once and range predicates on any of
+    * them skip most row groups — single-column `sortBy` clustering only
+    * serves predicates on that one column. Quantile cut points
+    * (2^bits − 1 per column, one approx-quantile pass) make the curve
+    * skew-proof: each bucket holds ~1/2^bits of the rows whatever the
+    * value distribution. Columns are cast to long ranks; the z key is
+    * never written, only sorted on. */
+  def compactZ(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      zorderBy: Seq[String],
+      bits: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(zorderBy.size >= 2,
+      "z-order needs >= 2 columns (use compact(sortBy) for one)")
+    import org.apache.spark.sql.functions.col
+    sizedRewrite(spark, inPath, outPath, targetBytes) { (df, files) =>
+      val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+      val boundaries = zorderBy.map { c =>
+        df.select(col(c).cast("double").as(c))
+          .stat.approxQuantile(c, probs, 0.001).map(_.toLong)
+      }
+      val zkey = graft.functions.ZOrderFunctions.zkey(
+        zorderBy.map(c => col(c).cast("long")), boundaries)
+      df.repartitionByRange(files, zkey).sortWithinPartitions(zkey)
+    }
+  }
+
+  /** Shared sizing + same-path guard of the re-layout family: output file
+    * count derives from the INPUT's on-disk bytes, clamped to the default
+    * parallelism so small tables still fan out. */
+  private def sizedRewrite(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long)(
+      layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     // in and out may live on DIFFERENT filesystems (hdfs → s3a, file →
     // hdfs): resolve each from its own URI, and refuse a same-path call —
@@ -139,12 +218,7 @@ object Io {
     val files = math.max(
       spark.sparkContext.defaultParallelism,
       math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(inPath)
-    val laid =
-      if (sortBy.isEmpty) df.repartition(files)
-      else df.repartitionByRange(files, sortBy.map(org.apache.spark.sql.functions.col): _*)
-        .sortWithinPartitions(sortBy.map(org.apache.spark.sql.functions.col): _*)
-    laid.write.mode("overwrite").parquet(outPath)
+    layout(spark.read.parquet(inPath), files).write.mode("overwrite").parquet(outPath)
     outFs.listStatus(outQ)
       .count(s => s.getPath.getName.endsWith(".parquet"))
   }

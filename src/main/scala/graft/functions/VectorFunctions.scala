@@ -139,11 +139,86 @@ case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Native per-term-quantized squared distance between two `array<double>`
+  * columns: `Σ_i round_half_up((a_i − b_i)² · 1e8) : long`, folded
+  * left-to-right.
+  *
+  * The k-means family evaluates this once per (vector, centroid) pair —
+  * n×k per assignment pass, three passes per query. As
+  * `aggregate(zip_with(round(...)))` it is CodegenFallback: an
+  * interpreted lambda frame and a boxed double per element, which made
+  * `kmeans_assign`/`semdedup` the two most expensive queries of the r8
+  * suite once k self-sized past the literal path (sf0.1: 5.8 s / 5.0 s).
+  * This is the same cure as [[DotProduct]]: a primitive loop inside
+  * whole-stage codegen.
+  *
+  * Rounding: terms are nonnegative, so decimal HALF_UP (Spark's `round`,
+  * DuckDB's `round`) coincides with `floor(t) + (t − floor(t) ≥ 0.5)`,
+  * computed here without the `t + 0.5` addition whose float rounding
+  * could cross an integer boundary. `t − floor(t)` is exact for the
+  * magnitudes involved (Sterbenz), so the term value is bit-identical to
+  * the oracle's `CAST(round(t, 0) AS BIGINT)`.
+  */
+case class QuantizedSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_qsqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      val t = d * d * 1e8
+      val f = math.floor(t)
+      s += f.toLong + (if (t - f >= 0.5) 1L else 0L)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val f = ctx.freshName("f")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  double $t = $d * $d * 1e8;
+         |  double $f = java.lang.Math.floor($t);
+         |  $s += (long) $f + (($t - $f >= 0.5) ? 1L : 0L);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column-DSL entry point: `dot(a, b)` with codegen. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-DSL entry point: quantized squared distance with codegen. */
+  def qSqDist(a: Column, b: Column): Column =
+    Bridge.column(QuantizedSqDist(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column-DSL entry point: packed hyperplane sign bits of `v`. */
   def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -725,12 +725,12 @@ object Similarity {
       e.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
         .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     // per-TERM quantized squared distance (the cross-engine-exact form);
-    // works against a literal centroid or a joined centroid column
+    // works against a literal centroid or a joined centroid column. Native
+    // codegen'd expression — the aggregate(zip_with(...)) form it replaces
+    // was CodegenFallback and made this family the bench's two most
+    // expensive queries once k self-sized past the literal path (r8).
     def qdist(cv: Column): Column =
-      aggregate(
-        zip_with(col("v"), cv,
-          (x, c) => round((x - c) * (x - c) * lit(1e8), 0).cast("long")),
-        lit(0L), _ + _)
+      graft.functions.VectorFunctions.qSqDist(col("v"), cv)
     def assigned: DataFrame =
       if (cents.size <= kmLiteralMax) {
         // small k: centroids baked as literals — one narrow codegen

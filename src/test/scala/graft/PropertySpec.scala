@@ -88,6 +88,42 @@ object DotProductProps extends Properties("graft_dot") {
   }
 }
 
+object QSqDistProps extends Properties("graft_qsqdist") {
+
+  import graft.functions.QuantizedSqDist
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.chooseNum(0, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)).map(_.toArray))
+
+  private def qEval(a: Array[Double], b: Array[Double]): Any =
+    QuantizedSqDist(
+      Literal.create(new GenericArrayData(a), ArrayType(DoubleType)),
+      Literal.create(new GenericArrayData(b), ArrayType(DoubleType))).eval(null)
+
+  property("matches decimal-HALF_UP per-term quantization over the common prefix") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      var expected = 0L
+      var i = 0
+      while (i < n) {
+        val d = a(i) - b(i)
+        // the reference semantics: Spark/DuckDB round(t, 0) then cast long
+        expected += java.math.BigDecimal.valueOf(d * d * 1e8)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        i += 1
+      }
+      qEval(a, b) == expected
+    }
+
+  property("null inputs propagate null") = Prop {
+    val lit = Literal.create(new GenericArrayData(Array(1.0)), ArrayType(DoubleType))
+    val nul = Literal.create(null, ArrayType(DoubleType))
+    QuantizedSqDist(nul, lit).eval(null) == null &&
+      QuantizedSqDist(lit, nul).eval(null) == null
+  }
+}
+
 /** The Space-Saving sketch's guarantees under arbitrary partition splits
   * and merge orders — the properties that make `graft_top_terms` safe as a
   * distributed aggregate. The oracle-checked query runs in the exact

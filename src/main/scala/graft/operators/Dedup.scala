@@ -907,4 +907,34 @@ object Dedup {
        |    CAST((SELECT c FROM hit) AS DOUBLE)
        |      / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)
        |  END AS recall""".stripMargin
+
+  /** Cross-source duplication matrix: verified near-dup pairs rolled up by
+    * unordered source pair — the report a curation run publishes to answer
+    * "which corpora overlap, and how much?" (crawl-vs-crawl boilerplate,
+    * wiki mirrors inside a crawl, benchmark bleed between sources) before
+    * deciding which side of each overlap to keep. Composes the audited
+    * [[minhashLshPairs]] pipeline with two pruned doc_id→source lookups;
+    * the pairs frame (vanishing fraction of the corpus) broadcasts onto
+    * both, so no new shuffle shape is introduced. */
+  def dupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = broadcast(minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b")))
+    val src = Corpus.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val dupSourceMatrixSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql))
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |  GREATEST(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM p
+       |JOIN documents da ON p.doc_a = da.doc_id
+       |JOIN documents db ON p.doc_b = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
 }

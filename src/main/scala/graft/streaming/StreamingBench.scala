@@ -33,6 +33,17 @@ object StreamingBench {
       if (n % 3 == 0) "Click" else "Impression",
       new Timestamp(baseMs + n * 100L))
 
+  /** One synthetic document for the near-dup leg: every 10th doc repeats
+    * an earlier doc's token sequence (an exact near-dup colliding in all
+    * bands), the rest are distinct. Doc-level work is ~56 md5 digests per
+    * document (the signature kernel), so this leg's ev/s is docs/sec —
+    * an order of magnitude below the row-level legs by construction. */
+  private def doc(n: Long, baseMs: Long): StreamNearDup.DocEvent = {
+    val src = if (n % 10 == 9) n - 9 else n
+    val toks = (0 until 25).map(i => s"w${(src * 31 + i * 7) % 997}")
+    StreamNearDup.DocEvent(n, toks.mkString(" "), new Timestamp(baseMs + n * 100L))
+  }
+
   /** Generic single-stream harness: returns (events processed, wall sec)
     * for `batches` micro-batches of `mkBatch(batch, perBatch)` rows through
     * `mkQuery`'s streaming plan. `outputMode` must match the plan ("update"
@@ -199,6 +210,14 @@ object StreamingBench {
       Leg("dedup", twsOnly = false, qn => throughputOf[AdEvent](spark,
         ds => StreamDedup.dedupEvents(ds).toDF(),
         adEvt, "append", qn, batches, perBatch)),
+      // docs, not rows: 1/10 the batch size (each doc costs the whole
+      // signature kernel), duplication planted so the collision path runs
+      Leg("neardup", twsOnly = false, qn => throughputOf[StreamNearDup.DocEvent](spark,
+        ds => StreamNearDup.candidates(ds, watermarkDelay = "2 hours").toDF(),
+        (b, per) => {
+          val n = math.max(1, per / 10)
+          (0 until n).map(i => doc(b.toLong * n + i, base))
+        }, "append", qn, batches, perBatch)),
       Leg("repeat", twsOnly = false, qn => throughputOf[(String, String, Timestamp)](spark,
         ds => Repeater.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),
         values(50), "append", qn, batches, perBatch)),

@@ -55,6 +55,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in near-dup plan:\n$plan")
   }
 
+  test("the quantized squared distance stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10).select(
+      graft.functions.VectorFunctions.qSqDist(
+        array(col("id").cast("double"), (col("id") * 2).cast("double")),
+        array(lit(0.5), lit(1.5))).as("qd"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("WholeStageCodegen"), gen)
+    assert(gen.contains("Math.floor"), "distance quantization not code-generated")
+  }
+
   test("keyless range join routes through the band equi-join — no nested loop") {
     val plan = physicalPlan(graft.operators.RangeJoin.concurrentViews(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -210,6 +210,93 @@ case class QuantizedSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused nearest-centroid assignment: argmin over k centroids of the
+  * [[QuantizedSqDist]] metric, ties to the SMALLER centroid index —
+  * exactly `row_number() OVER (ORDER BY qd, cluster)` = 1 in the oracle.
+  *
+  * The k-means assignment pass is `n × k` distance evaluations. As a
+  * crossJoin against a broadcast centroid frame + per-vec_id argmin
+  * aggregate, Spark materializes all n×k joined rows (18.8M at sf1's
+  * self-sized k = 313) just to reduce them again — measured 13 s of the
+  * sf1 bench. With the centroid matrix as a flat `double[]` in the plan's
+  * reference array (the [[HyperplaneSignature]] pattern), assignment is a
+  * shuffle-free narrow projection at ANY k: one fused loop nest per row
+  * inside whole-stage codegen, no join, no exchange, no per-pair row. One
+  * code path replaces both the old literal-bake (k ≤ 16) and
+  * broadcast-argmin branches.
+  */
+case class ArgMinQDist(child: Expression, cents: Array[Double], k: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && cents.length % k == 0,
+    s"centroid matrix length ${cents.length} not a multiple of k=$k")
+  private val stride = cents.length / k
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_argmin_qdist"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    var best = 0L
+    var bestQd = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * stride
+      val n = math.min(v.numElements(), stride)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = v.getDouble(i) - cents(off + i)
+        val t = d * d * 1e8
+        val f = math.floor(t)
+        s += f.toLong + (if (t - f >= 0.5) 1L else 0L)
+        i += 1
+      }
+      if (s < bestQd) { bestQd = s; best = c.toLong }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("cents", cents, "double[]")
+      val best = ctx.freshName("best")
+      val bestQd = ctx.freshName("bestQd")
+      val c = ctx.freshName("c")
+      val off = ctx.freshName("off")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val f = ctx.freshName("f")
+      s"""
+         |long $best = 0L;
+         |long $bestQd = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $off = $c * $stride;
+         |  int $n = java.lang.Math.min($a.numElements(), $stride);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $m[$off + $i];
+         |    double $t = $d * $d * 1e8;
+         |    double $f = java.lang.Math.floor($t);
+         |    $s += (long) $f + (($t - $f >= 0.5) ? 1L : 0L);
+         |  }
+         |  if ($s < $bestQd) { $bestQd = $s; $best = (long) $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Column-DSL entry point: `dot(a, b)` with codegen. */
@@ -219,6 +306,11 @@ object VectorFunctions {
   /** Column-DSL entry point: quantized squared distance with codegen. */
   def qSqDist(a: Column, b: Column): Column =
     Bridge.column(QuantizedSqDist(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-DSL entry point: fused nearest-centroid id (flat row-major
+    * k×dims matrix) with codegen. */
+  def argMinQDist(v: Column, cents: Array[Double], k: Int): Column =
+    Bridge.column(ArgMinQDist(Bridge.expression(v), cents, k))
 
   /** Column-DSL entry point: packed hyperplane sign bits of `v`. */
   def hyperplaneSig(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -70,8 +70,14 @@ object RangeJoin {
     val p = points.withColumn("graft_p_band", floor(point / bandWidth))
     // Exclusive end: a range ending exactly on a band boundary emits that
     // boundary band too; the residual discards any point in it.
-    val r = ranges.withColumn("graft_r_band",
-      explode(sequence(floor(start / bandWidth), floor(end / bandWidth))))
+    // Inverted ranges (end < start) can match nothing but would make
+    // `sequence` THROW (illegal boundaries) — drop them up front, which
+    // the naive join also treats as no-match. Band floors are compared
+    // (not the raw bounds) so mixed-magnitude rounding can't re-invert.
+    val r = ranges
+      .where(floor(start / bandWidth) <= floor(end / bandWidth))
+      .withColumn("graft_r_band",
+        explode(sequence(floor(start / bandWidth), floor(end / bandWidth))))
     val exact = residual.getOrElse(start <= point && point < end)
     p.join(r, p("graft_p_band") === r("graft_r_band") && exact, joinType)
       .drop("graft_p_band", "graft_r_band")

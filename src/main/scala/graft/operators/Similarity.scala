@@ -667,13 +667,6 @@ object Similarity {
     math.max(1, math.min(kmMaxClusters,
       math.ceil(n.toDouble / kmBlockTarget).toInt))
 
-  // ≤ this many centroids: bake them into the projection as LITERALS
-  // (shuffle-free, no join — the plan you want while the expression tree
-  // stays small). Above it, the k-way least() literal tree outgrows what
-  // codegen and analysis handle gracefully, and assignment becomes a
-  // broadcast nested-loop join against the k-row centroid frame + one
-  // argmin exchange on vec_id — the standard distributed-argmin shape.
-  private val kmLiteralMax = 16
   private val kmRounds = 2
 
   /** Lloyd's k-means over the embedding corpus: deterministic init (the k
@@ -686,12 +679,16 @@ object Similarity {
     * ties break on the cluster index.
     *
     * Scale shape ([[TextAnalysis.bpeVocab]]'s driver-loop discipline): the
-    * driver state per round is k×64 scalars. Centroids are baked into the
-    * assignment as LITERALS, so each assignment pass is one narrow
-    * whole-stage-codegen projection over the (localCheckpoint'ed, single
-    * scan) vector frame — no join, no shuffle; each update round is one
-    * per-(cluster,dim) map-side-combinable aggregate whose exchange is
-    * bounded at k×64 rows regardless of corpus size. */
+    * driver state per round is k×64 scalars. The centroid matrix rides in
+    * the plan's reference array inside the fused
+    * [[graft.functions.ArgMinQDist]] expression, so each assignment pass
+    * is one narrow whole-stage-codegen projection over the
+    * (localCheckpoint'ed, single scan) vector frame — no join, no
+    * shuffle, no per-pair row, at ANY k (this replaced both the old
+    * k ≤ 16 literal-bake and the broadcast-argmin crossJoin, whose n×k
+    * materialized rows cost 13 s at sf1's self-sized k = 313); each
+    * update round is one per-(cluster,dim) map-side-combinable aggregate
+    * whose exchange is bounded at k×64 rows regardless of corpus size. */
   def kmeansAssign(s: SparkSession, dir: String): DataFrame =
     kmeansAssigned(s, dir).select(col("vec_id"), col("cluster"))
 
@@ -724,39 +721,15 @@ object Similarity {
     var cents: IndexedSeq[IndexedSeq[Double]] =
       e.orderBy(col("vec_id")).limit(k).select(col("v")).collect()
         .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    // per-TERM quantized squared distance (the cross-engine-exact form);
-    // works against a literal centroid or a joined centroid column. Native
-    // codegen'd expression — the aggregate(zip_with(...)) form it replaces
-    // was CodegenFallback and made this family the bench's two most
-    // expensive queries once k self-sized past the literal path (r8).
-    def qdist(cv: Column): Column =
-      graft.functions.VectorFunctions.qSqDist(col("v"), cv)
+    // ONE assignment shape at any k: the centroid matrix as a flat
+    // double[] reference inside the fused argmin expression — per-term
+    // quantized distances (the cross-engine-exact form), ties to the
+    // smaller cluster index, matching the oracle's row_number ORDER BY
+    // qd, cluster. No join, no exchange, no n×k intermediate row.
     def assigned: DataFrame =
-      if (cents.size <= kmLiteralMax) {
-        // small k: centroids baked as literals — one narrow codegen
-        // projection, no join, no exchange
-        val best = cents.zipWithIndex
-          .map { case (cv, i) =>
-            struct(qdist(typedLit(cv)).as("qd"), lit(i.toLong).as("c"))
-          }
-          .reduceLeft((a, b) => least(a, b))
-        e.select(col("vec_id"), col("v"), best.getField("c").as("cluster"))
-      } else {
-        // large k: broadcast the k-row centroid frame (k×64 doubles —
-        // kilobytes), nested-loop it onto the vectors, argmin per vec_id
-        // via min(struct) — ties break on cluster index, matching the
-        // oracle's row_number ORDER BY qd, cluster. One exchange of n
-        // rows; every per-pair distance stays distributed.
-        val centsDf = broadcast(
-          cents.zipWithIndex
-            .map { case (cv, i) => (i.toLong, cv) }.toDF("c", "cv"))
-        e.crossJoin(centsDf)
-          .select(col("vec_id"), col("v"),
-            struct(qdist(col("cv")).as("qd"), col("c")).as("sc"))
-          .groupBy(col("vec_id"))
-          .agg(first(col("v")).as("v"), min(col("sc")).as("m"))
-          .select(col("vec_id"), col("v"), col("m").getField("c").as("cluster"))
-      }
+      e.select(col("vec_id"), col("v"),
+        graft.functions.VectorFunctions.argMinQDist(
+          col("v"), cents.flatten.toArray, cents.size).as("cluster"))
     for (_ <- 1 to kmRounds) {
       val upd = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -854,8 +827,8 @@ object Similarity {
     * Σ cᵢ² within-block pairs instead of n², and k self-sizes as
     * n / [[kmBlockTarget]] ([[clustersForCount]]) so the average block —
     * and with it the per-block pair cost — stays ~constant at every
-    * corpus size. Assignment is [[kmeansAssigned]]'s centroid-literal
-    * projection (small k) or broadcast-argmin (large k); the drop set is
+    * corpus size. Assignment is [[kmeansAssigned]]'s fused shuffle-free
+    * argmin projection (any k); the drop set is
     * a distinct over dup pair endpoints, bounded by the duplicate count,
     * and lands back on the corpus as one left anti-style probe. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {

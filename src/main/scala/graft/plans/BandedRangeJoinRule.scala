@@ -133,9 +133,13 @@ class BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Some(conf.sessionLocalTimeZone))
     val rBandAttr = AttributeReference(
       "__graft_r_band", LongType, nullable = seq.dataType.asInstanceOf[ArrayType].containsNull)()
+    // an inverted range (e < s) matches nothing under the sandwich but
+    // would make Sequence THROW — filter it below the Generate, which the
+    // nested-loop plan also treats as no-match
+    val guarded = Filter(LessThanOrEqual(bandOf(s, w), bandOf(e, w)), rSide)
     val newRSide = Generate(
       Explode(seq), unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(rBandAttr), child = rSide)
+      qualifier = None, generatorOutput = Seq(rBandAttr), child = guarded)
     val bandEq = EqualTo(pBand.toAttribute, rBandAttr)
     val (newLeft, newRight) =
       if (pOnLeft) (newPSide, newRSide) else (newRSide, newPSide)

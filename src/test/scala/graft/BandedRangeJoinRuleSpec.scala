@@ -69,6 +69,18 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset(confKey)
   }
 
+  test("inverted ranges are no-match rows, not a sequence crash") {
+    import spark.implicits._
+    val p = Seq((1L, 5L)).toDF("pid", "v")
+    val r = Seq((10L, 0L, 10L), (11L, 20L, 3L)).toDF("rid", "s", "e") // 11 inverted
+    spark.conf.set(confKey, "4")
+    try {
+      val out = p.join(r, col("s") <= col("v") && col("v") < col("e"))
+        .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(out.toSeq === Seq((1L, 10L)))
+    } finally spark.conf.unset(confKey)
+  }
+
   test("SQL-surface joins get the same rewrite") {
     points.createOrReplaceTempView("graft_rr_points")
     ranges.createOrReplaceTempView("graft_rr_ranges")

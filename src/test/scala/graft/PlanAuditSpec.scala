@@ -358,18 +358,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in semdedup plan:\n$plan")
   }
 
-  test("kmeans large-k assignment: centroid frame broadcast, no shuffle of pairs") {
-    // k self-sizes as n/64 (Similarity.clustersForCount), so past ~1k
-    // vectors assignment leaves the literal-bake path; force k = 32 on
-    // the audit corpus and check the distributed-argmin shape: the k-row
-    // centroid frame rides a broadcast (nested-loop cross is fine — it IS
-    // the n×k compare), and the only exchange is the vec_id argmin
+  test("kmeans assignment is a shuffle-free fused-argmin projection at any k") {
+    // k self-sizes as n/64 (Similarity.clustersForCount); the fused
+    // ArgMinQDist expression carries the centroid matrix in the plan's
+    // reference array, so assignment at ANY k is scan → project: no
+    // join, no exchange, no n×k intermediate (the r8 fix — the old
+    // broadcast-argmin crossJoin materialized 18.8M rows at sf1's k=313)
     val df = Similarity.kmeansAssignForcedK(spark, sf, 32)
     val plan = physicalPlan(df)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"centroids not broadcast in large-k assignment:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"large-k assignment went cartesian (unbroadcast):\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"fused assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"fused assignment must not shuffle:\n$plan")
+    assert(plan.contains("graft_argmin_qdist"),
+      s"fused argmin expression missing:\n$plan")
     // self-check the rule that chooses the path
     assert(Similarity.clustersForCount(500) == 8)    // sf0.01: literal path
     assert(Similarity.clustersForCount(2000) == 32)  // sf0.1: broadcast path

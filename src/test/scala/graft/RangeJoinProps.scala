@@ -32,7 +32,9 @@ object RangeJoinProps extends Properties("rangeJoin") {
     n <- Gen.chooseNum(0, 12)
     rs <- Gen.listOfN(n, for {
       s <- Gen.chooseNum(-50L, 150L)
-      len <- Gen.chooseNum(0L, 80L)
+      // negative lengths: INVERTED ranges must behave as no-match, not
+      // crash the band explode (sequence would throw on them unguarded)
+      len <- Gen.chooseNum(-40L, 80L)
     } yield (s, s + len))
   } yield rs.zipWithIndex.map { case ((s, e), i) => (1000L + i, s, e) }
 

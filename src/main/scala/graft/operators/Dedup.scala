@@ -937,4 +937,173 @@ object Dedup {
        |JOIN documents da ON p.doc_a = da.doc_id
        |JOIN documents db ON p.doc_b = db.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Exact substring-span dedup (ExactSubstr, "Deduplicating Training
+  // Data Makes Language Models Better", arXiv:2107.06499 §4.1): find
+  // every maximal token span of length >= spanGram whose content occurs
+  // more than once in the corpus, keep exactly ONE canonical copy, and
+  // mark every other occurrence for removal. The reference paper builds
+  // a corpus-wide suffix array; the Spark-first shape is the windowed
+  // equivalent — any duplicated substring of >= L tokens contains a
+  // duplicated L-token window at every offset, so the marked-window
+  // islands per document ARE the maximal duplicated spans.
+
+  /** Window length L: a duplicated substring shorter than this is noise
+    * (common phrases), anything >= L is memorization-grade duplication.
+    * 10 here (vs the paper's 50 BPE tokens) only because the synthetic
+    * docs average ~54 tokens. */
+  private[graft] val spanGram = 10
+
+  /** Positioned L-token windows: one (doc_id, pos, gh) row per window
+    * occurrence — NOT distinct-per-doc like [[grams13]]: within-doc
+    * repeats are real duplication here (the paper dedups them too).
+    * Hashes computed in the scan pass with a reused digest, 16-byte
+    * binary keys so the exchange never carries window text. */
+  private[graft] def posGrams(docs: DataFrame, n: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = normTokens(text)
+          if (toks.length < n) Iterator.empty
+          else (0 to toks.length - n).iterator.map { p =>
+            val g = toks.slice(p, p + n).mkString(" ")
+            (id, p.toLong, md.digest(g.getBytes("UTF-8")))
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gh")
+  }
+
+  /** Maximal duplicated token spans per document, canonical copy
+    * excluded. A window occurrence is REMOVABLE when its hash occurs >= 2
+    * times corpus-wide and it is not the canonical (minimum (doc_id,
+    * pos)) occurrence; overlapping/adjacent removable windows merge into
+    * one span (gaps-and-islands: a new island starts when the next
+    * marked pos is > L past the previous, i.e. the windows no longer
+    * touch). Output token indices are 0-based inclusive.
+    *
+    * Scale shape: occurrence marking is groupBy(gh) + equi-join-back
+    * rather than a window over gh — count and min(struct) both partial-
+    * aggregate map-side, so a boilerplate window with millions of
+    * occurrences (the expected hot case — this operator exists BECAUSE
+    * of boilerplate) costs its df on the join, never a single-task
+    * window partition; the join itself is AQE-skew-splittable. The
+    * islands pass shuffles once on doc_id and its window frames are
+    * per-document. Nothing carries text past the scan. */
+  def substringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(posGrams(Corpus.documents(s, dir), spanGram))
+
+  private[graft] def substringSpansFrom(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = g.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .where(col("df") >= 2)
+    val marked = g.join(dup, Seq("gh"))
+      .where(!(col("doc_id") === col("canon.doc_id") &&
+               col("pos") === col("canon.pos")))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= spanGram, 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(spanGram - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  private def toksSql = TextAnalysis.tokensSql
+
+  private[graft] val posGramsSql: String =
+    s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  md5(array_to_string(toks[pos+1:pos+$spanGram], ' ')) AS gh
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents) t,
+       |  UNNEST(range(0, len(toks) - ${spanGram - 1})) AS u(pos)
+       |WHERE len(toks) >= $spanGram""".stripMargin
+
+  val substringSpansSql: String =
+    s"""WITH g AS ($posGramsSql),
+       |m AS (SELECT doc_id, pos,
+       |        COUNT(*) OVER (PARTITION BY gh) AS df,
+       |        ROW_NUMBER() OVER (PARTITION BY gh
+       |          ORDER BY doc_id, pos) AS rn
+       |      FROM g),
+       |d AS (SELECT doc_id, pos FROM m WHERE df >= 2 AND rn > 1),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |               <= $spanGram THEN 0 ELSE 1 END AS brk
+       |      FROM d),
+       |s AS (SELECT doc_id, pos,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM i)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |  MAX(pos) + ${spanGram - 1} AS span_end,
+       |  MAX(pos) + ${spanGram - 1} - MIN(pos) + 1 AS span_len
+       |FROM s GROUP BY doc_id, island""".stripMargin
+
+  /** The scrub: every document's normalized text with its duplicated
+    * spans cut out (canonical copies stay — corpus-wide, exactly one
+    * occurrence of every duplicated substring survives, the paper's
+    * keep-one policy). Emits the kept-token text plus audit counts, so
+    * the pass is reversible in review: n_removed summed over the corpus
+    * is the dedup's token savings.
+    *
+    * Scale shape: spans (vanishing fraction of token positions) join the
+    * positioned-token stream as an equi join on doc_id with a range
+    * residual — co-partitioned with the rebuild groupBy that follows, so
+    * the scrub adds ONE doc_id exchange over [[substringSpans]]. The
+    * rebuild is sort-free at the exchange (array_sort of the collected
+    * (pos, tok) structs is per-document, in-memory). */
+  def substringScrub(s: SparkSession, dir: String): DataFrame =
+    substringScrubFrom(Corpus.documents(s, dir))
+
+  private[graft] def substringScrubFrom(docs: DataFrame): DataFrame = {
+    val spans = substringSpansFrom(posGrams(docs, spanGram))
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(spans,
+      toks("doc_id") === spans("doc_id") &&
+        toks("pos").between(spans("span_start"), spans("span_end")),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  val substringScrubSql: String =
+    s"""WITH spans AS ($substringSpansSql),
+       |tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos+1] AS tok
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM documents) t,
+       |          UNNEST(range(0, len(toks))) AS u(pos)),
+       |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |           WHERE s.doc_id = k.doc_id
+       |             AND k.pos BETWEEN s.span_start AND s.span_end)),
+       |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |        COUNT(*) AS n_kept
+       |      FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |  CAST(len($toksSql) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
 }

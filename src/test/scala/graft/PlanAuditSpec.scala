@@ -347,6 +347,21 @@ class PlanAuditSpec extends AnyFunSuite {
       || plan.contains("ShuffledHashJoin"), s"no hash/merge join on suppkey:\n$plan")
   }
 
+  test("substring spans: marking is a partial-agg equi join on gh — no window-over-gh, no cartesian") {
+    val df = graft.operators.Dedup.substringSpans(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span marking is not an equi join:\n$plan")
+    // occurrence marking must be groupBy(gh)+join-back, NOT a window over
+    // gh: count/min partial-aggregate map-side, so a boilerplate window
+    // with millions of occurrences never lands in one window partition
+    assert(plan.contains("partial_min") || plan.contains("partial min"),
+      s"gh aggregation lost its map-side partial combine:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge equi-join in span plan:\n$plan")
+  }
+
   test("semdedup pair search blocks on cluster id — no all-pairs join") {
     val plan = physicalPlan(Similarity.semDedup(spark, sf))
     // the paper's point: clustering bounds the quadratic scan, so the

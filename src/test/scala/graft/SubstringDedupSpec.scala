@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Exact substring-span dedup (ExactSubstr, arXiv:2107.06499): invariants
+  * the row-level oracle can't express — exact span extents on a corpus
+  * with KNOWN duplication, the canonical-copy keep rule, island merging
+  * of overlapping windows, and scrub/span bookkeeping consistency on the
+  * real corpus.
+  */
+class SubstringDedupSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val L = 10 // Dedup.spanGram
+
+  /** Known-duplication corpus:
+    * doc 0 — 20 unique tokens a0..a19 (all canonical occurrences live here)
+    * doc 1 — copies doc 0's tokens 0..14, then 5 unique tokens
+    * doc 2 — a 10-token block repeated back-to-back, then 5 unique tokens
+    */
+  private def syntheticDocs = {
+    import spark.implicits._
+    val d0 = (0 until 20).map(i => s"a$i").mkString(" ")
+    val d1 = ((0 until 15).map(i => s"a$i") ++ (0 until 5).map(i => s"b$i")).mkString(" ")
+    val d2 = ((0 until 10).map(i => s"r$i") ++ (0 until 10).map(i => s"r$i")
+      ++ (0 until 5).map(i => s"z$i")).mkString(" ")
+    Seq((0L, d0), (1L, d1), (2L, d2)).toDF("doc_id", "text")
+  }
+
+  test("spans are exact on a corpus with known duplication") {
+    val docs = syntheticDocs
+    val spans = Dedup.substringSpansFrom(Dedup.posGrams(docs, L))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    // doc 0 holds every canonical copy -> no spans; doc 1's shared prefix
+    // is windows 0..5 merged into one island covering tokens 0..14; doc
+    // 2's self-repeat marks only window 10 (window 0 is canonical).
+    assert(spans === Seq(
+      (1L, 0L, 14L, 15L),
+      (2L, 10L, 19L, 10L)))
+  }
+
+  test("scrub removes exactly the spans and keeps canonical copies") {
+    val docs = syntheticDocs
+    val out = Dedup.substringScrubFrom(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val a20 = (0 until 20).map(i => s"a$i").mkString(" ")
+    val d1Clean = (0 until 5).map(i => s"b$i").mkString(" ")
+    val d2Clean = ((0 until 10).map(i => s"r$i") ++ (0 until 5).map(i => s"z$i")).mkString(" ")
+    assert(out === Seq(
+      (0L, a20, 20L, 0L),       // untouched: every copy here is canonical
+      (1L, d1Clean, 20L, 15L),  // shared prefix cut, unique tail kept
+      (2L, d2Clean, 25L, 10L))) // second block of the self-repeat cut
+  }
+
+  test("spans on the real corpus: in-bounds, >= L long, disjoint, non-adjacent") {
+    val spans = Dedup.substringSpans(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty, "no duplicated spans found — spec is vacuous")
+    spans.foreach { case (id, a, b, len) =>
+      assert(a >= 0 && b >= a && len === b - a + 1 && len >= L,
+        s"malformed span ($id, $a, $b, $len)")
+    }
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((id, _, e1, _), (_, s2, _, _)) =>
+          // merged islands: the next span starts at least 2 past the
+          // previous end, else they'd have been one island
+          assert(s2 > e1 + 1, s"adjacent/overlapping spans in doc $id")
+        case _ => ()
+      }
+    }
+  }
+
+  test("scrub bookkeeping matches the spans on the real corpus") {
+    val spans = Dedup.substringSpans(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val docs = graft.sources.Corpus.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = Dedup.substringScrub(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === docs.size, "scrub must emit every document")
+    out.foreach { case (id, clean, nTokens, nRemoved) =>
+      val toks = docs(id).trim.toLowerCase.replaceAll("\\s+", " ").split(' ')
+      assert(nTokens === toks.length.toLong, s"token count wrong for doc $id")
+      val covered = spans.getOrElse(id, Array.empty)
+        .flatMap { case (_, a, b) => a to b }.toSet
+      assert(nRemoved === covered.size.toLong, s"n_removed wrong for doc $id")
+      val expected = toks.zipWithIndex
+        .collect { case (t, i) if !covered.contains(i.toLong) => t }
+        .mkString(" ")
+      assert(clean === expected, s"clean text wrong for doc $id")
+    }
+  }
+}

@@ -941,6 +941,82 @@ object TextAnalysis {
        |    '$phonePat', '<PHONE>', 'g') AS scrubbed
        |FROM aug""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Hashed linear quality classifier (the fastText shape: "Bag of
+  // Tricks for Efficient Text Classification", arXiv:1607.01759): score
+  // every document with a linear model over hashed bag-of-words
+  // features. In production the weight table comes from training; here
+  // the weights are a deterministic md5-derived stand-in so the oracle
+  // can replay them — the SHAPE (feature hashing, integer accumulation,
+  // one scan pass, no weight-table shuffle) is the operator.
+
+  /** Weight of one token: the first 4 hex chars of md5('w|' || token)
+    * read as an integer, centered — an int in [-32768, 32767]. Stands in
+    * for a trained weight lookup; hashing IS the production trick
+    * (feature hashing needs no vocabulary broadcast at all). */
+  private[graft] def tokenWeight(md: java.security.MessageDigest, tok: String): Int = {
+    val d = md.digest(("w|" + tok).getBytes("UTF-8"))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) - 32768
+  }
+
+  /** Per-document linear score in ONE shuffle-free scan pass
+    * (mapPartitions, digest reused — the minhash discipline): integer
+    * weight accumulation is exact and order-independent, so the BIGINT
+    * raw score is bit-identical on any engine and partitioning; the
+    * margin is a single final division (no transcendentals — a sigmoid
+    * would hang engine parity on libm ulps). At 100 TB this is scan →
+    * project: nothing shuffles, nothing broadcasts, nothing collects. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = normTokens(text)
+          var raw = 0L
+          var n = 0L
+          var i = 0
+          while (i < toks.length) {
+            if (toks(i).nonEmpty) { raw += tokenWeight(md, toks(i)); n += 1 }
+            i += 1
+          }
+          (id, n, raw)
+        }
+      }
+      .toDF("doc_id", "n_scored", "raw_score")
+      .select(col("doc_id"), col("n_scored"), col("raw_score"),
+        when(col("n_scored") > 0,
+          col("raw_score").cast("double") / (col("n_scored").cast("double") * 32768.0))
+          .otherwise(lit(0.0)).as("margin"),
+        (col("raw_score") > 0).as("keep"))
+  }
+
+  val qualityClassifierSql: String = {
+    // parseInt(hex[0:4], 16) in portable SQL: positional nibble lookup
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('w|' || t), $i, 1)) - 1)"
+    s"""WITH tok AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, UNNEST($tokensSql) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |w AS (SELECT doc_id,
+       |        ${nib(1)} * 4096 + ${nib(2)} * 256
+       |      + ${nib(3)} * 16 + ${nib(4)} - 32768 AS wt
+       |      FROM tok),
+       |a AS (SELECT doc_id, COUNT(*) AS n_scored,
+       |        CAST(SUM(wt) AS BIGINT) AS raw_score
+       |      FROM w GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_scored, 0) AS n_scored,
+       |  COALESCE(a.raw_score, 0) AS raw_score,
+       |  CASE WHEN COALESCE(a.n_scored, 0) > 0
+       |    THEN CAST(a.raw_score AS DOUBLE) / (a.n_scored * 32768.0)
+       |    ELSE 0.0 END AS margin,
+       |  COALESCE(a.raw_score, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   val winnowPairsSql: String =
     s"""WITH fps AS ($winnowFingerprintsSql),
        |df AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),

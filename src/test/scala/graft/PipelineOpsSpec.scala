@@ -381,6 +381,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(qSql === qOp, "SQL log2 quantiles must match the operator bitwise")
   }
 
+  test("quality classifier margins are bounded and partition-invariant") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.qualityClassifier(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, raw, margin, keep) =>
+      assert(n > 0, s"doc $id scored no tokens")
+      // each weight is in [-32768, 32767], so |raw| <= n*32768 and the
+      // normalized margin is bounded by construction
+      assert(math.abs(raw) <= n * 32768L, s"raw score out of range for doc $id")
+      assert(margin >= -1.0 && margin <= 1.0, s"margin out of range for doc $id")
+      assert(keep === (raw > 0), s"keep flag inconsistent for doc $id")
+    }
+    // integer accumulation is order-independent: a different partitioning
+    // must produce bit-identical scores
+    val repart = TextAnalysis.qualityClassifier(spark, sf)
+    val again = repart.sparkSession.createDataFrame(
+      repart.rdd.repartition(7), repart.schema)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(again === rows, "classifier scores changed under repartitioning")
+  }
+
   test("source KL divergences are non-negative and finite") {
     val kl = Curation.sourceKl(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -362,6 +362,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in span plan:\n$plan")
   }
 
+  test("quality classifier is a shuffle-free scan pass — zero exchanges") {
+    val plan = physicalPlan(graft.operators.TextAnalysis.qualityClassifier(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"hashed linear scoring must not shuffle (scan -> project only):\n$plan")
+  }
+
   test("semdedup pair search blocks on cluster id — no all-pairs join") {
     val plan = physicalPlan(Similarity.semDedup(spark, sf))
     // the paper's point: clustering bounds the quadratic scan, so the

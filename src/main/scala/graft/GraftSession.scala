@@ -61,6 +61,10 @@ object GraftSession {
     spark.udf.register("graft_top_terms",
       org.apache.spark.sql.functions.udaf(SketchFunctions.spaceSaving,
         org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("graft_cms",
+      org.apache.spark.sql.functions.udaf(SketchFunctions.countMin,
+        org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("graft_cms_estimate", SketchFunctions.cmsEstimate _)
     spark
   }
 

@@ -301,4 +301,70 @@ object SketchFunctions {
     }
     Double.NaN
   }
+
+  // ------------------------------------------------------------------
+  // CountMin sketch (Cormode & Muthukrishnan, "An improved data stream
+  // summary: the count-min sketch and its applications", J. Algorithms
+  // 55(1)): point-frequency estimates with one-sided error. Rounds out
+  // the sketch family: HLL answers "how many distinct", Space-Saving
+  // "which are the heaviest", the log2 histogram "how are values
+  // distributed" — CMS answers "how often does THIS key occur" in
+  // d*w counters regardless of key cardinality.
+
+  private[graft] val cmsDepth = 4
+  private[graft] val cmsWidth = 256
+
+  /** Row-j bucket of a key: the first 4 hex chars of md5(j || '|' || key)
+    * read as an integer, mod width — the same md5-pinned derivation the
+    * whole sketch family uses, so the DuckDB oracle replays it. */
+  private[graft] def cmsBucket(md: MessageDigest, j: Int, key: String): Int = {
+    val d = md.digest((j.toString + "|" + key).getBytes("UTF-8"))
+    ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) & 0xffff) % cmsWidth
+  }
+
+  final case class CmsBuf(counts: Array[Long])
+
+  /** Mergeable CountMin over string keys: `reduce` bumps one counter per
+    * row (d digests), `merge` is elementwise addition — the shuffle ships
+    * d*w = 1024 longs per group no matter how many events flowed in.
+    * `finish` exposes the raw counter matrix (row-major); point estimates
+    * come from [[cmsEstimate]] so the query side can ask about any key
+    * after the single pass. */
+  val countMin: Aggregator[String, CmsBuf, Seq[Long]] =
+    new Aggregator[String, CmsBuf, Seq[Long]] {
+      def zero: CmsBuf = CmsBuf(new Array[Long](cmsDepth * cmsWidth))
+      def reduce(b: CmsBuf, key: String): CmsBuf = {
+        val md = mdPool.get()
+        var j = 0
+        while (j < cmsDepth) {
+          b.counts(j * cmsWidth + cmsBucket(md, j, key)) += 1L
+          j += 1
+        }
+        b
+      }
+      def merge(a: CmsBuf, b: CmsBuf): CmsBuf = {
+        var i = 0
+        val n = cmsDepth * cmsWidth
+        while (i < n) { a.counts(i) += b.counts(i); i += 1 }
+        a
+      }
+      def finish(b: CmsBuf): Seq[Long] = b.counts.toSeq
+      def bufferEncoder: Encoder[CmsBuf] = Encoders.product[CmsBuf]
+      def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** Point estimate of one key from a finished sketch: min over the d
+    * row counters the key hashes to. Never underestimates; overestimates
+    * by at most eN/w with probability 1 - (1/2)^d. */
+  def cmsEstimate(sketch: Seq[Long], key: String): Long = {
+    val md = mdPool.get()
+    var best = Long.MaxValue
+    var j = 0
+    while (j < cmsDepth) {
+      val c = sketch(j * cmsWidth + cmsBucket(md, j, key))
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
 }

@@ -105,6 +105,53 @@ object Sketches {
        |FROM est JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        |               FROM events GROUP BY 1) x USING (event_type)""".stripMargin
 
+  /** Per-key frequency estimates from ONE CountMin pass over the event
+    * stream, next to the exact counts (so the sketch's one-sided error is
+    * visible in the result itself — est >= exact always).
+    *
+    * 100 TB shape: the corpus is touched once by the mergeable aggregator
+    * (map-side partial sketches, merge = elementwise add of d*w = 1024
+    * longs — constant bytes per partition regardless of event volume).
+    * The query-key set is the event-type enum (bounded by construction,
+    * same driver-collect bound as the BPE merge table); estimates read
+    * the 8 KB finished sketch, not the data. A production pipeline keeps
+    * the sketch and drops the exact comparison column. */
+  def cmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SketchFunctions
+    val ev = Corpus.events(s, dir).select(col("event_type")).as[String]
+    val sketch = ev.select(SketchFunctions.countMin.toColumn).head()
+    val exact = Corpus.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+    val keys = exact.select(col("event_type")).as[String].collect().toSeq
+    val est = keys.map(k => (k, SketchFunctions.cmsEstimate(sketch, k)))
+      .toDF("event_type", "est_count")
+    exact.join(broadcast(est), Seq("event_type"))
+      .select(col("event_type"), col("exact_count"), col("est_count"))
+  }
+
+  val cmsCountsSql: String = {
+    // parseInt(md5(j || '|' || key)[0:4], 16) % width, in portable SQL
+    def bucket(key: String) = {
+      val h = s"md5(CAST(j AS VARCHAR) || '|' || $key)"
+      val nib = (i: Int) => s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1)"
+      s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 256)"
+    }
+    s"""WITH js AS (SELECT UNNEST(range(0, 4)) AS j),
+       |bk AS (SELECT ${bucket("e.event_type")} AS bucket, j
+       |       FROM events e CROSS JOIN js),
+       |cells AS (SELECT j, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2),
+       |ks AS (SELECT DISTINCT event_type FROM events),
+       |kb AS (SELECT k.event_type, j, ${bucket("k.event_type")} AS bucket
+       |       FROM ks k CROSS JOIN js),
+       |est AS (SELECT kb.event_type, MIN(cells.c) AS est_count
+       |        FROM kb JOIN cells USING (j, bucket) GROUP BY 1),
+       |exact AS (SELECT event_type, COUNT(*) AS exact_count
+       |          FROM events GROUP BY 1)
+       |SELECT event_type, exact_count, est_count
+       |FROM exact JOIN est USING (event_type)""".stripMargin
+  }
+
   /** Top-3 TF-IDF terms per document (idf = ln(N/df), scores rounded to 4
     * decimals BEFORE ranking so the rank order is engine-independent; ties
     * break on the token).

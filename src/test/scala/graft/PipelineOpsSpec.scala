@@ -329,6 +329,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       "merged half-sketches must reproduce the whole-corpus estimate exactly")
   }
 
+  test("CountMin merges, never underestimates, and is SQL-exposed") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SketchFunctions
+    import spark.implicits._
+    val ev = graft.sources.Corpus.events(spark, sf)
+      .select(col("event_type"), col("event_id"))
+    val whole = ev.select(col("event_type")).as[String]
+      .select(SketchFunctions.countMin.toColumn).head()
+    // split arbitrarily, sketch each half, merge = elementwise add
+    val a = ev.where(col("event_id") % 2 === 0).select(col("event_type"))
+      .as[String].select(SketchFunctions.countMin.toColumn).head()
+    val b = ev.where(col("event_id") % 2 =!= 0).select(col("event_type"))
+      .as[String].select(SketchFunctions.countMin.toColumn).head()
+    val merged = a.zip(b).map { case (x, y) => x + y }
+    assert(merged === whole,
+      "merged half-sketches must equal the whole-corpus sketch exactly")
+    // one-sided error: estimate >= exact for every key
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(SketchFunctions.cmsEstimate(whole, k) >= c,
+        s"CMS underestimated '$k'")
+    }
+    // the registered SQL aggregate produces the same sketch
+    GraftSession.registerSketches(spark)
+    graft.sources.Corpus.registerViews(spark, sf)
+    val viaSql = spark.sql("SELECT graft_cms(event_type) FROM events")
+      .head().getSeq[Long](0)
+    assert(viaSql === whole, "graft_cms SQL surface diverged from the Aggregator")
+  }
+
   test("log2 histogram merges: sketch of halves == sketch of the whole") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sketches

@@ -942,6 +942,84 @@ object TextAnalysis {
        |FROM aug""".stripMargin
 
   // ------------------------------------------------------------------
+  // PMI collocations ("Word Association Norms, Mutual Information, and
+  // Lexicography", Church & Hanks 1990): the corpus's strongest adjacent
+  // token pairs by pointwise mutual information — phrase-mining /
+  // tokenizer-seeding statistics. pmi(a,b) = ln(N·c(a,b) / (c(a)·c(b))),
+  // counts from one bigram aggregate and the shared unigram aggregate.
+
+  /** Minimum pair count for the PMI ranking: PMI's known failure mode is
+    * hapax pairs (two tokens seen once, together) maxing the statistic. */
+  private[graft] val pmiMinCount = 5L
+
+  /** Global top-20 adjacent-pair collocations by PMI (ties break on the
+    * pair). The score is round(ln(·), 4)-ed BEFORE ranking — the
+    * `tfidf_top_terms` discipline — so rank order is engine-independent.
+    *
+    * Scale shape: one bigram aggregate (map-side combinable, key domain =
+    * observed pairs) and the unigram aggregate joined onto it twice as
+    * broadcasts (vocab-bounded); N is a 1-row cross. Top-20 is
+    * TakeOrdered (per-partition heads + merge), never a global sort or a
+    * single-partition window over the pair table. */
+  def pmiTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Corpus.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val toks = normTokens(text).filter(_.nonEmpty)
+        (1 until toks.length).iterator.map(i => (toks(i - 1), toks(i)))
+      }
+      .toDF("prev", "cur")
+    val cbt = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nb = cbt.agg(sum(col("c_ab")).as("n_pairs"))
+    val (_, freq, _) = unigramStats(s, dir)
+    val ca = freq.select(col("token").as("prev"), col("cnt").as("c_a"))
+    val cb = freq.select(col("token").as("cur"), col("cnt").as("c_b"))
+    val pmi = round(
+      log((col("c_ab").cast("double") * col("n_pairs").cast("double"))
+        / (col("c_a").cast("double") * col("c_b").cast("double"))), 4)
+    val ranked = cbt.where(col("c_ab") >= pmiMinCount)
+      .join(broadcast(ca), Seq("prev"))
+      .join(broadcast(cb), Seq("cur"))
+      .crossJoin(broadcast(nb))
+      .select(col("prev"), col("cur"), col("c_ab"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("prev").asc, col("cur").asc)
+      .limit(20)
+    import org.apache.spark.sql.expressions.Window
+    ranked.withColumn("rnk",
+      row_number().over(Window.orderBy(
+        col("pmi").desc, col("prev").asc, col("cur").asc)).cast("long"))
+  }
+
+  val pmiTopkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter($tokensSql, x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT unnest(toks[1:len(toks) - 1]) AS prev,
+       |    unnest(toks[2:len(toks)]) AS cur
+       |  FROM t WHERE len(toks) > 1),
+       |cbt AS (SELECT prev, cur, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+       |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM cbt),
+       |tok AS (SELECT t2 AS token FROM (
+       |    SELECT UNNEST($tokensSql) AS t2 FROM documents) WHERE length(t2) > 0),
+       |cuni AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+       |p AS (
+       |  SELECT prev, cur, c_ab,
+       |    round(ln((CAST(c_ab AS DOUBLE) * CAST(n_pairs AS DOUBLE))
+       |      / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))), 4) AS pmi
+       |  FROM cbt CROSS JOIN nb
+       |  JOIN cuni ca ON cbt.prev = ca.token
+       |  JOIN cuni cb ON cbt.cur = cb.token
+       |  WHERE c_ab >= $pmiMinCount),
+       |r AS (SELECT prev, cur, c_ab, pmi,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, prev ASC, cur ASC)
+       |          AS BIGINT) AS rnk
+       |      FROM p)
+       |SELECT prev, cur, c_ab, pmi, rnk FROM r WHERE rnk <= 20""".stripMargin
+
+  // ------------------------------------------------------------------
   // Hashed linear quality classifier (the fastText shape: "Bag of
   // Tricks for Efficient Text Classification", arXiv:1607.01759): score
   // every document with a linear model over hashed bag-of-words

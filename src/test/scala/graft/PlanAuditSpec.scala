@@ -362,6 +362,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in span plan:\n$plan")
   }
 
+  test("pmi_topk: top-20 is TakeOrdered over the pair aggregate, never a global sort") {
+    val plan = physicalPlan(graft.operators.TextAnalysis.pmiTopk(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pmi top-k must be per-partition heads + merge:\n$plan")
+    // the single-partition rnk window is fine ONLY because it runs on the
+    // 20-row TakeOrdered result, not the pair table
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      s"rnk window must sit ABOVE the 20-row limit, not over the pair table:\n$plan")
+  }
+
   test("quality classifier is a shuffle-free scan pass — zero exchanges") {
     val plan = physicalPlan(graft.operators.TextAnalysis.qualityClassifier(spark, sf))
     assert(!plan.contains("Exchange"),

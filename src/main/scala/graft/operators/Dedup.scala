@@ -1021,15 +1021,18 @@ object Dedup {
 
   private def toksSql = TextAnalysis.tokensSql
 
-  private[graft] val posGramsSql: String =
+  /** [[posGrams]] in SQL over an arbitrary documents-shaped relation
+    * (`rel` must expose doc_id + text) — parameterized so the composed
+    * funnel can window the SURVIVOR set, not the raw corpus. */
+  private[graft] def posGramsSqlFor(rel: String): String =
     s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        |  md5(array_to_string(toks[pos+1:pos+$spanGram], ' ')) AS gh
-       |FROM (SELECT doc_id, $toksSql AS toks FROM documents) t,
+       |FROM (SELECT doc_id, $toksSql AS toks FROM $rel) t,
        |  UNNEST(range(0, len(toks) - ${spanGram - 1})) AS u(pos)
        |WHERE len(toks) >= $spanGram""".stripMargin
 
-  val substringSpansSql: String =
-    s"""WITH g AS ($posGramsSql),
+  private[graft] def substringSpansSqlFor(rel: String): String =
+    s"""WITH g AS (${posGramsSqlFor(rel)}),
        |m AS (SELECT doc_id, pos,
        |        COUNT(*) OVER (PARTITION BY gh) AS df,
        |        ROW_NUMBER() OVER (PARTITION BY gh
@@ -1047,6 +1050,8 @@ object Dedup {
        |  MAX(pos) + ${spanGram - 1} AS span_end,
        |  MAX(pos) + ${spanGram - 1} - MIN(pos) + 1 AS span_len
        |FROM s GROUP BY doc_id, island""".stripMargin
+
+  val substringSpansSql: String = substringSpansSqlFor("documents")
 
   /** The scrub: every document's normalized text with its duplicated
     * spans cut out (canonical copies stay — corpus-wide, exactly one
@@ -1106,4 +1111,87 @@ object Dedup {
        |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
        |  CAST(len($toksSql) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+
+  /** The composed end-to-end dedup funnel — the one-row report a dedup
+    * run publishes, mirroring [[Curation.curationPipeline]]'s role for
+    * filtering: exact dedup (keep lowest id per fingerprint) ≻ near-dup
+    * clustering (keep each MinHash-LSH cluster's representative) ≻
+    * substring-span scrub OVER THE SURVIVORS (spans recomputed on the
+    * post-drop corpus — a span whose only other copy lived in a dropped
+    * doc is already gone, and must not be double-counted). Attribution
+    * is first-failing-stage, `corpus_retention`'s precedence convention.
+    *
+    * Scale shape: pure composition of three audited pipelines (one
+    * fingerprint exchange; banded LSH + star contraction; the
+    * partial-agg span join) plus 1-row aggregates broadcast-crossed
+    * into the report — no new join shapes, nothing quadratic. */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val withFp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
+    val exactDropped = withFp.join(dedupExact(s, dir), Seq("fingerprint"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    val nearDroppedAll = dedupClusters(s, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val nearDropped = nearDroppedAll.join(exactDropped, Seq("doc_id"), "left_anti")
+    val dropped = exactDropped.union(nearDroppedAll).distinct()
+    val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")
+    val spans = substringSpansFrom(posGrams(survivors, spanGram))
+    val tok = docs.select(col("doc_id"),
+      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("nt"))
+    val aDocs = tok.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens_in"))
+    val aEx = exactDropped.agg(count(lit(1)).as("n_exact_dropped"))
+    val aNear = nearDropped.agg(count(lit(1)).as("n_near_dropped"))
+    val aSurv = tok.join(survivors.select(col("doc_id")), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("nt")).as("tokens_kept_docs"))
+    val aScrub = spans.agg(
+      coalesce(sum(col("span_len")), lit(0L)).as("tokens_scrubbed"))
+    aDocs.crossJoin(broadcast(aEx)).crossJoin(broadcast(aNear))
+      .crossJoin(broadcast(aSurv)).crossJoin(broadcast(aScrub))
+      .select(col("n_docs"), col("n_exact_dropped"), col("n_near_dropped"),
+        col("n_docs_kept"), col("tokens_in"), col("tokens_kept_docs"),
+        col("tokens_scrubbed"),
+        (col("tokens_kept_docs") - col("tokens_scrubbed")).as("tokens_out"))
+  }
+
+  val dedupFunnelSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+       |ex AS ($dedupExactSql),
+       |fp AS (SELECT doc_id, ${TextAnalysis.fingerprintSql} AS fingerprint
+       |       FROM documents),
+       |exdrop AS (SELECT fp.doc_id FROM fp JOIN ex USING (fingerprint)
+       |           WHERE fp.doc_id <> ex.keep_id),
+       |neardropall AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+       |neardrop AS (SELECT doc_id FROM neardropall
+       |             WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+       |surv AS (SELECT d.doc_id, d.text FROM documents d
+       |         WHERE d.doc_id NOT IN (SELECT doc_id FROM exdrop
+       |                                UNION SELECT doc_id FROM neardropall)),
+       |spans AS (SELECT * FROM (${substringSpansSqlFor("surv")})),
+       |tok AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt
+       |        FROM documents),
+       |adocs AS (SELECT COUNT(*) AS n_docs, SUM(nt) AS tokens_in FROM tok),
+       |aex AS (SELECT COUNT(*) AS n_exact_dropped FROM exdrop),
+       |anear AS (SELECT COUNT(*) AS n_near_dropped FROM neardrop),
+       |asurv AS (SELECT COUNT(*) AS n_docs_kept, SUM(nt) AS tokens_kept_docs
+       |          FROM tok JOIN surv USING (doc_id)),
+       |ascrub AS (SELECT COALESCE(SUM(span_len), 0) AS tokens_scrubbed
+       |           FROM spans)
+       |SELECT n_docs, n_exact_dropped, n_near_dropped, n_docs_kept,
+       |  CAST(tokens_in AS BIGINT) AS tokens_in,
+       |  CAST(tokens_kept_docs AS BIGINT) AS tokens_kept_docs,
+       |  CAST(tokens_scrubbed AS BIGINT) AS tokens_scrubbed,
+       |  CAST(tokens_kept_docs - tokens_scrubbed AS BIGINT) AS tokens_out
+       |FROM adocs, aex, anear, asurv, ascrub""".stripMargin
 }

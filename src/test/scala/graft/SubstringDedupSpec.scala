@@ -81,6 +81,43 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup funnel accounting balances and each stage is non-vacuous") {
+    val r = Dedup.dedupFunnel(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nDocs, nEx, nNear, nKept) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (tokIn, tokKeptDocs, tokScrub, tokOut) =
+      (row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    assert(nDocs === nEx + nNear + nKept,
+      "every document must be attributed to exactly one funnel outcome")
+    assert(tokOut === tokKeptDocs - tokScrub, "token arithmetic broken")
+    assert(tokKeptDocs <= tokIn && tokScrub >= 0 && tokOut <= tokKeptDocs)
+    // the synthetic corpus has near-dups, so a vacuous drop stage means
+    // a wiring bug (the SCRUB stage legitimately goes to zero here:
+    // every duplicated span lives in a doc the near-dup stage already
+    // dropped — exactly why the funnel recomputes spans on survivors
+    // instead of reusing the raw-corpus span set)
+    assert(nEx + nNear > 0, "dedup stages dropped nothing — wiring bug?")
+    // cross-check the scrub stage against independently recomputed
+    // survivor spans
+    val docs = graft.sources.Corpus.documents(spark, sf)
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("cluster_id"))
+      .select("doc_id")
+    val survivors = docs.join(clusters, Seq("doc_id"), "left_anti")
+    val survSpanTokens = Dedup.substringSpansFrom(Dedup.posGrams(survivors, 10))
+      .agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("span_len"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0)
+    // (no exact dups at this SF, so survivors == the funnel's survivor set)
+    assert(nEx === 0L, "corpus gained exact dups — update this cross-check")
+    assert(tokScrub === survSpanTokens,
+      "funnel scrub count diverges from recomputed survivor spans")
+  }
+
   test("scrub bookkeeping matches the spans on the real corpus") {
     val spans = Dedup.substringSpans(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -1044,9 +1044,17 @@ object TextAnalysis {
     * margin is a single final division (no transcendentals — a sigmoid
     * would hang engine parity on libm ulps). At 100 TB this is scan →
     * project: nothing shuffles, nothing broadcasts, nothing collects. */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierFrom(Corpus.documents(s, dir))
+
+  /** [[qualityClassifier]] over an arbitrary documents frame — the pass
+    * is stateless and shuffle-free, so the SAME code scores an unbounded
+    * stream at ingestion (model-apply filtering as a curation stage;
+    * `CurationStreamSpec` pins stream == batch scores). */
+  def qualityClassifierFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Corpus.documents(s, dir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

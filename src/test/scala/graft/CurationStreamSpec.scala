@@ -58,4 +58,38 @@ class CurationStreamSpec extends AnyFunSuite {
       spark.sql("DROP VIEW IF EXISTS graft_curation_stream")
     }
   }
+
+  test("quality classifier scores a stream at ingestion, equal to batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val docs = graft.sources.Corpus.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val batch = graft.operators.TextAnalysis.qualityClassifier(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+
+    // the operator is stateless + shuffle-free, so the SAME code path runs
+    // over an unbounded stream — model-apply filtering at ingestion
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.qualityClassifierFrom(
+      in.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("graft_classifier_stream")
+      .outputMode("append").start()
+    try {
+      // deliver in two arbitrary micro-batches
+      val (h1, h2) = docs.splitAt(docs.size / 2)
+      in.addData(h1); q.processAllAvailable()
+      in.addData(h2); q.processAllAvailable()
+      val got = spark.table("graft_classifier_stream")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .sortBy(_._1)
+      assert(got === batch, "streamed classifier scores diverged from batch")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_classifier_stream")
+    }
+  }
 }

@@ -61,6 +61,64 @@ class SubstringDedupSpec extends AnyFunSuite {
       (2L, d2Clean, 25L, 10L))) // second block of the self-repeat cut
   }
 
+  /** Brute-force reference: mark every non-canonical occurrence of a
+    * duplicated window, merge islands. O(corpus²) memory-local — the
+    * semantics, free of the distributed formulation. */
+  private def refSpans(docs: Seq[(Long, String)]): Seq[(Long, Long, Long, Long)] = {
+    val toksBy = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.replaceAll("\\s+", " ").split(' ')
+    }
+    val occ = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Int)]]
+    for ((id, toks) <- toksBy; p <- 0 to toks.length - L if toks.length >= L) {
+      val g = toks.slice(p, p + L).mkString(" ")
+      occ.getOrElseUpdate(g, scala.collection.mutable.ArrayBuffer.empty) += ((id, p))
+    }
+    val marked = occ.values.filter(_.size >= 2)
+      .flatMap(os => os.sortBy(identity).drop(1)) // canonical = min (doc, pos)
+      .toSeq
+    marked.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val islands = sorted.foldLeft(List.empty[List[Int]]) {
+        case (Nil, p) => List(List(p))
+        case (cur :: done, p) =>
+          if (p - cur.head <= L) (p :: cur) :: done else List(p) :: cur :: done
+      }
+      islands.map { isl =>
+        val start = isl.last.toLong
+        val end = isl.head.toLong + L - 1
+        (id, start, end, end - start + 1)
+      }
+    }
+  }
+
+  test("spans match the brute-force reference on randomized corpora (planted dups, small vocab)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (0 until 12).map(i => s"w$i")
+    for (trial <- 1 to 6) {
+      val base = (0 until 10).map { id =>
+        val len = 5 + rnd.nextInt(35)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant structured duplication: copies, shared prefixes, self-repeats
+      val planted = base ++ Seq(
+        (100L, base(0)._2),                                   // exact copy
+        (101L, base(1)._2.split(' ').take(15).mkString(" ")   // shared prefix
+          + " zz1 zz2 zz3"),
+        (102L, { val b = base(2)._2.split(' ').take(12)       // self-repeat
+          (b ++ b ++ Seq("tail1", "tail2")).mkString(" ") })
+      )
+      val df = planted.toDF("doc_id", "text")
+      val got = Dedup.substringSpansFrom(Dedup.posGrams(df, L))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2))
+      val want = refSpans(planted).sortBy(r => (r._1, r._2))
+      assert(got === want, s"trial $trial: spans diverge from reference")
+    }
+  }
+
   test("spans on the real corpus: in-bounds, >= L long, disjoint, non-adjacent") {
     val spans = Dedup.substringSpans(spark, sf)
       .collect()

@@ -124,7 +124,8 @@ object Io {
           .find(_.getPath.toDotString == column)
           .getOrElse(throw new IllegalArgumentException(
             s"no column '$column' in ${s.getPath}"))
-        val st = cc.getStatistics
+        val st: org.apache.parquet.column.statistics.Statistics[_] =
+          cc.getStatistics
         (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
       }

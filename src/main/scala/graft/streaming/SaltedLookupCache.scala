@@ -102,7 +102,10 @@ object SaltedLookupCache {
     * hashing (spec-pinned in SaltedLookupSpec). */
   private[graft] def stableSalt(v: Any, ts: Timestamp, n: Int): Int = {
     val h: Long = v match {
-      case p: Product => scala.util.hashing.MurmurHash3.productHash(p).toLong
+      // productHash, NOT its caseClassHash replacement: the salt value is
+      // part of the state-store key, so swapping the hash would re-route
+      // in-flight keys across a checkpoint restart that spans the upgrade
+      case p: Product => (scala.util.hashing.MurmurHash3.productHash(p): @scala.annotation.nowarn("cat=deprecation")).toLong
       case s: String => scala.util.hashing.MurmurHash3.stringHash(s).toLong
       case x: java.lang.Number => x.longValue()
       case a: Array[Byte] => scala.util.hashing.MurmurHash3.bytesHash(a).toLong

@@ -1112,6 +1112,97 @@ object Dedup {
        |  CAST(len($toksSql) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Incremental ingest dedup: the daily-batch production shape. An
+  // accumulated snapshot already exists (and is already deduped); only
+  // the incoming batch must be checked — against the snapshot AND
+  // within itself. The snapshot side reduces to its fingerprint SET, so
+  // at 100 TB the standing state is one 16-byte-hash column (or its
+  // Bloom digest, [[contaminationBloom]]'s trade), never the corpus.
+
+  /** Split point for the gate corpus: docs with id < snapshotCut play
+    * the accumulated snapshot ([[contamBench]]'s convention, sized so
+    * both sides are non-trivial). */
+  private[graft] val snapshotCut = 250
+
+  /** Verdict per INCOMING doc: 'snapshot_dup' (content already in the
+    * accumulated corpus), 'batch_dup' (an earlier doc of the same batch
+    * — smallest id wins, replay-stable), or 'new'. One fingerprint
+    * projection per side; the snapshot set left-joins in as 16-byte md5
+    * keys; within-batch keep-one is a window min on the SAME exchange.
+    * Nothing re-reads or re-shuffles snapshot text.
+    *
+    * Gate non-vacuity (the `pii_scrub` convention): the synthetic corpus
+    * has zero exact-duplicate content, so the QUERY ENTRY deterministically
+    * replays some content into the incoming batch — id % 7 docs carry a
+    * snapshot doc's text, id % 89 docs carry a batch-mate's — making all
+    * three verdicts reachable at every SF. The operator surface
+    * ([[dedupIncrementalFrom]]) takes snapshot/incoming frames as-is. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val snapshot = docs.where(col("doc_id") < snapshotCut)
+    val snapTexts = snapshot
+      .select(col("doc_id").as("sid"), col("text").as("snap_text"))
+    val pairTexts = docs
+      .where(col("doc_id").isin(snapshotCut.toLong, snapshotCut + 1L))
+      .select(col("doc_id").as("pid"), col("text").as("pair_text"))
+    val incoming = docs.where(col("doc_id") >= snapshotCut)
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(snapTexts), col("doc_id") % snapshotCut === col("sid"))
+      .join(broadcast(pairTexts),
+        col("doc_id") % 2 + snapshotCut === col("pid"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, col("snap_text"))
+          .when(col("doc_id") % 89 === 0, col("pair_text"))
+          .otherwise(col("text")).as("text"))
+    dedupIncrementalFrom(snapshot, incoming)
+  }
+
+  /** The operator surface: incoming-batch verdicts against an arbitrary
+    * snapshot frame. */
+  private[graft] def dedupIncrementalFrom(
+      snapshot: DataFrame, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = snapshot
+      .select(unhex(md5(TextAnalysis.normTextCol(col("text")))).as("fp"))
+      .distinct()
+    val inc = incoming.select(col("doc_id"),
+      unhex(md5(TextAnalysis.normTextCol(col("text")))).as("fp"))
+    val byFp = Window.partitionBy(col("fp"))
+    inc.join(snap.withColumn("in_snapshot", lit(true)), Seq("fp"), "left")
+      .withColumn("first_id", min(col("doc_id")).over(byFp))
+      .select(col("doc_id"),
+        when(col("in_snapshot"), lit("snapshot_dup"))
+          .when(col("doc_id") =!= col("first_id"), lit("batch_dup"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH inc0 AS (
+       |  SELECT i.doc_id,
+       |    CASE WHEN i.doc_id % 7 = 0 THEN s.text
+       |         WHEN i.doc_id % 89 = 0 THEN p.text
+       |         ELSE i.text END AS text
+       |  FROM documents i
+       |  JOIN documents s ON s.doc_id = i.doc_id % $snapshotCut
+       |  JOIN documents p ON p.doc_id = $snapshotCut + (i.doc_id % 2)
+       |  WHERE i.doc_id >= $snapshotCut),
+       |snap AS (
+       |  SELECT DISTINCT ${TextAnalysis.fingerprintSql} AS fp
+       |  FROM documents WHERE doc_id < $snapshotCut),
+       |inc AS (
+       |  SELECT doc_id, ${TextAnalysis.fingerprintSql} AS fp
+       |  FROM inc0),
+       |m AS (SELECT inc.doc_id, inc.fp,
+       |        snap.fp IS NOT NULL AS in_snapshot,
+       |        MIN(inc.doc_id) OVER (PARTITION BY inc.fp) AS first_id
+       |      FROM inc LEFT JOIN snap ON inc.fp = snap.fp)
+       |SELECT doc_id,
+       |  CASE WHEN in_snapshot THEN 'snapshot_dup'
+       |       WHEN doc_id <> first_id THEN 'batch_dup'
+       |       ELSE 'new' END AS verdict
+       |FROM m""".stripMargin
+
   /** The composed end-to-end dedup funnel — the one-row report a dedup
     * run publishes, mirroring [[Curation.curationPipeline]]'s role for
     * filtering: exact dedup (keep lowest id per fingerprint) ≻ near-dup

@@ -139,6 +139,32 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ingest dedup: snapshot precedence, first-arrival keep, exact verdicts") {
+    import spark.implicits._
+    val snapshot = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "Alpha  beta GAMMA"),   // normalizes to snapshot content
+      (11L, "eta theta iota"),      // new
+      (12L, "eta theta iota"),      // batch dup of 11
+      (13L, "alpha beta gamma"),    // snapshot dup (beats batch-dup label)
+      (14L, "kappa lambda mu")      // new
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupIncrementalFrom(snapshot, incoming)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      10L -> "snapshot_dup", 11L -> "new", 12L -> "batch_dup",
+      13L -> "snapshot_dup", 14L -> "new"))
+    // the gate entry's deterministic augmentation keeps all three
+    // verdicts reachable on the dup-free corpus
+    val verdicts = Dedup.dedupIncremental(spark, sf)
+      .groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts.keySet === Set("new", "snapshot_dup", "batch_dup"),
+      s"augmented gate entry left a verdict unreachable: $verdicts")
+  }
+
   test("dedup funnel accounting balances and each stage is non-vacuous") {
     val r = Dedup.dedupFunnel(spark, sf).collect()
     assert(r.length === 1)

@@ -82,9 +82,16 @@ object Dedup {
     * oracle's `MIN(substring(md5(...)))`. The shingle-set size rides along
     * for free (the set is in hand), so Jaccard denominators never need a
     * second pass over the corpus. */
-  private[graft] def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String], Long)] = {
+  private[graft] def minhashPerDoc(s: SparkSession, dir: String): Dataset[(Long, Seq[String], Long)] =
+    minhashPerDocFrom(s, Corpus.documents(s, dir))
+
+  /** [[minhashPerDoc]] over an arbitrary (doc_id, text) frame — shared
+    * with the incremental-ingest probe so both sides of a snapshot/batch
+    * comparison carry byte-identical signatures. */
+  private[graft] def minhashPerDocFrom(
+      s: SparkSession, docs: DataFrame): Dataset[(Long, Seq[String], Long)] = {
     import s.implicits._
-    Corpus.documents(s, dir)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -136,7 +143,9 @@ object Dedup {
     }
   }
 
-  private[graft] val shingledSql: String =
+  /** [[shingledSql]] over an arbitrary named relation (the
+    * `substringSpansSqlFor` convention). */
+  private[graft] def shingledSqlFor(rel: String): String =
     s"""SELECT doc_id, UNNEST(list_distinct(
        |  CASE WHEN len(${TextAnalysis.tokensSql}) >= 3 THEN
        |    list_transform(range(0, len(${TextAnalysis.tokensSql}) - 2),
@@ -144,7 +153,9 @@ object Dedup {
        |           (${TextAnalysis.tokensSql})[i+2] || ' ' ||
        |           (${TextAnalysis.tokensSql})[i+3])
        |  ELSE [array_to_string(${TextAnalysis.tokensSql}, ' ')] END)) AS shingle
-       |FROM documents""".stripMargin
+       |FROM $rel""".stripMargin
+
+  private[graft] val shingledSql: String = shingledSqlFor("documents")
 
   /** Exact dedup: group identical normalized content, keep the lowest id
     * (hash-groupBy — a single shuffle on the fingerprint). */
@@ -1285,4 +1296,279 @@ object Dedup {
        |  CAST(tokens_scrubbed AS BIGINT) AS tokens_scrubbed,
        |  CAST(tokens_kept_docs - tokens_scrubbed AS BIGINT) AS tokens_out
        |FROM adocs, aex, anear, asurv, ascrub""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Line-level boilerplate dedup: a line that recurs across many
+  // documents (nav bars, footers, cookie banners) is template
+  // boilerplate, not content — count each normalized line's DOCUMENT
+  // frequency and scrub lines whose df reaches the cut. This is the
+  // line-wise dedup pass web-corpus pipelines run between exact and
+  // near-dup document dedup (cf. RefinedWeb, arXiv:2306.01116 §3.3).
+  //
+  // Scale shape: one hash-partitioned groupBy on the normalized line
+  // for the df count — partial aggregation does the heavy lifting
+  // map-side, because hot boilerplate lines are exactly the ones that
+  // pre-aggregate well — then one equi join of the (df-filtered, tiny)
+  // boilerplate set back onto the exploded lines, broadcast when it
+  // fits. Nothing quadratic: no line ever meets another line except
+  // through the aggregate.
+  //
+  // Gate non-vacuity (the `pii_scrub` convention): the synthetic corpus
+  // is single-line word soup, so the QUERY ENTRIES deterministically
+  // wrap each doc in template lines (per-source header/footer, plus a
+  // corpus-wide promo line on every third doc) before scrubbing — both
+  // engines apply the identical wrap. The operator surface
+  // ([[boilerplateLinesFrom]] / [[lineScrubFrom]]) takes any
+  // (doc_id, text) frame with real newlines as-is.
+
+  /** A line is boilerplate when it appears in at least this many docs. */
+  private[graft] val lineDfCut = 5L
+
+  /** How many boilerplate lines the report query returns. */
+  private[graft] val boilerTopK = 50
+
+  /** The deterministic multi-line wrap of the gate corpus (Spark side).
+    * `concat_ws` skips the NULL the `when` yields on non-promo docs —
+    * same skip-NULL semantics as the oracle's `concat_ws`. */
+  private def augmentedDocs(s: SparkSession, dir: String): DataFrame =
+    Corpus.documents(s, dir).select(col("doc_id"),
+      concat_ws("\n",
+        concat(lit("nav home about "), col("source")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today")),
+        concat(lit("copyright all rights reserved "), col("source")))
+        .as("text"))
+
+  /** [[augmentedDocs]] in DuckDB SQL (a per-doc scalar over `documents`). */
+  private val augLinesSql: String =
+    """concat_ws(chr(10), 'nav home about ' || source, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+      |    'copyright all rights reserved ' || source)""".stripMargin
+
+  /** Explode a (doc_id, text) frame into (doc_id, pos, line, norm_line)
+    * — one row per physical line, normalized with the ONE canonical
+    * [[TextAnalysis.normTextCol]] so line identity matches document
+    * fingerprint identity rules. */
+  private def linesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm_line", TextAnalysis.normTextCol(col("line")))
+
+  /** Normalized lines with document frequency >= [[lineDfCut]] — the
+    * boilerplate set. distinct() first so a line repeated WITHIN one doc
+    * counts once toward df. */
+  private def boilerSetOf(lines: DataFrame): DataFrame =
+    lines.select(col("doc_id"), col("norm_line")).distinct()
+      .groupBy(col("norm_line")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= lineDfCut)
+
+  /** Report query: the top boilerplate lines by document frequency, with
+    * the share of docs each line appears in. */
+  def boilerplateLines(s: SparkSession, dir: String): DataFrame =
+    boilerplateLinesFrom(augmentedDocs(s, dir))
+
+  private[graft] def boilerplateLinesFrom(docs: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    boilerSetOf(linesOf(docs))
+      .crossJoin(broadcast(nDocs))
+      .select(col("norm_line").as("line"), col("df"),
+        (col("df").cast("double") / col("n_docs").cast("double"))
+          .as("doc_share"))
+      .orderBy(col("df").desc, col("line"))
+      .limit(boilerTopK)
+  }
+
+  val boilerplateLinesSql: String =
+    s"""WITH aug AS (SELECT doc_id, $augLinesSql AS t FROM documents),
+       |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+       |lines AS (SELECT doc_id,
+       |    regexp_replace(lower(trim(ls[pos+1])), '\\s+', ' ', 'g') AS norm_line
+       |  FROM sp, UNNEST(range(0, len(ls))) AS u(pos)),
+       |b AS (SELECT norm_line AS line, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, norm_line FROM lines)
+       |  GROUP BY 1 HAVING COUNT(*) >= $lineDfCut),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT line, df, CAST(df AS DOUBLE) / n_docs AS doc_share
+       |FROM b, n ORDER BY df DESC, line LIMIT $boilerTopK""".stripMargin
+
+  /** Scrub query: per-doc line counts and the document reassembled from
+    * its non-boilerplate lines in original order. collect_list skips the
+    * NULL the `when` yields on boilerplate rows; array_sort on the
+    * (pos, line) struct restores physical order. */
+  def lineScrub(s: SparkSession, dir: String): DataFrame =
+    lineScrubFrom(augmentedDocs(s, dir))
+
+  private[graft] def lineScrubFrom(docs: DataFrame): DataFrame = {
+    val lines = linesOf(docs)
+    val boiler = boilerSetOf(lines)
+      .select(col("norm_line"), lit(true).as("is_boiler"))
+    lines.join(broadcast(boiler), Seq("norm_line"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(coalesce(col("is_boiler"), lit(false)) === false,
+              struct(col("pos"), col("line"))))),
+          x => x("line"))).as("clean_text"))
+  }
+
+  // ------------------------------------------------------------------
+  // Near-dup incremental ingest: the LSH analog of [[dedupIncremental]].
+  // The accumulated snapshot keeps only its per-doc minhash signatures
+  // (k 8-hex minima + one count — a few dozen bytes/doc, the standing
+  // state a 100 TB ingest pipeline can actually afford); each incoming
+  // batch is signed with the identical kernel, candidates come from a
+  // band-key equi join (snapshot side × batch side, never batch × batch
+  // all-pairs), and only candidate docs pay the exact-Jaccard
+  // verification. Verdict per incoming doc: 'near_dup' (≥0.5 Jaccard
+  // with some snapshot doc; earliest such doc + strongest similarity
+  // reported) or 'new'.
+  //
+  // Gate non-vacuity (the [[dedupIncremental]] convention): the corpus
+  // has no natural cross-half near-dups, so the QUERY ENTRY replays
+  // id % 7 snapshot texts into the batch with a short appended tail —
+  // high-Jaccard-but-not-exact content only the near-dup path can
+  // catch. The operator surface ([[neardupIncrementalFrom]]) takes
+  // snapshot/incoming frames as-is.
+
+  def neardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val snapshot = docs.where(col("doc_id") < snapshotCut)
+      .select(col("doc_id"), col("text"))
+    val snapTexts = snapshot
+      .select(col("doc_id").as("sid"), col("text").as("snap_text"))
+    val incoming = docs.where(col("doc_id") >= snapshotCut)
+      .join(broadcast(snapTexts), col("doc_id") % snapshotCut === col("sid"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("snap_text"), lit(" subscribe to the feed today")))
+          .otherwise(col("text")).as("text"))
+    neardupIncrementalFrom(s, snapshot, incoming)
+  }
+
+  /** The operator surface: near-dup verdicts for an incoming batch
+    * against an arbitrary snapshot frame. Same materialization
+    * discipline as [[minhashLshPairsImpl]]: the expensive md5 signature
+    * pass runs once per side; shingles are recomputed for candidate
+    * docs only. */
+  private[graft] def neardupIncrementalFrom(
+      s: SparkSession, snapshot: DataFrame, incoming: DataFrame): DataFrame = {
+    val nBands = numMinhash / bandSize
+    val sigS = minhashPerDocFrom(s, snapshot).toDF("doc_id", "mh", "n_shingles")
+      .localCheckpoint()
+    val sigI = minhashPerDocFrom(s, incoming).toDF("doc_id", "mh", "n_shingles")
+      .localCheckpoint()
+    def bandsOf(sig: DataFrame): DataFrame = {
+      val keyCols = (0 until nBands).map { b =>
+        concat_ws("|", (0 until bandSize).map(j => col("mh")(b * bandSize + j)): _*)
+      }
+      sig.select(col("doc_id"), array(keyCols: _*).as("keys"))
+        .select(col("doc_id"), col("keys"),
+          posexplode(col("keys")).as(Seq("band", "key")))
+    }
+    // cross-side first-band rule: a multi-band collision is kept only in
+    // its first colliding band — exactly-once candidates, no distinct
+    val firstBand = coalesce(
+      (0 until nBands).map(b =>
+        when(col("l.keys")(b) === col("r.keys")(b), lit(b))): _*)
+    val candidates = bandsOf(sigS).as("l").join(bandsOf(sigI).as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .where(col("l.band") === firstBand)
+      .select(col("l.doc_id").as("sid"), col("r.doc_id").as("doc_id"))
+      .localCheckpoint(false)
+    val candS = snapshot.join(
+      broadcast(candidates.select(col("sid").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val candI = incoming.join(
+      broadcast(candidates.select(col("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    val shS = shingledFrom(s, candS).toDF("s_id", "s_shingle")
+    val shI = shingledFrom(s, candI).toDF("i_id", "i_shingle")
+    val inter = broadcast(candidates)
+      .join(shS, col("sid") === col("s_id"))
+      .join(shI, col("doc_id") === col("i_id")
+        && col("s_shingle") === col("i_shingle"))
+      .groupBy(col("sid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizesS = sigS.select(col("doc_id").as("sid"), col("n_shingles").as("ns_s"))
+    val sizesI = sigI.select(col("doc_id"), col("n_shingles").as("ns_i"))
+    val best = inter
+      .join(sizesS, Seq("sid")).join(sizesI, Seq("doc_id"))
+      .select(col("sid"), col("doc_id"),
+        (col("n_inter").cast("double") /
+          (col("ns_s") + col("ns_i") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("sid")).as("match_sid"), max(col("jaccard")).as("best_jaccard"))
+    incoming.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("match_sid").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        col("match_sid"), col("best_jaccard"))
+  }
+
+  val neardupIncrementalSql: String = {
+    val bandExprs = (0 until numMinhash / bandSize).map { b =>
+      val parts = (0 until bandSize).map(j => s"mh${b * bandSize + j}")
+        .mkString(" || '|' || ")
+      s"md5($parts)"
+    }.mkString(", ")
+    s"""WITH snap AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id < $snapshotCut),
+       |inc AS (
+       |  SELECT i.doc_id,
+       |    CASE WHEN i.doc_id % 7 = 0
+       |      THEN s.text || ' subscribe to the feed today'
+       |      ELSE i.text END AS text
+       |  FROM documents i JOIN documents s ON s.doc_id = i.doc_id % $snapshotCut
+       |  WHERE i.doc_id >= $snapshotCut),
+       |sh_s AS (${shingledSqlFor("snap")}),
+       |sh_i AS (${shingledSqlFor("inc")}),
+       |sig_s AS (SELECT doc_id, $mhMinsSql FROM sh_s GROUP BY doc_id),
+       |sig_i AS (SELECT doc_id, $mhMinsSql FROM sh_i GROUP BY doc_id),
+       |b_s AS (SELECT doc_id, UNNEST([$bandExprs]) AS band_key FROM sig_s),
+       |b_i AS (SELECT doc_id, UNNEST([$bandExprs]) AS band_key FROM sig_i),
+       |cand AS (SELECT DISTINCT l.doc_id AS sid, r.doc_id AS doc_id
+       |  FROM b_s l JOIN b_i r ON l.band_key = r.band_key),
+       |sizes_s AS (SELECT doc_id, COUNT(*) AS n FROM sh_s GROUP BY 1),
+       |sizes_i AS (SELECT doc_id, COUNT(*) AS n FROM sh_i GROUP BY 1),
+       |inter AS (SELECT cand.sid, cand.doc_id, COUNT(*) AS n_inter
+       |  FROM cand
+       |  JOIN sh_s sa ON cand.sid = sa.doc_id
+       |  JOIN sh_i sb ON cand.doc_id = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, MIN(sid) AS match_sid, MAX(j) AS best_jaccard
+       |  FROM (SELECT inter.doc_id, inter.sid,
+       |      CAST(n_inter AS DOUBLE) / (zs.n + zi.n - n_inter) AS j
+       |    FROM inter
+       |    JOIN sizes_s zs ON inter.sid = zs.doc_id
+       |    JOIN sizes_i zi ON inter.doc_id = zi.doc_id
+       |    WHERE CAST(n_inter AS DOUBLE) / (zs.n + zi.n - n_inter) >= 0.5)
+       |  GROUP BY 1)
+       |SELECT i.doc_id,
+       |  CASE WHEN b.match_sid IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+       |  b.match_sid, b.best_jaccard
+       |FROM inc i LEFT JOIN best b ON i.doc_id = b.doc_id""".stripMargin
+  }
+
+  val lineScrubSql: String =
+    s"""WITH aug AS (SELECT doc_id, $augLinesSql AS t FROM documents),
+       |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+       |lines AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos+1] AS line,
+       |    regexp_replace(lower(trim(ls[pos+1])), '\\s+', ' ', 'g') AS norm_line
+       |  FROM sp, UNNEST(range(0, len(ls))) AS u(pos)),
+       |b AS (SELECT norm_line FROM (SELECT DISTINCT doc_id, norm_line FROM lines)
+       |  GROUP BY 1 HAVING COUNT(*) >= $lineDfCut),
+       |m AS (SELECT l.doc_id, l.pos, l.line,
+       |    b.norm_line IS NOT NULL AS is_b
+       |  FROM lines l LEFT JOIN b ON l.norm_line = b.norm_line)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+       |    chr(10) ORDER BY pos), '') AS clean_text
+       |FROM m GROUP BY doc_id""".stripMargin
 }

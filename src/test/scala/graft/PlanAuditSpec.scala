@@ -470,4 +470,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(objAggs >= 2, s"expected partial+final sketch aggregation:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("boilerplate_lines is one df aggregate + top-k, no global sort") {
+    val plan = physicalPlan(graft.operators.Dedup.boilerplateLines(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash df aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("neardup_incremental: candidates come from a cross-side band equi join — no all-pairs") {
+    val plan = physicalPlan(graft.operators.Dedup.neardupIncremental(spark, sf))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"snapshot×batch candidate generation is not an equi join:\n$plan")
+  }
+
+  test("line_scrub joins the df-filtered boilerplate set back as a broadcast equi join") {
+    val plan = physicalPlan(graft.operators.Dedup.lineScrub(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boilerplate set not broadcast onto the exploded lines:\n$plan")
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"line join is not an equi join:\n$plan")
+  }
 }

@@ -165,6 +165,33 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"augmented gate entry left a verdict unreachable: $verdicts")
   }
 
+  test("incremental near-dup ingest: LSH probe against the snapshot signature set") {
+    import spark.implicits._
+    val a = (0 until 30).map(i => s"w$i").mkString(" ")
+    val b = (0 until 30).map(i => s"v$i").mkString(" ")
+    val snapshot = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, a + " tail tokens appended here"),            // near-dup of 0
+      (11L, (0 until 30).map(i => s"u$i").mkString(" ")), // new
+      (12L, b)                                            // exact copy of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.neardupIncrementalFrom(spark, snapshot, incoming)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ===
+      Seq((10L, "near_dup", 0L), (11L, "new", -1L), (12L, "near_dup", 1L)))
+    assert(got(0)._4 > 0.5 && got(0)._4 < 1.0,
+      s"mutated copy must verify strictly between the cut and exact: ${got(0)._4}")
+    assert(got(2)._4 === 1.0, s"verbatim copy must verify at 1.0: ${got(2)._4}")
+    // the gate entry's replayed near-dups keep both verdicts reachable
+    val verdicts = Dedup.neardupIncremental(spark, sf)
+      .groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts.keySet === Set("near_dup", "new"),
+      s"augmented gate entry left a verdict unreachable: $verdicts")
+  }
+
   test("dedup funnel accounting balances and each stage is non-vacuous") {
     val r = Dedup.dedupFunnel(spark, sf).collect()
     assert(r.length === 1)

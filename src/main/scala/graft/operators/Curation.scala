@@ -408,4 +408,64 @@ object Curation {
        |  round(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
        |  top_lang
        |FROM main JOIN mode USING (source)""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Budget / epochs planner: [[mixWeights]] says WHAT share each
+  // language should get; this says what that share MEANS against a
+  // concrete training-token budget — allocated tokens, epochs over the
+  // available data, and the repeat cap at ~4 epochs beyond which
+  // repeated data stops helping (Muennighoff et al., arXiv:2305.16264).
+  // An under-represented language that the temperature upsamples past
+  // the cap shows up here as epochs_raw > epochs and an
+  // effective-token shortfall — the planning signal to go collect more
+  // of it rather than pretend the temperature weight is achievable.
+
+  /** Training budget as a multiple of the corpus token count. */
+  private[graft] val budgetMult = 4.0
+
+  /** Epochs beyond which repeating data stops helping (arXiv:2305.16264). */
+  private[graft] val epochCap = 4.0
+
+  /** 100 TB shape: identical to [[mixWeights]] — one map-side-combinable
+    * per-language aggregate; every derived column is a window over the
+    * handful of language rows. All doubles derive from exact BIGINT
+    * counts through the same IEEE expression tree as the oracle. */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Corpus.documents(s, dir)
+      .select(col("lang"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy()
+    val z = sum(pow(col("n_tokens").cast("double"), lit(0.3))).over(w0)
+    val tot = sum(col("n_tokens")).over(w0)
+    val weight = pow(col("n_tokens").cast("double"), lit(0.3)) / z
+    val alloc = lit(budgetMult) * tot.cast("double") * weight
+    val epochsRaw = alloc / col("n_tokens").cast("double")
+    perLang.select(col("lang"), col("n_tokens"),
+      round(weight, 4).as("weight"),
+      round(epochsRaw, 4).as("epochs_raw"),
+      round(least(epochsRaw, lit(epochCap)), 4).as("epochs"),
+      round(least(alloc, lit(epochCap) * col("n_tokens").cast("double")), 0)
+        .cast("long").as("effective_tokens"))
+  }
+
+  val mixEpochsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CAST(SUM(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_tokens,
+       |    power(n_tokens, 0.3) / SUM(power(n_tokens, 0.3)) OVER () AS wt,
+       |    SUM(n_tokens) OVER () AS tot
+       |  FROM t)
+       |SELECT lang, n_tokens,
+       |  round(wt, 4) AS weight,
+       |  round($budgetMult * tot * wt / n_tokens, 4) AS epochs_raw,
+       |  round(least($budgetMult * tot * wt / n_tokens, $epochCap), 4) AS epochs,
+       |  CAST(round(least($budgetMult * tot * wt, $epochCap * n_tokens), 0)
+       |    AS BIGINT) AS effective_tokens
+       |FROM w""".stripMargin
 }

@@ -371,4 +371,132 @@ object Sketches {
        |      ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
        |  FROM c)
        |SELECT source, token, cnt, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  // ------------------------------------------------------------------
+  // ANALYZE-style table statistics: the per-column stats collection a
+  // cost-based optimizer feeds on (row counts, null counts, NDV, value
+  // bounds) — the operation a 100 TB warehouse runs nightly so its
+  // broadcast/join-order decisions aren't guesses.
+  //
+  // One-scan shape: the unpivoted (col_name, value) stream feeds the
+  // row/null/NDV aggregates (the HLL register partial-max caps the NDV
+  // shuffle at 256 rows per column at any table size), and the numeric/
+  // temporal bounds come from a single 1-row min/max aggregate over the
+  // same scan, unpivoted and joined back — the table is never read per
+  // column. `ndv_exact` is the expensive comparison column a production
+  // run would drop, keeping only the mergeable sketch.
+
+  private val statsNumericCols = Seq("l_orderkey", "l_suppkey")
+  private val statsStringCols  = Seq("l_linestatus", "l_returnflag")
+  private val statsTsCols      = Seq("l_shipdate")
+
+  def tableStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+    val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
+    val stk = li.select(explode(array(allCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name"), col("kv.v"))
+    // ONE aggregation tree for rows/nulls/NDV-exact/NDV-sketch: the
+    // (col_name, bucket) partial carries a running count, a per-bucket
+    // distinct count (buckets partition the value space by hash, so the
+    // per-bucket distincts SUM to the exact NDV — no second distinct
+    // aggregate over the stream), and the HLL register max. NULLs ride
+    // the NULL bucket. The final per-column rollup folds the registers
+    // into the estimate with [[hllEstimate]]'s exact expression.
+    val h = md5(concat(col("v"), lit("|hll")))
+    val zeros = length(regexp_extract(substring(h, 3, 30), "^0*", 0))
+    val firstNz = substring(h, 3, 30).substr(zeros + lit(1), lit(1))
+    val nlzInDigit = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
+    val perBucket = stk
+      .select(col("col_name"), col("v"),
+        when(col("v").isNotNull, substring(h, 1, 2)).as("bucket"),
+        when(col("v").isNotNull, rho).as("rho"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("nd"),
+        max(col("rho")).as("max_rho"))
+    val s0 = sum(when(col("bucket").isNotNull, pow(lit(2.0), -col("max_rho"))))
+    val nb = sum(when(col("bucket").isNotNull, 1L).otherwise(0L))
+    val rolled = perBucket.groupBy(col("col_name")).agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("bucket").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      sum(col("nd")).as("ndv_exact"),
+      s0.as("s0"), nb.as("nb"))
+    val v = (lit(m) - col("nb")).cast("double")
+    val raw = lit(alphaM2) / (col("s0") + v)
+    val est = when(raw <= lit(2.5 * m) && col("nb") < m,
+        lit(m.toDouble) * log(lit(m.toDouble) / v))
+      .otherwise(raw)
+    val base = rolled.select(col("col_name"), col("n_rows"), col("n_nulls"),
+      col("ndv_exact"), round(est, 4).as("ndv_est"))
+    val boundAggs = allCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val boundStructs =
+      statsNumericCols.map(c => struct(lit(c).as("col_name"),
+        col(s"min_$c").cast("double").as("min_num"),
+        col(s"max_$c").cast("double").as("max_num"),
+        nullS.as("min_str"), nullS.as("max_str"))) ++
+      (statsStringCols ++ statsTsCols).map(c => struct(lit(c).as("col_name"),
+        nullD.as("min_num"), nullD.as("max_num"),
+        col(s"min_$c").cast("string").as("min_str"),
+        col(s"max_$c").cast("string").as("max_str")))
+    val bounds = li.agg(boundAggs.head, boundAggs.tail: _*)
+      .select(explode(array(boundStructs: _*)).as("b"))
+      .select(col("b.col_name"), col("b.min_num"), col("b.max_num"),
+        col("b.min_str"), col("b.max_str"))
+    base.join(broadcast(bounds), Seq("col_name"))
+  }
+
+  val tableStatsSql: String = {
+    val stacked = (statsNumericCols ++ statsTsCols).map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem") ++
+      statsStringCols.map(c =>
+        s"SELECT '$c', $c FROM lineitem")
+    val bounds = (statsNumericCols.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |    CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+           |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |  FROM lineitem""".stripMargin) ++
+      (statsStringCols ++ statsTsCols).map(c =>
+        s"""SELECT '$c', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |    CAST(MIN($c) AS VARCHAR), CAST(MAX($c) AS VARCHAR)
+           |  FROM lineitem""".stripMargin)).mkString("\n  UNION ALL\n  ")
+    s"""WITH stk AS (
+       |  ${stacked.mkString("\n  UNION ALL\n  ")}),
+       |base AS (SELECT col_name, COUNT(*) AS n_rows,
+       |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |    CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv_exact
+       |  FROM stk GROUP BY 1),
+       |h AS (SELECT col_name, md5(v || '|hll') AS hh FROM stk WHERE v IS NOT NULL),
+       |r AS (SELECT col_name, substring(hh, 1, 2) AS bucket,
+       |        substring(hh, 3, 30) AS rest FROM h),
+       |z AS (SELECT col_name, bucket, rest,
+       |        length(regexp_extract(rest, '^0*')) AS zeros FROM r),
+       |rho AS (SELECT col_name, bucket,
+       |  CASE WHEN zeros = 30 THEN 121
+       |       ELSE zeros * 4 + CASE substring(rest, zeros + 1, 1)
+       |         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+       |         ELSE 0 END + 1 END AS rho
+       |  FROM z),
+       |pb AS (SELECT col_name, bucket, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
+       |pt AS (SELECT col_name, SUM(power(2.0, -max_rho)) AS s0, COUNT(*) AS nb
+       |       FROM pb GROUP BY 1),
+       |est AS (SELECT col_name,
+       |  CASE WHEN $alphaM2 / (s0 + ($m - nb)) <= ${2.5 * m} AND nb < $m
+       |       THEN ${m.toDouble} * ln(${m.toDouble} / ($m - nb))
+       |       ELSE $alphaM2 / (s0 + ($m - nb)) END AS e
+       |  FROM pt),
+       |bounds AS (
+       |  $bounds)
+       |SELECT base.col_name, n_rows, n_nulls, ndv_exact,
+       |  round(est.e, 4) AS ndv_est, min_num, max_num, min_str, max_str
+       |FROM base JOIN est USING (col_name) JOIN bounds USING (col_name)""".stripMargin
+  }
 }

@@ -479,6 +479,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("table_stats: two lineitem scans total, bounds broadcast back, no cartesian") {
+    val plan = physicalPlan(graft.operators.Sketches.tableStats(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"expected one stacked NDV scan + one 1-row bounds scan, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-column bounds not broadcast onto the stats rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mix_epochs is a single documents scan + tiny-window projection") {
+    val plan = physicalPlan(graft.operators.Curation.mixEpochs(spark, sf))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("neardup_incremental: candidates come from a cross-side band equi join — no all-pairs") {
     val plan = physicalPlan(graft.operators.Dedup.neardupIncremental(spark, sf))
     assert(!plan.contains("CartesianProduct")

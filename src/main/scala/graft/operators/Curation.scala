@@ -451,6 +451,42 @@ object Curation {
         .cast("long").as("effective_tokens"))
   }
 
+  // ------------------------------------------------------------------
+  // Deterministic train/validation/test split: assignment by hash of
+  // the STABLE document id (never rand(), never row position), so the
+  // split is replayable across runs, stable under corpus growth (a new
+  // doc never flips an old doc's split), and requires zero coordination
+  // — each of 10,000 executors computes the same verdict for the same
+  // doc. Per-mille cut 980/10/10.
+
+  private[graft] val valCutPermille = 980L
+  private[graft] val testCutPermille = 990L
+
+  /** One codegen'd projection over the scan — ZERO exchanges at any
+    * corpus size. The hash int comes from the first 4 md5 hex chars
+    * (`conv` here ≡ the oracle's nibble arithmetic). */
+  def trainSplit(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("|split")))
+    val bucket = (conv(substring(h, 1, 4), 16, 10).cast("long") % 1000L)
+      .as("bucket")
+    Corpus.documents(s, dir).select(col("doc_id"), bucket)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < valCutPermille, lit("train"))
+          .when(col("bucket") < testCutPermille, lit("validation"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  val trainSplitSql: String = {
+    val h = "md5(CAST(doc_id AS VARCHAR) || '|split')"
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1)"
+    val b = s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 1000)"
+    s"""SELECT doc_id, CAST($b AS BIGINT) AS bucket,
+       |  CASE WHEN $b < $valCutPermille THEN 'train'
+       |       WHEN $b < $testCutPermille THEN 'validation'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   val mixEpochsSql: String =
     s"""WITH t AS (
        |  SELECT lang,

@@ -496,6 +496,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("train_split is a shuffle-free scan projection — zero exchanges") {
+    val plan = physicalPlan(graft.operators.Curation.trainSplit(spark, sf))
+    assert(!plan.contains("Exchange"),
+      s"hash-of-id split assignment must not shuffle:\n$plan")
+  }
+
   test("neardup_incremental: candidates come from a cross-side band equi join — no all-pairs") {
     val plan = physicalPlan(graft.operators.Dedup.neardupIncremental(spark, sf))
     assert(!plan.contains("CartesianProduct")

@@ -865,4 +865,80 @@ object Similarity {
   /** The committed oracle mirrors [[clustersForCount]]'s choice at the
     * driver's verification corpus (sf0.01, 500 vectors → k = 8). */
   val semDedupSql: String = semDedupSqlFor(8)
+
+  // ------------------------------------------------------------------
+  // Label-similarity matrix: pairwise cosine between per-label centroid
+  // directions — the taxonomy-redundancy report (two labels whose
+  // centroids cosine ≈ 1 are candidates to merge; a label near-orthogonal
+  // to all others is carrying unique signal). Same quantization
+  // discipline as [[embeddingOutliers]]: per-term products rounded to
+  // BIGINTs so every cross-row sum is order-free and the oracle matches
+  // bitwise.
+  //
+  // 100 TB shape: the ONLY corpus-sized work is the one per-(label, dim)
+  // partial-aggregated centroid pass (shared shape with
+  // embedding_outliers — map-side combine bounds the exchange at
+  // labels × 64 rows); the pair matrix itself is a labels²-bounded
+  // self-join of that tiny frame, broadcast, never touching the corpus.
+
+  def labelSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val e = Corpus.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val dims64 = e.select(col("label"),
+      posexplode(transform(col("v"), x => x / col("nrm"))).as(Seq("dim", "nv")))
+    val qnv = round(col("nv") * 1000000.0, 0).cast("long")
+    val cent = dims64.groupBy(col("label"), col("dim"))
+      .agg(sum(qnv).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / (col("n").cast("double") * 1000000.0)).as("c"))
+    val c2 = cent.groupBy(col("label"))
+      .agg(sum(round(col("c") * col("c") * 100000000.0, 0).cast("long")).as("qc2"))
+    val qdot = cent.as("a").join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(col("a.c") * col("b.c") * 100000000.0, 0).cast("long").as("qterm"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("qterm")).as("qdot"))
+    qdot
+      .join(broadcast(c2.select(col("label").as("label_a"), col("qc2").as("qa"))),
+        Seq("label_a"))
+      .join(broadcast(c2.select(col("label").as("label_b"), col("qc2").as("qb"))),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round((col("qdot").cast("double") / 100000000.0) /
+          (sqrt(col("qa").cast("double") / 100000000.0) *
+           sqrt(col("qb").cast("double") / 100000000.0)), 6).as("cosine"))
+  }
+
+  val labelSimilaritySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_sum(list_transform(range(1, ${dims + 1}), i ->
+       |      CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]))) AS nrm
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT label, i.i - 1 AS dim, v[i.i] / nrm AS nv
+       |  FROM e CROSS JOIN (SELECT UNNEST(range(1, ${dims + 1})) AS i) i),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(round(nv * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |      / (COUNT(*) * 1000000.0) AS c
+       |  FROM d GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT label,
+       |    SUM(CAST(round(c * c * 100000000.0, 0) AS BIGINT)) AS qc2
+       |  FROM cent GROUP BY 1),
+       |qd AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    SUM(CAST(round(a.c * b.c * 100000000.0, 0) AS BIGINT)) AS qdot
+       |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  round((CAST(qdot AS DOUBLE) / 100000000.0) /
+       |    (sqrt(CAST(za.qc2 AS DOUBLE) / 100000000.0) *
+       |     sqrt(CAST(zb.qc2 AS DOUBLE) / 100000000.0)), 6) AS cosine
+       |FROM qd
+       |JOIN c2 za ON qd.label_a = za.label
+       |JOIN c2 zb ON qd.label_b = zb.label""".stripMargin
 }

@@ -496,6 +496,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("label_similarity: corpus pays one partial-agg centroid pass; pair matrix broadcast") {
+    val plan = physicalPlan(Similarity.labelSimilarity(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      s"centroid pass not partial-aggregated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny centroid frames must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("train_split is a shuffle-free scan projection — zero exchanges") {
     val plan = physicalPlan(graft.operators.Curation.trainSplit(spark, sf))
     assert(!plan.contains("Exchange"),

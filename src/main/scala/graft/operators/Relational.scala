@@ -1172,4 +1172,60 @@ object Relational {
       |  round(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
       |    / CAST(n_rows AS DOUBLE), 4) AS skew_ratio
       |FROM topk CROSS JOIN stats""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Ingest-volume anomaly detection: per (event_type, day) counts with a
+  // z-score against that type's observed-day distribution — the
+  // ops-monitoring query a 100 TB ingest pipeline runs to catch a
+  // scraper dying (count collapse) or a feed loop (count explosion)
+  // before the corpus skews. Days with zero events are absent from the
+  // stats (observed-day convention, documented).
+  //
+  // 100 TB shape: ONE map-side-combinable (type, day) count aggregate;
+  // the mean/variance windows run over the tiny (types × days) frame.
+  // Mean and variance derive from exact BIGINT sums (Σc, Σc², n)
+  // through an identical IEEE expression tree on both engines; z is
+  // guarded against a zero-variance type (constant daily counts → NULL
+  // z, false flag) so the degenerate case is engine-identical rather
+  // than an Inf/NaN divergence.
+
+  def ingestAnomaly(s: SparkSession, dir: String): DataFrame =
+    ingestAnomalyFrom(Corpus.events(s, dir))
+
+  private[graft] def ingestAnomalyFrom(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    val n = count(lit(1)).over(w).cast("double")
+    val sc = sum(col("n_events")).over(w).cast("double")
+    val sc2 = sum(col("n_events") * col("n_events")).over(w).cast("double")
+    val mean = sc / n
+    val varr = (sc2 - sc * sc / n) / n
+    val z = (col("n_events").cast("double") - mean) / sqrt(varr)
+    daily.select(col("event_type"), col("day"), col("n_events"),
+      when(varr > 0, round(z, 4)).as("z"),
+      when(varr > 0, abs(z) > 3.0).otherwise(lit(false)).as("is_anomaly"))
+  }
+
+  val ingestAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, day, n_events,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+      |    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE) AS sc,
+      |    CAST(SUM(n_events * n_events) OVER (PARTITION BY event_type) AS DOUBLE) AS sc2
+      |  FROM daily)
+      |SELECT event_type, CAST(day AS BIGINT) AS day, n_events,
+      |  CASE WHEN (sc2 - sc * sc / n) / n > 0
+      |    THEN round((CAST(n_events AS DOUBLE) - sc / n)
+      |      / sqrt((sc2 - sc * sc / n) / n), 4) END AS z,
+      |  CASE WHEN (sc2 - sc * sc / n) / n > 0
+      |    THEN abs((CAST(n_events AS DOUBLE) - sc / n)
+      |      / sqrt((sc2 - sc * sc / n) / n)) > 3.0
+      |    ELSE FALSE END AS is_anomaly
+      |FROM st""".stripMargin
 }

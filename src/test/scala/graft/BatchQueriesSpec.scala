@@ -189,4 +189,27 @@ class BatchQueriesSpec extends AnyFunSuite {
       assert(math.abs(details.map(_._1).sum - rev) < 1e-6)
     }
   }
+
+  test("ingest_anomaly flags an injected daily spike, null-z on constant types") {
+    import spark.implicits._
+    // type "steady": 30 days of exactly 10 events -> variance 0, z NULL,
+    // never flagged. type "spiky": 29 days of 10 plus one day of 200.
+    val us = (d: Int) => d * 86400000000L
+    val rows =
+      (0 until 30).flatMap(d => Seq.fill(10)(("steady", us(d)))) ++
+      (0 until 29).flatMap(d => Seq.fill(10)(("spiky", us(d)))) ++
+      Seq.fill(200)(("spiky", us(29)))
+    val ev = rows.toDF("event_type", "u")
+      .select(col("event_type"), expr("timestamp_micros(u)").as("ts"))
+    val out = Relational.ingestAnomalyFrom(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    val steady = out.filter(_._1 == "steady")
+    assert(steady.length == 30 && steady.forall(r => r._4.isEmpty && !r._5),
+      "zero-variance type must have NULL z and no flags")
+    val flagged = out.filter(r => r._1 == "spiky" && r._5)
+    assert(flagged.map(x => (x._2, x._3)).toSeq == Seq((29L, 200L)),
+      s"exactly the injected spike day must be flagged: ${flagged.toSeq}")
+    assert(flagged.head._4.get > 5.0, "spike z-score should be extreme")
+  }
 }

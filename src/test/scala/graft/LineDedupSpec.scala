@@ -63,4 +63,38 @@ class LineDedupSpec extends AnyFunSuite {
     val share = Dedup.boilerplateLinesFrom(corpus).collect()(0).getDouble(2)
     assert(share === 1.0, s"footer is in all 6 docs, share must be 1.0: $share")
   }
+
+  test("scrub matches a brute-force reference on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    // small line pool → some lines recur across many docs (df above the
+    // cut), some stay rare; docs also repeat lines internally
+    val pool = (0 until 9).map(i => s"line $i content")
+    def norm(l: String) = l.trim.toLowerCase.replaceAll("\\s+", " ")
+    for (trial <- 1 to 5) {
+      val docs = (0 until 20).map { id =>
+        val n = 2 + rnd.nextInt(6)
+        (id.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+      }
+      // brute-force reference
+      val df = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).map(norm).distinct.map(_ -> id)
+      }.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+      val boiler = df.filter(_._2 >= Dedup.lineDfCut).keySet
+      val want = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1)
+        val kept = ls.filterNot(l => boiler(norm(l)))
+        (id, ls.length.toLong, (ls.length - kept.length).toLong,
+          kept.mkString("\n"))
+      }.sortBy(_._1)
+      val got = Dedup.lineScrubFrom(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"trial $trial diverged")
+      val gotBoiler = Dedup.boilerplateLinesFrom(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotBoiler === df.filter(_._2 >= Dedup.lineDfCut),
+        s"trial $trial boilerplate set diverged")
+    }
+  }
 }

@@ -173,13 +173,16 @@ object Bench {
       }
     } else ""
     // Key order matters: the driver archives a 2000-char TAIL slice of
-    // this line, so the most-load-bearing keys go LAST — loadavg (the
+    // this line, so the most-load-bearing keys go LAST — streaming
+    // telemetry, bucketed/relayout sections, errors, loadavg (the
     // load-contamination telemetry, cut from both r6 and r7 artifacts),
-    // the per-query seconds array, then the headline total. The full-name
-    // query map stays for humans and local refs but sits earlier: at 98
-    // queries it cannot fit the window, and the array + sorted names
-    // carries the same data.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs$streaming$bucketed$relayout$errJson,"queries":$qs,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
+    // the per-query seconds array, then the headline total. Only the
+    // full-name query map sits ahead of them: at 98+ queries it cannot
+    // fit the window regardless, and the `q` array + sorted names
+    // carries the same data. (r8: the streaming block — cut from every
+    // driver artifact through r7 — moved behind the map too; it fits
+    // the tail alongside q/loadavg/value.)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"queries":$qs$streaming$bucketed$relayout$errJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
     spark.stop()
   }
 }

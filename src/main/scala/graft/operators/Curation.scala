@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Corpus
@@ -37,26 +37,36 @@ object Curation {
        |WHERE (doc_id * $mixK) % 100 <
        |  CASE WHEN lang = 'en' THEN 25 ELSE 100 END""".stripMargin
 
-  /** Temperature-based mixture weights per language: weight ∝ tokens^0.3
-    * (the standard multilingual rebalancing exponent), normalized to sum
-    * to 1. One narrow token-count pass, one tiny per-language aggregate;
-    * round(4) at the edge absorbs libm pow/division last-ulp differences
-    * between engines (same policy as the tf-idf ln()). */
-  def mixWeights(s: SparkSession, dir: String): DataFrame = {
-    val perLang = Corpus.documents(s, dir)
+  /** The ONE per-language (n_docs, n_tokens) aggregate both mixture
+    * queries start from — a change to the tokenizer filter reaches
+    * weights and epochs together. */
+  private def perLangTokens(s: SparkSession, dir: String): DataFrame =
+    Corpus.documents(s, dir)
       .select(col("lang"),
         size(filter(TextAnalysis.tokensCol(col("text")),
           t => length(t) > 0)).cast("long").as("n"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-    // normalizer as a window over the PER-LANGUAGE aggregate (a handful of
-    // rows — the single partition is free), not a separate aggregate
-    // crossJoined back, which would scan + tokenize the corpus twice
+
+  /** The α=0.3 temperature share over a `n_tokens` column, normalizer
+    * as a window over the PER-LANGUAGE aggregate (a handful of rows —
+    * the single partition is free), not a separate aggregate
+    * crossJoined back, which would scan + tokenize the corpus twice.
+    * ONE definition shared by [[mixWeights]] and [[mixEpochs]]. */
+  private def tempWeight: Column = {
     val z = sum(pow(col("n_tokens").cast("double"), lit(0.3)))
       .over(org.apache.spark.sql.expressions.Window.partitionBy())
-    perLang.select(col("lang"), col("n_docs"), col("n_tokens"),
-      round(pow(col("n_tokens").cast("double"), lit(0.3)) / z, 4).as("weight"))
+    pow(col("n_tokens").cast("double"), lit(0.3)) / z
   }
+
+  /** Temperature-based mixture weights per language: weight ∝ tokens^0.3
+    * (the standard multilingual rebalancing exponent), normalized to sum
+    * to 1. One narrow token-count pass, one tiny per-language aggregate;
+    * round(4) at the edge absorbs libm pow/division last-ulp differences
+    * between engines (same policy as the tf-idf ln()). */
+  def mixWeights(s: SparkSession, dir: String): DataFrame =
+    perLangTokens(s, dir).select(col("lang"), col("n_docs"), col("n_tokens"),
+      round(tempWeight, 4).as("weight"))
 
   /** End-to-end retention verdict — the query a curation pipeline actually
     * ships: per document, keep/drop plus the FIRST failing filter as the
@@ -105,14 +115,22 @@ object Curation {
        |  FROM sig JOIN keepers USING (fingerprint))
        |SELECT doc_id, reason, reason = 'retained' AS retained FROM r""".stripMargin
 
-  val mixWeightsSql: String =
-    s"""WITH t AS (
+  /** [[perLangTokens]] / [[tempWeight]] in DuckDB SQL — the one copy
+    * both mixture oracles reference. */
+  private val perLangTokensSql: String =
+    s"""t AS (
        |  SELECT lang, COUNT(*) AS n_docs,
        |    CAST(SUM(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)))
        |      AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY lang)
+       |  FROM documents GROUP BY lang)""".stripMargin
+
+  private val tempWeightSql: String =
+    "power(n_tokens, 0.3) / SUM(power(n_tokens, 0.3)) OVER ()"
+
+  val mixWeightsSql: String =
+    s"""WITH $perLangTokensSql
        |SELECT lang, n_docs, n_tokens,
-       |  round(power(n_tokens, 0.3) / SUM(power(n_tokens, 0.3)) OVER (), 4) AS weight
+       |  round($tempWeightSql, 4) AS weight
        |FROM t""".stripMargin
 
   /** Per-source distribution-shift detector: KL(Pₛ ‖ P_corpus) over token
@@ -431,19 +449,12 @@ object Curation {
     * handful of language rows. All doubles derive from exact BIGINT
     * counts through the same IEEE expression tree as the oracle. */
   def mixEpochs(s: SparkSession, dir: String): DataFrame = {
-    val perLang = Corpus.documents(s, dir)
-      .select(col("lang"),
-        size(filter(TextAnalysis.tokensCol(col("text")),
-          t => length(t) > 0)).cast("long").as("n"))
-      .groupBy(col("lang"))
-      .agg(sum(col("n")).as("n_tokens"))
     val w0 = org.apache.spark.sql.expressions.Window.partitionBy()
-    val z = sum(pow(col("n_tokens").cast("double"), lit(0.3))).over(w0)
     val tot = sum(col("n_tokens")).over(w0)
-    val weight = pow(col("n_tokens").cast("double"), lit(0.3)) / z
+    val weight = tempWeight
     val alloc = lit(budgetMult) * tot.cast("double") * weight
     val epochsRaw = alloc / col("n_tokens").cast("double")
-    perLang.select(col("lang"), col("n_tokens"),
+    perLangTokens(s, dir).select(col("lang"), col("n_tokens"),
       round(weight, 4).as("weight"),
       round(epochsRaw, 4).as("epochs_raw"),
       round(least(epochsRaw, lit(epochCap)), 4).as("epochs"),
@@ -488,13 +499,9 @@ object Curation {
   }
 
   val mixEpochsSql: String =
-    s"""WITH t AS (
-       |  SELECT lang,
-       |    CAST(SUM(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0)))
-       |      AS BIGINT) AS n_tokens
-       |  FROM documents GROUP BY lang),
+    s"""WITH $perLangTokensSql,
        |w AS (SELECT lang, n_tokens,
-       |    power(n_tokens, 0.3) / SUM(power(n_tokens, 0.3)) OVER () AS wt,
+       |    $tempWeightSql AS wt,
        |    SUM(n_tokens) OVER () AS tot
        |  FROM t)
        |SELECT lang, n_tokens,

@@ -1378,18 +1378,27 @@ object Dedup {
       .limit(boilerTopK)
   }
 
-  val boilerplateLinesSql: String =
-    s"""WITH aug AS (SELECT doc_id, $augLinesSql AS t FROM documents),
+  /** The shared aug/sp/lines(+df-cut b) CTE block of both line-dedup
+    * oracles — ONE copy of the line explosion and the df cut, with the
+    * per-line identity going through the canonical
+    * [[TextAnalysis.normTextSqlFor]]. */
+  private def lineCtesSql: String =
+    s"""aug AS (SELECT doc_id, $augLinesSql AS t FROM documents),
        |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
-       |lines AS (SELECT doc_id,
-       |    regexp_replace(lower(trim(ls[pos+1])), '\\s+', ' ', 'g') AS norm_line
+       |lines AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos+1] AS line,
+       |    ${TextAnalysis.normTextSqlFor("ls[pos+1]")} AS norm_line
        |  FROM sp, UNNEST(range(0, len(ls))) AS u(pos)),
-       |b AS (SELECT norm_line AS line, CAST(COUNT(*) AS BIGINT) AS df
+       |b AS (SELECT norm_line FROM (SELECT DISTINCT doc_id, norm_line FROM lines)
+       |  GROUP BY 1 HAVING COUNT(*) >= $lineDfCut)""".stripMargin
+
+  val boilerplateLinesSql: String =
+    s"""WITH $lineCtesSql,
+       |d AS (SELECT norm_line AS line, CAST(COUNT(*) AS BIGINT) AS df
        |  FROM (SELECT DISTINCT doc_id, norm_line FROM lines)
        |  GROUP BY 1 HAVING COUNT(*) >= $lineDfCut),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
        |SELECT line, df, CAST(df AS DOUBLE) / n_docs AS doc_share
-       |FROM b, n ORDER BY df DESC, line LIMIT $boilerTopK""".stripMargin
+       |FROM d, n ORDER BY df DESC, line LIMIT $boilerTopK""".stripMargin
 
   /** Scrub query: per-doc line counts and the document reassembled from
     * its non-boilerplate lines in original order. collect_list skips the
@@ -1556,13 +1565,7 @@ object Dedup {
   }
 
   val lineScrubSql: String =
-    s"""WITH aug AS (SELECT doc_id, $augLinesSql AS t FROM documents),
-       |sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
-       |lines AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, ls[pos+1] AS line,
-       |    regexp_replace(lower(trim(ls[pos+1])), '\\s+', ' ', 'g') AS norm_line
-       |  FROM sp, UNNEST(range(0, len(ls))) AS u(pos)),
-       |b AS (SELECT norm_line FROM (SELECT DISTINCT doc_id, norm_line FROM lines)
-       |  GROUP BY 1 HAVING COUNT(*) >= $lineDfCut),
+    s"""WITH $lineCtesSql,
        |m AS (SELECT l.doc_id, l.pos, l.line,
        |    b.norm_line IS NOT NULL AS is_b
        |  FROM lines l LEFT JOIN b ON l.norm_line = b.norm_line)

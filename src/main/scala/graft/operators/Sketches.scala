@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,28 +24,56 @@ object Sketches {
   private val m = graft.functions.SketchFunctions.hllRegisters // first 2 md5 hex chars = bucket id
   private val alphaM2: Double = graft.functions.SketchFunctions.hllAlphaM2
 
+  /** md5-salted hash of one value — the HLL input, shared by every
+    * register derivation (and byte-identical to the scalar Aggregator
+    * surface's hashing). */
+  private def hllHash(value: Column): Column =
+    md5(concat(value.cast("string"), lit("|hll")))
+
+  /** Register id (first 2 hex chars) of one hashed value — THE bucket
+    * rule, shared by [[hllRegisters]] and [[tableStats]]. */
+  private[graft] def hllBucketCol(value: Column): Column =
+    substring(hllHash(value), 1, 2)
+
+  /** Register rank of one hashed value: leading zero BITS of the
+    * 120-bit remainder + 1, from hex text — 4 bits per leading '0'
+    * char, plus 3/2/1/0 inside the first non-zero digit. All-zero
+    * remainder (p ~ 2^-120) pins the max rank. ONE copy shared by
+    * [[hllRegisters]] and [[tableStats]] (a fix to the rank arithmetic
+    * reaches both operators and their oracles together). */
+  private[graft] def hllRhoCol(value: Column): Column = {
+    val rest = substring(hllHash(value), 3, 30)
+    val zeros = length(regexp_extract(rest, "^0*", 0))
+    val firstNz = rest.substr(zeros + lit(1), lit(1))
+    val nlzInDigit = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
+  }
+
+  /** The estimator over (s0 = Σ2^-max_rho, nb = occupied registers)
+    * aggregate columns — linear counting under the small-range cut,
+    * raw harmonic mean above it. Shared by [[hllEstimate]] and
+    * [[tableStats]]. */
+  private[graft] def hllEstExpr(s0: Column, nb: Column): Column = {
+    val v = (lit(m) - nb).cast("double") // empty registers: 2^-0 each
+    val raw = lit(alphaM2) / (s0 + v)
+    when(raw <= lit(2.5 * m) && nb < m,
+      lit(m.toDouble) * log(lit(m.toDouble) / v)) // linear-counting regime
+      .otherwise(raw)
+  }
+
   /** The sketch itself: one (event_type, bucket, max_rho) row per occupied
     * register. Mergeable by construction — sketches of disjoint (or even
     * overlapping) event subsets combine with `groupBy(key, bucket).max` —
     * which is what makes the operator shuffle ≤ 256 rows per key at any
     * volume (and what `PipelineOpsSpec` asserts directly). */
-  private[graft] def hllRegisters(ev: DataFrame): DataFrame = {
-    val h = md5(concat(col("user_id").cast("string"), lit("|hll")))
-    val hashed = ev.select(col("event_type"),
-      substring(h, 1, 2).as("bucket"), substring(h, 3, 30).as("rest"))
-    // rank = leading zero BITS of the 120-bit remainder + 1, from hex text:
-    // 4 bits per leading '0' char, plus 3/2/1/0 inside the first non-zero
-    // digit. All-zero remainder (p ~ 2^-120) pins the max rank.
-    val zeros = length(regexp_extract(col("rest"), "^0*", 0))
-    val firstNz = col("rest").substr(zeros + lit(1), lit(1))
-    val nlzInDigit = when(firstNz === "1", 3)
-      .when(firstNz.isin("2", "3"), 2)
-      .when(firstNz.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
-    hashed.select(col("event_type"), col("bucket"), rho.as("rho"))
+  private[graft] def hllRegisters(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        hllBucketCol(col("user_id")).as("bucket"),
+        hllRhoCol(col("user_id")).as("rho"))
       .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("max_rho"))
-  }
 
   /** Estimate from a register frame ((event_type, bucket, max_rho)). */
   private[graft] def hllEstimate(perBucket: DataFrame): DataFrame = {
@@ -53,12 +81,8 @@ object Sketches {
     // double mantissa window: the sum is EXACT in any order (both engines)
     val perType = perBucket.groupBy(col("event_type"))
       .agg(sum(pow(lit(2.0), -col("max_rho"))).as("s0"), count(lit(1)).as("nb"))
-    val v = (lit(m) - col("nb")).cast("double") // empty registers: 2^-0 each
-    val raw = lit(alphaM2) / (col("s0") + v)
-    val est = when(raw <= lit(2.5 * m) && col("nb") < m,
-        lit(m.toDouble) * log(lit(m.toDouble) / v)) // linear-counting regime
-      .otherwise(raw)
-    perType.select(col("event_type"), round(est, 4).as("approx_users"))
+    perType.select(col("event_type"),
+      round(hllEstExpr(col("s0"), col("nb")), 4).as("approx_users"))
   }
 
   /** Distinct users per event type, estimated with a deterministic HLL
@@ -79,28 +103,38 @@ object Sketches {
       .select(col("event_type"), col("approx_users"), col("exact_users"))
   }
 
-  val hllDistinctUsersSql: String =
-    s"""WITH h AS (
-       |  SELECT event_type, md5(CAST(user_id AS VARCHAR) || '|hll') AS hh FROM events),
-       |r AS (SELECT event_type, substring(hh, 1, 2) AS bucket,
+  /** The hash→registers→estimate CTE chain — SQL twin of
+    * [[hllBucketCol]]/[[hllRhoCol]]/[[hllEstExpr]], keyed by `key`
+    * with `valueExpr` hashed, reading `fromTail` (a relation name,
+    * optionally carrying a WHERE). Emits CTEs h/r/z/rho/pb/pt/est
+    * with est(key, e). ONE copy shared by [[hllDistinctUsersSql]] and
+    * [[tableStatsSql]] — a fix to the rank arithmetic reaches both
+    * oracles together, in lockstep with the column helpers above. */
+  private def hllSqlChain(key: String, valueExpr: String, fromTail: String): String =
+    s"""h AS (
+       |  SELECT $key, md5($valueExpr || '|hll') AS hh FROM $fromTail),
+       |r AS (SELECT $key, substring(hh, 1, 2) AS bucket,
        |        substring(hh, 3, 30) AS rest FROM h),
-       |z AS (SELECT event_type, bucket, rest,
+       |z AS (SELECT $key, bucket, rest,
        |        length(regexp_extract(rest, '^0*')) AS zeros FROM r),
-       |rho AS (SELECT event_type, bucket,
+       |rho AS (SELECT $key, bucket,
        |  CASE WHEN zeros = 30 THEN 121
        |       ELSE zeros * 4 + CASE substring(rest, zeros + 1, 1)
        |         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
        |         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
        |         ELSE 0 END + 1 END AS rho
        |  FROM z),
-       |pb AS (SELECT event_type, bucket, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
-       |pt AS (SELECT event_type, SUM(power(2.0, -max_rho)) AS s0, COUNT(*) AS nb
+       |pb AS (SELECT $key, bucket, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
+       |pt AS (SELECT $key, SUM(power(2.0, -max_rho)) AS s0, COUNT(*) AS nb
        |       FROM pb GROUP BY 1),
-       |est AS (SELECT event_type,
+       |est AS (SELECT $key,
        |  CASE WHEN $alphaM2 / (s0 + ($m - nb)) <= ${2.5 * m} AND nb < $m
        |       THEN ${m.toDouble} * ln(${m.toDouble} / ($m - nb))
        |       ELSE $alphaM2 / (s0 + ($m - nb)) END AS e
-       |  FROM pt)
+       |  FROM pt)""".stripMargin
+
+  val hllDistinctUsersSql: String =
+    s"""WITH ${hllSqlChain("event_type", "CAST(user_id AS VARCHAR)", "events")}
        |SELECT est.event_type, round(est.e, 4) AS approx_users, x.exact_users
        |FROM est JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
        |               FROM events GROUP BY 1) x USING (event_type)""".stripMargin
@@ -402,20 +436,13 @@ object Sketches {
     // distinct count (buckets partition the value space by hash, so the
     // per-bucket distincts SUM to the exact NDV — no second distinct
     // aggregate over the stream), and the HLL register max. NULLs ride
-    // the NULL bucket. The final per-column rollup folds the registers
-    // into the estimate with [[hllEstimate]]'s exact expression.
-    val h = md5(concat(col("v"), lit("|hll")))
-    val zeros = length(regexp_extract(substring(h, 3, 30), "^0*", 0))
-    val firstNz = substring(h, 3, 30).substr(zeros + lit(1), lit(1))
-    val nlzInDigit = when(firstNz === "1", 3)
-      .when(firstNz.isin("2", "3"), 2)
-      .when(firstNz.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    val rho = when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
+    // the NULL bucket. Bucket/rank/estimator are the SAME
+    // [[hllBucketCol]]/[[hllRhoCol]]/[[hllEstExpr]] the
+    // `hll_distinct_users` sketch uses — one derivation, two operators.
     val perBucket = stk
       .select(col("col_name"), col("v"),
-        when(col("v").isNotNull, substring(h, 1, 2)).as("bucket"),
-        when(col("v").isNotNull, rho).as("rho"))
+        when(col("v").isNotNull, hllBucketCol(col("v"))).as("bucket"),
+        when(col("v").isNotNull, hllRhoCol(col("v"))).as("rho"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("nd"),
         max(col("rho")).as("max_rho"))
@@ -426,13 +453,9 @@ object Sketches {
       coalesce(sum(when(col("bucket").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
       sum(col("nd")).as("ndv_exact"),
       s0.as("s0"), nb.as("nb"))
-    val v = (lit(m) - col("nb")).cast("double")
-    val raw = lit(alphaM2) / (col("s0") + v)
-    val est = when(raw <= lit(2.5 * m) && col("nb") < m,
-        lit(m.toDouble) * log(lit(m.toDouble) / v))
-      .otherwise(raw)
     val base = rolled.select(col("col_name"), col("n_rows"), col("n_nulls"),
-      col("ndv_exact"), round(est, 4).as("ndv_est"))
+      col("ndv_exact"),
+      round(hllEstExpr(col("s0"), col("nb")), 4).as("ndv_est"))
     val boundAggs = allCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val nullD = lit(null).cast("double")
@@ -473,30 +496,15 @@ object Sketches {
        |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        |    CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv_exact
        |  FROM stk GROUP BY 1),
-       |h AS (SELECT col_name, md5(v || '|hll') AS hh FROM stk WHERE v IS NOT NULL),
-       |r AS (SELECT col_name, substring(hh, 1, 2) AS bucket,
-       |        substring(hh, 3, 30) AS rest FROM h),
-       |z AS (SELECT col_name, bucket, rest,
-       |        length(regexp_extract(rest, '^0*')) AS zeros FROM r),
-       |rho AS (SELECT col_name, bucket,
-       |  CASE WHEN zeros = 30 THEN 121
-       |       ELSE zeros * 4 + CASE substring(rest, zeros + 1, 1)
-       |         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
-       |         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
-       |         ELSE 0 END + 1 END AS rho
-       |  FROM z),
-       |pb AS (SELECT col_name, bucket, MAX(rho) AS max_rho FROM rho GROUP BY 1, 2),
-       |pt AS (SELECT col_name, SUM(power(2.0, -max_rho)) AS s0, COUNT(*) AS nb
-       |       FROM pb GROUP BY 1),
-       |est AS (SELECT col_name,
-       |  CASE WHEN $alphaM2 / (s0 + ($m - nb)) <= ${2.5 * m} AND nb < $m
-       |       THEN ${m.toDouble} * ln(${m.toDouble} / ($m - nb))
-       |       ELSE $alphaM2 / (s0 + ($m - nb)) END AS e
-       |  FROM pt),
+       |${hllSqlChain("col_name", "v", "stk WHERE v IS NOT NULL")},
        |bounds AS (
        |  $bounds)
        |SELECT base.col_name, n_rows, n_nulls, ndv_exact,
        |  round(est.e, 4) AS ndv_est, min_num, max_num, min_str, max_str
-       |FROM base JOIN est USING (col_name) JOIN bounds USING (col_name)""".stripMargin
+       |FROM base LEFT JOIN est USING (col_name) JOIN bounds USING (col_name)""".stripMargin
   }
+  // ^ LEFT JOIN est: an all-NULL column has no register rows, so `est`
+  // has no row for it — the LEFT JOIN keeps the column with NULL
+  // ndv_est, matching Spark's NULL-s0 rollup instead of silently
+  // dropping the row (engine-identical degenerate case).
 }

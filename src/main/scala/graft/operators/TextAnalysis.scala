@@ -34,10 +34,16 @@ object TextAnalysis {
     * streaming), and their oracles. */
   def fingerprintCol(text: Column): Column = md5(normTextCol(text))
 
-  /** [[normTextCol]] in DuckDB SQL — the ONE canonical normalization,
-    * SQL form (plain triple-quote: `\s` must reach DuckDB verbatim). */
-  val normTextSql: String =
-    """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  /** [[normTextCol]] in DuckDB SQL over an arbitrary expression — the
+    * ONE canonical normalization, SQL form (`\s` reaches DuckDB
+    * verbatim). Line-identity consumers (`boilerplate_lines`/
+    * `line_scrub`) normalize per-line through THIS, so a tweak to the
+    * canonical normalization cannot skip them (round-7 advice rule). */
+  def normTextSqlFor(e: String): String =
+    s"""regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"""
+
+  /** [[normTextSqlFor]] applied to the `text` column. */
+  val normTextSql: String = normTextSqlFor("text")
 
   /** [[fingerprintCol]] in DuckDB SQL. Every oracle that fingerprints
     * content references THIS val (`dedupExactSql`, `docFingerprintSql`,

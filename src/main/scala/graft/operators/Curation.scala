@@ -511,4 +511,59 @@ object Curation {
        |  CAST(round(least($budgetMult * tot * wt, $epochCap * n_tokens), 0)
        |    AS BIGINT) AS effective_tokens
        |FROM w""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Vocabulary-overlap matrix: pairwise Jaccard of the distinct-token
+  // SETS of each source — the third leg of the source-redundancy
+  // toolkit next to `dup_source_matrix` (shared near-dup documents)
+  // and `source_kl` (distribution divergence): two sources can share
+  // zero documents and diverge in token frequencies yet still cover
+  // the same vocabulary (or vice versa).
+  //
+  // 100 TB shape: one distinct (source, token) frame (vocab-bounded,
+  // NOT corpus-bounded) self-joined on token — per-token fan-out is
+  // at most sources², so the pair stream is Σ_token df² ≤ S² · |vocab|,
+  // bounded by the source count, never by document volume. At an
+  // extreme source count the same df-cap trick as `winnow_pairs`
+  // applies (drop tokens present in nearly every source — they carry
+  // no discriminating signal); unnecessary at this corpus's S = 20.
+
+  def vocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val st = Corpus.documents(s, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.token") === col("b.token") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  val vocabOverlapSql: String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, t AS token FROM (
+       |    SELECT source, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_inter,
+       |  round(CAST(n_inter AS DOUBLE) / (za.n + zb.n - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON inter.source_a = za.source
+       |JOIN sizes zb ON inter.source_b = zb.source""".stripMargin
 }

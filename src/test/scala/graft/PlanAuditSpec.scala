@@ -505,6 +505,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("vocab_overlap: token equi self-join on the distinct vocab frame, sizes broadcast") {
+    val plan = physicalPlan(graft.operators.Curation.vocabOverlap(spark, sf))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"vocabulary intersection is not an equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source sizes not broadcast:\n$plan")
+  }
+
   test("train_split is a shuffle-free scan projection — zero exchanges") {
     val plan = physicalPlan(graft.operators.Curation.trainSplit(spark, sf))
     assert(!plan.contains("Exchange"),

@@ -143,6 +143,98 @@ object Dedup {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Fast 64-bit minhash family — the STREAMING detector's kernel.
+  //
+  // The batch surface keeps md5 because every batch stage is checked
+  // against a DuckDB oracle and md5 is the one hash both engines compute
+  // identically. The streaming at-ingestion detector has no DuckDB leg —
+  // its contract is "stream collisions ≡ a batch sweep run with the SAME
+  // family" (pinned by StreamNearDupSpec) — so it is free to use a cheap
+  // family: FNV-1a-based 64-bit token hashes, order-sensitive polynomial
+  // shingle combination (no shingle string is ever built), and
+  // Kirsch–Mitzenmacher double hashing (g_i = h1 + i·h2) for the k minima.
+  // Minima are numeric longs (no per-shingle hex-string allocation or
+  // string compares) and band keys are single longs (smaller state rows,
+  // cheaper shuffle + state-store keys than the md5 path's hex strings).
+  // Duplicates cannot change a minimum, so the distinct-shingle Set the
+  // md5 kernel materializes is skipped entirely.
+
+  private val fastSeedA = 0x9E3779B97F4A7C15L
+  private val fastSeedB = 0xC2B2AE3D27D4EB4FL
+
+  /** splitmix64 finalizer: full-avalanche 64-bit mix (public-domain
+    * constants from Steele et al., "Fast Splittable Pseudorandom Number
+    * Generators", OOPSLA'14). */
+  private[graft] def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit string hash: FNV-1a over chars, splitmix-finalized. */
+  private[graft] def hash64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001B3L; i += 1 }
+    fmix64(h)
+  }
+
+  /** Numeric minhash signature of one document under the fast family:
+    * same tokenizer and 3-token-shingle structure as [[signatureOf]], but
+    * tokens are hashed once each and shingles combined positionally — no
+    * digest, no shingle strings, no distinct-Set (duplicate shingles
+    * cannot change a minimum). ~10 multiply/xor ops per shingle vs two
+    * MD5 digests + 8 hex-string compares. */
+  private[graft] def fastSignatureOf(text: String): Array[Long] = {
+    val toks = normTokens(text)
+    val mins = Array.fill(numMinhash)(Long.MaxValue)
+    def update(c: Long): Unit = {
+      val h1 = fmix64(c ^ fastSeedA)
+      val h2 = fmix64(c ^ fastSeedB) | 1L
+      var g = h1
+      var i = 0
+      while (i < numMinhash) {
+        if (g < mins(i)) mins(i) = g
+        g += h2
+        i += 1
+      }
+    }
+    if (toks.length >= 3) {
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { th(i) = hash64(toks(i)); i += 1 }
+      i = 0
+      while (i + 2 < toks.length) {
+        // order-sensitive polynomial combination of the 3 token hashes
+        update(th(i) + fastSeedA * (th(i + 1) + fastSeedA * th(i + 2)))
+        i += 1
+      }
+    } else {
+      // <3 tokens: the whole doc is one shingle (mirrors shinglesOf)
+      var c = 0xCBF29CE484222325L
+      var i = 0
+      while (i < toks.length) { c = c * 0x100000001B3L + hash64(toks(i)); i += 1 }
+      update(c)
+    }
+    mins
+  }
+
+  /** LSH band keys under the fast family: one long per band, the band
+    * index mixed in FIRST (the convention ADVICE flagged for the md5 SQL
+    * twin — a cross-band key coincidence here needs a full 64-bit
+    * collision). */
+  private[graft] def fastBandKeysOf(mins: Array[Long]): Array[Long] = {
+    val nBands = numMinhash / bandSize
+    Array.tabulate(nBands) { b =>
+      var h = fmix64(b + 0x51_7C_C1_B7_27_22_0A_95L)
+      var j = 0
+      while (j < bandSize) { h = fmix64(h ^ mins(b * bandSize + j)); j += 1 }
+      h
+    }
+  }
+
   /** [[shingledSql]] over an arbitrary named relation (the
     * `substringSpansSqlFor` convention). */
   private[graft] def shingledSqlFor(rel: String): String =

@@ -15,19 +15,24 @@ import graft.operators.Dedup
   * LSH self-join on every ingest increment; the streaming form keeps the
   * last `retention` of band keys as keyed state and flags each arriving
   * document whose signature collides with an already-seen document in any
-  * band — the same candidate definition as the batch operator (signatures
-  * and band keys are computed by the SAME per-doc kernel,
-  * `Dedup.signatureOf`/`bandKeysOf`, so a streamed collision IS a batch
-  * band collision restricted to the retention horizon).
+  * band — the same candidate definition as the batch operator, under the
+  * fast 64-bit hash family (`Dedup.fastSignatureOf`/`fastBandKeysOf`): the
+  * batch surface hashes with md5 because its every stage is DuckDB-oracle
+  * checked, but this path has no oracle leg — its contract is "stream
+  * collisions ≡ a batch band sweep run with the SAME family", which
+  * `StreamNearDupSpec` pins against a same-family driver-side sweep. The
+  * fast kernel (numeric minima, long band keys, no per-shingle digest or
+  * string allocation) is what makes at-ingestion detection keep up with
+  * the other streaming legs instead of running ~10× below them.
   *
   * Scale shape: one doc → 4 band rows (constant fan-out), one shuffle on
   * the band key, state = one (docId, ts) pair per distinct band key seen
   * within retention, evicted by event-time timeout once the watermark
   * passes `firstSeenTs + retention`. Partitioned by band key — the same
   * even-distribution contract as every keyed operator here; band keys are
-  * 2×32-bit minhash slices, so hot keys only arise from genuinely
-  * mass-duplicated content (boilerplate), which is exactly what the
-  * detector exists to surface.
+  * mixes of 2 full-width minhash minima, so hot keys only arise from
+  * genuinely mass-duplicated content (boilerplate), which is exactly what
+  * the detector exists to surface.
   *
   * Trade-offs (inherent to bounded state, mirroring [[StreamDedup]]):
   * a near-dup of a document older than `retention` is not flagged, and
@@ -42,8 +47,10 @@ object StreamNearDup {
   final case class DocEvent(docId: Long, text: String, ts: Timestamp)
 
   /** One (band key, doc) routing row — public because encoder codegen
-    * must reach it from generated projections. */
-  final case class BandRow(key: String, docId: Long, ts: Timestamp)
+    * must reach it from generated projections. `key` is the fast-family
+    * 64-bit band key (band index mixed in first); `band` rides along so
+    * hits can report which band collided without re-deriving it. */
+  final case class BandRow(key: Long, band: Int, docId: Long, ts: Timestamp)
 
   /** First-seen doc per band key. */
   final case class SeenState(docId: Long, tsMs: Long)
@@ -68,10 +75,9 @@ object StreamNearDup {
     import docs.sparkSession.implicits._
     val bands = docs
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { d =>
-          val keys = Dedup.bandKeysOf(Dedup.signatureOf(md, d.text)._1)
-          keys.iterator.map(k => BandRow(k, d.docId, d.ts))
+          val keys = Dedup.fastBandKeysOf(Dedup.fastSignatureOf(d.text))
+          Iterator.tabulate(keys.length)(b => BandRow(keys(b), b, d.docId, d.ts))
         }
       }
       // watermark AFTER the typed map — a typed .map erases event-time
@@ -82,23 +88,32 @@ object StreamNearDup {
       .groupByKey(_.key)
       .flatMapGroupsWithState[SeenState, BandHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[BandRow], state: GroupState[SeenState]) =>
+        (key: Long, rows: Iterator[BandRow], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val out = Seq.newBuilder[BandHit]
             // earliest-by-(ts, docId) is the original; sort restores
-            // event-time order within the micro-batch
-            var st = state.getOption.orNull
-            val band = key.takeWhile(_ != '|').toInt
-            rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+            // event-time order within the micro-batch (skipped for the
+            // dominant singleton-group case)
+            val existing = state.getOption.orNull
+            var st = existing
+            val seq = rows.toSeq
+            val sorted =
+              if (seq.sizeIs > 1) seq.sortBy(r => (r.ts.getTime, r.docId)) else seq
+            sorted.foreach { r =>
               if (st == null) st = SeenState(r.docId, r.ts.getTime)
               else if (r.docId != st.docId)
-                out += BandHit(r.docId, st.docId, band, r.ts)
+                out += BandHit(r.docId, st.docId, r.band, r.ts)
             }
-            state.update(st)
-            state.setTimeoutTimestamp(st.tsMs + retentionMs)
+            // the original never changes once set, so an existing group's
+            // state AND its timeout (firstSeen + retention) are already
+            // right — write only on first sight, not per batch
+            if (st ne existing) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.tsMs + retentionMs)
+            }
             out.result().iterator
           }
       }

@@ -35,9 +35,13 @@ object StreamingBench {
 
   /** One synthetic document for the near-dup leg: every 10th doc repeats
     * an earlier doc's token sequence (an exact near-dup colliding in all
-    * bands), the rest are distinct. Doc-level work is ~56 md5 digests per
-    * document (the signature kernel), so this leg's ev/s is docs/sec —
-    * an order of magnitude below the row-level legs by construction. */
+    * bands), the rest are distinct. r9: the kernel moved from md5
+    * (2 digests + 8 hex-string compares per shingle) to the fast 64-bit
+    * family (`Dedup.fastSignatureOf`) — per-doc work is now ~10 long ops
+    * per shingle, so the r8 "1/10 batch size because each doc costs the
+    * whole digest kernel" carve-out is gone and the leg feeds full-size
+    * batches like its siblings (r9 step-change; r8-sized numbers are in
+    * BENCH_r08.json / tools/bench_r8e_sf01_idle_ref.json: 3.7k ev/s). */
   private def doc(n: Long, baseMs: Long): StreamNearDup.DocEvent = {
     val src = if (n % 10 == 9) n - 9 else n
     val toks = (0 until 25).map(i => s"w${(src * 31 + i * 7) % 997}")
@@ -210,14 +214,12 @@ object StreamingBench {
       Leg("dedup", twsOnly = false, qn => throughputOf[AdEvent](spark,
         ds => StreamDedup.dedupEvents(ds).toDF(),
         adEvt, "append", qn, batches, perBatch)),
-      // docs, not rows: 1/10 the batch size (each doc costs the whole
-      // signature kernel), duplication planted so the collision path runs
+      // full-size batches since r9 (fast kernel — see `doc`'s scaladoc);
+      // duplication planted so the collision path runs
       Leg("neardup", twsOnly = false, qn => throughputOf[StreamNearDup.DocEvent](spark,
         ds => StreamNearDup.candidates(ds, watermarkDelay = "2 hours").toDF(),
-        (b, per) => {
-          val n = math.max(1, per / 10)
-          (0 until n).map(i => doc(b.toLong * n + i, base))
-        }, "append", qn, batches, perBatch)),
+        (b, per) => (0 until per).map(i => doc(b.toLong * per + i, base)),
+        "append", qn, batches, perBatch)),
       Leg("repeat", twsOnly = false, qn => throughputOf[(String, String, Timestamp)](spark,
         ds => Repeater.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),
         values(50), "append", qn, batches, perBatch)),

@@ -74,13 +74,14 @@ class StreamNearDupSpec extends AnyFunSuite {
       .sortBy(_._1)
 
     // batch truth: doc -> earliest doc sharing any band key (the stream
-    // flags a doc iff ANY band key was seen earlier)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    // flags a doc iff ANY band key was seen earlier), computed with the
+    // SAME fast hash family the streaming kernel uses — the equivalence
+    // contract is per-family, not cross-family
+    val firstSeen = scala.collection.mutable.Map[Long, Long]()
     val expected = scala.collection.mutable.Set[Long]()
     docs.foreach { case (id, text) =>
-      val keys = graft.operators.Dedup.bandKeysOf(
-        graft.operators.Dedup.signatureOf(md, text)._1)
+      val keys = graft.operators.Dedup.fastBandKeysOf(
+        graft.operators.Dedup.fastSignatureOf(text)).toSeq
       if (keys.exists(k => firstSeen.get(k).exists(_ != id))) expected += id
       keys.foreach(k => firstSeen.getOrElseUpdate(k, id))
     }

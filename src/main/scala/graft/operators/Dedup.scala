@@ -1249,14 +1249,20 @@ object Dedup {
     val pairTexts = docs
       .where(col("doc_id").isin(snapshotCut.toLong, snapshotCut + 1L))
       .select(col("doc_id").as("pid"), col("text").as("pair_text"))
+    // LEFT joins + null-guarded replay: the augmentation assumes doc_ids
+    // are contiguous from 0 with >= snapshotCut+2 docs; on a sparser
+    // corpus an inner join would silently DROP incoming rows (and the
+    // oracle, shaped the same way, would stay green while the probe went
+    // partially vacuous) — missing replay sources now fall back to the
+    // doc's own text instead
     val incoming = docs.where(col("doc_id") >= snapshotCut)
       .select(col("doc_id"), col("text"))
-      .join(broadcast(snapTexts), col("doc_id") % snapshotCut === col("sid"))
+      .join(broadcast(snapTexts), col("doc_id") % snapshotCut === col("sid"), "left")
       .join(broadcast(pairTexts),
-        col("doc_id") % 2 + snapshotCut === col("pid"))
+        col("doc_id") % 2 + snapshotCut === col("pid"), "left")
       .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, col("snap_text"))
-          .when(col("doc_id") % 89 === 0, col("pair_text"))
+        when(col("doc_id") % 7 === 0 && col("snap_text").isNotNull, col("snap_text"))
+          .when(col("doc_id") % 89 === 0 && col("pair_text").isNotNull, col("pair_text"))
           .otherwise(col("text")).as("text"))
     dedupIncrementalFrom(snapshot, incoming)
   }
@@ -1283,12 +1289,12 @@ object Dedup {
   val dedupIncrementalSql: String =
     s"""WITH inc0 AS (
        |  SELECT i.doc_id,
-       |    CASE WHEN i.doc_id % 7 = 0 THEN s.text
-       |         WHEN i.doc_id % 89 = 0 THEN p.text
+       |    CASE WHEN i.doc_id % 7 = 0 AND s.text IS NOT NULL THEN s.text
+       |         WHEN i.doc_id % 89 = 0 AND p.text IS NOT NULL THEN p.text
        |         ELSE i.text END AS text
        |  FROM documents i
-       |  JOIN documents s ON s.doc_id = i.doc_id % $snapshotCut
-       |  JOIN documents p ON p.doc_id = $snapshotCut + (i.doc_id % 2)
+       |  LEFT JOIN documents s ON s.doc_id = i.doc_id % $snapshotCut
+       |  LEFT JOIN documents p ON p.doc_id = $snapshotCut + (i.doc_id % 2)
        |  WHERE i.doc_id >= $snapshotCut),
        |snap AS (
        |  SELECT DISTINCT ${TextAnalysis.fingerprintSql} AS fp
@@ -1539,10 +1545,12 @@ object Dedup {
       .select(col("doc_id"), col("text"))
     val snapTexts = snapshot
       .select(col("doc_id").as("sid"), col("text").as("snap_text"))
+    // LEFT join + null guard: same sparse-corpus protection as
+    // [[dedupIncremental]]'s replay augmentation
     val incoming = docs.where(col("doc_id") >= snapshotCut)
-      .join(broadcast(snapTexts), col("doc_id") % snapshotCut === col("sid"))
+      .join(broadcast(snapTexts), col("doc_id") % snapshotCut === col("sid"), "left")
       .select(col("doc_id"),
-        when(col("doc_id") % 7 === 0,
+        when(col("doc_id") % 7 === 0 && col("snap_text").isNotNull,
           concat(col("snap_text"), lit(" subscribe to the feed today")))
           .otherwise(col("text")).as("text"))
     neardupIncrementalFrom(s, snapshot, incoming)
@@ -1603,6 +1611,13 @@ object Dedup {
       .where(col("jaccard") >= 0.5)
       .groupBy(col("doc_id"))
       .agg(min(col("sid")).as("match_sid"), max(col("jaccard")).as("best_jaccard"))
+      // eager, and small by construction (only flagged near-dups):
+      // materializing it ends the last read of the signature/candidate
+      // checkpoints, so their blocks can be freed NOW rather than
+      // lingering until GC across the rest of a 117-query run
+      .localCheckpoint()
+    Seq(sigS, sigI, candidates)
+      .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     incoming.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1612,19 +1627,23 @@ object Dedup {
   }
 
   val neardupIncrementalSql: String = {
+    // band index prefixed INSIDE the digest (the bandKeysOf convention:
+    // 'band index || minima slices') so a cross-band slice coincidence
+    // cannot admit an oracle-only candidate — the Scala side joins on an
+    // explicit band column, and the oracle must partition the same way
     val bandExprs = (0 until numMinhash / bandSize).map { b =>
       val parts = (0 until bandSize).map(j => s"mh${b * bandSize + j}")
         .mkString(" || '|' || ")
-      s"md5($parts)"
+      s"md5('$b|' || $parts)"
     }.mkString(", ")
     s"""WITH snap AS (SELECT doc_id, text FROM documents
        |  WHERE doc_id < $snapshotCut),
        |inc AS (
        |  SELECT i.doc_id,
-       |    CASE WHEN i.doc_id % 7 = 0
+       |    CASE WHEN i.doc_id % 7 = 0 AND s.text IS NOT NULL
        |      THEN s.text || ' subscribe to the feed today'
        |      ELSE i.text END AS text
-       |  FROM documents i JOIN documents s ON s.doc_id = i.doc_id % $snapshotCut
+       |  FROM documents i LEFT JOIN documents s ON s.doc_id = i.doc_id % $snapshotCut
        |  WHERE i.doc_id >= $snapshotCut),
        |sh_s AS (${shingledSqlFor("snap")}),
        |sh_i AS (${shingledSqlFor("inc")}),

@@ -1193,8 +1193,14 @@ object Relational {
     ingestAnomalyFrom(Corpus.events(s, dir))
 
   private[graft] def ingestAnomalyFrom(ev: DataFrame): DataFrame = {
+    // FLOOR division, exactly (pmod is non-negative, so subtracting it
+    // makes the dividend an exact multiple): DuckDB's `//` floors, while
+    // Spark's `div` truncates toward zero — a bare `div` silently shifts
+    // the day bucket (and its z-scores) for pre-1970 timestamps.
     val daily = ev
-      .select(expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+      .select(expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000")
+        .as("day"), col("event_type"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(col("event_type"))

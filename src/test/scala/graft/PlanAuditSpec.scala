@@ -85,6 +85,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in LSH plan:\n$plan")
   }
 
+  test("media near-dups block on (band, nib) — no all-pairs join over payloads") {
+    val plan = physicalPlan(graft.operators.Multimodal.mediaNearDups(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"perceptual candidate generation is not an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"),
+      s"no hash/merge equi-join in the perceptual near-dup plan:\n$plan")
+  }
+
   test("the hyperplane signature stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = spark.range(10).select(

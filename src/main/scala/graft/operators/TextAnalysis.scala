@@ -1026,40 +1026,148 @@ object TextAnalysis {
        |SELECT prev, cur, c_ab, pmi, rnk FROM r WHERE rnk <= 20""".stripMargin
 
   // ------------------------------------------------------------------
-  // Hashed linear quality classifier (the fastText shape: "Bag of
-  // Tricks for Efficient Text Classification", arXiv:1607.01759): score
-  // every document with a linear model over hashed bag-of-words
-  // features. In production the weight table comes from training; here
-  // the weights are a deterministic md5-derived stand-in so the oracle
-  // can replay them — the SHAPE (feature hashing, integer accumulation,
-  // one scan pass, no weight-table shuffle) is the operator.
+  // Hashed linear quality classifier, TRAINED IN-ENGINE (the fastText
+  // recipe: "Bag of Tricks for Efficient Text Classification",
+  // arXiv:1607.01759, reduced to its closed-form core): per-bucket Naive
+  // Bayes log-odds over hashed bag-of-words features, fit on a labeled
+  // slice in ONE map-side-combinable aggregate, then applied to the whole
+  // corpus at scan speed. The production division of labor at 100 TB:
+  // training touches only the (small) labeled slice and emits a ≤256-row
+  // weight table; scoring — the pass that sees all 100 TB — broadcasts
+  // those 256 longs inside a task closure and stays a shuffle-free scan.
+  //
+  // Labels are weak supervision by distillation (the standard pipeline
+  // trick): the deterministic qualityScore10 heuristic plays teacher, so
+  // both engines can re-derive the exact same labeled set.
 
-  /** Weight of one token: the first 4 hex chars of md5('w|' || token)
-    * read as an integer, centered — an int in [-32768, 32767]. Stands in
-    * for a trained weight lookup; hashing IS the production trick
-    * (feature hashing needs no vocabulary broadcast at all). */
-  private[graft] def tokenWeight(md: java.security.MessageDigest, tok: String): Int = {
+  /** Feature-hash buckets — the whole model is this many weights. */
+  private[graft] val qcBuckets = 256
+
+  /** Quantization scale for the log-odds weights: micro-units would be
+    * overkill; 10⁴ matches the LM-quality quantization policy (see
+    // unigramLogprob's docstring for the ulp argument). */
+  private val qcScale = 10000.0
+
+  /** Feature bucket of one token: the first byte of md5('w|' || token).
+    * Hashing IS the production trick — no vocabulary broadcast, unseen
+    * tokens land in a trained bucket automatically. */
+  private[graft] def tokenBucket(md: java.security.MessageDigest, tok: String): Int = {
     val d = md.digest(("w|" + tok).getBytes("UTF-8"))
-    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) - 32768
+    d(0) & 0xff
   }
 
-  /** Per-document linear score in ONE shuffle-free scan pass
-    * (mapPartitions, digest reused — the minhash discipline): integer
-    * weight accumulation is exact and order-independent, so the BIGINT
-    * raw score is bit-identical on any engine and partitioning; the
-    * margin is a single final division (no transcendentals — a sigmoid
-    * would hang engine parity on libm ulps). At 100 TB this is scan →
-    * project: nothing shuffles, nothing broadcasts, nothing collects. */
-  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
-    qualityClassifierFrom(Corpus.documents(s, dir))
+  /** The labeled slice: 20% of the corpus (doc_id % 5), teacher label =
+    * the exact-integer quality heuristic's keep verdict. */
+  private def labeledSlice(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 5 === 0)
+      .select(col("text"),
+        (qualityScore10(col("text")) >= qualityKeepCut).as("pos"))
 
-  /** [[qualityClassifier]] over an arbitrary documents frame — the pass
-    * is stateless and shuffle-free, so the SAME code scores an unbounded
-    * stream at ingestion (model-apply filtering as a curation stage;
-    * `CurationStreamSpec` pins stream == batch scores). */
-  def qualityClassifierFrom(docs: DataFrame): DataFrame = {
+  /** Closed-form training pass: per-bucket token-occurrence counts under
+    * each label (multinomial Naive Bayes sufficient statistics), then
+    * add-1-smoothed log-odds, quantized to BIGINT 10⁻⁴ nats.
+    *
+    * Execution shape: ONE pass over the labeled slice accumulating a
+    * 256×2 array per partition (mapPartitions — the per-partition combine
+    * means the shuffle carries 256 rows per task, never the token
+    * stream), a 256-key sum, and a 1-row totals broadcast. At any corpus
+    * size the driver only ever sees 256 rows. */
+  def qualityTrain(s: SparkSession, dir: String): DataFrame =
+    qualityTrainFrom(Corpus.documents(s, dir))
+
+  private[graft] def qualityTrainFrom(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    val partials = labeledSlice(docs)
+      .select(col("text"), col("pos")).as[(String, Boolean)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val pos = new Array[Long](qcBuckets)
+        val neg = new Array[Long](qcBuckets)
+        it.foreach { case (text, isPos) =>
+          val toks = normTokens(text)
+          var i = 0
+          while (i < toks.length) {
+            if (toks(i).nonEmpty) {
+              val b = tokenBucket(md, toks(i))
+              if (isPos) pos(b) += 1 else neg(b) += 1
+            }
+            i += 1
+          }
+        }
+        Iterator.range(0, qcBuckets).map(b => (b.toLong, pos(b), neg(b)))
+      }
+      .toDF("bucket", "p", "n")
+    val counts = partials.groupBy(col("bucket"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+    val totals = counts.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        round((log((col("n_pos") + 1L).cast("double")
+                 / (col("tp") + qcBuckets.toLong).cast("double"))
+             - log((col("n_neg") + 1L).cast("double")
+                 / (col("tn") + qcBuckets.toLong).cast("double"))) * qcScale, 0)
+          .cast("long").as("weight"))
+  }
+
+  val qualityTrainSql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('w|' || t), $i, 1)) - 1)"
+    s"""WITH lab AS (
+       |  SELECT d.doc_id, d.text, q.keep AS pos
+       |  FROM documents d JOIN ($qualityScoreSql) q ON d.doc_id = q.doc_id
+       |  WHERE d.doc_id % 5 = 0),
+       |tokq AS (
+       |  SELECT pos, t FROM (SELECT pos, UNNEST($tokensSql) AS t FROM lab)
+       |  WHERE length(t) > 0),
+       |bb AS (SELECT pos, ${nib(1)} * 16 + ${nib(2)} AS bucket FROM tokq),
+       |cnt AS (SELECT bucket,
+       |          SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+       |          SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg
+       |        FROM bb GROUP BY 1),
+       |fullb AS (
+       |  SELECT r.i AS bucket,
+       |    COALESCE(c.n_pos, 0) AS n_pos, COALESCE(c.n_neg, 0) AS n_neg
+       |  FROM (SELECT UNNEST(range(0, $qcBuckets)) AS i) r
+       |  LEFT JOIN cnt c ON c.bucket = r.i),
+       |tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM fullb)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       |  CAST(round((ln(CAST(n_pos + 1 AS DOUBLE) / CAST(tp + $qcBuckets AS DOUBLE))
+       |            - ln(CAST(n_neg + 1 AS DOUBLE) / CAST(tn + $qcBuckets AS DOUBLE)))
+       |       * $qcScale, 0) AS BIGINT) AS weight
+       |FROM fullb CROSS JOIN tot""".stripMargin
+  }
+
+  /** The trained 256-long weight table, bucket-indexed. The collect is
+    * bounded by construction (qcBuckets rows) — the k-centroids rule. */
+  private[graft] def trainedWeights(s: SparkSession, dir: String): Array[Long] = {
+    val w = new Array[Long](qcBuckets)
+    qualityTrain(s, dir).select(col("bucket"), col("weight"))
+      .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
+  /** Per-document linear score under the TRAINED weights, in ONE
+    * shuffle-free scan pass (mapPartitions, digest reused — the minhash
+    * discipline): the 256 quantized-BIGINT weights ride the task closure,
+    * accumulation is exact integer and order-independent, so the raw
+    * score is bit-identical on any engine and partitioning; the margin
+    * (mean 10⁻⁴-nat log-odds per token) is a single final division. At
+    * 100 TB this is scan → project: nothing shuffles, nothing collects —
+    * training cost lives on the labeled slice only. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierFrom(Corpus.documents(s, dir), trainedWeights(s, dir))
+
+  /** [[qualityClassifier]] over an arbitrary documents frame with an
+    * explicit weight table — the pass is stateless and shuffle-free, so
+    * the SAME code scores an unbounded stream at ingestion (model-apply
+    * filtering as a curation stage; `CurationStreamSpec` pins stream ==
+    * batch scores). */
+  def qualityClassifierFrom(docs: DataFrame, weights: Array[Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(weights.length == qcBuckets, s"expected $qcBuckets weights")
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
@@ -1070,7 +1178,7 @@ object TextAnalysis {
           var n = 0L
           var i = 0
           while (i < toks.length) {
-            if (toks(i).nonEmpty) { raw += tokenWeight(md, toks(i)); n += 1 }
+            if (toks(i).nonEmpty) { raw += weights(tokenBucket(md, toks(i))); n += 1 }
             i += 1
           }
           (id, n, raw)
@@ -1079,31 +1187,29 @@ object TextAnalysis {
       .toDF("doc_id", "n_scored", "raw_score")
       .select(col("doc_id"), col("n_scored"), col("raw_score"),
         when(col("n_scored") > 0,
-          col("raw_score").cast("double") / (col("n_scored").cast("double") * 32768.0))
+          col("raw_score").cast("double") / (col("n_scored").cast("double") * qcScale))
           .otherwise(lit(0.0)).as("margin"),
         (col("raw_score") > 0).as("keep"))
   }
 
   val qualityClassifierSql: String = {
-    // parseInt(hex[0:4], 16) in portable SQL: positional nibble lookup
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substring(md5('w|' || t), $i, 1)) - 1)"
-    s"""WITH tok AS (
+    s"""WITH wt AS ($qualityTrainSql),
+       |tok AS (
        |  SELECT doc_id, t FROM (
        |    SELECT doc_id, UNNEST($tokensSql) AS t FROM documents)
        |  WHERE length(t) > 0),
-       |w AS (SELECT doc_id,
-       |        ${nib(1)} * 4096 + ${nib(2)} * 256
-       |      + ${nib(3)} * 16 + ${nib(4)} - 32768 AS wt
-       |      FROM tok),
+       |w AS (SELECT doc_id, wt.weight AS wv
+       |      FROM tok JOIN wt ON wt.bucket = ${nib(1)} * 16 + ${nib(2)}),
        |a AS (SELECT doc_id, COUNT(*) AS n_scored,
-       |        CAST(SUM(wt) AS BIGINT) AS raw_score
+       |        CAST(SUM(wv) AS BIGINT) AS raw_score
        |      FROM w GROUP BY doc_id)
        |SELECT d.doc_id,
        |  COALESCE(a.n_scored, 0) AS n_scored,
        |  COALESCE(a.raw_score, 0) AS raw_score,
        |  CASE WHEN COALESCE(a.n_scored, 0) > 0
-       |    THEN CAST(a.raw_score AS DOUBLE) / (a.n_scored * 32768.0)
+       |    THEN CAST(a.raw_score AS DOUBLE) / (a.n_scored * $qcScale)
        |    ELSE 0.0 END AS margin,
        |  COALESCE(a.raw_score, 0) > 0 AS keep
        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin

@@ -74,7 +74,8 @@ class CurationStreamSpec extends AnyFunSuite {
     // over an unbounded stream — model-apply filtering at ingestion
     val in = MemoryStream[(Long, String)]
     val out = graft.operators.TextAnalysis.qualityClassifierFrom(
-      in.toDF().toDF("doc_id", "text"))
+      in.toDF().toDF("doc_id", "text"),
+      graft.operators.TextAnalysis.trainedWeights(spark, sf))
     val q = out.writeStream.format("memory").queryName("graft_classifier_stream")
       .outputMode("append").start()
     try {

@@ -419,12 +419,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
       .sortBy(_._1)
     assert(rows.nonEmpty)
+    val wmax = TextAnalysis.trainedWeights(spark, sf).map(math.abs).max
     rows.foreach { case (id, n, raw, margin, keep) =>
       assert(n > 0, s"doc $id scored no tokens")
-      // each weight is in [-32768, 32767], so |raw| <= n*32768 and the
-      // normalized margin is bounded by construction
-      assert(math.abs(raw) <= n * 32768L, s"raw score out of range for doc $id")
-      assert(margin >= -1.0 && margin <= 1.0, s"margin out of range for doc $id")
+      // every trained weight is bounded by the table's max |log-odds|,
+      // so |raw| <= n*wmax and the mean-per-token margin is bounded too
+      assert(math.abs(raw) <= n * wmax, s"raw score out of range for doc $id")
+      assert(math.abs(margin) <= wmax / 10000.0, s"margin out of range for doc $id")
       assert(keep === (raw > 0), s"keep flag inconsistent for doc $id")
     }
     // integer accumulation is order-independent: a different partitioning

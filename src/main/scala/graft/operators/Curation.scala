@@ -523,17 +523,36 @@ object Curation {
   // 100 TB shape: one distinct (source, token) frame (vocab-bounded,
   // NOT corpus-bounded) self-joined on token — per-token fan-out is
   // at most sources², so the pair stream is Σ_token df² ≤ S² · |vocab|,
-  // bounded by the source count, never by document volume. At an
-  // extreme source count the same df-cap trick as `winnow_pairs`
-  // applies (drop tokens present in nearly every source — they carry
-  // no discriminating signal); unnecessary at this corpus's S = 20.
+  // bounded by the source count, never by document volume. The df-cap
+  // below (the `winnow_pairs` trick) bounds even that: tokens present
+  // in more than [[vocabMaxSourceDf]] sources — at a 1,000-source mix
+  // the universal tokens would each emit ~10⁶ pair rows — are dropped
+  // from the WHOLE universe (sizes and intersection alike: the
+  // self-consistent capped-universe Jaccard discipline minhash_recall
+  // uses), which loses nothing discriminating: a token every source
+  // has says nothing about which two sources overlap. The cap is far
+  // above this corpus's S = 20, so here capped ≡ uncapped
+  // (CurationOpsSpec pins it).
 
-  def vocabOverlap(s: SparkSession, dir: String): DataFrame = {
-    val st = Corpus.documents(s, dir)
+  private[graft] val vocabMaxSourceDf = 256
+
+  def vocabOverlap(s: SparkSession, dir: String): DataFrame =
+    vocabOverlapImpl(s, dir, vocabMaxSourceDf)
+
+  private[graft] def vocabOverlapImpl(
+      s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val st0 = Corpus.documents(s, dir)
       .select(col("source"),
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
       .distinct()
+    val sdf = st0.groupBy(col("token")).agg(count(lit(1)).as("sdf"))
+    // capped universe, materialized once for its three consumers (sizes
+    // + both self-join sides — localCheckpoint, not cache: the
+    // minhashLshPairs rule)
+    val st = st0.join(sdf.where(col("sdf") <= maxDf).select(col("token")),
+        Seq("token"), "left_semi")
+      .localCheckpoint()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = st.as("a").join(st.as("b"),
         col("a.token") === col("b.token") && col("a.source") < col("b.source"))
@@ -551,10 +570,15 @@ object Curation {
   }
 
   val vocabOverlapSql: String =
-    s"""WITH st AS (
+    s"""WITH st0 AS (
        |  SELECT DISTINCT source, t AS token FROM (
        |    SELECT source, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
        |  WHERE length(t) > 0),
+       |sdf AS (SELECT token, COUNT(*) AS sdf FROM st0 GROUP BY 1),
+       |st AS (
+       |  SELECT st0.source, st0.token FROM st0
+       |  JOIN sdf ON st0.token = sdf.token
+       |  WHERE sdf.sdf <= $vocabMaxSourceDf),
        |sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY 1),
        |inter AS (
        |  SELECT a.source AS source_a, b.source AS source_b,

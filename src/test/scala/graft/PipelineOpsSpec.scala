@@ -483,4 +483,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.exists { case (_, c, b, _) => b < c },
       "at least one document must compress below its character count")
   }
+
+  test("vocab_overlap's source-df cap: inert at this corpus's source count, live when forced") {
+    def rows(maxDf: Int) =
+      Curation.vocabOverlapImpl(spark, sf, maxDf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+    // the default cap (256) sits far above the corpus's handful of
+    // sources, so capped must equal uncapped bit-for-bit
+    val capped = rows(Curation.vocabMaxSourceDf)
+    val uncapped = rows(Int.MaxValue)
+    assert(capped === uncapped,
+      "default cap must be inert at this corpus's source count")
+    // a forced cap of 1 drops every shared token from the universe —
+    // the intersection term empties, proving the cap is wired below the
+    // self-join, not cosmetically
+    assert(Curation.vocabOverlapImpl(spark, sf, 1).count() === 0L,
+      "a df<=1 cap must leave no intersecting tokens")
+  }
 }

@@ -667,6 +667,14 @@ object Similarity {
     math.max(1, math.min(kmMaxClusters,
       math.ceil(n.toDouble / kmBlockTarget).toInt))
 
+  /** Shard threshold: past kmMaxClusters × kmBlockTarget (~256k) vectors
+    * the cap would bind and blocks would regrow as n/4096 — so above it
+    * the corpus is hash-sharded and clustered WITHIN each shard
+    * ([[kmeansAssignedSharded]]), keeping both the average block (~64
+    * rows) and the per-round driver/task state (≤ kmMaxClusters×64
+    * centroid scalars — shards run sequentially) bounded at ANY n. */
+  private[graft] val kmShardVectors: Long = kmMaxClusters * kmBlockTarget
+
   private val kmRounds = 2
 
   /** Lloyd's k-means over the embedding corpus: deterministic init (the k
@@ -699,9 +707,37 @@ object Similarity {
     val e = Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .localCheckpoint()
-    // one cheap count over the checkpointed frame sizes k — the same
-    // self-sizing discipline as embeddingNearDups' bitsForCount
-    kmeansAssignedK(s, e, clustersForCount(e.count()))
+    kmeansAssignedSharded(s, e, kmShardVectors)
+  }
+
+  /** Scale dispatch: at or below `shardTarget` vectors this IS
+    * [[kmeansAssignedK]] with the self-sized k (one shard, the
+    * oracle-gated path at every verification SF); above it, the corpus
+    * hash-shards on vec_id and Lloyd's runs independently within each
+    * shard, cluster ids offset by shard so they stay globally distinct.
+    *
+    * Sharded Lloyd's is the standard scale-out approximation for
+    * clustering-as-BLOCKING (SemDeDup's use: clusters bound the pair
+    * search, they are not a model output) — a hash shard is a uniform
+    * random subsample, so within-shard centroids block near-duplicates
+    * just as well, while every quantity that must stay bounded does:
+    * per-shard k ≤ kmMaxClusters (driver sees one shard's centroids at a
+    * time — shards run as separate sequential jobs over the checkpointed
+    * frame), per-shard update exchange ≤ k×64 rows, average block stays
+    * [[kmBlockTarget]] because each shard re-derives k from ITS size. */
+  private[graft] def kmeansAssignedSharded(
+      s: SparkSession, e: DataFrame, shardTarget: Long): DataFrame = {
+    val n = e.count()
+    if (n <= shardTarget) kmeansAssignedK(s, e, clustersForCount(n))
+    else {
+      val nShards = math.ceil(n.toDouble / shardTarget).toInt
+      (0 until nShards).map { sh =>
+        val es = e.where(pmod(col("vec_id"), lit(nShards.toLong)) === sh.toLong)
+        kmeansAssignedK(s, es, clustersForCount(es.count()))
+          .select(col("vec_id"), col("v"),
+            (col("cluster") + lit(sh.toLong * kmMaxClusters)).as("cluster"))
+      }.reduce(_ unionAll _)
+    }
   }
 
   /** [[kmeansAssigned]] with k forced — lets PlanAuditSpec audit the

@@ -126,4 +126,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(clusters.forall(c => c >= 0 && c < 8), "cluster ids in [0, k)")
     assert(clusters.length > 1, "Lloyd rounds must separate the corpus")
   }
+
+  test("kmeans shards past the cluster cap: blocks and per-shard state stay bounded") {
+    import graft.sources.Corpus
+    val e = Corpus.embeddings(spark, sf)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val n = e.count()
+    // force the large-n regime: a 100-vector shard target on 500 vectors
+    // plays the role of the 256k production threshold
+    val shardTarget = 100L
+    val nShards = math.ceil(n.toDouble / shardTarget).toInt
+    val rows = Similarity.kmeansAssignedSharded(spark, e, shardTarget)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // total assignment: every vector exactly once
+    assert(rows.length === n.toInt)
+    assert(rows.map(_._1).distinct.length === n.toInt)
+    val kMax = 4096L
+    rows.foreach { case (id, c) =>
+      // the shard encoded in the cluster id must be the hash shard
+      assert(c / kMax === id % nShards,
+        s"vec $id assigned to cluster $c of the wrong shard")
+      // per-shard local k is re-derived from the SHARD's size, so local
+      // cluster ids — and with them the per-round driver state — are
+      // bounded by clustersForCount(shard size), never by n
+      assert(c % kMax < math.ceil(shardTarget * 2.0 / 64.0).toLong,
+        s"local cluster id $c exceeds the shard-sized k")
+    }
+    // the block-size invariant that motivated sharding: average block
+    // stays ~kmBlockTarget in every shard
+    rows.groupBy(_._2 / kMax).foreach { case (sh, members) =>
+      val k = members.map(_._2).distinct.length
+      assert(members.length.toDouble / k <= 64.0 * 2,
+        s"shard $sh average block ${members.length / k} blew past the target")
+    }
+    // dispatch inertness: a target at-or-above n must take the exact
+    // single-shard oracle-gated path
+    val single = Similarity.kmeansAssignedSharded(spark, e, n)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val direct = Similarity.kmeansAssign(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(single === direct, "single-shard dispatch diverged from the direct path")
+  }
 }

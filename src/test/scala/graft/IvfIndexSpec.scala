@@ -45,4 +45,52 @@ class IvfIndexSpec extends AnyFunSuite {
       new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
+
+  test("append rewrites only touched cells, dedups replays, and matches a one-shot build") {
+    val idxInc = s"/tmp/graft_ivf_inc_${System.nanoTime()}"
+    val idxFull = s"/tmp/graft_ivf_full_${System.nanoTime()}"
+    val e = Corpus.embeddings(spark, sf)
+    // a SMALL ingest increment (the production shape): 10 vectors land
+    // in a few cells, leaving most partitions untouched
+    val increment = col("vec_id") >= 490
+
+    IvfIndex.buildFrom(spark, e.where(!increment), idxInc, nCells = 16)
+
+    // per-cell file listing: untouched cells must keep their exact files
+    def listing(idx: String): Map[String, Set[String]] =
+      new java.io.File(s"$idx/members").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = listing(idxInc)
+
+    val incCount = e.where(increment).count()
+    val (touched, appended) = IvfIndex.append(spark, idxInc, e.where(increment))
+    assert(appended === incCount, "every increment vector must land")
+    val after = listing(idxInc)
+    val changed = before.keySet.filter(c => after.get(c) != before.get(c)) ++
+      (after.keySet -- before.keySet)
+    assert(changed.size.toLong === touched,
+      s"cells rewritten ($changed) must be exactly the touched ones ($touched)")
+    assert((before.keySet -- changed).forall(c => after(c) == before(c)),
+      "untouched cell partitions must keep their exact files")
+    assert(before.keySet.size.toLong > touched,
+      "scenario must leave some cells untouched for the claim to bite")
+
+    // replay safety: snapshot precedence makes a re-append a no-op
+    val (_, again) = IvfIndex.append(spark, idxInc, e.where(increment))
+    assert(again === 0L, "replayed append must dedup against the snapshot")
+
+    // the incremental lifecycle must converge to the one-shot layout
+    IvfIndex.build(spark, sf, idxFull, nCells = 16)
+    def contents(idx: String) = spark.read.parquet(s"$idx/members")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(contents(idxInc) === contents(idxFull),
+      "incremental index diverged from a from-scratch build")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxInc), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxInc), true)
+    fs.delete(new org.apache.hadoop.fs.Path(idxFull), true)
+  }
 }

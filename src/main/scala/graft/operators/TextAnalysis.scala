@@ -56,13 +56,19 @@ object TextAnalysis {
     * `Curation.corpusRetention`, and `CurationStream.retention`. */
   val qualityKeepCut = 6L
 
+  /** [[normTextCol]]'s compiled twin — the scala-side canonical text
+    * normalization, shared by [[normTokens]] and the streaming line-scrub
+    * kernel ([[graft.streaming.StreamLineScrub]]) so line identity
+    * matches the batch operators' exactly. */
+  private[graft] def normText(text: String): String =
+    text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+
   /** [[tokensCol]]'s compiled twin — THE one scala-side tokenizer, shared
     * by every per-document kernel (dedup shingling, minhash, simhash,
     * n-grams, repetition stats) so oracle parity has a single
     * normalization to keep in sync. */
   private[graft] def normTokens(text: String): Array[String] =
-    text.trim.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").split(' ')
+    normText(text).split(' ')
 
   val tokensSql: String =
     "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"

@@ -48,6 +48,18 @@ object StreamingBench {
     StreamNearDup.DocEvent(n, toks.mkString(" "), new Timestamp(baseMs + n * 100L))
   }
 
+  /** One synthetic document for the line-scrub leg: a unique body line
+    * wrapped in per-source template lines (5 sources → the header/footer
+    * lines cross the df cut almost immediately, so the flag path runs
+    * hot — the realistic boilerplate regime). 3 lines per doc. */
+  private def lineDoc(n: Long, baseMs: Long): StreamLineScrub.DocEvent = {
+    val src = s"src${n % 5}"
+    val body = (0 until 12).map(i => s"w${(n * 31 + i * 7) % 9973}").mkString(" ")
+    StreamLineScrub.DocEvent(n,
+      s"nav home about $src\n$body\ncopyright all rights reserved $src",
+      new Timestamp(baseMs + n * 100L))
+  }
+
   /** Generic single-stream harness: returns (events processed, wall sec)
     * for `batches` micro-batches of `mkBatch(batch, perBatch)` rows through
     * `mkQuery`'s streaming plan. `outputMode` must match the plan ("update"
@@ -219,6 +231,11 @@ object StreamingBench {
       Leg("neardup", twsOnly = false, qn => throughputOf[StreamNearDup.DocEvent](spark,
         ds => StreamNearDup.candidates(ds, watermarkDelay = "2 hours").toDF(),
         (b, per) => (0 until per).map(i => doc(b.toLong * per + i, base)),
+        "append", qn, batches, perBatch)),
+      // boilerplate line-scrub at ingestion (r9): docs, 3 lines each
+      Leg("linescrub", twsOnly = false, qn => throughputOf[StreamLineScrub.DocEvent](spark,
+        ds => StreamLineScrub.flagged(ds, watermarkDelay = "2 hours").toDF(),
+        (b, per) => (0 until per).map(i => lineDoc(b.toLong * per + i, base)),
         "append", qn, batches, perBatch)),
       Leg("repeat", twsOnly = false, qn => throughputOf[(String, String, Timestamp)](spark,
         ds => Repeater.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),

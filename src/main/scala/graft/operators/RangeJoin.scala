@@ -83,6 +83,45 @@ object RangeJoin {
       .drop("graft_p_band", "graft_r_band")
   }
 
+  /** Cost-based band width for [[graft.plans.BandedRangeJoinRule]]: derive
+    * `w` from a [[Sketches.tableStats]]-shaped frame instead of guessing,
+    * and SET `spark.graft.rangeJoin.bandWidth` so the optimizer rule picks
+    * it up for subsequent bare-inequality joins. A manually-set conf is
+    * the override and wins untouched (returned as-is).
+    *
+    * The heuristic: a band spans ~`valuesPerBand` distinct values of the
+    * banded column — w = (max − min) / ndv × valuesPerBand. Per-band
+    * candidate density is then ≈ valuesPerBand × (n_rows / ndv) rows
+    * regardless of the column's absolute scale or unit (epoch seconds vs
+    * micros vs prices), which is exactly the guess the manual knob asked
+    * the caller to make. The ANALYZE pass that produces the stats frame
+    * is the nightly `table_stats` run — one aggregation tree, already
+    * amortized across every consumer of the warehouse's stats. */
+  def autoBandWidth(
+      s: SparkSession,
+      stats: DataFrame,
+      colName: String,
+      valuesPerBand: Long = 64L): Long = {
+    val confKey = "spark.graft.rangeJoin.bandWidth"
+    val manual = s.conf.getOption(confKey)
+      .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+    manual.getOrElse {
+      val row = stats
+        .where(col("col_name") === colName)
+        .select(col("min_num"), col("max_num"), col("ndv_est"), col("ndv_exact"))
+        .head()
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        s"$colName has no numeric min/max in the stats frame")
+      val span = row.getDouble(1) - row.getDouble(0)
+      val ndv =
+        if (!row.isNullAt(2) && row.getDouble(2) > 0) row.getDouble(2)
+        else row.getLong(3).toDouble
+      val w = math.max(1L, math.round(span / math.max(1.0, ndv) * valuesPerBand))
+      s.conf.set(confKey, w.toString)
+      w
+    }
+  }
+
   /** `range_join_banded` query: global concurrent-exposure analytics — for
     * each click, how many view "exposure windows" [view_ts, view_ts+10min)
     * were open ANYWHERE at click time (no user equi-key: cross-user

@@ -27,7 +27,20 @@ import org.apache.spark.sql.types._
   * Opt-in via `spark.graft.rangeJoin.bandWidth` (band width in the
   * banded column's own units; unset/≤0 disables). Width is the caller's
   * cost lever: fan-out is len/w + 1 rows per range against per-band
-  * candidate density. Applies only to INNER joins with a deterministic,
+  * candidate density — or derived from table statistics via
+  * [[graft.operators.RangeJoin.autoBandWidth]] (range/NDV × a target
+  * values-per-band), which writes this conf; a manually-set value is
+  * the override.
+  *
+  * Granularity note: `bandOf` computes floor(x / w) through a DOUBLE
+  * division, so above 2⁵³ in the banded column's own units (e.g. banding
+  * raw nanosecond epochs) band ids coarsen to the double's ulp (~1024
+  * nanos there). Correctness is unaffected — the rounding map stays
+  * monotone and identical on both join sides, so every qualifying pair
+  * still meets in a covered band and the exact residual decides it —
+  * only the effective band granularity (and with it the fan-out tuning)
+  * degrades; pick a width that keeps x / w well below 2⁵³ if band-width
+  * precision matters at that magnitude. Applies only to INNER joins with a deterministic,
   * equi-free conjunction containing a `s ≤/< p` + `p </≤ e` sandwich on
   * numeric/timestamp columns; everything else is left untouched. The
   * rewritten join carries an equi conjunct, so the rule cannot re-fire on

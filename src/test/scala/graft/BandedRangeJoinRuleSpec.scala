@@ -47,6 +47,39 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset(confKey)
   }
 
+  test("auto-width from table_stats flips the plan and keeps rows identical") {
+    val sf = "/root/testdata/sf0.001"
+    val naive = rangeJoin.select("pid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val stats = graft.operators.Sketches.tableStats(spark, sf)
+      .localCheckpoint() // two autoBandWidth reads below
+    try {
+      // derived from the REAL nightly-ANALYZE output: ~64 distinct
+      // l_suppkey values per band
+      val w = graft.operators.RangeJoin.autoBandWidth(spark, stats, "l_suppkey")
+      assert(w > 0)
+      assert(spark.conf.get(confKey) === w.toString,
+        "auto width must land in the conf the rule reads")
+      val df = rangeJoin
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"auto width did not flip the plan:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"), s"no band equi-join:\n$plan")
+      val banded = df.select("pid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(banded === naive)
+      assert(banded.nonEmpty)
+    } finally spark.conf.unset(confKey)
+    // a manually-set conf is the override: auto must return it untouched
+    spark.conf.set(confKey, "40")
+    try {
+      val w2 = graft.operators.RangeJoin.autoBandWidth(spark, stats, "l_suppkey")
+      assert(w2 === 40L, "manual conf must win over the derived width")
+      assert(spark.conf.get(confKey) === "40")
+    } finally spark.conf.unset(confKey)
+  }
+
   test("unset conf leaves the nested-loop plan untouched") {
     val plan = rangeJoin.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),

@@ -1100,7 +1100,6 @@ object Dedup {
     substringSpansFrom(posGrams(Corpus.documents(s, dir), spanGram))
 
   private[graft] def substringSpansFrom(g: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dup = g.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
@@ -1109,15 +1108,24 @@ object Dedup {
       .where(!(col("doc_id") === col("canon.doc_id") &&
                col("pos") === col("canon.pos")))
       .select(col("doc_id"), col("pos"))
+    islandSpans(marked, spanGram)
+  }
+
+  /** Merge marked window positions into maximal spans: consecutive marks
+    * closer than the window length belong to one duplicated/contaminated
+    * region. One doc_id shuffle; window frames are per-document. Shared
+    * by [[substringSpansFrom]] and [[contaminationScrub]]. */
+  private def islandSpans(marked: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= spanGram, 0L)
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L)
           .otherwise(1L))
       .withColumn("island", sum(col("brk")).over(byDoc))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(spanGram - 1).cast("long")).as("span_end"))
+        (max(col("pos")) + lit(n - 1).cast("long")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
@@ -1128,11 +1136,16 @@ object Dedup {
     * (`rel` must expose doc_id + text) — parameterized so the composed
     * funnel can window the SURVIVOR set, not the raw corpus. */
   private[graft] def posGramsSqlFor(rel: String): String =
+    posGramsSqlForN(rel, spanGram)
+
+  /** [[posGramsSqlFor]] at an arbitrary window length — shared with the
+    * 13-gram contamination scrub. */
+  private[graft] def posGramsSqlForN(rel: String, n: Int): String =
     s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-       |  md5(array_to_string(toks[pos+1:pos+$spanGram], ' ')) AS gh
+       |  md5(array_to_string(toks[pos+1:pos+$n], ' ')) AS gh
        |FROM (SELECT doc_id, $toksSql AS toks FROM $rel) t,
-       |  UNNEST(range(0, len(toks) - ${spanGram - 1})) AS u(pos)
-       |WHERE len(toks) >= $spanGram""".stripMargin
+       |  UNNEST(range(0, len(toks) - ${n - 1})) AS u(pos)
+       |WHERE len(toks) >= $n""".stripMargin
 
   private[graft] def substringSpansSqlFor(rel: String): String =
     s"""WITH g AS (${posGramsSqlFor(rel)}),
@@ -1172,8 +1185,15 @@ object Dedup {
   def substringScrub(s: SparkSession, dir: String): DataFrame =
     substringScrubFrom(Corpus.documents(s, dir))
 
-  private[graft] def substringScrubFrom(docs: DataFrame): DataFrame = {
-    val spans = substringSpansFrom(posGrams(docs, spanGram))
+  private[graft] def substringScrubFrom(docs: DataFrame): DataFrame =
+    scrubSpans(docs, substringSpansFrom(posGrams(docs, spanGram)))
+
+  /** Cut `spans`' token ranges out of `docs` and reassemble — the shared
+    * scrub epilogue of [[substringScrubFrom]] and [[contaminationScrub]].
+    * Spans (a vanishing fraction of token positions) join the positioned
+    * token stream as a doc_id equi join with a range residual,
+    * co-partitioned with the rebuild groupBy — ONE doc_id exchange. */
+  private def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
@@ -1214,6 +1234,136 @@ object Dedup {
        |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
        |  CAST(len($toksSql) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Contamination SCRUB: the surgical complement of the boolean
+  // `contamination` family. Flag-and-drop loses a whole document because
+  // one benchmark sentence leaked into it; the scrub cuts ONLY the
+  // contaminated 13-token spans (the [[substringScrub]] island/cut/
+  // rebuild machinery pointed at the eval set instead of at self-
+  // duplication) and keeps the rest — the decontamination policy that
+  // preserves data at 100 TB instead of bleeding it.
+  //
+  // Scale shape: the ONLY broadcast is the benchmark's hashed window
+  // set (tiny); marked positions come from an equi semi-join on the
+  // window hash inside the corpus scan's stream; islands/cut/rebuild
+  // add one doc_id exchange (the audited [[scrubSpans]] shape). Within-
+  // doc repeats of a benchmark gram are all marked — every leaked
+  // occurrence is cut, unlike the keep-one policy of self-dedup.
+
+  def contaminationScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val bench = posGrams(docs.where(col("doc_id") < contamBench), contamN)
+      .select(col("gh")).distinct()
+    val corpus = docs.where(col("doc_id") >= contamBench)
+    val marked = posGrams(corpus, contamN)
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    scrubSpans(corpus, islandSpans(marked, contamN))
+  }
+
+  val contaminationScrubSql: String = {
+    val n = contamN
+    s"""WITH benchdocs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $contamBench),
+       |corpusdocs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= $contamBench),
+       |bench AS (SELECT DISTINCT gh FROM (${posGramsSqlForN("benchdocs", n)})),
+       |g AS (${posGramsSqlForN("corpusdocs", n)}),
+       |d AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gh)),
+       |i AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |               <= $n THEN 0 ELSE 1 END AS brk
+       |      FROM d),
+       |si AS (SELECT doc_id, pos,
+       |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |      FROM i),
+       |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+       |    MAX(pos) + ${n - 1} AS span_end
+       |  FROM si GROUP BY doc_id, island),
+       |tok AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos+1] AS tok
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM corpusdocs) t,
+       |          UNNEST(range(0, len(toks))) AS u(pos)),
+       |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tok k
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+       |           WHERE sp.doc_id = k.doc_id
+       |             AND k.pos BETWEEN sp.span_start AND sp.span_end)),
+       |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+       |        COUNT(*) AS n_kept
+       |      FROM kept GROUP BY doc_id)
+       |SELECT d2.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |  CAST(len($toksSql) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM corpusdocs d2 LEFT JOIN r ON d2.doc_id = r.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // Benchmark n-gram coverage per source: how much of the eval set's
+  // 13-gram vocabulary each source can reproduce — the graded companion
+  // to the boolean contamination verdict (a source at 30% coverage is an
+  // eval-proximity problem even if no single doc trips the flag).
+  //
+  // Scale shape: per-(source, gram-hash) distinct rows come straight off
+  // the scan (source rides the same row as text — NO doc_id join), the
+  // benchmark set broadcasts hashed (16 bytes/gram, the
+  // `contamination_hashed` trade), and the rollup is one small
+  // per-source aggregate; sources with zero coverage surface via a left
+  // join from the distinct source list.
+
+  def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Corpus.documents(s, dir)
+    val bench = grams13(docs.where(col("doc_id") < contamBench))
+      .select(unhex(md5(col("gram"))).as("gh")).distinct()
+      .localCheckpoint() // two consumers: the count and the semi-join
+    val nBench = bench.agg(count(lit(1)).as("n_bench"))
+    val corpus = docs.where(col("doc_id") >= contamBench)
+    val srcGrams = corpus
+      .select(col("source"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (src, text) =>
+          val toks = normTokens(text)
+          val grams =
+            if (toks.length >= contamN)
+              toks.sliding(contamN).map(_.mkString(" ")).toSet
+            else Set.empty[String]
+          grams.iterator.map(g => (src, md.digest(g.getBytes("UTF-8"))))
+        }
+      }
+      .toDF("source", "gh")
+      .distinct()
+    val covered = srcGrams
+      .join(broadcast(bench), Seq("gh"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_covered"))
+    corpus.select(col("source")).distinct()
+      .join(covered, Seq("source"), "left")
+      .crossJoin(broadcast(nBench))
+      .select(col("source"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        col("n_bench"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double")
+          / col("n_bench").cast("double"), 6).as("coverage"))
+  }
+
+  val ngramCoverageSql: String =
+    s"""WITH bench AS (
+       |  SELECT DISTINCT unhex(md5(gram)) AS gh
+       |  FROM (${gramsSql(s"doc_id < $contamBench")})),
+       |nb AS (SELECT COUNT(*) AS n_bench FROM bench),
+       |cg AS (SELECT DISTINCT d.source, unhex(md5(g.gram)) AS gh
+       |       FROM (${gramsSql(s"doc_id >= $contamBench")}) g
+       |       JOIN documents d USING (doc_id)),
+       |cov AS (SELECT source, COUNT(*) AS n_covered FROM cg
+       |        WHERE gh IN (SELECT gh FROM bench) GROUP BY 1),
+       |srcs AS (SELECT DISTINCT source FROM documents
+       |         WHERE doc_id >= $contamBench)
+       |SELECT s.source,
+       |  CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CAST(nb.n_bench AS BIGINT) AS n_bench,
+       |  round(CAST(COALESCE(cov.n_covered, 0) AS DOUBLE) / nb.n_bench, 6)
+       |    AS coverage
+       |FROM srcs s LEFT JOIN cov ON s.source = cov.source CROSS JOIN nb""".stripMargin
 
   // ------------------------------------------------------------------
   // Incremental ingest dedup: the daily-batch production shape. An

@@ -137,4 +137,80 @@ object Packing {
        |  (start_offset + GREATEST(n_tokens, 1) - 1) // $chunkTokens
        |    - start_offset // $chunkTokens + 1 AS n_chunks
        |FROM c""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Deterministic weighted-interleave training order (`pack_interleave`):
+  // the ORDER the packed stream should concatenate documents in.
+  // Straight doc_id order (what packChunks assumes for simplicity) feeds
+  // the model one source at a time — a curriculum nobody asked for.
+  // Weighted fair queueing fixes it reproducibly: each doc gets a virtual
+  // time vtime = src_rank × stride, where stride is inversely
+  // proportional to the source's token share — reading the corpus in
+  // vtime order interleaves sources proportionally to their volume, with
+  // zero randomness, stable under reruns and corpus appends.
+  //
+  // Scale shape: the per-source rank is the SAME hierarchical prefix
+  // trick as the token offsets (per-(source, bucket) counts → tiny
+  // cumulative window → bounded per-bucket row_number — never a
+  // corpus-wide single-partition window), and the global training order
+  // is a distributed SORT by (vtime, source, doc_id) at write time, not
+  // a row_number: the vtime column IS the deliverable. Strides are
+  // integer (corpus_tokens div source_tokens), capped at 10⁶ so a
+  // vanishing source cannot push vtime toward long overflow — below one
+  // millionth of the corpus, interleave granularity saturates
+  // (documented, harmless: such a source occupies < 1 ppm of any
+  // window of the stream either way).
+
+  private[graft] val interleaveMaxStride = 1000000L
+
+  def packInterleave(s: SparkSession, dir: String): DataFrame = {
+    val counted = Corpus.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
+      .localCheckpoint() // three consumers: ranks, source totals, join
+    val bucketCounts = counted.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("boffset",
+        coalesce(sum(col("bcnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("boffset"))
+    val local = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+    val srcTok = counted.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val total = srcTok.agg(sum(col("src_tokens")).as("corpus_tokens"))
+    counted
+      .join(broadcast(bucketCounts), Seq("source", "bucket"))
+      .withColumn("src_rank", col("boffset") + row_number().over(local).cast("long"))
+      .join(broadcast(srcTok), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("stride",
+        least(expr("corpus_tokens div greatest(src_tokens, 1)"),
+          lit(interleaveMaxStride)))
+      .select(col("doc_id"), col("source"), col("src_rank"), col("stride"),
+        (col("src_rank") * col("stride")).as("vtime"))
+  }
+
+  val packInterleaveSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(${TextAnalysis.tokensSql}, x -> length(x) > 0))
+       |      AS BIGINT) AS nt
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, nt,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+       |          AS BIGINT) AS src_rank
+       |      FROM t),
+       |st AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS src_tokens
+       |       FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS corpus_tokens FROM t)
+       |SELECT doc_id, r.source, src_rank,
+       |  LEAST(corpus_tokens // GREATEST(src_tokens, 1),
+       |    $interleaveMaxStride) AS stride,
+       |  src_rank * LEAST(corpus_tokens // GREATEST(src_tokens, 1),
+       |    $interleaveMaxStride) AS vtime
+       |FROM r JOIN st ON r.source = st.source CROSS JOIN tot""".stripMargin
 }

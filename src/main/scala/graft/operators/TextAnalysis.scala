@@ -884,6 +884,60 @@ object TextAnalysis {
        |FROM encd""".stripMargin
   }
 
+  // --- Tokenizer fertility (tokenizer_fertility) ------------------------
+  // Per-language fertility of the INDUCED tokenizer — the QA report that
+  // decides whether a tokenizer is fair to a language before 100 TB of it
+  // is encoded: fertility (BPE symbols per whitespace word) and
+  // compression (chars per symbol) per language, from the same
+  // [[bpeEncode]] pass the encode operator runs. A language whose
+  // fertility is 2× the corpus mean pays 2× the context budget per word —
+  // the number that drives vocab-size and merge-count decisions
+  // (cf. the fertility analyses around multilingual BPE, e.g.
+  // arXiv:2305.15425).
+  //
+  // Scale shape: [[bpeEncode]] is a shuffle-free codegen projection
+  // (merges are plan literals); the rollup adds ONE map-side-combinable
+  // aggregate keyed by language (a handful of groups) — nothing new
+  // touches the corpus.
+
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeEncode(s, dir)
+    val langs = Corpus.documents(s, dir).select(col("doc_id"), col("lang"))
+    enc.join(langs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_symbols")).as("n_bpe_symbols"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_bpe_symbols"),
+        when(col("n_words") > 0,
+          round(col("n_bpe_symbols").cast("double")
+            / col("n_words").cast("double"), 6)).otherwise(lit(0.0))
+          .as("fertility"),
+        when(col("n_bpe_symbols") > 0,
+          round(col("n_chars").cast("double")
+            / col("n_bpe_symbols").cast("double"), 6)).otherwise(lit(0.0))
+          .as("compression"))
+  }
+
+  val tokenizerFertilitySql: String =
+    s"""WITH enc AS ($bpeEncodeSql)
+       |SELECT d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(enc.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(enc.n_bpe_symbols) AS BIGINT) AS n_bpe_symbols,
+       |  CASE WHEN SUM(enc.n_words) > 0
+       |    THEN round(CAST(SUM(enc.n_bpe_symbols) AS DOUBLE)
+       |      / CAST(SUM(enc.n_words) AS DOUBLE), 6) ELSE 0.0 END AS fertility,
+       |  CASE WHEN SUM(enc.n_bpe_symbols) > 0
+       |    THEN round(CAST(SUM(enc.n_chars) AS DOUBLE)
+       |      / CAST(SUM(enc.n_bpe_symbols) AS DOUBLE), 6) ELSE 0.0 END
+       |    AS compression
+       |FROM enc JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
+
   // --- PII scrubbing (pii_scrub) ----------------------------------------
 
   private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -1146,12 +1200,24 @@ object TextAnalysis {
   }
 
   /** The trained 256-long weight table, bucket-indexed. The collect is
-    * bounded by construction (qcBuckets rows) — the k-centroids rule. */
+    * bounded by construction (qcBuckets rows) — the k-centroids rule.
+    * Memoized per corpus fingerprint (dir + documents file length/mtime,
+    * the [[graft.operators.IvfIndex.annIvfIndexed]] tag discipline): the
+    * model is a pure function of the corpus, so scoring passes after the
+    * first don't re-run the training job — and a driver-regenerated
+    * corpus can never serve stale weights. */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
   private[graft] def trainedWeights(s: SparkSession, dir: String): Array[Long] = {
-    val w = new Array[Long](qcBuckets)
-    qualityTrain(s, dir).select(col("bucket"), col("weight"))
-      .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
-    w
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir|${f.length()}|${f.lastModified()}"
+    weightCache.computeIfAbsent(key, { _ =>
+      val w = new Array[Long](qcBuckets)
+      qualityTrain(s, dir).select(col("bucket"), col("weight"))
+        .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+      w
+    })
   }
 
   /** Per-document linear score under the TRAINED weights, in ONE

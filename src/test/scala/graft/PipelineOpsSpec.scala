@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Packing}
+import graft.operators.{Curation, Dedup, Packing, TextAnalysis}
 
 /** Invariants of the curation/packing operators that the row-level oracle
   * compare can't express: packing's prefix-sum recurrence, sampling's
@@ -501,5 +501,94 @@ class PipelineOpsSpec extends AnyFunSuite {
     // self-join, not cosmetically
     assert(Curation.vocabOverlapImpl(spark, sf, 1).count() === 0L,
       "a df<=1 cap must leave no intersecting tokens")
+  }
+
+  test("pack_interleave: weighted fair queueing invariants over the corpus") {
+    import org.apache.spark.sql.functions.col
+    val rows = Packing.packInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = graft.sources.Corpus.documents(spark, sf).count()
+    assert(rows.length === n.toInt, "every doc gets an interleave slot")
+    assert(rows.map(_._1).distinct.length === n.toInt)
+    rows.foreach { case (id, src, rank, stride, vtime) =>
+      assert(rank >= 1 && stride >= 1 && stride <= 1000000L, s"doc $id")
+      assert(vtime === rank * stride, s"vtime must be rank*stride for doc $id")
+    }
+    // per source, vtime strictly increases with rank (a total order
+    // within the source) and ranks are 1..n_s without gaps
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      val ranks = docs.map(_._3).sorted
+      assert(ranks === (1L to docs.length.toLong).toArray.toSeq, s"source $src ranks")
+    }
+    // the point of the operator: reading in (vtime, source, doc_id) order
+    // interleaves sources rather than concatenating them — the first 30
+    // slots must already mix several sources
+    val order = rows.sortBy(t => (t._5, t._2, t._1)).take(30).map(_._2).distinct
+    assert(order.length >= 3, s"interleave must mix sources early: $order")
+  }
+
+  test("tokenizer_fertility: per-language rollup is consistent and bounded") {
+    val rows = TextAnalysis.tokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nWords, nChars, nSyms, fert, comp) =>
+      assert(nDocs > 0 && nWords > 0 && nChars > 0 && nSyms > 0, lang)
+      // merges only ever shrink the symbol stream: chars >= symbols,
+      // so compression >= 1; and a word is at least one symbol
+      assert(nSyms <= nChars, s"$lang: symbols cannot exceed chars")
+      assert(nSyms >= nWords, s"$lang: a word is at least one symbol")
+      assert(comp >= 1.0 && fert >= 1.0, s"$lang: $comp / $fert")
+    }
+  }
+
+  test("contamination_scrub cuts exactly the leaked spans, nothing else") {
+    import org.apache.spark.sql.functions.col
+    val flagged = Dedup.contamination(spark, sf).collect().map(_.getLong(0)).toSet
+    val scrub = Dedup.contaminationScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // every boolean-flagged doc loses tokens; every clean doc is untouched
+    flagged.foreach { id =>
+      assert(scrub(id)._3 > 0, s"flagged doc $id must lose its leaked span") }
+    scrub.foreach { case (id, (_, _, removed)) =>
+      if (!flagged.contains(id))
+        assert(removed === 0L, s"unflagged doc $id must be untouched") }
+    // and the scrubbed text contains NO benchmark 13-gram any more
+    val docs = graft.sources.Corpus.documents(spark, sf)
+    val bench = docs.where(col("doc_id") < 10)
+      .select("text").collect().flatMap { r =>
+        val toks = r.getString(0).trim.toLowerCase.replaceAll("\\s+", " ").split(' ')
+        if (toks.length >= 13) toks.sliding(13).map(_.mkString(" ")).toSeq else Seq.empty
+      }.toSet
+    flagged.foreach { id =>
+      val clean = scrub(id)._1.split(' ')
+      val grams = if (clean.length >= 13)
+        clean.sliding(13).map(_.mkString(" ")).toSet else Set.empty[String]
+      assert(grams.intersect(bench).isEmpty, s"doc $id still leaks after scrub")
+    }
+  }
+
+  test("ngram_coverage: bounded shares, and the contaminated source registers coverage") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.ngramCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val nBench = rows.head._3
+    assert(nBench > 0)
+    rows.foreach { case (src, covered, total, share) =>
+      assert(total === nBench)
+      assert(covered >= 0 && covered <= total, src)
+      assert(share >= 0.0 && share <= 1.0, src)
+    }
+    // the source of a contamination-flagged doc must show nonzero coverage
+    val flagged = Dedup.contamination(spark, sf).collect().map(_.getLong(0)).toSet
+    if (flagged.nonEmpty) {
+      val srcOf = graft.sources.Corpus.documents(spark, sf)
+        .select(col("doc_id"), col("source")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val hot = flagged.map(srcOf)
+      val bySrc = rows.map(r => r._1 -> r._2).toMap
+      hot.foreach(sc => assert(bySrc(sc) > 0, s"source $sc of a flagged doc shows 0 coverage"))
+    }
   }
 }

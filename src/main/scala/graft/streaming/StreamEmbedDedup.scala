@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+
+/** Streaming embedding near-duplicate detection at ingestion — the
+  * EMBEDDING modality of the at-ingestion curation set, next to
+  * [[StreamDedup]] (exact text), [[StreamNearDup]] (fuzzy text),
+  * [[StreamLineScrub]] (boilerplate lines) and [[ContaminationStream]]
+  * (eval leakage): the unbounded twin of the batch
+  * `embedding_near_dups` sweep.
+  *
+  * Each arriving vector is signed with the SAME deterministic ±1
+  * hyperplane family the batch operator uses
+  * ([[VectorFunctions.planesFor]] — 8 bands × 2 sign bits at the
+  * oracle-mirrored default), banded, and flagged when any band key was
+  * seen within retention. A streamed collision is therefore exactly a
+  * batch band collision restricted to the retention horizon — and since
+  * the batch operator's VERIFIED pairs are a subset of its band
+  * collisions, every batch near-dup pair whose earlier member arrived
+  * first is guaranteed to surface here (candidate completeness; the
+  * spec pins it against the real batch sweep).
+  *
+  * Like the batch candidates stage, this flags CANDIDATES: state per
+  * band key is one (vecId, ts) pair — never the vector itself, so state
+  * stays a few dozen bytes per distinct band key and exact-cosine
+  * verification (which needs both vectors) runs downstream on the tiny
+  * flagged stream, the same candidates-then-verify split the batch
+  * pipeline is audited for.
+  *
+  * Scale shape: one vector → 8 band rows (constant fan-out), one
+  * shuffle on the 64-bit band key, event-time eviction at
+  * firstSeen + retention — the [[StreamNearDup]] contract, applied to
+  * the embedding column.
+  */
+object StreamEmbedDedup {
+
+  /** One ingested embedding. */
+  final case class VecEvent(vecId: Long, embedding: Array[Double], ts: Timestamp)
+
+  /** One (band key, vec) routing row. */
+  final case class BandRow(key: Long, band: Int, vecId: Long, ts: Timestamp)
+
+  /** First-seen vector per band key. */
+  final case class SeenState(vecId: Long, tsMs: Long)
+
+  /** One band collision: `vecId` shares `band`'s key with earlier
+    * `dupOf`. */
+  final case class BandHit(vecId: Long, dupOf: Long, band: Int, ts: Timestamp)
+
+  private val nBands = 8
+  private val bitsPerBand = 2
+
+  /** The deterministic plane matrix, flattened once per JVM (plane-major;
+    * identical derivation to the batch operator's). */
+  private lazy val planes: Array[Array[Double]] =
+    VectorFunctions.planesFor(nBands * bitsPerBand, 64).map(_.toArray).toArray
+
+  /** Scala twin of the batch signature pass: one sign bit per plane. */
+  private[graft] def signatureOf(v: Array[Double]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(pl.length, v.length)
+      while (d < n) { dot += pl(d) * v(d); d += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Band keys of one signature: band index mixed first, then the band's
+    * sign bits — a cross-band coincidence needs a 64-bit collision (the
+    * [[Dedup.fastBandKeysOf]] convention). */
+  private[graft] def bandKeysOf(sig: Long): Array[Long] =
+    Array.tabulate(nBands) { b =>
+      val bits = (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)
+      Dedup.fmix64(Dedup.fmix64(b + 0x243F_6A88_85A3_08D3L) ^ bits)
+    }
+
+  /** Per-band collision events for an unbounded embedding stream. */
+  def candidates(
+      vecs: Dataset[VecEvent],
+      watermarkDelay: String = "10 minutes",
+      retentionMs: Long = 60L * 60L * 1000L): Dataset[BandHit] = {
+    import vecs.sparkSession.implicits._
+    val bands = vecs
+      .mapPartitions { it =>
+        it.flatMap { v =>
+          val keys = bandKeysOf(signatureOf(v.embedding))
+          Iterator.tabulate(keys.length)(b => BandRow(keys(b), b, v.vecId, v.ts))
+        }
+      }
+      .withWatermark("ts", watermarkDelay)
+
+    bands
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SeenState, BandHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[BandRow], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[BandHit]
+            val existing = state.getOption.orNull
+            var st = existing
+            val seq = rows.toSeq
+            val sorted =
+              if (seq.sizeIs > 1) seq.sortBy(r => (r.ts.getTime, r.vecId)) else seq
+            sorted.foreach { r =>
+              if (st == null) st = SeenState(r.vecId, r.ts.getTime)
+              else if (r.vecId != st.vecId)
+                out += BandHit(r.vecId, st.vecId, r.band, r.ts)
+            }
+            // first sight writes state + timeout; an existing group's
+            // original never changes (the StreamNearDup discipline)
+            if (st ne existing) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.tsMs + retentionMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

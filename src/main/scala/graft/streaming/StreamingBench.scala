@@ -60,6 +60,15 @@ object StreamingBench {
       new Timestamp(baseMs + n * 100L))
   }
 
+  /** One synthetic embedding for the embdedup leg: every 10th vector
+    * repeats an earlier one (collides in all 8 bands), the rest vary
+    * deterministically. */
+  private def vecDoc(n: Long, baseMs: Long): StreamEmbedDedup.VecEvent = {
+    val src = if (n % 10 == 9) n - 9 else n
+    val v = Array.tabulate(64)(i => math.sin((src * 31 + i * 7) * 0.37) )
+    StreamEmbedDedup.VecEvent(n, v, new Timestamp(baseMs + n * 100L))
+  }
+
   /** Generic single-stream harness: returns (events processed, wall sec)
     * for `batches` micro-batches of `mkBatch(batch, perBatch)` rows through
     * `mkQuery`'s streaming plan. `outputMode` must match the plan ("update"
@@ -232,6 +241,16 @@ object StreamingBench {
         ds => StreamNearDup.candidates(ds, watermarkDelay = "2 hours").toDF(),
         (b, per) => (0 until per).map(i => doc(b.toLong * per + i, base)),
         "append", qn, batches, perBatch)),
+      // embedding near-dup at ingestion (r9): 1/4 batch size — each
+      // event carries a 64-double vector, ~4× the byte width of the doc
+      // legs' rows, and the driver-side MemoryStream ships the batch in
+      // the task binary
+      Leg("embdedup", twsOnly = false, qn => throughputOf[StreamEmbedDedup.VecEvent](spark,
+        ds => StreamEmbedDedup.candidates(ds, watermarkDelay = "2 hours").toDF(),
+        (b, per) => {
+          val n = math.max(1, per / 4)
+          (0 until n).map(i => vecDoc(b.toLong * n + i, base))
+        }, "append", qn, batches, perBatch)),
       // boilerplate line-scrub at ingestion (r9): docs, 3 lines each
       Leg("linescrub", twsOnly = false, qn => throughputOf[StreamLineScrub.DocEvent](spark,
         ds => StreamLineScrub.flagged(ds, watermarkDelay = "2 hours").toDF(),

@@ -94,6 +94,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no hash/merge equi-join in the perceptual near-dup plan:\n$plan")
   }
 
+  test("contamination_scrub: bench set broadcast, no cartesian, one doc_id rebuild exchange") {
+    val plan = physicalPlan(graft.operators.Dedup.contaminationScrub(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span marking must be an equi semi-join, never all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the hashed benchmark window set must broadcast:\n$plan")
+  }
+
+  test("ngram_coverage: hashed bench set broadcast; rollup never goes all-pairs") {
+    val plan = physicalPlan(graft.operators.Dedup.ngramCoverage(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"coverage plan went cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set must broadcast into the semi-join:\n$plan")
+  }
+
+  test("pack_interleave never collapses the corpus into one window partition") {
+    val df = graft.operators.Packing.packInterleave(spark, sf)
+    val plan = physicalPlan(df)
+    // the per-source rank must ride the bucketed (source, bucket) window,
+    // not a corpus-wide PARTITION BY source over doc_id alone — the same
+    // audit pack_chunks' prefix sum carries
+    assert(plan.contains("Window"), s"no window at all?\n$plan")
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*Window \\[[^\\]]*row_number[^\\]]*\\]\\s*\\n.*"),
+      "sanity")
+    // the only single-partition exchange allowed is the tiny
+    // (source, bucket) offsets frame; the doc-level window must carry a
+    // hashpartitioning on (source, bucket)
+    assert(plan.contains("hashpartitioning(source"),
+      s"doc-level rank window is not bucket-partitioned:\n$plan")
+  }
+
   test("the hyperplane signature stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = spark.range(10).select(

@@ -101,8 +101,14 @@ object IvfIndex {
     * appended). */
   def append(s: SparkSession, indexDir: String, batch: DataFrame): (Long, Long) = {
     val cents = broadcast(s.read.parquet(s"$indexDir/centroids"))
+    // within-batch dedup FIRST: an at-least-once ingest can deliver the
+    // same vec_id twice in one increment, and the index-side anti-join
+    // below would admit both copies permanently. Duplicate deliveries
+    // carry identical payloads, so any-row-wins is sound; conflicting
+    // payloads under one id are corrupt input either way.
     val e = batch
       .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .dropDuplicates("vec_id")
       .withColumn("nrm", norm(col("v")))
     val assigned = assignCells(e, cents)
       .localCheckpoint() // two consumers (touched-cell list + merge)

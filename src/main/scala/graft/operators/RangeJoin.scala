@@ -103,22 +103,29 @@ object RangeJoin {
       colName: String,
       valuesPerBand: Long = 64L): Long = {
     val confKey = "spark.graft.rangeJoin.bandWidth"
-    val manual = s.conf.getOption(confKey)
-      .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
-    manual.getOrElse {
-      val row = stats
-        .where(col("col_name") === colName)
-        .select(col("min_num"), col("max_num"), col("ndv_est"), col("ndv_exact"))
-        .head()
-      require(!row.isNullAt(0) && !row.isNullAt(1),
-        s"$colName has no numeric min/max in the stats frame")
-      val span = row.getDouble(1) - row.getDouble(0)
-      val ndv =
-        if (!row.isNullAt(2) && row.getDouble(2) > 0) row.getDouble(2)
-        else row.getLong(3).toDouble
-      val w = math.max(1L, math.round(span / math.max(1.0, ndv) * valuesPerBand))
-      s.conf.set(confKey, w.toString)
-      w
+    // ANY explicitly-set conf is the manual override — including 0 or a
+    // negative value, which is the documented way to DISABLE the rule:
+    // deriving a width over an explicit disable would silently re-enable
+    // the rewrite for every later join in the session
+    s.conf.getOption(confKey) match {
+      case Some(v) =>
+        scala.util.Try(v.toLong).getOrElse(0L)
+      case None =>
+        val rows = stats
+          .where(col("col_name") === colName)
+          .select(col("min_num"), col("max_num"), col("ndv_est"), col("ndv_exact"))
+          .collect()
+        require(rows.nonEmpty, s"$colName not present in the stats frame")
+        val row = rows.head
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          s"$colName has no numeric min/max in the stats frame")
+        val span = row.getDouble(1) - row.getDouble(0)
+        val ndv =
+          if (!row.isNullAt(2) && row.getDouble(2) > 0) row.getDouble(2)
+          else row.getLong(3).toDouble
+        val w = math.max(1L, math.round(span / math.max(1.0, ndv) * valuesPerBand))
+        s.conf.set(confKey, w.toString)
+        w
     }
   }
 

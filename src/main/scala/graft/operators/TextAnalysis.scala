@@ -59,9 +59,21 @@ object TextAnalysis {
   /** [[normTextCol]]'s compiled twin — the scala-side canonical text
     * normalization, shared by [[normTokens]] and the streaming line-scrub
     * kernel ([[graft.streaming.StreamLineScrub]]) so line identity
-    * matches the batch operators' exactly. */
-  private[graft] def normText(text: String): String =
-    text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    * matches the batch operators' exactly.
+    *
+    * Trims SPACES only (0x20), by hand: Spark's and DuckDB's `trim`
+    * strip spaces, while Java's `String.trim` strips every control
+    * ≤ U+0020 — under Java trim a tab-led line would lose its leading
+    * `\t` here but keep it (as a collapsed leading space → leading empty
+    * token) in the SQL twins, silently desyncing line/token identity on
+    * `\t`/`\r`-edged text. */
+  private[graft] def normText(text: String): String = {
+    var b = 0; var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    text.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+  }
 
   /** [[tokensCol]]'s compiled twin — THE one scala-side tokenizer, shared
     * by every per-document kernel (dedup shingling, minhash, simhash,

@@ -17,14 +17,21 @@ import graft.operators.Dedup
   *
   * Each arriving vector is signed with the SAME deterministic ±1
   * hyperplane family the batch operator uses
-  * ([[VectorFunctions.planesFor]] — 8 bands × 2 sign bits at the
-  * oracle-mirrored default), banded, and flagged when any band key was
-  * seen within retention. A streamed collision is therefore exactly a
-  * batch band collision restricted to the retention horizon — and since
-  * the batch operator's VERIFIED pairs are a subset of its band
+  * ([[VectorFunctions.planesFor]] — 8 bands × `bitsPerBand` sign bits),
+  * banded, and flagged when any band key was seen within retention. A
+  * streamed collision is therefore exactly a batch band collision (at
+  * the same `bitsPerBand`) restricted to the retention horizon — and
+  * since the batch operator's VERIFIED pairs are a subset of its band
   * collisions, every batch near-dup pair whose earlier member arrived
   * first is guaranteed to surface here (candidate completeness; the
   * spec pins it against the real batch sweep).
+  *
+  * The guarantee is PER-`bitsPerBand`: the batch default self-sizes b
+  * via `Similarity.bitsForCount` (2 at verification scale, up to 8 at
+  * web scale), so a deployment running the batch sweep at a wider b
+  * must pass the SAME b here — the default 2 mirrors the committed
+  * batch/oracle parameterization, and a larger b narrows bands on both
+  * sides identically (same planes, same bit layout).
   *
   * Like the batch candidates stage, this flags CANDIDATES: state per
   * band key is one (vecId, ts) pair — never the vector itself, so state
@@ -54,15 +61,20 @@ object StreamEmbedDedup {
   final case class BandHit(vecId: Long, dupOf: Long, band: Int, ts: Timestamp)
 
   private val nBands = 8
-  private val bitsPerBand = 2
 
-  /** The deterministic plane matrix, flattened once per JVM (plane-major;
-    * identical derivation to the batch operator's). */
-  private lazy val planes: Array[Array[Double]] =
-    VectorFunctions.planesFor(nBands * bitsPerBand, 64).map(_.toArray).toArray
+  /** Deterministic plane matrices by bits-per-band, flattened once per
+    * JVM (plane-major; identical derivation to the batch operator's). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def planesAt(bitsPerBand: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(bitsPerBand, { b =>
+      VectorFunctions.planesFor(nBands * b, 64).map(_.toArray).toArray
+    })
 
   /** Scala twin of the batch signature pass: one sign bit per plane. */
-  private[graft] def signatureOf(v: Array[Double]): Long = {
+  private[graft] def signatureOf(v: Array[Double], bitsPerBand: Int = 2): Long = {
+    val planes = planesAt(bitsPerBand)
     var sig = 0L
     var p = 0
     while (p < planes.length) {
@@ -80,22 +92,27 @@ object StreamEmbedDedup {
   /** Band keys of one signature: band index mixed first, then the band's
     * sign bits — a cross-band coincidence needs a 64-bit collision (the
     * [[Dedup.fastBandKeysOf]] convention). */
-  private[graft] def bandKeysOf(sig: Long): Array[Long] =
+  private[graft] def bandKeysOf(sig: Long, bitsPerBand: Int = 2): Array[Long] =
     Array.tabulate(nBands) { b =>
       val bits = (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)
       Dedup.fmix64(Dedup.fmix64(b + 0x243F_6A88_85A3_08D3L) ^ bits)
     }
 
-  /** Per-band collision events for an unbounded embedding stream. */
+  /** Per-band collision events for an unbounded embedding stream.
+    * `bitsPerBand` must match the batch sweep this stream is meant to
+    * cover (see the class docs); default = the committed batch/oracle
+    * parameterization. */
   def candidates(
       vecs: Dataset[VecEvent],
       watermarkDelay: String = "10 minutes",
-      retentionMs: Long = 60L * 60L * 1000L): Dataset[BandHit] = {
+      retentionMs: Long = 60L * 60L * 1000L,
+      bitsPerBand: Int = 2): Dataset[BandHit] = {
     import vecs.sparkSession.implicits._
+    val bb = bitsPerBand
     val bands = vecs
       .mapPartitions { it =>
         it.flatMap { v =>
-          val keys = bandKeysOf(signatureOf(v.embedding))
+          val keys = bandKeysOf(signatureOf(v.embedding, bb), bb)
           Iterator.tabulate(keys.length)(b => BandRow(keys(b), b, v.vecId, v.ts))
         }
       }

@@ -78,6 +78,14 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
       assert(w2 === 40L, "manual conf must win over the derived width")
       assert(spark.conf.get(confKey) === "40")
     } finally spark.conf.unset(confKey)
+    // an explicit 0 is the documented DISABLE — auto must not overwrite
+    // it (that would silently re-enable the rewrite session-wide)
+    spark.conf.set(confKey, "0")
+    try {
+      val w3 = graft.operators.RangeJoin.autoBandWidth(spark, stats, "l_suppkey")
+      assert(w3 === 0L, "explicit disable must survive autoBandWidth")
+      assert(spark.conf.get(confKey) === "0")
+    } finally spark.conf.unset(confKey)
   }
 
   test("unset conf leaves the nested-loop plan untouched") {

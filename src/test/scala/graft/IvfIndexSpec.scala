@@ -80,6 +80,13 @@ class IvfIndexSpec extends AnyFunSuite {
     val (_, again) = IvfIndex.append(spark, idxInc, e.where(increment))
     assert(again === 0L, "replayed append must dedup against the snapshot")
 
+    // within-batch duplicates (at-least-once delivery inside ONE
+    // increment) must land exactly once — and being already indexed,
+    // exactly zero times here
+    val doubled = e.where(increment).unionAll(e.where(increment))
+    val (_, dup) = IvfIndex.append(spark, idxInc, doubled)
+    assert(dup === 0L, "doubled replay batch must still append nothing")
+
     // the incremental lifecycle must converge to the one-shot layout
     IvfIndex.build(spark, sf, idxFull, nCells = 16)
     def contents(idx: String) = spark.read.parquet(s"$idx/members")

@@ -79,6 +79,36 @@ class StreamEmbedDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("completeness holds per-b: a b=4 stream covers the b=4 batch sweep") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val vecs = corpusVecs(sf)
+    val in = MemoryStream[VecEvent]
+    val out = StreamEmbedDedup.candidates(in.toDS(),
+      watermarkDelay = "5 minutes", bitsPerBand = 4)
+    val q = out.writeStream.format("memory").queryName("graft_embdedup_b4")
+      .outputMode("append").start()
+    try {
+      in.addData(vecs.map { case (id, v) => VecEvent(id, v, ts(0)) })
+      q.processAllAvailable()
+      val streamed = spark.table("graft_embdedup_b4").as[BandHit]
+        .collect().map(_.vecId).toSet
+      val pairs = graft.operators.Similarity
+        .embeddingNearDups(spark, sf, bitsPerBand = 4)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty, "b=4 batch sweep must still find pairs here")
+      pairs.foreach { case (a, b) =>
+        assert(streamed.contains(math.max(a, b)),
+          s"b=4 batch pair ($a,$b) not covered by the b=4 stream")
+      }
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_embdedup_b4")
+    }
+  }
+
   test("band-key state evicts once the watermark passes retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -170,6 +170,28 @@ object IvfIndex {
     query(s, idx, queries, nProbe = 2, k = 5)
   }
 
+  /** Streaming ingestion into the persisted index: each micro-batch of
+    * (vec_id, embedding) rows runs one [[append]] under the frozen
+    * quantizer — the `foreachBatch` at-least-once contract composes with
+    * append's snapshot-precedence + within-batch dedup, so a RETRIED
+    * micro-batch (the failure mode foreachBatch actually has) re-appends
+    * nothing and the index converges to exactly the one-shot layout.
+    * The stream's only state is the sink checkpoint; index growth is the
+    * touched-cell rewrites, never a re-cluster. */
+  def appendStream(
+      s: SparkSession,
+      indexDir: String,
+      vecs: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(s, indexDir, df.toDF())
+        ()
+      }
+      .start()
+
   /** Query the persisted index with a (query_id, qv: array<double>) batch:
     * probe the `nProbe` closest cells per query, exact-score within probed
     * cells only, return (query_id, rank, neighbor_id, sim) top-k. The

@@ -1299,6 +1299,84 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
   }
 
+  /** Held-out evaluation of the trained classifier (`quality_eval`) —
+    * the gate between [[qualityTrain]] and filtering 100 TB with the
+    * model: score the docs the training slice NEVER saw (doc_id % 5 ≠ 0)
+    * and grade the predictions against the teacher heuristic. One
+    * confusion-matrix row (tp/fp/fn/tn + accuracy/precision/recall/f1);
+    * a model whose held-out recall collapses gets retrained, not
+    * deployed — the eval is what makes "train on a slice" honest.
+    *
+    * Scale shape: the scoring pass is [[qualityClassifierFrom]]'s
+    * zero-exchange scan; the teacher column rides the same scan row; the
+    * confusion matrix is one map-side-combinable 1-row aggregate. */
+  def qualityEval(s: SparkSession, dir: String): DataFrame = {
+    val held = Corpus.documents(s, dir).where(col("doc_id") % 5 =!= 0)
+    val pred = qualityClassifierFrom(held, trainedWeights(s, dir))
+      .select(col("doc_id"), col("keep"))
+    val truth = held.select(col("doc_id"),
+      (qualityScore10(col("text")) >= qualityKeepCut).as("pos"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    pred.join(truth, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("keep") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("keep") && col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("keep") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n_eval"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((d(col("tp")) + d(col("tn"))) / d(col("n_eval")), 6).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          round(d(col("tp")) / (d(col("tp")) + d(col("fp"))), 6)).as("prec"),
+        when(col("tp") + col("fn") > 0,
+          round(d(col("tp")) / (d(col("tp")) + d(col("fn"))), 6)).as("rec"),
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          round(d(col("tp")) * 2.0
+            / (d(col("tp")) * 2.0 + d(col("fp")) + d(col("fn"))), 6)).as("f1"))
+  }
+
+  val qualityEvalSql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('w|' || t), $i, 1)) - 1)"
+    s"""WITH wt AS ($qualityTrainSql),
+       |held AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |tok AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, UNNEST($tokensSql) AS t FROM held)
+       |  WHERE length(t) > 0),
+       |w AS (SELECT doc_id, wt.weight AS wv
+       |      FROM tok JOIN wt ON wt.bucket = ${nib(1)} * 16 + ${nib(2)}),
+       |a AS (SELECT doc_id, CAST(SUM(wv) AS BIGINT) AS raw_score
+       |      FROM w GROUP BY doc_id),
+       |pred AS (SELECT h.doc_id, COALESCE(a.raw_score, 0) > 0 AS keep
+       |         FROM held h LEFT JOIN a ON h.doc_id = a.doc_id),
+       |truth AS (SELECT d.doc_id, q.keep AS pos
+       |          FROM held d JOIN ($qualityScoreSql) q ON d.doc_id = q.doc_id),
+       |m AS (SELECT p.keep, t.pos FROM pred p JOIN truth t ON p.doc_id = t.doc_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       |  CAST(SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN NOT keep AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  round(CAST(SUM(CASE WHEN keep = pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS accuracy,
+       |  CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) > 0 THEN
+       |    round(CAST(SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN keep THEN 1 ELSE 0 END), 6) END AS prec,
+       |  CASE WHEN SUM(CASE WHEN pos THEN 1 ELSE 0 END) > 0 THEN
+       |    round(CAST(SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / SUM(CASE WHEN pos THEN 1 ELSE 0 END), 6) END AS rec,
+       |  CASE WHEN 2 * SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END) > 0 THEN
+       |    round(CAST(2 * SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / (2 * SUM(CASE WHEN keep AND pos THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN keep AND NOT pos THEN 1 ELSE 0 END)
+       |         + SUM(CASE WHEN NOT keep AND pos THEN 1 ELSE 0 END)), 6) END AS f1
+       |FROM m""".stripMargin
+  }
+
+
   val winnowPairsSql: String =
     s"""WITH fps AS ($winnowFingerprintsSql),
        |df AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),

@@ -100,4 +100,44 @@ class IvfIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(idxInc), true)
     fs.delete(new org.apache.hadoop.fs.Path(idxFull), true)
   }
+
+  test("streaming ingestion converges to the one-shot layout, batch by batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idxStr = s"/tmp/graft_ivf_str_${System.nanoTime()}"
+    val idxFull = s"/tmp/graft_ivf_strf_${System.nanoTime()}"
+    val ckpt = s"/tmp/graft_ivf_ckpt_${System.nanoTime()}"
+    val e = Corpus.embeddings(spark, sf)
+    val bootstrap = col("vec_id") < 480
+
+    IvfIndex.buildFrom(spark, e.where(bootstrap), idxStr, nCells = 16)
+
+    val tail = e.where(!bootstrap)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndex.appendStream(spark, idxStr,
+      in.toDF().toDF("vec_id", "embedding"), ckpt)
+    try {
+      val (h1, h2) = tail.splitAt(tail.size / 2)
+      in.addData(h1); q.processAllAvailable()
+      // second delivery overlaps the first (at-least-once): the overlap
+      // must be a no-op
+      in.addData(h1.takeRight(3) ++ h2); q.processAllAvailable()
+    } finally q.stop()
+
+    IvfIndex.build(spark, sf, idxFull, nCells = 16)
+    def contents(idx: String) = spark.read.parquet(s"$idx/members")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(contents(idxStr) === contents(idxFull),
+      "streamed index diverged from a from-scratch build")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxStr), spark.sparkContext.hadoopConfiguration)
+    Seq(idxStr, idxFull, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
 }

@@ -244,7 +244,12 @@ object StreamingBench {
       // embedding near-dup at ingestion (r9): 1/4 batch size — each
       // event carries a 64-double vector, ~4× the byte width of the doc
       // legs' rows, and the driver-side MemoryStream ships the batch in
-      // the task binary
+      // the task binary. The leg's ev/s is BAND-FAN-OUT-bound, not
+      // kernel- or ingest-bound: a pass-through over the same events
+      // runs ~70k ev/s (graft.EmbDedupProbe), and per STATE ROW this leg
+      // matches the neardup leg (8 bands/vec at ~11k ≈ 88k state-rows/s
+      // vs 4 bands/doc at ~30k ≈ 120k) — 8 bands is the recall lever
+      // shared with the batch operator, not overhead
       Leg("embdedup", twsOnly = false, qn => throughputOf[StreamEmbedDedup.VecEvent](spark,
         ds => StreamEmbedDedup.candidates(ds, watermarkDelay = "2 hours").toDF(),
         (b, per) => {

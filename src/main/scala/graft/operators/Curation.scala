@@ -541,15 +541,19 @@ object Curation {
 
   private[graft] def vocabOverlapImpl(
       s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    // the expensive pass (tokenize + explode + distinct) feeds BOTH the
+    // df aggregate and the semi-join left side — materialize it once;
+    // without this the corpus is tokenized twice (localCheckpoint, not
+    // cache: the minhashLshPairs rule)
     val st0 = Corpus.documents(s, dir)
       .select(col("source"),
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
       .distinct()
+      .localCheckpoint()
     val sdf = st0.groupBy(col("token")).agg(count(lit(1)).as("sdf"))
     // capped universe, materialized once for its three consumers (sizes
-    // + both self-join sides — localCheckpoint, not cache: the
-    // minhashLshPairs rule)
+    // + both self-join sides)
     val st = st0.join(sdf.where(col("sdf") <= maxDf).select(col("token")),
         Seq("token"), "left_semi")
       .localCheckpoint()

@@ -141,12 +141,14 @@ object IvfIndex {
     * discipline applied to the ANN index (the build is the pre-paid pass;
     * re-paying it every call would misstate steady-state query cost).
     * Done-ness is the index's _SUCCESS marker under a path keyed by the
-    * corpus dir AND the embeddings file's (length, mtime), so a
+    * corpus dir AND the embeddings table's leaf-file fingerprint, so a
     * driver-regenerated corpus can never serve a stale index. */
   def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val tag = ((dir.hashCode.toLong * 31 + f.length()) * 31 + f.lastModified()) &
-      0x7fffffffffffffffL
+    // leaf-file fingerprint (shared helper): robust to the table being a
+    // directory of part files, where path-level length/mtime can miss an
+    // in-place rewrite
+    val tag = (dir.hashCode.toLong * 31 +
+      Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
     val idx = s"/tmp/graft_ivf_${java.lang.Long.toHexString(tag)}"
     // The index is exercised through its FULL lifecycle: bootstrap from a
     // corpus prefix (which contains the first-nCells quantizer vectors,

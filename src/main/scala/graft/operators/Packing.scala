@@ -183,7 +183,10 @@ object Packing {
       .agg(sum(col("n_tokens")).as("src_tokens"))
     val total = srcTok.agg(sum(col("src_tokens")).as("corpus_tokens"))
     counted
-      .join(broadcast(bucketCounts), Seq("source", "bucket"))
+      // no broadcast hint: bucketCounts is ~n/bucketDocs rows —
+      // corpus-proportional, not bounded — so the offset join must stay
+      // a shuffle join (or whatever AQE picks) at 10^10-doc scale
+      .join(bucketCounts, Seq("source", "bucket"))
       .withColumn("src_rank", col("boffset") + row_number().over(local).cast("long"))
       .join(broadcast(srcTok), Seq("source"))
       .crossJoin(broadcast(total))

@@ -109,7 +109,12 @@ object RangeJoin {
     // the rewrite for every later join in the session
     s.conf.getOption(confKey) match {
       case Some(v) =>
-        scala.util.Try(v.toLong).getOrElse(0L)
+        // fail loudly on an unparsable override: mapping a typo ('64k')
+        // to 0 would silently disable the banded rewrite session-wide
+        scala.util.Try(v.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"$confKey is set to '$v', which is not a long — " +
+              "set a band width in the banded column's units, or <= 0 to disable"))
       case None =>
         val rows = stats
           .where(col("col_name") === colName)
@@ -122,7 +127,11 @@ object RangeJoin {
         val span = row.getDouble(1) - row.getDouble(0)
         val ndv =
           if (!row.isNullAt(2) && row.getDouble(2) > 0) row.getDouble(2)
-          else row.getLong(3).toDouble
+          else if (!row.isNullAt(3)) row.getLong(3).toDouble
+          else throw new IllegalArgumentException(
+            s"$colName has no usable NDV (ndv_est null or <= 0, ndv_exact null) " +
+              "in the stats frame — run the table_stats pass first or set " +
+              s"$confKey manually")
         val w = math.max(1L, math.round(span / math.max(1.0, ndv) * valuesPerBand))
         s.conf.set(confKey, w.toString)
         w

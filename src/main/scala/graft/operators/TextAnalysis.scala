@@ -1139,6 +1139,18 @@ object TextAnalysis {
     * each label (multinomial Naive Bayes sufficient statistics), then
     * add-1-smoothed log-odds, quantized to BIGINT 10⁻⁴ nats.
     *
+    * Cross-engine determinism: the weight is round(x·10⁴) of a
+    * difference of ln() terms that Spark and the DuckDB oracle compute
+    * independently — a last-ulp libm divergence flips a weight by 1 only
+    * if x·10⁴ sits within ~1 ulp of a .5 boundary, and because scoring
+    * is a sign test a flipped weight could flip a near-zero-margin doc.
+    * The unigramLogprob quantization-policy argument applies; here it is
+    * made EXECUTABLE: `PipelineOpsSpec` asserts every bucket's exact
+    * pre-rounding value is ≥ 10⁻⁶ from a boundary on the gate corpus
+    * (six orders of magnitude beyond ulp). At web scale the residual
+    * failure mode is a ±1-quantum weight step on one of 256 buckets —
+    * per-bucket, not compounding.
+    *
     * Execution shape: ONE pass over the labeled slice accumulating a
     * 256×2 array per partition (mapPartitions — the per-partition combine
     * means the shuffle carries 256 rows per task, never the token
@@ -1213,23 +1225,33 @@ object TextAnalysis {
 
   /** The trained 256-long weight table, bucket-indexed. The collect is
     * bounded by construction (qcBuckets rows) — the k-centroids rule.
-    * Memoized per corpus fingerprint (dir + documents file length/mtime,
-    * the [[graft.operators.IvfIndex.annIvfIndexed]] tag discipline): the
-    * model is a pure function of the corpus, so scoring passes after the
-    * first don't re-run the training job — and a driver-regenerated
-    * corpus can never serve stale weights. */
+    * Memoized per corpus fingerprint ([[graft.sources.Corpus.fingerprint]]
+    * over the parquet leaf files — robust to directory-of-part-files
+    * layouts; the same helper tags the IVF index): the model is a pure
+    * function of the corpus, so scoring passes after the first don't
+    * re-run the training job — and a driver-regenerated corpus can never
+    * serve stale weights. */
   private val weightCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
 
   private[graft] def trainedWeights(s: SparkSession, dir: String): Array[Long] = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val key = s"$dir|${f.length()}|${f.lastModified()}"
-    weightCache.computeIfAbsent(key, { _ =>
+    // one entry PER DIR (replacement on regeneration, not growth): the
+    // fingerprint rides in the value so a regenerated corpus replaces its
+    // own slot instead of accumulating dead entries across fingerprints
+    val fp = graft.sources.Corpus.fingerprint(s"$dir/documents.parquet")
+    val cached = weightCache.get(dir)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      // train OUTSIDE the map's bin lock: computeIfAbsent would hold it
+      // for the whole Spark job, blocking unrelated keys in the same bin.
+      // Racing callers both train (idempotent — the model is a pure
+      // function of the corpus) and last-put wins with identical weights.
       val w = new Array[Long](qcBuckets)
       qualityTrain(s, dir).select(col("bucket"), col("weight"))
         .collect().foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+      weightCache.put(dir, (fp, w))
       w
-    })
+    }
   }
 
   /** Per-document linear score under the TRAINED weights, in ONE

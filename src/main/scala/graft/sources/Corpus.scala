@@ -15,6 +15,37 @@ object Corpus {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Content fingerprint of a parquet table path — stable iff the data is.
+    *
+    * `file.length()/lastModified()` on the path alone is only reliable
+    * when the table is a SINGLE file: for a directory of part files,
+    * directory length is filesystem-dependent and the directory mtime
+    * only changes on direct child add/remove — an in-place part-file
+    * rewrite would go unnoticed and serve a stale derived artifact. This
+    * helper hashes the sorted recursive listing of (relative name,
+    * length, mtime) over every data file (dotfiles/_SUCCESS markers
+    * excluded), so both the single-file and the directory layout
+    * fingerprint correctly. Shared by every derived-artifact cache keyed
+    * on a corpus table (the trained quality weights, the IVF index tag). */
+  def fingerprint(path: String): Long = {
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).sortBy(_.getName)
+          .filterNot(c => c.getName.startsWith(".") || c.getName.startsWith("_"))
+          .flatMap(leaves)
+      else Seq(f)
+    val root = new java.io.File(path)
+    val base = root.getPath
+    var h = 1125899906842597L // large prime seed
+    leaves(root).foreach { f =>
+      val rel = f.getPath.stripPrefix(base)
+      h = h * 31 + rel.hashCode
+      h = h * 31 + f.length()
+      h = h * 31 + f.lastModified()
+    }
+    h & 0x7fffffffffffffffL
+  }
+
   /** Normalize `ts` to a session-timezone TIMESTAMP whatever the corpus
     * file's encoding is — the driver has shipped both:
     *

@@ -36,6 +36,16 @@ import graft.operators.{Dedup, TextAnalysis}
   * line) is flagged iff the line's running df at the doc's (ts, docId)
   * processing point has reached the cut, and the set of lines that EVER
   * cross equals the batch boilerplate set over the same corpus.
+  *
+  * At-least-once inputs: df counts documents, and batch counts DISTINCT
+  * documents — so a source that redelivers a document would inflate df
+  * and cross the cut early. The state keeps the last docId counted and
+  * skips increments for repeats, which absorbs the common consecutive-
+  * redelivery case (a replayed micro-batch) exactly; interleaved
+  * redeliveries (A, B, A) still double-count A — full distinctness
+  * would need a per-line doc set (unbounded state), so the residual
+  * assumption is "no interleaved redelivery of the same document",
+  * pinned in `StreamLineScrubSpec`.
   */
 object StreamLineScrub {
 
@@ -45,8 +55,10 @@ object StreamLineScrub {
   /** One (normalized line, doc) routing row. */
   final case class LineRow(key: String, docId: Long, ts: Timestamp)
 
-  /** Per-line df state: distinct docs seen, last event time. */
-  final case class DfState(nDocs: Long, lastMs: Long)
+  /** Per-line df state: distinct docs seen, last event time, and the
+    * last docId counted — the consecutive-redelivery guard (see
+    * [[flagged]]'s trade-off list). */
+  final case class DfState(nDocs: Long, lastMs: Long, lastDocId: Long)
 
   /** One scrub verdict: `line` in `docId` is boilerplate (`df` = the
     * line's running document frequency when the doc arrived). */
@@ -88,12 +100,19 @@ object StreamLineScrub {
             Iterator.empty
           } else {
             val out = Seq.newBuilder[LineHit]
-            var st = state.getOption.getOrElse(DfState(0L, 0L))
+            var st = state.getOption.getOrElse(DfState(0L, 0L, Long.MinValue))
             val seq = it.toSeq
             val sorted =
               if (seq.sizeIs > 1) seq.sortBy(r => (r.ts.getTime, r.docId)) else seq
             sorted.foreach { r =>
-              st = DfState(st.nDocs + 1, math.max(st.lastMs, r.ts.getTime))
+              // consecutive-redelivery guard: a repeat of the doc just
+              // counted must not inflate df (batch counts distinct docs)
+              if (r.docId != st.lastDocId) {
+                st = DfState(st.nDocs + 1,
+                  math.max(st.lastMs, r.ts.getTime), r.docId)
+              } else {
+                st = st.copy(lastMs = math.max(st.lastMs, r.ts.getTime))
+              }
               if (st.nDocs >= dfCut) out += LineHit(r.docId, key, st.nDocs, r.ts)
             }
             state.update(st)

@@ -439,6 +439,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(again === rows, "classifier scores changed under repartitioning")
   }
 
+  test("trained quality weights sit clear of cross-engine ln() rounding boundaries") {
+    import graft.operators.TextAnalysis
+    // The weight table is round(x * 1e4) of a difference of ln() terms
+    // computed independently by Spark (libm via java.lang.Math) and the
+    // DuckDB oracle: a last-ulp divergence only flips a weight if the
+    // exact value lands within ~1 ulp of a .5 boundary. Assert every
+    // bucket's pre-rounding value is at least 1e-6 away from a boundary
+    // (six orders of magnitude beyond ulp at these magnitudes) — the
+    // corpus-passes-the-boundary-check discipline unigramLogprob
+    // documents, made executable for the trained model.
+    val t = TextAnalysis.qualityTrain(spark, sf)
+      .select("bucket", "n_pos", "n_neg").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val tp = t.map(_._1).sum.toDouble + 256.0
+    val tn = t.map(_._2).sum.toDouble + 256.0
+    t.foreach { case (np, nn) =>
+      val x = (math.log((np + 1.0) / tp) - math.log((nn + 1.0) / tn)) * 10000.0
+      val frac = x - math.floor(x)
+      val distToHalf = math.abs(frac - 0.5)
+      assert(distToHalf > 1e-6,
+        s"weight value $x is within 1e-6 of a .5 rounding boundary — " +
+          "cross-engine ln() ulp divergence could flip this weight")
+    }
+  }
+
   test("source KL divergences are non-negative and finite") {
     val kl = Curation.sourceKl(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

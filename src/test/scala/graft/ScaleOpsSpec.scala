@@ -172,4 +172,64 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(single === direct, "single-shard dispatch diverged from the direct path")
   }
+
+  test("sharded kmeans matches the per-shard relational rounds row for row") {
+    import graft.sources.Corpus
+    // lloydLocal claims bit-identical arithmetic to kmeansAssignedK —
+    // prove it: the one-shuffle sharded path must reproduce the old
+    // shard-by-shard relational formulation exactly, shard offsets and all
+    val e = Corpus.embeddings(spark, sf)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    val n = e.count()
+    val shardTarget = 100L
+    val nShards = math.ceil(n.toDouble / shardTarget).toInt
+    val got = Similarity.kmeansAssignedSharded(spark, e, shardTarget)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val kMax = 4096L
+    val want = (0 until nShards).flatMap { sh =>
+      val es = e.where(pmod(col("vec_id"), lit(nShards.toLong)) === sh.toLong)
+        .localCheckpoint()
+      Similarity.kmeansAssignedK(spark, es,
+          Similarity.clustersForCount(es.count()))
+        .select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), sh * kMax + r.getLong(1)))
+    }.sorted
+    assert(got === want,
+      "in-task Lloyd's diverged from the relational per-shard rounds")
+  }
+
+  test("sharded kmeans job count is constant in the shard count") {
+    import graft.sources.Corpus
+    // the round-9 perf-weak finding: the old loop ran O(nShards)
+    // full-frame jobs. The fix is one shuffle however many shards there
+    // are — so the Spark job count at 5 shards must equal the count at
+    // 10 shards exactly
+    val e = Corpus.embeddings(spark, sf)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    def jobsFor(shardTarget: Long): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Similarity.kmeansAssignedSharded(spark, e, shardTarget).count()
+        Thread.sleep(1500) // listener bus is async — drain before reading
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val j5 = jobsFor(100L)  // 5 shards
+    val j10 = jobsFor(50L)  // 10 shards
+    assert(j5 === j10, s"job count grew with shard count: $j5 vs $j10")
+  }
 }

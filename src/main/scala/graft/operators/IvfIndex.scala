@@ -62,12 +62,51 @@ object IvfIndex {
     val cents = e.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // PQ codebook, frozen at build exactly like the coarse quantizer:
+    // the first pqK vectors' NORMALIZED directions (the deterministic
+    // stand-in Similarity.annPq uses) — appends encode under this table
+    val cb = e.where(col("vec_id") < Similarity.pqK)
+      .select(col("vec_id").as("cid"),
+        transform(col("v"), x => x / col("nrm")).as("cv"))
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     val bc = broadcast(s.read.parquet(s"$indexDir/centroids"))
-    val assigned = assignCells(e, bc)
+    val bcb = broadcast(s.read.parquet(s"$indexDir/codebook"))
+    val assigned = withCodes(assignCells(e, bc), bcb)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/members")
     val m = s.read.parquet(s"$indexDir/members")
     (m.select(col("cell")).distinct().count(), m.count())
+  }
+
+  /** Attach the M PQ code ids to each member row under a broadcast
+    * codebook — stored INSIDE the cell partition, so an ADC pass over
+    * probed cells reads M small ints per vector (columnar pruning skips
+    * the embedding entirely) while the exact re-rank finds the original
+    * vector in the SAME partition. Assignment is
+    * [[Similarity.annPq]]'s exact tree: per (vector, subspace) argmin of
+    * the raw double subspace distance over the codebook, ties to the
+    * smaller code id; codes land in subspace order. At production dims
+    * the array would be BYTE codes — the 128x compression — long here to
+    * keep the oracle join types trivial. */
+  private def withCodes(members: DataFrame, cb: DataFrame): DataFrame = {
+    val pqM = Similarity.pqM
+    val pqSubDims = Similarity.pqSubDims
+    val withM = members
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("nv"),
+        explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
+    val xs = slice(col("nv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
+    val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
+    val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
+    val codes = withM.crossJoin(cb)
+      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("b.cid").as("cid")))),
+        x => x("cid")).as("codes"))
+    members.join(codes, Seq("vec_id"))
   }
 
   /** Cell assignment under a broadcast centroid table — shared by the
@@ -101,6 +140,7 @@ object IvfIndex {
     * appended). */
   def append(s: SparkSession, indexDir: String, batch: DataFrame): (Long, Long) = {
     val cents = broadcast(s.read.parquet(s"$indexDir/centroids"))
+    val cb = broadcast(s.read.parquet(s"$indexDir/codebook"))
     // within-batch dedup FIRST: an at-least-once ingest can deliver the
     // same vec_id twice in one increment, and the index-side anti-join
     // below would admit both copies permanently. Duplicate deliveries
@@ -110,7 +150,9 @@ object IvfIndex {
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .dropDuplicates("vec_id")
       .withColumn("nrm", norm(col("v")))
-    val assigned = assignCells(e, cents)
+    // frozen quantizer AND frozen codebook: an appended vector gets the
+    // cell and the codes a from-scratch build would give it
+    val assigned = withCodes(assignCells(e, cents), cb)
       .localCheckpoint() // two consumers (touched-cell list + merge)
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // bounded by nCells
@@ -118,7 +160,8 @@ object IvfIndex {
       .where(col("cell").isin(touched.map(Integer.valueOf): _*))
     val fresh = assigned
       .join(current.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    val merged = current.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val merged = current
+      .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("cell"))
       .unionByName(fresh)
       // EAGER: the merge reads the very files the overwrite below
       // replaces — materialize before touching them
@@ -143,23 +186,47 @@ object IvfIndex {
     * Done-ness is the index's _SUCCESS marker under a path keyed by the
     * corpus dir AND the embeddings table's leaf-file fingerprint, so a
     * driver-regenerated corpus can never serve a stale index. */
-  def annIvfIndexed(s: SparkSession, dir: String): DataFrame = {
-    // leaf-file fingerprint (shared helper): robust to the table being a
-    // directory of part files, where path-level length/mtime can miss an
-    // in-place rewrite
+  def annIvfIndexed(s: SparkSession, dir: String): DataFrame =
+    query(s, ensureLifecycleIndex(s, dir), queryBatch(s, dir), nProbe = 2, k = 5)
+
+  /** Oracle-gated composed-index entry (`ann_ivfpq`): the SAME persisted
+    * index — PQ codes live inside the cell partitions — queried through
+    * [[queryPq]]: ADC over the probed cells' code columns selects the
+    * candidates, the exact re-rank restores true cosine order. Shares
+    * `Similarity.annIvfPqSql`'s oracle: the index layout is bit-equal to
+    * the inline operator's cells/codes (frozen quantizer + frozen
+    * codebook through the bootstrap-append lifecycle), and the re-rank
+    * makes the returned top-k a pure function of the deterministic
+    * candidate set. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    queryPq(s, ensureLifecycleIndex(s, dir), queryBatch(s, dir),
+      nProbe = 2, k = 5, nCand = Similarity.pqCandidates)
+
+  /** The shared benchmark query batch: the first 10 corpus vectors. */
+  private def queryBatch(s: SparkSession, dir: String): DataFrame =
+    Corpus.embeddings(s, dir).where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+  /** Build-once/query-many done-ness for the oracle entries, shared by
+    * the plain-IVF and the IVF+PQ query paths (ONE index serves both —
+    * the codes column is just more index payload). The index is
+    * exercised through its FULL lifecycle: bootstrap from a corpus
+    * prefix (which contains the first-nCells quantizer vectors AND the
+    * first-pqK codebook vectors, so both frozen tables are identical to
+    * an all-at-once build), then APPEND the rest as an ingest increment
+    * rewriting only touched cells. The final layout is bit-equal to a
+    * one-shot build — which is why the inline oracles still gate the
+    * results. Done-ness is a marker under a path keyed by the corpus dir
+    * AND the embeddings table's leaf-file fingerprint, so a
+    * driver-regenerated corpus can never serve a stale index; the marker
+    * is separate from the members _SUCCESS (which the bootstrap write
+    * alone would create): a run that dies between bootstrap and append
+    * re-runs BOTH — append's snapshot-precedence dedup makes the replay
+    * a no-op for rows that already landed. */
+  private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
     val idx = s"/tmp/graft_ivf_${java.lang.Long.toHexString(tag)}"
-    // The index is exercised through its FULL lifecycle: bootstrap from a
-    // corpus prefix (which contains the first-nCells quantizer vectors,
-    // so the frozen quantizer is identical to an all-at-once build), then
-    // APPEND the rest as an ingest increment rewriting only touched
-    // cells. The final layout is bit-equal to a one-shot build — which is
-    // why the inline ann_ivf oracle still gates the result. The done
-    // marker is separate from the members _SUCCESS (which the bootstrap
-    // write alone would create): a run that dies between bootstrap and
-    // append re-runs BOTH — append's snapshot-precedence dedup makes the
-    // replay a no-op for rows that already landed.
     if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
       val e = Corpus.embeddings(s, dir)
       val increment = col("vec_id") >= 16 && col("vec_id") % 4 === 3
@@ -167,9 +234,7 @@ object IvfIndex {
       append(s, idx, e.where(increment))
       new java.io.File(s"$idx/_GRAFT_APPENDED").createNewFile()
     }
-    val queries = Corpus.embeddings(s, dir).where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    query(s, idx, queries, nProbe = 2, k = 5)
+    idx
   }
 
   /** Streaming ingestion into the persisted index: each micro-batch of
@@ -225,6 +290,82 @@ object IvfIndex {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF+PQ query against the persisted index: probe `nProbe` cells per
+    * query (the [[query]] probe tree), ADC-score every probed member from
+    * its stored code ids (sum of M quantized table lookups — the members
+    * scan reads (vec_id, codes) ONLY: columnar pruning skips the
+    * embedding column, so the candidate-selection I/O per cell is M longs
+    * per vector, not 64 doubles), keep the `nCand` best per query, then
+    * exact-re-rank just those rows with a SECOND dynamically-pruned scan
+    * that fetches the original vectors from the same cell partitions.
+    * Both scans are bounded by the probed-cell layout; the expensive
+    * column is read for `nCand` rows per query, never per cell.
+    * Arithmetic is [[Similarity.annIvfPq]]'s exact trees, so the two
+    * share an oracle. */
+  def queryPq(
+      s: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      nProbe: Int = 2,
+      k: Int = 5,
+      nCand: Int = 20): DataFrame = {
+    val pqM = Similarity.pqM
+    val pqSubDims = Similarity.pqSubDims
+    val q = queries
+      .select(col("query_id"), vec(col("qv")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cents = broadcast(s.read.parquet(s"$indexDir/centroids"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val probes = q.crossJoin(cents)
+      .select(col("query_id"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cscore"))
+      .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
+      .select(col("query_id"), col("cid").cast("int").as("cell"))
+    // the query-side ADC table: M x pqK quantized subspace distances per
+    // query, from the frozen codebook — bounded, broadcast
+    val cb = broadcast(s.read.parquet(s"$indexDir/codebook"))
+    val qm = q
+      .select(col("query_id"), transform(col("qv"), x => x / col("qn")).as("nv"),
+        explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
+    val xs = slice(col("nv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
+    val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
+    val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
+    val qtab = qm.crossJoin(cb)
+      .select(col("query_id"), col("m"), col("cid"),
+        round(d2 * 10000.0, 0).cast("long").as("qd2"))
+    val members = s.read.parquet(s"$indexDir/members")
+    // ADC pass: (cell, vec_id, codes) only — the embedding column is
+    // never decoded here
+    val adc = members
+      .select(col("cell"), col("vec_id"), posexplode(col("codes")).as(Seq("m", "cid")))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qtab), Seq("query_id", "m", "cid"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("qd2")).as("sq"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq").asc, col("vec_id").asc)
+    val cand = adc.withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nCand)
+      .select(col("query_id"), col("vec_id"), col("cell"))
+    // exact re-rank: fetch the nCand original vectors from their cell
+    // partitions (dynamic pruning again — cand carries the cell) and
+    // restore true cosine order
+    val rer = members.join(
+        broadcast(cand.join(q.select(col("query_id"), col("qv"), col("qn")),
+          Seq("query_id"))),
+        Seq("cell", "vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 4).as("sim"))

@@ -46,6 +46,39 @@ class IvfIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("ivf+pq query == inline ann_ivfpq; both passes DPP-pruned; ADC scan skips the embedding") {
+    val idx = s"/tmp/graft_ivfpq_${System.nanoTime()}"
+    IvfIndex.build(spark, sf, idx, nCells = 16)
+    val queries = Corpus.embeddings(spark, sf)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = IvfIndex.queryPq(spark, idx, queries, nProbe = 2, k = 5,
+      nCand = 20)
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val gotSet = got.collect().map(key).toSet
+    val wantSet = Similarity.annIvfPq(spark, sf).collect().map(key).toSet
+    assert(gotSet === wantSet, "indexed IVF+PQ diverges from the inline operator")
+    assert(gotSet.nonEmpty)
+
+    val plan = got.queryExecution.executedPlan.toString
+    // both members passes (ADC candidates + exact re-rank) must carry the
+    // dynamic partition filter
+    val dppScans = plan.toLowerCase.split("\\n").count(l =>
+      l.contains("dynamicpruning"))
+    assert(dppScans >= 2, s"expected both members scans DPP-pruned:\n$plan")
+    // the PQ point: the candidate pass reads codes, never the embedding —
+    // there must be a members scan whose schema has codes and NOT v/nrm
+    val adcScan = plan.split("\\n").exists(l =>
+      l.contains("ReadSchema") && l.contains("codes") && !l.contains("nrm"))
+    assert(adcScan, s"ADC members scan should not decode the embedding:\n$plan")
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("append rewrites only touched cells, dedups replays, and matches a one-shot build") {
     val idxInc = s"/tmp/graft_ivf_inc_${System.nanoTime()}"
     val idxFull = s"/tmp/graft_ivf_full_${System.nanoTime()}"
@@ -90,8 +123,9 @@ class IvfIndexSpec extends AnyFunSuite {
     // the incremental lifecycle must converge to the one-shot layout
     IvfIndex.build(spark, sf, idxFull, nCells = 16)
     def contents(idx: String) = spark.read.parquet(s"$idx/members")
-      .select(col("vec_id"), col("cell")).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      .select(col("vec_id"), col("cell"), col("codes").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
     assert(contents(idxInc) === contents(idxFull),
       "incremental index diverged from a from-scratch build")
 
@@ -130,8 +164,9 @@ class IvfIndexSpec extends AnyFunSuite {
 
     IvfIndex.build(spark, sf, idxFull, nCells = 16)
     def contents(idx: String) = spark.read.parquet(s"$idx/members")
-      .select(col("vec_id"), col("cell")).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      .select(col("vec_id"), col("cell"), col("codes").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
     assert(contents(idxStr) === contents(idxFull),
       "streamed index diverged from a from-scratch build")
 

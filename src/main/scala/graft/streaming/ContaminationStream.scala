@@ -72,6 +72,74 @@ object ContaminationStream {
     false
   }
 
+  final case class Scrubbed(
+      doc_id: Long, clean_text: String, n_tokens: Long, n_removed: Long)
+
+  /** Streaming twin of [[graft.operators.Dedup.contaminationScrub]]: the
+    * SURGICAL decontamination at ingestion — instead of flagging (and
+    * losing) a whole document because one benchmark sentence leaked into
+    * it, cut ONLY the contaminated 13-token spans and emit the rest,
+    * before the doc ever lands in the corpus.
+    *
+    * Stateless like [[contaminated]] — a doc's scrub depends only on the
+    * doc and the static benchmark gram set — so the span-cut kernel runs
+    * entirely inside the map: mark every window position whose 13-gram
+    * digest probes into the broadcast set (within-doc repeats all
+    * marked: every leaked occurrence is cut, the batch policy), then cut
+    * the UNION of the marked windows. That union IS the batch operator's
+    * island machinery: marks whose gap is ≤ n merge into one island
+    * [min, max + n − 1], and a gap of exactly n still yields adjacent
+    * windows — so island-merged spans and the plain window union cover
+    * identical token positions, position for position
+    * (`ContaminationStreamSpec` pins stream rows == batch
+    * `contaminationScrub` rows under arbitrary micro-batching).
+    *
+    * Emits one row per arriving doc (clean docs pass through with
+    * n_removed = 0) — exactly-once output per input, no state store, no
+    * watermark; the scale cost is the same per-token probe loop as the
+    * flag path plus the rebuild string, with nothing shuffled. */
+  def scrubbed(docs: DataFrame, benchDocs: DataFrame): Dataset[Scrubbed] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bcast = s.sparkContext.broadcast(packedBench(benchDocs))
+    val n = 13
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        val set = bcast.value
+        it.map { case (id, text) =>
+          val toks = TextAnalysis.normTokens(text)
+          val cut = new Array[Boolean](toks.length)
+          var pos = 0
+          while (pos + n <= toks.length) {
+            val d = md.digest(
+              toks.slice(pos, pos + n).mkString(" ").getBytes("UTF-8"))
+            var hi = 0L; var lo = 0L
+            var i = 0
+            while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+            while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
+            if (contains(set, hi, lo)) {
+              var j = pos
+              while (j < pos + n) { cut(j) = true; j += 1 }
+            }
+            pos += 1
+          }
+          val sb = new java.lang.StringBuilder
+          var kept = 0L
+          var i = 0
+          while (i < toks.length) {
+            if (!cut(i)) {
+              if (kept > 0L) sb.append(' ')
+              sb.append(toks(i))
+              kept += 1L
+            }
+            i += 1
+          }
+          Scrubbed(id, sb.toString, toks.length.toLong, toks.length - kept)
+        }
+      }
+  }
+
   /** `docs`: streaming frame with `doc_id: long, text: string`.
     * `benchDocs`: STATIC frame of benchmark documents (same schema).
     * Emits one `(doc_id, contaminated=true)` row per flagged arriving doc

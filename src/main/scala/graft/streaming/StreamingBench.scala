@@ -60,6 +60,22 @@ object StreamingBench {
       new Timestamp(baseMs + n * 100L))
   }
 
+  /** The 13-token benchmark phrase the contamscrub leg plants: one
+    * benchmark doc carries it, every 5th streamed doc leaks it. */
+  private val benchPhrase = (0 until 13).map(i => s"bench$i").mkString(" ")
+
+  /** One synthetic document for the contamination-scrub leg: ~25 unique
+    * tokens; every 5th doc embeds the benchmark phrase mid-body so the
+    * cut-and-rebuild path runs at a realistic leak rate. */
+  private def contamDoc(n: Long, baseMs: Long): StreamNearDup.DocEvent = {
+    val body = (0 until 25).map(i => s"w${(n * 31 + i * 7) % 997}")
+    val text =
+      if (n % 5 == 4)
+        (body.take(12) ++ Seq(benchPhrase) ++ body.drop(12)).mkString(" ")
+      else body.mkString(" ")
+    StreamNearDup.DocEvent(n, text, new Timestamp(baseMs + n * 100L))
+  }
+
   /** One synthetic embedding for the embdedup leg: every 10th vector
     * repeats an earlier one (collides in all 8 bands), the rest vary
     * deterministically. */
@@ -260,6 +276,15 @@ object StreamingBench {
       Leg("linescrub", twsOnly = false, qn => throughputOf[StreamLineScrub.DocEvent](spark,
         ds => StreamLineScrub.flagged(ds, watermarkDelay = "2 hours").toDF(),
         (b, per) => (0 until per).map(i => lineDoc(b.toLong * per + i, base)),
+        "append", qn, batches, perBatch)),
+      // contamination span-scrub at ingestion (r10): STATELESS — no state
+      // store, no watermark; the leg prices the probe+cut+rebuild kernel
+      Leg("contamscrub", twsOnly = false, qn => throughputOf[StreamNearDup.DocEvent](spark,
+        ds => ContaminationStream.scrubbed(
+          ds.select(org.apache.spark.sql.functions.col("docId").as("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+          spark.createDataFrame(Seq((0L, benchPhrase))).toDF("doc_id", "text")).toDF(),
+        (b, per) => (0 until per).map(i => contamDoc(b.toLong * per + i, base)),
         "append", qn, batches, perBatch)),
       Leg("repeat", twsOnly = false, qn => throughputOf[(String, String, Timestamp)](spark,
         ds => Repeater.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),

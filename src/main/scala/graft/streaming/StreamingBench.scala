@@ -60,6 +60,18 @@ object StreamingBench {
       new Timestamp(baseMs + n * 100L))
   }
 
+  /** One synthetic media payload for the mediadedup leg: ~250 bytes of
+    * deterministic text payload (the code-point dHash branch — the image
+    * decode path is priced by `RealImageDecodeSpec`, not here); every
+    * 10th payload repeats an earlier one, so the verified-collision path
+    * runs. */
+  private def mediaDoc(n: Long, baseMs: Long): StreamMediaNearDup.MediaEvent = {
+    val src = if (n % 10 == 9) n - 9 else n
+    val text = (0 until 40).map(i => s"w${(src * 31 + i * 7) % 997}").mkString(" ")
+    StreamMediaNearDup.MediaEvent(n, "audio",
+      text.getBytes("UTF-8"), new Timestamp(baseMs + n * 100L))
+  }
+
   /** The 13-token benchmark phrase the contamscrub leg plants: one
     * benchmark doc carries it, every 5th streamed doc leaks it. */
   private val benchPhrase = (0 until 13).map(i => s"bench$i").mkString(" ")
@@ -276,6 +288,12 @@ object StreamingBench {
       Leg("linescrub", twsOnly = false, qn => throughputOf[StreamLineScrub.DocEvent](spark,
         ds => StreamLineScrub.flagged(ds, watermarkDelay = "2 hours").toDF(),
         (b, per) => (0 until per).map(i => lineDoc(b.toLong * per + i, base)),
+        "append", qn, batches, perBatch)),
+      // media near-dup at ingestion (r10): payload dies at the signature
+      // map; only 4 band rows per item shuffle
+      Leg("mediadedup", twsOnly = false, qn => throughputOf[StreamMediaNearDup.MediaEvent](spark,
+        ds => StreamMediaNearDup.candidates(ds, watermarkDelay = "2 hours").toDF(),
+        (b, per) => (0 until per).map(i => mediaDoc(b.toLong * per + i, base)),
         "append", qn, batches, perBatch)),
       // contamination span-scrub at ingestion (r10): STATELESS — no state
       // store, no watermark; the leg prices the probe+cut+rebuild kernel

@@ -79,4 +79,49 @@ class MediaNearDupSpec extends AnyFunSuite {
       Multimodal.dHashCodePoints(new String(text, "UTF-8")),
       "non-image payloads must take the code-point dHash")
   }
+
+  test("streamed media near-dup flags == batch media_near_dups, any micro-batching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamMediaNearDup
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val sf = "/root/testdata/sf0.001"
+    val batchFlagged = Multimodal.mediaNearDups(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchFlagged.nonEmpty, "gate corpus must contain planted media dups")
+
+    // the batch gate table, replayed in doc_id order (ts follows id, so
+    // the stream's first-seen original == the batch's smallest-id side)
+    val base = 1700000000000L
+    val items = Multimodal.mediaGateTable(spark, sf).collect()
+      .sortBy(_.docId)
+      .map(m => StreamMediaNearDup.MediaEvent(
+        m.docId, m.mediaType, m.bytes, new java.sql.Timestamp(base + m.docId)))
+      .toSeq
+
+    val in = MemoryStream[StreamMediaNearDup.MediaEvent]
+    val out = StreamMediaNearDup.candidates(
+      in.toDS(), watermarkDelay = "0 seconds", retentionMs = 3600000L)
+    val q = out.writeStream.format("memory").queryName("graft_media_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, rest) = items.splitAt(items.size / 3)
+      val (b2, b3) = rest.splitAt(rest.size / 2)
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("graft_media_stream")
+      val flagged = streamed.select("docId").collect().map(_.getLong(0)).toSet
+      assert(flagged === batchFlagged,
+        "at-ingestion media flags must equal the batch sweep's verdicts")
+      // every verified hit respects the hamming budget and attributes an
+      // earlier doc
+      streamed.collect().foreach { r =>
+        assert(r.getAs[Long]("hamming") <= 3L)
+        assert(r.getAs[Long]("dupOf") < r.getAs[Long]("docId"))
+      }
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_media_stream")
+    }
+  }
 }

@@ -67,14 +67,15 @@ object StreamEmbedDedup {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
 
-  private def planesAt(bitsPerBand: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent(bitsPerBand, { b =>
-      VectorFunctions.planesFor(nBands * b, 64).map(_.toArray).toArray
+  private def planesAt(bitsPerBand: Int, bands: Int = nBands): Array[Array[Double]] =
+    planeCache.computeIfAbsent(bands * 64 + bitsPerBand, { _ =>
+      VectorFunctions.planesFor(bands * bitsPerBand, 64).map(_.toArray).toArray
     })
 
   /** Scala twin of the batch signature pass: one sign bit per plane. */
-  private[graft] def signatureOf(v: Array[Double], bitsPerBand: Int = 2): Long = {
-    val planes = planesAt(bitsPerBand)
+  private[graft] def signatureOf(
+      v: Array[Double], bitsPerBand: Int = 2, bands: Int = nBands): Long = {
+    val planes = planesAt(bitsPerBand, bands)
     var sig = 0L
     var p = 0
     while (p < planes.length) {
@@ -92,8 +93,9 @@ object StreamEmbedDedup {
   /** Band keys of one signature: band index mixed first, then the band's
     * sign bits — a cross-band coincidence needs a 64-bit collision (the
     * [[Dedup.fastBandKeysOf]] convention). */
-  private[graft] def bandKeysOf(sig: Long, bitsPerBand: Int = 2): Array[Long] =
-    Array.tabulate(nBands) { b =>
+  private[graft] def bandKeysOf(
+      sig: Long, bitsPerBand: Int = 2, bands: Int = nBands): Array[Long] =
+    Array.tabulate(bands) { b =>
       val bits = (sig >>> (b * bitsPerBand)) & ((1L << bitsPerBand) - 1)
       Dedup.fmix64(Dedup.fmix64(b + 0x243F_6A88_85A3_08D3L) ^ bits)
     }
@@ -106,19 +108,45 @@ object StreamEmbedDedup {
       vecs: Dataset[VecEvent],
       watermarkDelay: String = "10 minutes",
       retentionMs: Long = 60L * 60L * 1000L,
-      bitsPerBand: Int = 2): Dataset[BandHit] = {
+      bitsPerBand: Int = 2): Dataset[BandHit] =
+    candidatesGrouped(vecs, watermarkDelay, retentionMs, bitsPerBand, nBands)
+
+  /** [[candidates]] with the band COUNT exposed too. `EmbDedupProbe`'s
+    * 4×4 variant (the same 16-plane signature regrouped as 4 bands ×
+    * 4 bits — half the state rows AND half the shuffled rows, at the
+    * standard (L, b) recall trade 1−(1−p⁴)⁴ vs 1−(1−p²)⁸) measures the
+    * lever: only ~+6% ev/s — which REFUTES the simple "state-row-bound"
+    * model. The probe's 4-layer decomposition (passthrough / bandsonly /
+    * statefulnoop / detector, idle local[32]) shows the leg's ~86 µs/ev
+    * is a STACK: ~11 µs MemoryStream ingestion of the 64-double row,
+    * ~26 µs signature + 8-row fan-out + encoder, ~14 µs shuffle +
+    * stateful-operator framework, ~35 µs state get/put — no single
+    * term dominates enough for one lever to buy 2×; a material win
+    * needs a narrower routing row AND fewer bands AND cheaper state
+    * simultaneously. The floor is inherent to per-row stateful
+    * streaming under the committed 8-band contract, not a plan flaw.
+    * The default stays 8×2 because the completeness contract is against
+    * the COMMITTED batch/oracle parameterization; a deployment that
+    * re-sizes the batch sweep's banding passes the same (b, L) here. */
+  private[graft] def candidatesGrouped(
+      vecs: Dataset[VecEvent],
+      watermarkDelay: String,
+      retentionMs: Long,
+      bitsPerBand: Int,
+      bands: Int): Dataset[BandHit] = {
     import vecs.sparkSession.implicits._
     val bb = bitsPerBand
-    val bands = vecs
+    val nb = bands
+    val bandRows = vecs
       .mapPartitions { it =>
         it.flatMap { v =>
-          val keys = bandKeysOf(signatureOf(v.embedding, bb), bb)
+          val keys = bandKeysOf(signatureOf(v.embedding, bb, nb), bb, nb)
           Iterator.tabulate(keys.length)(b => BandRow(keys(b), b, v.vecId, v.ts))
         }
       }
       .withWatermark("ts", watermarkDelay)
 
-    bands
+    bandRows
       .groupByKey(_.key)
       .flatMapGroupsWithState[SeenState, BandHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -272,12 +272,15 @@ object StreamingBench {
       // embedding near-dup at ingestion (r9): 1/4 batch size — each
       // event carries a 64-double vector, ~4× the byte width of the doc
       // legs' rows, and the driver-side MemoryStream ships the batch in
-      // the task binary. The leg's ev/s is BAND-FAN-OUT-bound, not
-      // kernel- or ingest-bound: a pass-through over the same events
-      // runs ~70k ev/s (graft.EmbDedupProbe), and per STATE ROW this leg
-      // matches the neardup leg (8 bands/vec at ~11k ≈ 88k state-rows/s
-      // vs 4 bands/doc at ~30k ≈ 120k) — 8 bands is the recall lever
-      // shared with the batch operator, not overhead
+      // the task binary. r10 re-attribution (EmbDedupProbe's 4-layer
+      // decomposition): the leg's ~86 µs/ev is a cost STACK — ~11 µs
+      // ingestion (pass-through 90k ev/s), ~26 µs signature + 8-row
+      // fan-out + encode (bandsonly 27k), ~14 µs shuffle + stateful
+      // framework (statefulnoop 19k), ~35 µs state get/put (detector
+      // 11.6k) — and the 4-band regrouped variant (half the state rows
+      // AND half the fan-out) gains only ~6%, refuting the r9
+      // "state-row-bound" model: no single lever buys 2×; the floor is
+      // per-row stateful streaming under the committed 8-band contract
       Leg("embdedup", twsOnly = false, qn => throughputOf[StreamEmbedDedup.VecEvent](spark,
         ds => StreamEmbedDedup.candidates(ds, watermarkDelay = "2 hours").toDF(),
         (b, per) => {

@@ -29,6 +29,43 @@ object EmbDedupProbe {
     Seq(
       "detector" -> ((ds: org.apache.spark.sql.Dataset[StreamEmbedDedup.VecEvent]) =>
         StreamEmbedDedup.candidates(ds, watermarkDelay = "2 hours").toDF()),
+      // the state-row lever: SAME 16-plane signature regrouped as
+      // 4 bands x 4 bits -> half the state lookups per vector
+      "detector4x4" -> ((ds: org.apache.spark.sql.Dataset[StreamEmbedDedup.VecEvent]) =>
+        StreamEmbedDedup.candidatesGrouped(ds, "2 hours", 3600000L, 4, 4).toDF()),
+      // signature + 8-row fan-out, NO stateful operator: prices the
+      // kernel and the extra rows without shuffle-to-state
+      "bandsonly" -> ((ds: org.apache.spark.sql.Dataset[StreamEmbedDedup.VecEvent]) => {
+        import ds.sparkSession.implicits._
+        ds.mapPartitions { it =>
+          it.flatMap { v =>
+            val keys = StreamEmbedDedup.bandKeysOf(
+              StreamEmbedDedup.signatureOf(v.embedding))
+            Iterator.tabulate(keys.length)(b =>
+              StreamEmbedDedup.BandRow(keys(b), b, v.vecId, v.ts))
+          }
+        }.toDF()
+      }),
+      // full shuffle + group + fMGWS machinery, ZERO state reads/writes:
+      // isolates the stateful-operator framework cost from the state ops
+      "statefulnoop" -> ((ds: org.apache.spark.sql.Dataset[StreamEmbedDedup.VecEvent]) => {
+        import ds.sparkSession.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        ds.mapPartitions { it =>
+          it.flatMap { v =>
+            val keys = StreamEmbedDedup.bandKeysOf(
+              StreamEmbedDedup.signatureOf(v.embedding))
+            Iterator.tabulate(keys.length)(b =>
+              StreamEmbedDedup.BandRow(keys(b), b, v.vecId, v.ts))
+          }
+        }.withWatermark("ts", "2 hours")
+          .groupByKey(_.key)
+          .flatMapGroupsWithState[StreamEmbedDedup.SeenState, StreamEmbedDedup.BandHit](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: Long, _: Iterator[StreamEmbedDedup.BandRow],
+             _: GroupState[StreamEmbedDedup.SeenState]) => Iterator.empty
+          }.toDF()
+      }),
       "passthrough" -> ((ds: org.apache.spark.sql.Dataset[StreamEmbedDedup.VecEvent]) =>
         ds.select(col("vecId"), col("ts")).toDF())
     ).foreach { case (name, mk) =>

@@ -124,6 +124,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // hashpartitioning on (source, bucket)
     assert(plan.contains("hashpartitioning(source"),
       s"doc-level rank window is not bucket-partitioned:\n$plan")
+    // r10: the bucket-offset join must NOT carry a broadcast HINT — the
+    // bucketCounts frame is ~n/bucketDocs rows, corpus-proportional; at
+    // gate SF AQE may still pick broadcast (it is tiny HERE), but the
+    // plan must leave it that choice. The two legitimate hints remain:
+    // srcTok (sources-bounded) and the 1-row corpus total.
+    val hints = "(?i)ResolvedHint".r.findAllIn(
+      df.queryExecution.analyzed.toString).length
+    assert(hints == 2,
+      s"expected exactly the srcTok + total broadcast hints, found $hints:\n" +
+        df.queryExecution.analyzed.toString)
   }
 
   test("the hyperplane signature stays inside whole-stage codegen") {

@@ -80,7 +80,7 @@ object Similarity {
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     annBruteForceFrom(embFrame(s, dir))
 
-  private def annBruteForceFrom(e: DataFrame): DataFrame =
+  private[graft] def annBruteForceFrom(e: DataFrame): DataFrame =
     rankBySim(cosineScoredFrom(e, nQueries))
 
   /** Exact cosine scores of every (query, candidate) pair for the first
@@ -216,7 +216,7 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfFrom(embFrame(s, dir))
 
-  private def annIvfFrom(e: DataFrame): DataFrame = {
+  private[graft] def annIvfFrom(e: DataFrame): DataFrame = {
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cellScores = e.crossJoin(broadcast(cents))
@@ -398,7 +398,12 @@ object Similarity {
   def annIvfPq(s: SparkSession, dir: String): DataFrame =
     annIvfPqFrom(embFrame(s, dir))
 
-  private[graft] def annIvfPqFrom(e: DataFrame): DataFrame = {
+  private[graft] def annIvfPqFrom(e: DataFrame): DataFrame =
+    annIvfPqFromAt(e, pqCandidates)
+
+  /** [[annIvfPqFrom]] with the over-fetch exposed — `IvfPqProbe`
+    * measures the recall-vs-nCand curve this knob buys. */
+  private[graft] def annIvfPqFromAt(e: DataFrame, nCand: Int): DataFrame = {
     // IVF half — cells, assignment, probes: annIvfFrom's exact trees
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -442,7 +447,7 @@ object Similarity {
     val wc = Window.partitionBy(col("query_id"))
       .orderBy(col("sq").asc, col("vec_id").asc)
     val cand = adc.withColumn("cr", row_number().over(wc))
-      .where(col("cr") <= pqCandidates)
+      .where(col("cr") <= nCand)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     // exact re-rank: true cosine on the candidate rows only
     val q = e.where(col("vec_id") < nQueries)

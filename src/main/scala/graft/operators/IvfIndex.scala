@@ -89,22 +89,16 @@ object IvfIndex {
     * the array would be BYTE codes — the 128x compression — long here to
     * keep the oracle join types trivial. */
   private def withCodes(members: DataFrame, cb: DataFrame): DataFrame = {
-    val pqM = Similarity.pqM
-    val pqSubDims = Similarity.pqSubDims
-    val withM = members
-      .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("nv"),
-        explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
-    val xs = slice(col("nv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
-    val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
-    val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
-    val codes = withM.crossJoin(cb)
-      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+    val en = members.select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("nv"))
+    // the single-sourced distance + assignment trees
+    // ([[Similarity.pqCells]]/[[Similarity.pqCodes]]) — bit-identity
+    // with the inline operator and the oracle is what lets the indexed
+    // path share their gate
+    val codes = Similarity.pqCodes(Similarity.pqCells(en, "vec_id", cb), "vec_id")
       .groupBy(col("vec_id"))
       .agg(transform(
-        array_sort(collect_list(struct(col("m"), col("b.cid").as("cid")))),
+        array_sort(collect_list(struct(col("m"), col("cid")))),
         x => x("cid")).as("codes"))
     members.join(codes, Seq("vec_id"))
   }
@@ -259,6 +253,24 @@ object IvfIndex {
       }
       .start()
 
+  /** THE probe tree over the persisted centroid table: the nProbe
+    * closest cells per (query_id, qv, qn) row, ordered (cscore DESC,
+    * cid ASC) — shared by [[query]] and [[queryPq]] so the two paths
+    * cannot drift; the inline operators keep their own copy because
+    * theirs is derived from the cellScores frame the ASSIGNMENT also
+    * consumes (one corpus×centroids pass, a plan choice, commented
+    * there). */
+  private def probesOf(q: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    q.crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cscore"))
+      .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("cid").cast("int").as("cell"))
+  }
+
   /** Query the persisted index with a (query_id, qv: array<double>) batch:
     * probe the `nProbe` closest cells per query, exact-score within probed
     * cells only, return (query_id, rank, neighbor_id, sim) top-k. The
@@ -274,14 +286,7 @@ object IvfIndex {
       .select(col("query_id"), vec(col("qv")).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val cents = broadcast(s.read.parquet(s"$indexDir/centroids"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cid").asc)
-    val probes = q.crossJoin(cents)
-      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cscore"))
-      .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("cid").cast("int").as("cell"))
+    val probes = probesOf(q, cents, nProbe)
     val members = s.read.parquet(s"$indexDir/members")
     val scored = members.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -320,25 +325,16 @@ object IvfIndex {
       .select(col("query_id"), vec(col("qv")).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val cents = broadcast(s.read.parquet(s"$indexDir/centroids"))
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("cscore").desc, col("cid").asc)
-    val probes = q.crossJoin(cents)
-      .select(col("query_id"), col("cid"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cscore"))
-      .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
-      .select(col("query_id"), col("cid").cast("int").as("cell"))
+    val probes = probesOf(q, cents, nProbe)
+      .select(col("query_id"), col("cell"))
     // the query-side ADC table: M x pqK quantized subspace distances per
-    // query, from the frozen codebook — bounded, broadcast
+    // query, from the frozen codebook — bounded, broadcast; the
+    // single-sourced [[Similarity.pqCells]] tree
     val cb = broadcast(s.read.parquet(s"$indexDir/codebook"))
-    val qm = q
-      .select(col("query_id"), transform(col("qv"), x => x / col("qn")).as("nv"),
-        explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
-    val xs = slice(col("nv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
-    val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
-    val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
-    val qtab = qm.crossJoin(cb)
-      .select(col("query_id"), col("m"), col("cid"),
-        round(d2 * 10000.0, 0).cast("long").as("qd2"))
+    val qn0 = q.select(col("query_id"),
+      transform(col("qv"), x => x / col("qn")).as("nv"))
+    val qtab = Similarity.pqCells(qn0, "query_id", cb)
+      .select(col("query_id"), col("m"), col("cid"), col("qd2"))
     val members = s.read.parquet(s"$indexDir/members")
     // ADC pass: (cell, vec_id, codes) only — the embedding column is
     // never decoded here

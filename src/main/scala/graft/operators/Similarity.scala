@@ -308,23 +308,47 @@ object Similarity {
   def annPq(s: SparkSession, dir: String): DataFrame =
     annPqFrom(embFrame(s, dir))
 
-  private def annPqFrom(e: DataFrame): DataFrame = {
-    val en = e.select(col("vec_id"),
-      transform(col("v"), x => x / col("nrm")).as("v"))
-    val cb = en.where(col("vec_id") < pqK)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val withM = en.select(col("vec_id"), col("v"),
+  /** Normalize the (vec_id, v, nrm) frame to (vec_id, nv) — PQ codes and
+    * ADC tables are over unit vectors so squared L2 is monotone with the
+    * cosine ground truth. */
+  private def pqNormalized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("nv"))
+
+  /** THE PQ subspace-distance tree — (id, m, cid, d2, qd2) for every
+    * (row, subspace, codebook entry): ‖x‖² − 2x·c + ‖c‖² over codegen'd
+    * slice dots of normalized vectors, with the 10⁻⁴-quantized long the
+    * ADC sum uses. Single-sourced because every consumer's guarantee
+    * (encoder == query table == inline == indexed == oracle) rests on
+    * the copies being bit-identical: [[annPqFrom]], [[annIvfPqFromAt]],
+    * `IvfIndex.withCodes` (the persisted encoder) and `IvfIndex.queryPq`
+    * (the query-side table) all call here. `frame` must expose `idCol`
+    * and the normalized `nv`; `cb` a (cid, cv) normalized codebook. */
+  private[graft] def pqCells(
+      frame: DataFrame, idCol: String, cb: DataFrame): DataFrame = {
+    val withM = frame.select(col(idCol), col("nv"),
       explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
-    val xs = slice(col("v"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
+    val xs = slice(col("nv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
     val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
     val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
-    val cells = withM.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"),
+    withM.crossJoin(broadcast(cb))
+      .select(col(idCol), col("m"), col("cid"), d2.as("d2"),
         round(d2 * 10000.0, 0).cast("long").as("qd2"))
-    // code assignment: deterministic (raw distance, cid) lexicographic min
-    val codes = cells.groupBy(col("vec_id"), col("m"))
+  }
+
+  /** THE code-assignment rule over a [[pqCells]] frame: per (id, m)
+    * argmin of the RAW double, ties to the smaller cid — the oracle's
+    * `row_number() OVER (ORDER BY d2, cid) = 1`. */
+  private[graft] def pqCodes(cells: DataFrame, idCol: String): DataFrame =
+    cells.groupBy(col(idCol), col("m"))
       .agg(min(struct(col("d2"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
+      .select(col(idCol), col("m"), col("b.cid").as("cid"))
+
+  private def annPqFrom(e: DataFrame): DataFrame = {
+    val en = pqNormalized(e)
+    val cb = en.where(col("vec_id") < pqK)
+      .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    val cells = pqCells(en, "vec_id", cb)
+    val codes = pqCodes(cells, "vec_id")
     // the query-side ADC table: M×K quantized distances per query
     val qtab = cells.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("m"), col("cid"), col("qd2"))
@@ -418,22 +442,12 @@ object Similarity {
     val probes = cellScores.where(col("vec_id") < nQueries)
       .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-    // PQ half — codes and the query ADC table: annPqFrom's exact trees
-    val en = e.select(col("vec_id"),
-      transform(col("v"), x => x / col("nrm")).as("nv"))
+    // PQ half — the single-sourced trees ([[pqCells]]/[[pqCodes]])
+    val en = pqNormalized(e)
     val cb = en.where(col("vec_id") < pqK)
       .select(col("vec_id").as("cid"), col("nv").as("cv"))
-    val withM = en.select(col("vec_id"), col("nv"),
-      explode(array((0 until pqM).map(lit(_)): _*)).as("m"))
-    val xs = slice(col("nv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
-    val cs = slice(col("cv"), col("m") * pqSubDims + lit(1), lit(pqSubDims))
-    val d2 = dot(xs, xs) - lit(2.0) * dot(xs, cs) + dot(cs, cs)
-    val pcells = withM.crossJoin(broadcast(cb))
-      .select(col("vec_id"), col("m"), col("cid"), d2.as("d2"),
-        round(d2 * 10000.0, 0).cast("long").as("qd2"))
-    val codes = pcells.groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.cid").as("cid"))
+    val pcells = pqCells(en, "vec_id", cb)
+    val codes = pqCodes(pcells, "vec_id")
     val qtab = pcells.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("m"), col("cid"), col("qd2"))
     // ADC over probed cells only: every (query, probed member) scores as

@@ -54,8 +54,17 @@ class BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val confKey = "spark.graft.rangeJoin.bandWidth"
 
-  private def widthOpt: Option[Long] =
-    scala.util.Try(conf.getConfString(confKey, "0").toLong).toOption.filter(_ > 0)
+  private def widthOpt: Option[Long] = {
+    val v = conf.getConfString(confKey, "0")
+    // fail loudly on an unparsable override (the autoBandWidth contract):
+    // mapping a typo ('64k') to None would silently disable the banded
+    // rewrite for every join in the session
+    val w = scala.util.Try(v.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"$confKey is set to '$v', which is not a long — " +
+          "set a band width in the banded column's units, or <= 0 to disable"))
+    Some(w).filter(_ > 0)
+  }
 
   private def bandable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType

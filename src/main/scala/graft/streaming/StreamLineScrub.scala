@@ -38,14 +38,19 @@ import graft.operators.{Dedup, TextAnalysis}
   * cross equals the batch boilerplate set over the same corpus.
   *
   * At-least-once inputs: df counts documents, and batch counts DISTINCT
-  * documents — so a source that redelivers a document would inflate df
-  * and cross the cut early. The state keeps the last docId counted and
-  * skips increments for repeats, which absorbs the common consecutive-
-  * redelivery case (a replayed micro-batch) exactly; interleaved
-  * redeliveries (A, B, A) still double-count A — full distinctness
-  * would need a per-line doc set (unbounded state), so the residual
-  * assumption is "no interleaved redelivery of the same document",
-  * pinned in `StreamLineScrubSpec`.
+  * documents — so a source that redelivers documents would inflate df
+  * and cross the cut early (a FALSE boilerplate flag, the worse error
+  * direction). The state keeps the lexicographic (ts, docId)
+  * high-water mark of the last row COUNTED and only counts rows
+  * strictly above it: a replayed micro-batch — however many docs it
+  * carries — re-delivers only rows at or below the mark and merges
+  * nothing (`StreamLineScrubSpec` pins a full multi-doc batch replay
+  * as a df no-op). The cost of the guard is the opposite, milder
+  * direction: a genuinely NEW doc arriving out of order below the mark
+  * (possible within the watermark delay) is not counted toward df —
+  * an under-count bounded by the disorder window, which only DELAYS a
+  * line's crossing; full distinctness without either error would need
+  * a per-line doc set, i.e. unbounded state.
   */
 object StreamLineScrub {
 
@@ -55,9 +60,9 @@ object StreamLineScrub {
   /** One (normalized line, doc) routing row. */
   final case class LineRow(key: String, docId: Long, ts: Timestamp)
 
-  /** Per-line df state: distinct docs seen, last event time, and the
-    * last docId counted — the consecutive-redelivery guard (see
-    * [[flagged]]'s trade-off list). */
+  /** Per-line df state: docs counted plus the lexicographic (ts, docId)
+    * high-water mark of the last row counted — the replay guard (see
+    * the class docs' trade-off list). */
   final case class DfState(nDocs: Long, lastMs: Long, lastDocId: Long)
 
   /** One scrub verdict: `line` in `docId` is boilerplate (`df` = the
@@ -100,19 +105,19 @@ object StreamLineScrub {
             Iterator.empty
           } else {
             val out = Seq.newBuilder[LineHit]
-            var st = state.getOption.getOrElse(DfState(0L, 0L, Long.MinValue))
+            var st = state.getOption
+              .getOrElse(DfState(0L, Long.MinValue, Long.MinValue))
             val seq = it.toSeq
             val sorted =
               if (seq.sizeIs > 1) seq.sortBy(r => (r.ts.getTime, r.docId)) else seq
             sorted.foreach { r =>
-              // consecutive-redelivery guard: a repeat of the doc just
-              // counted must not inflate df (batch counts distinct docs)
-              if (r.docId != st.lastDocId) {
-                st = DfState(st.nDocs + 1,
-                  math.max(st.lastMs, r.ts.getTime), r.docId)
-              } else {
-                st = st.copy(lastMs = math.max(st.lastMs, r.ts.getTime))
-              }
+              val t = r.ts.getTime
+              // replay guard: count only rows strictly above the
+              // (ts, docId) high-water mark — a redelivered batch sits
+              // at or below it and merges nothing (batch df counts
+              // DISTINCT docs; over-counting would false-flag early)
+              if (t > st.lastMs || (t == st.lastMs && r.docId > st.lastDocId))
+                st = DfState(st.nDocs + 1, t, r.docId)
               if (st.nDocs >= dfCut) out += LineHit(r.docId, key, st.nDocs, r.ts)
             }
             state.update(st)

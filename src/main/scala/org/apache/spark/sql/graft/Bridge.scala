@@ -12,6 +12,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Deterministic drain of the async listener bus — lets tests read
+    * listener-side counters without a racy sleep. `listenerBus` is
+    * `private[spark]`, which this package can reach. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Frees the storage blocks behind a `localCheckpoint()`ed frame.
     * `Dataset.unpersist` only talks to the CacheManager, which knows
     * nothing about checkpoint RDDs — their blocks otherwise live until

@@ -224,7 +224,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.sparkContext.addSparkListener(l)
       try {
         Similarity.kmeansAssignedSharded(spark, e, shardTarget).count()
-        Thread.sleep(1500) // listener bus is async — drain before reading
+        // deterministic drain of the async listener bus (no racy sleep)
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(l)
       counter.get()
     }

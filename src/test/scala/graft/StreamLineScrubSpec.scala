@@ -102,6 +102,42 @@ class StreamLineScrubSpec extends AnyFunSuite {
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("a replayed multi-doc micro-batch merges nothing into line df state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[DocEvent]
+    // cut of 4: three distinct docs carrying the template line leave df
+    // at 3 — any replay double-count would cross and false-flag
+    val out = StreamLineScrub.flagged(in.toDS(),
+      watermarkDelay = "5 minutes", dfCut = 4L)
+    val q = out.writeStream.format("memory").queryName("graft_linescrub_replay")
+      .outputMode("append").start()
+    try {
+      val batch = Seq(
+        DocEvent(1L, "shared header\nbody one", ts(0)),
+        DocEvent(2L, "shared header\nbody two", ts(1)),
+        DocEvent(3L, "shared header\nbody three", ts(2)))
+      in.addData(batch)
+      q.processAllAvailable()
+      // at-least-once ingest: the SAME multi-doc batch again — every row
+      // sits at or below the (ts, docId) high-water mark, so df stays 3
+      in.addData(batch)
+      q.processAllAvailable()
+      assert(spark.table("graft_linescrub_replay").isEmpty,
+        "replayed batch must not inflate df across the cut")
+      // a genuinely new doc counts: df 4 crosses exactly once
+      in.addData(DocEvent(4L, "shared header\nbody four", ts(3)))
+      q.processAllAvailable()
+      val hits = spark.table("graft_linescrub_replay")
+        .as[StreamLineScrub.LineHit].collect().toSeq
+      assert(hits.map(h => (h.docId, h.line, h.df)) ===
+        Seq((4L, "shared header", 4L)), s"$hits")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS graft_linescrub_replay")
+    }
+  }
+
   test("line df state evicts once the watermark passes the idle retention") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -253,6 +253,57 @@ object IvfIndex {
       }
       .start()
 
+  /** Compact fragmented cell partitions — the missing maintenance leg of
+    * the index lifecycle (build → append → appendStream → compact →
+    * query). Every write that touches a cell rewrites it with as many
+    * part files as tasks carried its rows, so a long-running streaming
+    * ingest leaves hot cells as dozens of small parquet files — the
+    * classic small-file tax on every subsequent probed-cell scan (per-
+    * file open/footer cost dominates once files shrink below the scan's
+    * split size). The compactor reads ONLY driver-side directory
+    * metadata (nCells-bounded) to find cells above `maxFilesPerCell`,
+    * then rewrites JUST those cells repartitioned BY CELL — one task
+    * and one file per cell — under the same dynamic partition overwrite
+    * the append path uses. Untouched cells keep their exact files;
+    * compacted cells' rows are bit-identical (spec-pinned, and the
+    * layout-only nature means every query path's gate is unaffected).
+    * Idempotent: a re-run finds nothing above the threshold. Returns
+    * (cells compacted, files before, files after) over the compacted
+    * set. */
+  def compact(
+      s: SparkSession,
+      indexDir: String,
+      maxFilesPerCell: Int = 4): (Long, Long, Long) = {
+    val root = new java.io.File(s"$indexDir/members")
+    def dataFiles(d: java.io.File): Int =
+      Option(d.listFiles()).map(_.count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+        .getOrElse(0)
+    val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+      .filter(dataFiles(_) > maxFilesPerCell)
+    if (frag.isEmpty) (0L, 0L, 0L)
+    else {
+      val ids = frag.map(_.getName.stripPrefix("cell=").toInt)
+      val before = frag.map(dataFiles).sum.toLong
+      val merged = s.read.parquet(s"$indexDir/members")
+        .where(col("cell").isin(ids.map(Integer.valueOf): _*))
+        .repartition(col("cell"))
+        // EAGER: the rewrite deletes the very files being read (the
+        // append-path hazard, same cure)
+        .localCheckpoint()
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(modeKey)
+      s.conf.set(modeKey, "dynamic")
+      try merged.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/members")
+      finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
+      val after = frag.map(dataFiles).sum.toLong
+      (frag.size.toLong, before, after)
+    }
+  }
+
   /** THE probe tree over the persisted centroid table: the nProbe
     * closest cells per (query_id, qv, qn) row, ordered (cscore DESC,
     * cid ASC) — shared by [[query]] and [[queryPq]] so the two paths

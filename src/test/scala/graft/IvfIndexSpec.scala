@@ -79,6 +79,61 @@ class IvfIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("compact merges fragmented cells to one file each, bit-identical rows, others untouched") {
+    val idx = s"/tmp/graft_ivf_cpt_${System.nanoTime()}"
+    IvfIndex.build(spark, sf, idx, nCells = 16)
+
+    def listing(d: String): Map[String, Set[String]] =
+      new java.io.File(s"$d/members").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(c => c.getName -> c.listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .map(_.getName).toSet).toMap
+    def contents() = spark.read.parquet(s"$idx/members")
+      .select(col("vec_id"), col("cell"), col("codes").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+
+    val rows = contents()
+    // simulate a long append history: rewrite HALF the cells as ~8 row
+    // slivers each (same rows, round-robin partitioning), leaving the
+    // other half at the build's single file — the scenario needs both
+    // fragmented and already-compact cells for the claims to bite
+    val frag0 = spark.read.parquet(s"$idx/members")
+      .where(col("cell") < 8).localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try frag0.repartition(8).write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$idx/members")
+    finally prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    assert(contents() === rows, "fragmentation rewrite must be layout-only")
+
+    val before = listing(idx)
+    val threshold = 2
+    val fragged = before.filter(_._2.size > threshold).keySet
+    val small = before.keySet -- fragged
+    assert(fragged.nonEmpty, s"no fragmented cells to compact: ${before.view.mapValues(_.size).toMap}")
+    assert(small.nonEmpty, "need untouched cells for the no-touch claim")
+
+    val (nCells, filesBefore, filesAfter) = IvfIndex.compact(spark, idx, threshold)
+    assert(nCells === fragged.size.toLong)
+    assert(filesBefore === fragged.toSeq.map(before(_).size).sum.toLong)
+    assert(filesAfter === fragged.size.toLong,
+      "each compacted cell must come back as exactly one file")
+    val after = listing(idx)
+    // untouched cells keep their exact files; compacted cells are 1 file
+    small.foreach(c => assert(after(c) === before(c), s"cell $c was touched"))
+    fragged.foreach(c => assert(after(c).size === 1, s"cell $c not compacted"))
+    // layout-only: rows bit-identical
+    assert(contents() === rows, "compaction changed index contents")
+    // idempotent: nothing left above the threshold
+    assert(IvfIndex.compact(spark, idx, threshold) === ((0L, 0L, 0L)))
+
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("append rewrites only touched cells, dedups replays, and matches a one-shot build") {
     val idxInc = s"/tmp/graft_ivf_inc_${System.nanoTime()}"
     val idxFull = s"/tmp/graft_ivf_full_${System.nanoTime()}"

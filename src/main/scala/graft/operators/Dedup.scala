@@ -264,6 +264,78 @@ object Dedup {
        |FROM documents
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Quality-aware keep rule: production exact-dedup rarely keeps the
+  // FIRST copy — it keeps the BEST one. Fingerprint identity goes
+  // through normalized text while the quality heuristic scores the RAW
+  // text, so two docs with identical content can differ in quality
+  // (formatting damage: whitespace inflation, case mangling); the keep
+  // is argmax (quality, then smallest id) per group — deterministic,
+  // replay-stable, and the policy knob a curation pipeline actually
+  // wants ("drop the scrape with the broken formatting, keep the clean
+  // one").
+  //
+  // Gate non-vacuity (the dedupIncremental replay convention): the
+  // synthetic corpus has no exact duplicates, so the QUERY ENTRY
+  // replays id % 7 docs past snapshotCut as a WHITESPACE-INFLATED copy
+  // of a snapshot doc (every space doubled: same normalized
+  // fingerprint, different raw length/chars-per-token → a real quality
+  // gap for the rule to resolve). LEFT join + null guard: the
+  // sparse-corpus protection.
+
+  def dedupExactBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir)
+    val snapTexts = docs.where(col("doc_id") < snapshotCut)
+      .select(col("doc_id").as("sid"), col("text").as("snap_text"))
+    val aug = docs.select(col("doc_id"), col("text"))
+      .join(broadcast(snapTexts),
+        col("doc_id") >= snapshotCut && col("doc_id") % snapshotCut === col("sid"),
+        "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0 && col("snap_text").isNotNull,
+          regexp_replace(col("snap_text"), " ", "  "))
+          .otherwise(col("text")).as("text"))
+    dedupExactBestFrom(aug)
+  }
+
+  /** The operator surface: per-fingerprint keep = max quality, ties to
+    * the smallest id (one struct-min aggregate — the same map-side-
+    * combinable single exchange as [[dedupExact]], just a wider
+    * combine value). */
+  private[graft] def dedupExactBestFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextAnalysis.fingerprintCol(col("text")).as("fingerprint"),
+        TextAnalysis.qualityScore10(col("text")).as("q"))
+      .groupBy(col("fingerprint"))
+      .agg(
+        min(struct((lit(10L) - col("q")).as("nq"), col("doc_id").as("id"))).as("b"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fingerprint"), col("b.id").as("keep_id"),
+        (lit(10L) - col("b.nq")).as("keep_quality"), col("n_copies"))
+
+  // lazy: interpolates snapshotCut, defined later in this object — an
+  // eager val would bake in 0 (the Scala-init-order gotcha this repo
+  // has hit before)
+  lazy val dedupExactBestSql: String =
+    s"""WITH aug AS (
+       |  SELECT i.doc_id,
+       |    CASE WHEN i.doc_id % 7 = 0 AND s.text IS NOT NULL
+       |         THEN replace(s.text, ' ', '  ') ELSE i.text END AS text
+       |  FROM documents i
+       |  LEFT JOIN documents s
+       |    ON i.doc_id >= $snapshotCut AND s.doc_id = i.doc_id % $snapshotCut),
+       |q AS (SELECT doc_id, ${TextAnalysis.fingerprintSql} AS fingerprint,
+       |        (${TextAnalysis.qualityScore10Sql}) AS q
+       |      FROM aug),
+       |r AS (SELECT fingerprint, doc_id, q,
+       |        ROW_NUMBER() OVER (PARTITION BY fingerprint
+       |          ORDER BY q DESC, doc_id ASC) AS rn,
+       |        COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+       |      FROM q)
+       |SELECT fingerprint, doc_id AS keep_id,
+       |  CAST(q AS BIGINT) AS keep_quality, CAST(n_copies AS BIGINT) AS n_copies
+       |FROM r WHERE rn = 1""".stripMargin
+
   // The k permutation hashes are 8-hex-char (32-bit) slices of two salted
   // md5 digests — 2 digest computations per shingle instead of k. Spark
   // computes them in the shuffle-free minhashPerDoc pass; the oracle keeps

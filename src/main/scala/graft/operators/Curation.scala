@@ -19,7 +19,7 @@ object Curation {
 
   /** Knuth's multiplicative constant; doc_id * K stays far inside a long
     * at any realistic corpus size (25M docs · 2.6e9 ≈ 6.7e16). */
-  private val mixK = 2654435761L
+  private[graft] val mixK = 2654435761L
 
   /** Per-language downsampling: the dominant language keeps 25 of every
     * 100 hash slots, the long tail keeps everything — the standard rebalance
@@ -572,6 +572,129 @@ object Curation {
           (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** Weighted sampling grid: priorities derive from a 2^20-slot hash
+    * uniform, the same multiplicative-hash determinism discipline as
+    * [[sampleStratified]]. */
+  private[graft] val sampleM = 1048576L
+  /** Per-source sample size — small enough to be non-vacuous on the gate
+    * corpus (25 docs/source at sf0.01), and the output stays at
+    * k · |sources| rows at ANY corpus scale. */
+  private[graft] val sampleK = 8
+
+  /** Weight-proportional sampling without replacement, k docs per source
+    * (Efraimidis–Spirakis: keep the k largest u^(1/w) — equivalently the
+    * k largest ln(u)/w — with weight w = n_chars, so longer documents are
+    * proportionally more likely to be picked). u is hash-derived, not
+    * `rand()`: the pick is a pure function of the row ([[sampleStratified]]'s
+    * reproducibility discipline), so the oracle recomputes it exactly.
+    *
+    * 100 TB shape: ONE narrow scan computes the priority in codegen; the
+    * per-source top-k runs as a bounded-state Aggregator
+    * ([[graft.functions.SampleFunctions.weightedTopK]]) with map-side
+    * partials — the shuffle carries ≤ 2k entries per (partition, source),
+    * never the corpus. A window row_number would shuffle and sort every
+    * row for a k-row answer.
+    *
+    * Cross-engine float discipline: priorities go through ln(), which can
+    * diverge from DuckDB's libm in the last ulp. The ordering (and hence
+    * the picked SET and ranks) only flips if two priorities sit within
+    * ulp of each other; `PipelineOpsSpec` gates the minimum adjacent gap
+    * among each source's top k+1 at ≥ 1e-9 on the gate corpora (measured:
+    * ≥ 2.6e-6 at sf0.01, ≥ 8.1e-8 at sf0.1) — the `unigram_logprob`
+    * executable-boundary-check precedent. The float itself never reaches
+    * the output (rank, not priority, is emitted). */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(graft.functions.SampleFunctions.weightedTopK(sampleK),
+      Encoders.product[graft.functions.SampleFunctions.WsEntry])
+    val pri = log(((col("doc_id") * lit(mixK)) % lit(sampleM) + lit(1L))
+        .cast("double") / lit((sampleM + 1).toDouble)) /
+      col("n_chars").cast("double")
+    Corpus.documents(s, dir)
+      .where(col("n_chars") > 0)
+      .select(col("source"), pri.as("pri"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(topk(col("pri"), col("doc_id")).as("picks"))
+      .select(col("source"), posexplode(col("picks")))
+      .select(col("source"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH k AS (
+       |  SELECT source, doc_id,
+       |    ln(((doc_id * $mixK) % $sampleM + 1) / ${sampleM + 1}.0) / n_chars AS pri
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT source, doc_id, rk FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id) AS rk
+       |  FROM k)
+       |WHERE rk <= $sampleK""".stripMargin
+
+  /** Synthetic "next snapshot" offset for added docs — far above any real
+    * doc_id at every SF. */
+  private[graft] val diffAddOffset = 1000000000L
+
+  /** Corpus snapshot diff — the audit a versioned data pipeline publishes
+    * between two corpus versions: per doc_id, `added` / `removed` /
+    * `changed` / `unchanged`, by RAW content hash (raw, not
+    * dedup-normalized: a formatting-only edit IS a change to the stored
+    * corpus, even when dedup would treat the texts as equal).
+    *
+    * Gate derivation ([[Dedup.dedupIncremental]]'s replay convention):
+    * the next snapshot drops id % 17 docs, whitespace-inflates id % 13
+    * texts, and re-adds id % 19 docs under `id + diffAddOffset` — all
+    * four verdicts non-vacuous on the gate corpus, removal winning over
+    * change for ids divisible by both (the doc is simply absent). The
+    * operator surface ([[corpusDiffFrom]]) takes both snapshot frames
+    * as-is.
+    *
+    * 100 TB shape: each side reduces to (doc_id, 16-byte md5) in its own
+    * scan projection; the only exchange is ONE co-partitioned full-outer
+    * join on doc_id. Text never shuffles; with both snapshots bucketed by
+    * doc_id (the layout a versioned corpus store would keep) even that
+    * exchange disappears. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
+    val next = base.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, regexp_replace(col("text"), " ", "  "))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + diffAddOffset).as("doc_id"), col("text")))
+    corpusDiffFrom(base, next)
+  }
+
+  /** The operator surface: verdict per doc_id across two snapshot frames
+    * of (doc_id, text). */
+  private[graft] def corpusDiffFrom(base: DataFrame, next: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id"), unhex(md5(col("text"))).as("b_fp"))
+    val n = next.select(col("doc_id"), unhex(md5(col("text"))).as("n_fp"))
+    b.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("n_fp").isNull, lit("removed"))
+          .when(col("b_fp").isNull, lit("added"))
+          .when(col("b_fp") =!= col("n_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH base AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |nxt AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 13 = 0 THEN replace(text, ' ', '  ')
+       |             ELSE text END) AS fp
+       |  FROM documents WHERE doc_id % 17 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + $diffAddOffset, md5(text)
+       |  FROM documents WHERE doc_id % 19 = 0)
+       |SELECT COALESCE(b.doc_id, n.doc_id) AS doc_id,
+       |  CASE WHEN n.fp IS NULL THEN 'removed'
+       |       WHEN b.fp IS NULL THEN 'added'
+       |       WHEN b.fp <> n.fp THEN 'changed'
+       |       ELSE 'unchanged' END AS status
+       |FROM base b FULL OUTER JOIN nxt n ON b.doc_id = n.doc_id""".stripMargin
 
   val vocabOverlapSql: String =
     s"""WITH st0 AS (

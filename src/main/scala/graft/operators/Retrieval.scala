@@ -21,6 +21,68 @@ object Retrieval {
   private val k1 = 1.2
   private val b = 0.75
 
+  /** Posting-list block width (docs per block = 2^postingsBlockBits) —
+    * the blocked layout every production inverted index uses (block-max
+    * WAND et al.): per-(term, block) row size is BOUNDED at any corpus
+    * scale, where a flat list(doc_id) per term would grow a single row
+    * with the corpus. */
+  private[graft] val postingsBlockBits = 6
+
+  /** Inverted-index build: blocked, delta-encoded posting lists per term —
+    * the index-construction half of [[bm25Topk]]'s retrieval story (bm25
+    * notes that a production system would SCAN such an index; this is the
+    * operator that writes it).
+    *
+    * Per (term, doc-id block of 64): the sorted posting list, its size,
+    * and the front-coded gaps (first entry absolute, the rest deltas — the
+    * compression-ready form; gap lists like these are what make postings
+    * compress to a few bits per entry).
+    *
+    * 100 TB shape: ONE tokenize+explode scan → distinct (term, doc_id) →
+    * a single (term, block)-keyed aggregate with map-side partials; the
+    * collect_list is bounded at 64 longs by construction, so no group can
+    * OOM a task regardless of term frequency — the skew-safety the blocked
+    * layout buys. Output is naturally partitionable by term for a
+    * downstream index store. */
+  def buildPostings(s: SparkSession, dir: String): DataFrame = {
+    val dt = Corpus.documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    dt.select(col("term"), shiftright(col("doc_id"), postingsBlockBits).as("block"),
+        col("doc_id"))
+      .groupBy(col("term"), col("block"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df_block"))
+      // serialized as comma-joined strings: the flat wire form an index
+      // store would encode from (and the driver's row compare sorts by
+      // every column, so outputs stay scalar)
+      // gaps first (while `postings` is still the array — the serialized
+      // alias below would otherwise lateral-shadow it), then serialize
+      .withColumn("gaps", array_join(transform(col("postings"),
+        (x, i) => (x - coalesce(get(col("postings"), i - 1), lit(0L))).cast("string")), ","))
+      .select(col("term"), col("block"), col("df_block"),
+        array_join(transform(col("postings"), _.cast("string")), ",").as("postings"),
+        col("gaps"))
+  }
+
+  val buildPostingsSql: String =
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, t AS term FROM (
+       |    SELECT doc_id, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
+       |  WHERE length(t) > 0),
+       |g AS (
+       |  SELECT term, doc_id >> $postingsBlockBits AS block,
+       |    list_sort(list(doc_id)) AS postings,
+       |    CAST(COUNT(*) AS BIGINT) AS df_block
+       |  FROM dt GROUP BY 1, 2)
+       |SELECT term, block, df_block,
+       |  array_to_string(postings, ',') AS postings,
+       |  array_to_string(
+       |    list_transform(postings, (x, i) -> x - coalesce(postings[i-1], 0)),
+       |    ',') AS gaps
+       |FROM g""".stripMargin
+
   /** Fixed probe query over the corpus vocabulary. */
   private[graft] val queryTerms: Seq[String] =
     Seq("spark", "table", "scan", "window", "join")

@@ -616,4 +616,78 @@ class PipelineOpsSpec extends AnyFunSuite {
       hot.foreach(sc => assert(bySrc(sc) > 0, s"source $sc of a flagged doc shows 0 coverage"))
     }
   }
+
+  test("weighted_sample: udaf top-k equals the window ranking, bounded output") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the bounded-state aggregator must pick exactly what a full
+    // rank-everything window would — merge order cannot matter
+    val sf01 = "/root/testdata/sf0.01"
+    val got = Curation.weightedSample(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val pri = log(((col("doc_id") * lit(Curation.mixK)) % lit(Curation.sampleM) + lit(1L))
+        .cast("double") / lit((Curation.sampleM + 1).toDouble)) /
+      col("n_chars").cast("double")
+    val w = Window.partitionBy(col("source")).orderBy(col("pri").desc, col("doc_id"))
+    val exp = graft.sources.Corpus.documents(spark, sf01)
+      .where(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), pri.as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= Curation.sampleK)
+      .select("source", "doc_id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.sameElements(exp), "aggregator must equal the window ranking")
+    val nSources = graft.sources.Corpus.documents(spark, sf01)
+      .select("source").distinct().count()
+    assert(got.length <= Curation.sampleK * nSources, "output must stay k-bounded")
+  }
+
+  test("weighted_sample: cross-engine ln() boundary gap is executable-gated") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the oracle recomputes ln() in libm; ordering only flips if two
+    // priorities sit within ulp. Gate the min adjacent gap among each
+    // source's top k+1 well above that, on BOTH gate corpora.
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val pri = log(((col("doc_id") * lit(Curation.mixK)) % lit(Curation.sampleM) + lit(1L))
+          .cast("double") / lit((Curation.sampleM + 1).toDouble)) /
+        col("n_chars").cast("double")
+      val w = Window.partitionBy(col("source")).orderBy(col("pri").desc, col("doc_id"))
+      val gap = graft.sources.Corpus.documents(spark, d)
+        .where(col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), pri.as("pri"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= Curation.sampleK + 1)
+        .withColumn("gap", lag(col("pri"), 1).over(w) - col("pri"))
+        .agg(min(col("gap"))).collect()(0).getDouble(0)
+      assert(gap > 1e-9, s"$d: adjacent priority gap $gap too tight for cross-engine ln()")
+    }
+  }
+
+  test("corpus_diff: verdict partition is exact and non-vacuous") {
+    import org.apache.spark.sql.functions.col
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = Curation.corpusDiff(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // all four verdicts occur on the gate corpus
+    Seq("added", "removed", "changed", "unchanged").foreach(st =>
+      assert(byStatus.getOrElse(st, Set.empty).nonEmpty, s"$st is vacuous"))
+    val ids = graft.sources.Corpus.documents(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byStatus("removed") === ids.filter(_ % 17 == 0), "removed = the dropped ids")
+    assert(byStatus("added") ===
+      ids.filter(_ % 19 == 0).map(_ + Curation.diffAddOffset), "added = offset re-adds")
+    // changed ⊆ inflated ids (an inflated doc with no space would be unchanged)
+    assert(byStatus("changed").forall(id => id % 13 == 0 && id % 17 != 0))
+    assert(rows.length === rows.map(_._1).distinct.length, "one verdict per doc_id")
+  }
+
+  test("corpus_diff: identical snapshots diff to all-unchanged") {
+    val docs = graft.sources.Corpus.documents(spark, sf)
+      .select("doc_id", "text")
+    val d = Curation.corpusDiffFrom(docs, docs).collect()
+    assert(d.nonEmpty)
+    assert(d.forall(_.getString(1) == "unchanged"))
+  }
 }

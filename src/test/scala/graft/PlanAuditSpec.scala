@@ -586,4 +586,38 @@ class PlanAuditSpec extends AnyFunSuite {
       && !plan.contains("BroadcastNestedLoopJoin"),
       s"line join is not an equi join:\n$plan")
   }
+
+  test("weighted_sample partial-aggregates map-side and prunes the scan to three columns") {
+    val plan = physicalPlan(graft.operators.Curation.weightedSample(spark, sf))
+    // the udaf must combine before the exchange: a partial ObjectHashAggregate
+    // below the shuffle is what bounds it at 2k entries per (partition, source)
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("functions=[partial_"),
+      s"no map-side partial top-k:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"text not pruned from the scan:\n$plan")
+  }
+
+  test("corpus_diff shuffles fingerprints, not text, into one full-outer join") {
+    val plan = physicalPlan(graft.operators.Curation.corpusDiff(spark, sf))
+    assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
+    // md5 must be computed below the exchange: no Exchange row carries `text`
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"), s"text crosses an exchange:\n$exchanges")
+  }
+
+  test("build_postings partial-aggregates per (term, block) before its exchange") {
+    val plan = physicalPlan(graft.operators.Retrieval.buildPostings(spark, sf))
+    assert(plan.contains("partial_collect_list") || plan.contains("partial_sort_array")
+      || plan.contains("ObjectHashAggregate"),
+      s"no partial aggregate for the posting build:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
+
+  test("link_pagerank: every round is an equi join + hash aggregate, never nested-loop") {
+    val plan = physicalPlan(graft.operators.Graph.linkPagerank(spark, sf))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      s"a PageRank round degenerated to all-pairs:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate per round:\n$plan")
+  }
 }

@@ -604,16 +604,27 @@ object Curation {
     * ≥ 2.6e-6 at sf0.01, ≥ 8.1e-8 at sf0.1) — the `unigram_logprob`
     * executable-boundary-check precedent. The float itself never reaches
     * the output (rank, not priority, is emitted). */
-  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSampleFrom(Corpus.documents(s, dir))
+
+  /** The Efraimidis–Spirakis priority as a column: ln(hash-uniform)/w. */
+  private def weightedSamplePri: Column =
+    log(((col("doc_id") * lit(mixK)) % lit(sampleM) + lit(1L))
+        .cast("double") / lit((sampleM + 1).toDouble)) /
+      col("n_chars").cast("double")
+
+  /** Shared batch/stream pipeline over a (source, doc_id, n_chars) frame
+    * — on a streaming frame the bounded aggregator buffer IS the
+    * state-store value ([[graft.streaming.TopTermsStream]]'s discipline),
+    * so one definition serves both and the equivalence spec cannot
+    * drift. */
+  private[graft] def weightedSampleFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     val topk = udaf(graft.functions.SampleFunctions.weightedTopK(sampleK),
       Encoders.product[graft.functions.SampleFunctions.WsEntry])
-    val pri = log(((col("doc_id") * lit(mixK)) % lit(sampleM) + lit(1L))
-        .cast("double") / lit((sampleM + 1).toDouble)) /
-      col("n_chars").cast("double")
-    Corpus.documents(s, dir)
+    docs
       .where(col("n_chars") > 0)
-      .select(col("source"), pri.as("pri"), col("doc_id"))
+      .select(col("source"), weightedSamplePri.as("pri"), col("doc_id"))
       .groupBy(col("source"))
       .agg(topk(col("pri"), col("doc_id")).as("picks"))
       .select(col("source"), posexplode(col("picks")))

@@ -52,16 +52,39 @@ object Graph {
     * there are no dangling nodes and the node set is closed under the
     * iteration (spec-pinned). */
   def linkPagerank(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the distinct pair set so the base-table join runs ONCE
+    // (the undirected doubling and the degree aggregate would otherwise
+    // each re-evaluate it)
     val e0 = Corpus.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Corpus.table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    // both directions from one subtree — an explode, not a self-union
+    // (a union's branches are separate subtrees and would scan e0 twice)
+    val edges = e0
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // checkpoint the degree-attached adjacency: no round rescans the
+    // base tables or re-grows lineage. Per-round join physics under
+    // AQE: the score frame is node-sized (tiny next to the edge set),
+    // so the runtime re-plan broadcasts it and the adjacency never
+    // re-exchanges (audited on the FINAL adaptive plan). Past the
+    // broadcast threshold — 10⁹+ nodes — the rounds become the
+    // textbook Pregel shape instead: edge set and scores co-shuffle on
+    // src, the same per-round exchange GraphX accepts; either way the
+    // steady state is bounded by one pass of (dst, contrib) longs per
+    // round
     val adj = edges.join(deg, Seq("src")).localCheckpoint()
-    var pr = deg.select(col("src").as("node"), lit(prScale).as("score"))
+    // the initial scores come from the CHECKPOINTED adjacency — not
+    // from `deg`, whose lineage would re-run the whole base join
+    var pr = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(prScale).as("score"))
     for (_ <- 1 to prRounds) {
       pr = adj.join(pr, col("src") === col("node"))
         .select(col("dst"), expr("score div deg").as("contrib"))

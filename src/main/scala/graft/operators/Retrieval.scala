@@ -44,43 +44,106 @@ object Retrieval {
     * OOM a task regardless of term frequency — the skew-safety the blocked
     * layout buys. Output is naturally partitionable by term for a
     * downstream index store. */
-  def buildPostings(s: SparkSession, dir: String): DataFrame = {
-    val dt = Corpus.documents(s, dir)
-      .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+  def buildPostings(s: SparkSession, dir: String): DataFrame =
+    serializePostings(postingsStateOf(
+      Corpus.documents(s, dir).select(col("doc_id"), col("text"))))
+
+  /** The blocked index state of a (doc_id, text) frame: one row per
+    * (term, block) with the doc-sorted posting entries — ONE
+    * tokenize+explode scan → (term, doc)-keyed tf count (which also
+    * dedups within-doc repeats) → a single (term, block)-keyed aggregate
+    * with map-side partials. Each entry carries the posting's impact
+    * payload alongside the id: tf, and the doc's length dl — the
+    * denormalized norm every impact-ordered production index stores with
+    * the posting, so query-time scoring never joins a doc-length table
+    * (one long per posting buys the join away). */
+  private[graft] def postingsStateOf(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val dlCol = when(length(TextAnalysis.normTextCol(col("text"))) === 0, 0L)
+      .otherwise(size(toks).cast("long"))
+    docs
+      .select(col("doc_id"), dlCol.as("dl"), explode(toks).as("term"))
       .where(length(col("term")) > 0)
-      .distinct()
-    dt.select(col("term"), shiftright(col("doc_id"), postingsBlockBits).as("block"),
-        col("doc_id"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), shiftright(col("doc_id"), postingsBlockBits).as("block"),
+        struct(col("doc_id"), col("tf"), col("dl")).as("p"))
       .groupBy(col("term"), col("block"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
-        count(lit(1)).as("df_block"))
-      // serialized as comma-joined strings: the flat wire form an index
-      // store would encode from (and the driver's row compare sorts by
-      // every column, so outputs stay scalar)
-      // gaps first (while `postings` is still the array — the serialized
-      // alias below would otherwise lateral-shadow it), then serialize
-      .withColumn("gaps", array_join(transform(col("postings"),
-        (x, i) => (x - coalesce(get(col("postings"), i - 1), lit(0L))).cast("string")), ","))
+      .agg(sort_array(collect_list(col("p"))).as("plist"))
+  }
+
+  /** Wire form: df_block plus comma-joined absolute ids, front-coded
+    * gaps, and the aligned tf list — the flat encoding an index store
+    * would compress from (and the driver's row compare sorts by every
+    * column, so outputs stay scalar). gaps computed from the id array
+    * (the serialized alias below would otherwise lateral-shadow it). */
+  private def serializePostings(state: DataFrame): DataFrame =
+    state
+      .withColumn("ids", transform(col("plist"), _.getField("doc_id")))
+      .withColumn("df_block", size(col("plist")).cast("long"))
+      .withColumn("gaps", array_join(transform(col("ids"),
+        (x, i) => (x - coalesce(get(col("ids"), i - 1), lit(0L))).cast("string")), ","))
       .select(col("term"), col("block"), col("df_block"),
-        array_join(transform(col("postings"), _.cast("string")), ",").as("postings"),
-        col("gaps"))
+        array_join(transform(col("ids"), _.cast("string")), ",").as("postings"),
+        col("gaps"),
+        array_join(transform(col("plist"), _.getField("tf").cast("string")), ",")
+          .as("tfs"))
+
+  /** Merge an incoming batch into the standing blocked index without
+    * touching the accumulated corpus: tokenize the BATCH only, then one
+    * (term, block)-keyed union-aggregate against the state. Append-only
+    * ingest means a batch can only touch NEW blocks plus the boundary
+    * block the watermark sits in — every other state row passes through
+    * the aggregate untouched (and a store partitioned by block would
+    * rewrite only touched partitions, the [[graft.sources.IvfIndex]]
+    * append discipline). Docs at or below the ingest `watermark` are
+    * dropped first, so replaying yesterday's batch merges nothing
+    * ([[Dedup.mergeLineDf]]'s idempotence guard); the sides being
+    * doc-disjoint makes concat+sort exact, no distinct needed. */
+  private[graft] def mergePostings(
+      state: DataFrame, watermark: Long, incoming: DataFrame): DataFrame =
+    state.unionByName(postingsStateOf(incoming.where(col("doc_id") > watermark)))
+      .groupBy(col("term"), col("block"))
+      // struct sort orders by leading doc_id; the watermark makes the
+      // sides doc-disjoint, so concat+sort is exact with no dedup pass
+      .agg(array_sort(flatten(collect_list(col("plist")))).as("plist"))
+
+  /** Gate entry (`postings_incremental`): the snapshot half's blocked
+    * index (computed inline here; standing storage in production) merged
+    * with the incoming half — which must equal the full-corpus
+    * [[buildPostings]] row for row, so the entry SHARES its oracle
+    * ([[Dedup.boilerplateIncremental]]'s strongest-form contract). The
+    * gate cut ([[Dedup.snapshotCut]] = 250) deliberately lands INSIDE
+    * block 3 (docs 192..255), so the boundary-block merge path is
+    * non-vacuous on the gate corpus (spec-pinned). */
+  def postingsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
+    val snap = docs.where(col("doc_id") < Dedup.snapshotCut)
+    val incoming = docs.where(col("doc_id") >= Dedup.snapshotCut)
+    serializePostings(
+      mergePostings(postingsStateOf(snap), Dedup.snapshotCut - 1L, incoming))
   }
 
   val buildPostingsSql: String =
     s"""WITH dt AS (
-       |  SELECT DISTINCT doc_id, t AS term FROM (
+       |  SELECT doc_id, t AS term FROM (
        |    SELECT doc_id, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
        |  WHERE length(t) > 0),
+       |tfa AS (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM dt GROUP BY 1, 2),
        |g AS (
        |  SELECT term, doc_id >> $postingsBlockBits AS block,
-       |    list_sort(list(doc_id)) AS postings,
+       |    list(doc_id ORDER BY doc_id) AS postings,
+       |    list(tf ORDER BY doc_id) AS tfl,
        |    CAST(COUNT(*) AS BIGINT) AS df_block
-       |  FROM dt GROUP BY 1, 2)
+       |  FROM tfa GROUP BY 1, 2)
        |SELECT term, block, df_block,
        |  array_to_string(postings, ',') AS postings,
        |  array_to_string(
        |    list_transform(postings, (x, i) -> x - coalesce(postings[i-1], 0)),
-       |    ',') AS gaps
+       |    ',') AS gaps,
+       |  array_to_string(tfl, ',') AS tfs
        |FROM g""".stripMargin
 
   /** Fixed probe query over the corpus vocabulary. */
@@ -131,7 +194,17 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    // document frequency per query term, from the tf frame (≤ |query| rows)
+    bm25Score(tf, stats)
+  }
+
+  /** The shared BM25 scoring epilogue over a (doc_id, dl, token, tf)
+    * frame plus a 1-row (n_docs, total_len) stats frame — ONE definition
+    * for the full-scan and index-scan paths, so they stay bit-identical
+    * (the indexed entry shares this oracle). Term df comes from the tf
+    * frame itself (≤ |query| rows after aggregation, broadcast back);
+    * per-(doc, term) scores quantize to 10⁻⁴ BIGINTs before the sum, so
+    * the total is partition-order-free; top-10 is a TakeOrdered. */
+  private[graft] def bm25Score(tf: DataFrame, stats: DataFrame): DataFrame = {
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

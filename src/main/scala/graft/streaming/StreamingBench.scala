@@ -307,6 +307,17 @@ object StreamingBench {
           spark.createDataFrame(Seq((0L, benchPhrase))).toDF("doc_id", "text")).toDF(),
         (b, per) => (0 until per).map(i => contamDoc(b.toLong * per + i, base)),
         "append", qn, batches, perBatch)),
+      // weighted reservoir at ingestion (r10): a streaming aggregation
+      // whose state is the ≤2k-entry top-k buffer per source — the leg
+      // prices priority computation + map-side partial top-k + state
+      // merge for 64 sources
+      Leg("wsample", twsOnly = false, qn => throughputOf[(String, Long, Long)](spark,
+        ds => StreamWeightedSample.picks(
+          ds.toDF("source", "doc_id", "n_chars")),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          (s"src${g % 64}", g, g % 997 + 1): (String, Long, Long)
+        }, "update", qn, batches, perBatch)),
       Leg("repeat", twsOnly = false, qn => throughputOf[(String, String, Timestamp)](spark,
         ds => Repeater.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),
         values(50), "append", qn, batches, perBatch)),

@@ -17,12 +17,15 @@ class GraphIndexSpec extends AnyFunSuite {
 
   test("build_postings: gaps prefix-sum back to the sorted postings, inside the block") {
     val rows = Retrieval.buildPostings(spark, sf)
-      .select("term", "block", "df_block", "postings", "gaps").collect()
+      .select("term", "block", "df_block", "postings", "gaps", "tfs").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val block = r.getLong(1)
       val postings = r.getString(3).split(",").map(_.toLong)
       val gaps = r.getString(4).split(",").map(_.toLong)
+      val tfs = r.getString(5).split(",").map(_.toLong)
+      assert(tfs.length === postings.length, "tf list must align with postings")
+      assert(tfs.forall(_ >= 1L), "an indexed incidence has tf >= 1")
       assert(postings.length === r.getLong(2), s"df_block != |postings| for ${r.getString(0)}")
       assert(postings.sorted.sameElements(postings), "postings must be sorted")
       assert(postings.distinct.length === postings.length, "postings must be distinct")
@@ -45,6 +48,39 @@ class GraphIndexSpec extends AnyFunSuite {
     val indexed = Retrieval.buildPostings(spark, sf)
       .agg(sum(col("df_block"))).collect()(0).getLong(0)
     assert(indexed === incidences)
+  }
+
+  test("postings_incremental: merge == full rebuild, replay-idempotent, boundary block exercised") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.Row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+    val full = rows(Retrieval.buildPostings(spark, sf))
+    val inc = rows(Retrieval.postingsIncremental(spark, sf))
+    assert(inc.sorted.sameElements(full.sorted), "incremental must equal the full rebuild")
+    // the gate cut lands inside a block: at least one (term, block) row
+    // must mix snapshot and batch docs, or the merge path is vacuous
+    val cutBlock = Dedup.snapshotCut >> Retrieval.postingsBlockBits
+    val mixed = inc.filter { case (_, block, _, postings, _, _) =>
+      val ids = postings.split(",").map(_.toLong)
+      block == cutBlock && ids.exists(_ < Dedup.snapshotCut) &&
+        ids.exists(_ >= Dedup.snapshotCut)
+    }
+    assert(mixed.nonEmpty, "no boundary-block row mixes snapshot and batch docs")
+    // replaying the batch against the merged state merges nothing
+    val docs = graft.sources.Corpus.documents(spark, sf).select(col("doc_id"), col("text"))
+    val snap = docs.where(col("doc_id") < Dedup.snapshotCut)
+    val batch = docs.where(col("doc_id") >= Dedup.snapshotCut)
+    val wmAll = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    def plists(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Row](2).map(e => (e.getLong(0), e.getLong(1), e.getLong(2))).mkString(";")))
+    val once = Retrieval.mergePostings(
+      Retrieval.postingsStateOf(snap), Dedup.snapshotCut - 1L, batch)
+    val twice = plists(Retrieval.mergePostings(once, wmAll, batch))
+    val onceRows = plists(once)
+    assert(twice.sorted.sameElements(onceRows.sorted), "replayed batch must merge nothing")
   }
 
   test("link_pagerank: node set is closed and scores respect the teleport floor") {

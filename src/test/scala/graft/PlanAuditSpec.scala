@@ -620,4 +620,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a PageRank round degenerated to all-pairs:\n$plan")
     assert(plan.contains("HashAggregate"), s"no hash aggregate per round:\n$plan")
   }
+
+  test("link_pagerank: rounds never rescan the base tables; edge exchanges stay round-bounded") {
+    // audit what actually RAN: the final adaptive plan (executedPlan
+    // after collect; split off the "Initial Plan" section AQE appends)
+    val df = graft.operators.Graph.linkPagerank(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"))
+    val plan = full.split("== Initial Plan ==")(0)
+    // the checkpoint is the ONLY materialization of the base join — the
+    // iterated plan reads no parquet at all
+    assert(!plan.contains("FileScan"),
+      s"a round re-scanned the base tables:\n$plan")
+    // the edge set crosses at most one exchange (or broadcast) per
+    // round — the Pregel bound; more means a round re-shuffles the big
+    // side redundantly
+    val srcExchanges = "Exchange hashpartitioning\\(src".r
+      .findAllMatchIn(plan).length
+    assert(srcExchanges <= graft.operators.Graph.prRounds,
+      s"$srcExchanges adjacency exchanges for ${graft.operators.Graph.prRounds} rounds:\n$plan")
+  }
 }

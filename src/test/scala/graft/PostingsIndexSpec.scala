@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PostingsIndex, Retrieval}
+
+/** Lifecycle contracts of the persisted inverted index: indexed BM25 ==
+  * the full-scan operator row for row, append converges to the one-shot
+  * layout while rewriting ONLY touched tail partitions, replayed appends
+  * are no-ops, and the query path's index scan is term-pruned with the
+  * corpus never read.
+  */
+class PostingsIndexSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // synthetic corpus spanning several 256-doc superblock partitions at
+  // superBits = 2: ids 0..700 step 7 → sb 0, 1, 2
+  private def synthDocs(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i, s"alpha beta doc$i " + ("gamma " * (i % 5).toInt).trim))
+      .toDF("doc_id", "text")
+  }
+
+  private def postingRows(s: SparkSession, idx: String) =
+    s.read.parquet(s"$idx/postings")
+      .select(col("term"), col("block"), col("plist"), col("sb")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[Row](2).map(e => (e.getLong(0), e.getLong(1), e.getLong(2))).toList,
+        r.getInt(3)))
+
+  test("bm25_indexed equals the full-scan bm25_topk row for row") {
+    val indexed = PostingsIndex.bm25Indexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val scanned = Retrieval.bm25Topk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed.sameElements(scanned),
+      "index-scan scoring must be bit-identical to the corpus-scan operator")
+  }
+
+  test("append converges to the one-shot layout and rewrites only touched partitions") {
+    val ids = (0L to 700L by 7L)
+    val all = synthDocs(ids)
+    val oneShotDir = tmpDir("graft_pidx_oneshot")
+    val lifecycleDir = tmpDir("graft_pidx_lifecycle")
+    PostingsIndex.buildFrom(spark, all, oneShotDir, superBits = 2)
+    // bootstrap the prefix (sb 0 = docs 0..255), then append the rest
+    PostingsIndex.buildFrom(spark, all.where(col("doc_id") < 256), lifecycleDir,
+      superBits = 2)
+    // record sb=0's data files before the append
+    val sb0 = new java.io.File(s"$lifecycleDir/postings/sb=0")
+    def files(d: java.io.File): Map[String, Long] =
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = files(sb0)
+    assert(before.nonEmpty, "bootstrap must have written sb=0")
+    val (appended, rewritten) =
+      PostingsIndex.append(spark, lifecycleDir, all.where(col("doc_id") >= 256))
+    assert(appended > 0L)
+    // batch ids 259..700 live in sb 1 and 2 only — block 259>>6 = 4,
+    // sb = 4>>2 = 1: partition sb=0 must be byte-untouched
+    assert(rewritten === 2L, "append must rewrite exactly the touched tail partitions")
+    assert(files(sb0) === before, "an untouched partition's files must not be rewritten")
+    assert(postingRows(spark, lifecycleDir).sortBy(r => (r._1, r._2))
+      .sameElements(postingRows(spark, oneShotDir).sortBy(r => (r._1, r._2))),
+      "lifecycle layout must converge to the one-shot build")
+    // stored counters advanced by addition to the one-shot values
+    val s1 = spark.read.parquet(s"$oneShotDir/docstats").collect()(0)
+    val s2 = spark.read.parquet(s"$lifecycleDir/docstats").collect()(0)
+    assert(s1.getAs[Long]("n_docs") === s2.getAs[Long]("n_docs"))
+    assert(s1.getAs[Long]("total_len") === s2.getAs[Long]("total_len"))
+    assert(s1.getAs[Long]("max_doc_id") === s2.getAs[Long]("max_doc_id"))
+    // replaying the same batch appends nothing (watermark guard)
+    val (re, reParts) =
+      PostingsIndex.append(spark, lifecycleDir, all.where(col("doc_id") >= 256))
+    assert(re === 0L && reParts === 0L, "a replayed batch must be a no-op")
+  }
+
+  test("query-time index scan is term-pruned; the corpus is never read") {
+    val idx = tmpDir("graft_pidx_plan")
+    PostingsIndex.buildFrom(spark, synthDocs(0L to 300L by 3L), idx, superBits = 2)
+    val plan = PostingsIndex.query(spark, idx).queryExecution.executedPlan.toString
+    // after the localCheckpoint the scoring plan must contain no file
+    // scan at all — the only corpus-shaped input is the checkpointed
+    // (doc_id, dl, token, tf) frame and the 1-row stats read
+    assert(!plan.contains("documents.parquet"), s"corpus read at query time:\n$plan")
+    // the term pushdown lives in the tf frame's own (pre-checkpoint)
+    // plan: rebuild it unbatched and audit the index scan
+    val tfPlan = spark.read.parquet(s"$idx/postings")
+      .where(col("term").isin(Retrieval.queryTerms: _*))
+      .select(col("term"), explode(col("plist")).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("PushedFilters: [In(term"),
+      s"query terms not pushed into the index scan:\n$tfPlan")
+  }
+}

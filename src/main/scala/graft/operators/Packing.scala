@@ -75,6 +75,79 @@ object Packing {
           floor(col("start_offset") / lit(chunkTokens)) + 1).as("n_chunks"))
   }
 
+  /** Per-writer packing offsets — [[packChunks]] with the sequence space
+    * split by `source`: each source is an independent writer owning its
+    * own token stream and chunk ids (the multi-writer layout a parallel
+    * ingestion pipeline actually produces, and the batch anchor
+    * [[graft.streaming.StreamPack]] is spec-pinned against — per-writer
+    * counters are what make packing STREAMABLE, because a single global
+    * offset would serialize every writer through one state row).
+    *
+    * Same hierarchical prefix sum, keys widened to (source, bucket); the
+    * bucket-offset frame is source × bucket rows — corpus-proportional,
+    * so it joins back WITHOUT a broadcast hint (the packInterleave r10
+    * lesson: let AQE decide). */
+  def packByWriter(s: SparkSession, dir: String): DataFrame = {
+    val counted = Corpus.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(filter(TextAnalysis.tokensCol(col("text")),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
+      .localCheckpoint()
+    val bucketOffsets = counted.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btotal"))
+      .withColumn("boffset",
+        coalesce(sum(col("btotal")).over(
+          Window.partitionBy(col("source")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("bucket"), col("boffset"))
+    val local = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val span = greatest(col("n_tokens"), lit(1L))
+    counted.join(bucketOffsets, Seq("source", "bucket"))
+      .withColumn("start_offset",
+        col("boffset") + coalesce(sum(col("n_tokens")).over(local), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("start_offset"),
+        floor(col("start_offset") / lit(chunkTokens)).as("first_chunk"),
+        floor((col("start_offset") + span - 1) / lit(chunkTokens)).as("last_chunk"),
+        (floor((col("start_offset") + span - 1) / lit(chunkTokens)) -
+          floor(col("start_offset") / lit(chunkTokens)) + 1).as("n_chunks"))
+  }
+
+  val packByWriterSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_offset
+       |  FROM d)
+       |SELECT source, doc_id, n_tokens, start_offset,
+       |  start_offset // $chunkTokens AS first_chunk,
+       |  (start_offset + GREATEST(n_tokens, 1) - 1) // $chunkTokens AS last_chunk,
+       |  (start_offset + GREATEST(n_tokens, 1) - 1) // $chunkTokens
+       |    - start_offset // $chunkTokens + 1 AS n_chunks
+       |FROM c""".stripMargin
+
+  /** The shared per-doc chunk-span epilogue over a (start_offset,
+    * n_tokens) pair — kept in sync with [[packChunks]]/[[packByWriter]]
+    * by being the SAME floor-division convention the streaming packer
+    * re-implements in [[graft.streaming.StreamPack]] (longs, not
+    * Columns, there). */
+  private[graft] def chunkSpan(startOffset: Long, nTokens: Long): (Long, Long, Long) = {
+    val span = math.max(nTokens, 1L)
+    val first = startOffset / chunkTokens
+    val last = (startOffset + span - 1) / chunkTokens
+    (first, last, last - first + 1)
+  }
+
+  private[graft] val chunkTokensConst: Long = chunkTokens
+
   /** Materialized packed shards — the step the packing offsets exist to
     * feed: every token gets its global stream index (doc start offset +
     * position), tokens group by `idx / capacity` into chunks that cross

@@ -318,6 +318,15 @@ object StreamingBench {
           val g = b.toLong * per + i
           (s"src${g % 64}", g, g % 997 + 1): (String, Long, Long)
         }, "update", qn, batches, perBatch)),
+      // sequence packing at ingestion (r10): one long of state per
+      // writer; the leg prices the per-batch sort + offset assignment
+      // for 64 writers
+      Leg("pack", twsOnly = false, qn => throughputOf[StreamPack.DocEvent](spark,
+        ds => StreamPack.offsets(ds),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          StreamPack.DocEvent(s"src${g % 64}", g, g % 997 + 1, new Timestamp(base + g))
+        }, "append", qn, batches, perBatch)),
       Leg("repeat", twsOnly = false, qn => throughputOf[(String, String, Timestamp)](spark,
         ds => Repeater.repeat(wm(ds), repeatIntervalMs, repeatTtlMs).toDF(),
         values(50), "append", qn, batches, perBatch)),

@@ -132,6 +132,28 @@ object PostingsIndex {
     }
   }
 
+  /** Streaming ingestion into the persisted index: each micro-batch of
+    * (doc_id, text) rows runs one [[append]] — the `foreachBatch`
+    * at-least-once contract composes with append's watermark guard
+    * ([[IvfIndex.appendStream]]'s discipline: a RETRIED micro-batch
+    * re-appends nothing, because every doc in it sits at or below the
+    * stored `max_doc_id`), so the index converges to exactly the
+    * one-shot layout. The stream's only state is the sink checkpoint;
+    * index growth is the touched-tail-partition rewrites. */
+  def appendStream(
+      s: SparkSession,
+      indexDir: String,
+      docs: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        append(s, indexDir, df.toDF())
+        ()
+      }
+      .start()
+
   /** BM25 top-10 for [[Retrieval.queryTerms]] FROM THE INDEX: a
     * term-pruned postings scan explodes into the (doc_id, dl, token, tf)
     * frame and the stored counters supply the globals — then the scoring

@@ -86,6 +86,39 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(re === 0L && reParts === 0L, "a replayed batch must be a no-op")
   }
 
+  test("streaming ingestion converges to the one-shot layout; a replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val ids = (0L to 500L by 5L)
+    val all = synthDocs(ids)
+    val oneShotDir = tmpDir("graft_pidx_stream_oneshot")
+    val streamDir = tmpDir("graft_pidx_stream")
+    PostingsIndex.buildFrom(spark, all, oneShotDir, superBits = 2)
+    PostingsIndex.buildFrom(spark, all.where(col("doc_id") < 200), streamDir,
+      superBits = 2)
+    val in = MemoryStream[(Long, String)]
+    val q = PostingsIndex.appendStream(spark, streamDir,
+      in.toDF().toDF("doc_id", "text"), tmpDir("graft_pidx_ckpt"))
+    try {
+      val rest = all.where(col("doc_id") >= 200).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val (b1, b2) = rest.splitAt(rest.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b1.toSeq); q.processAllAvailable() // redelivery: must merge nothing
+      in.addData(b2.toSeq); q.processAllAvailable()
+      assert(postingRows(spark, streamDir).sortBy(r => (r._1, r._2))
+        .sameElements(postingRows(spark, oneShotDir).sortBy(r => (r._1, r._2))),
+        "streamed ingestion must converge to the one-shot build")
+      val s1 = spark.read.parquet(s"$oneShotDir/docstats").collect()(0)
+      val s2 = spark.read.parquet(s"$streamDir/docstats").collect()(0)
+      assert(s1.getAs[Long]("n_docs") === s2.getAs[Long]("n_docs"),
+        "a redelivered batch must not advance the doc counter")
+      assert(s1.getAs[Long]("total_len") === s2.getAs[Long]("total_len"))
+    } finally q.stop()
+  }
+
   test("query-time index scan is term-pruned; the corpus is never read") {
     val idx = tmpDir("graft_pidx_plan")
     PostingsIndex.buildFrom(spark, synthDocs(0L to 300L by 3L), idx, superBits = 2)

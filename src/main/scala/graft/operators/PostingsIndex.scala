@@ -22,11 +22,15 @@ import graft.sources.Corpus
   *    so an append rewrites just those partitions under dynamic
   *    partition overwrite, exactly like [[IvfIndex.append]]'s
   *    touched-cell rewrites.
-  *  - `docstats/` — one row of mergeable counters
-  *    (n_docs, total_len, max_doc_id, super_bits): the BM25 globals plus
-  *    the ingest watermark, updated by pure addition on append — never a
-  *    corpus rescan ([[Dedup.boilerplateIncremental]]'s stored-counter
-  *    discipline).
+  *  - `blockstats/` — per-superblock (n_docs, total_len, max_doc_id),
+  *    partitioned by sb like the postings and merged by the SAME
+  *    touched-partition overwrite: the BM25 globals are the sum of a
+  *    superblock-bounded frame, never a corpus rescan, and because the
+  *    stats carry the ingest watermark per partition they share the
+  *    postings' replay guard instead of trusting a separately-written
+  *    counter (see the crash note on [[append]]).
+  *  - `meta/` — one row (super_bits), written at build, never touched
+  *    again.
   *
   * Every posting entry carries (doc_id, tf, dl) — the denormalized
   * per-doc norm an impact-ordered index stores with the posting — so
@@ -39,9 +43,6 @@ object PostingsIndex {
   /** Production default: 2^(6+14) = 2^20 docs per partition directory. */
   private[graft] val defaultSuperBits = 14
 
-  private def sbCol(superBits: Int) =
-    shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
-
   /** Index state of a (doc_id, text) frame with the partition column
     * attached: (term, block, plist, sb). The plist's leading doc_id keeps
     * every entry's sb equal to the row's, so a (term, block) group never
@@ -51,83 +52,110 @@ object PostingsIndex {
       .withColumn("sb",
         shiftright(col("block"), superBits).cast("int"))
 
-  private def writeStats(
-      s: SparkSession, indexDir: String,
-      nDocs: Long, totalLen: Long, maxDocId: Long, superBits: Int): Unit = {
-    import s.implicits._
-    Seq((nDocs, totalLen, maxDocId, superBits.toLong))
-      .toDF("n_docs", "total_len", "max_doc_id", "super_bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/docstats")
-  }
-
-  private def readStats(s: SparkSession, indexDir: String): (Long, Long, Long, Int) = {
-    val r = s.read.parquet(s"$indexDir/docstats").collect()(0)
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_len"),
-      r.getAs[Long]("max_doc_id"), r.getAs[Long]("super_bits").toInt)
-  }
-
-  /** (count, length-sum, max-id) of a (doc_id, text) frame in ONE scan —
-    * dl here is the same expression the posting entries carry, so the
-    * stored totals and the entries can never disagree. */
-  private def docAgg(docs: DataFrame): (Long, Long, Long) = {
+  /** The same dl the posting entries carry — the stored totals and the
+    * entries can never disagree. */
+  private def dlCol = {
     val toks = TextAnalysis.tokensCol(col("text"))
-    val dlCol = when(length(TextAnalysis.normTextCol(col("text"))) === 0, 0L)
+    when(length(TextAnalysis.normTextCol(col("text"))) === 0, 0L)
       .otherwise(size(toks).cast("long"))
-    val r = docs.agg(count(lit(1)), coalesce(sum(dlCol), lit(0L)),
-      coalesce(max(col("doc_id")), lit(-1L))).collect()(0)
-    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
+
+  /** Per-superblock doc stats of a (doc_id, text) frame: one scan, no
+    * explode. Includes superblocks whose docs have zero tokens (they
+    * produce no postings but must count toward the globals). */
+  private def blockStatsOf(docs: DataFrame, superBits: Int): DataFrame =
+    docs
+      .select(shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
+          .cast("int").as("sb"),
+        col("doc_id"), dlCol.as("dl"))
+      .groupBy(col("sb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"),
+        max(col("doc_id")).as("max_doc_id"))
+
+  private def writePartitioned(df: DataFrame, path: String, dynamic: Boolean): Unit = {
+    val spark = df.sparkSession
+    if (!dynamic) df.write.mode("overwrite").partitionBy("sb").parquet(path)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.write.mode("overwrite").partitionBy("sb").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  private def readSuperBits(s: SparkSession, indexDir: String): Int =
+    s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("super_bits").toInt
 
   /** Build the index from a (doc_id, text) frame. Returns
     * (partitions written, posting rows). */
   def buildFrom(
       s: SparkSession, docs: DataFrame, indexDir: String,
       superBits: Int = defaultSuperBits): (Long, Long) = {
-    stateWithSb(docs, superBits).write.mode("overwrite")
-      .partitionBy("sb").parquet(s"$indexDir/postings")
-    val (n, len, maxId) = docAgg(docs)
-    writeStats(s, indexDir, n, len, maxId, superBits)
+    import s.implicits._
+    writePartitioned(stateWithSb(docs, superBits), s"$indexDir/postings",
+      dynamic = false)
+    writePartitioned(blockStatsOf(docs, superBits), s"$indexDir/blockstats",
+      dynamic = false)
+    Seq(superBits.toLong).toDF("super_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     val p = s.read.parquet(s"$indexDir/postings")
     (p.select(col("sb")).distinct().count(), p.count())
   }
 
   /** Append a (doc_id, text) batch, rewriting ONLY the touched tail
-    * superblock partitions: docs at or below the stored ingest watermark
-    * are dropped first (a replayed batch appends nothing — idempotent),
-    * the batch's index state merges with JUST the touched partitions'
-    * current rows (a statically pruned partition-column scan), and the
-    * result lands under dynamic partition overwrite. Counters advance by
-    * addition. Returns (docs appended, partitions rewritten). */
+    * superblock partitions of BOTH tables: docs at or below the stored
+    * ingest watermark (max over `blockstats.max_doc_id`) are dropped
+    * first, the batch's index state merges with just the touched
+    * partitions' current rows (a statically pruned partition-column
+    * scan), and both results land under dynamic partition overwrite.
+    * Returns (docs appended, partitions rewritten).
+    *
+    * Crash consistency: postings are written before stats, and EACH
+    * write is idempotent under replay — the plist merge passes through
+    * `array_distinct` (a re-merged batch contributes only entries that
+    * are already there), and the stats merge re-derives its guard from
+    * the stats table itself — so a retry after a crash between the two
+    * writes converges: the re-run re-merges the batch into postings
+    * (no-op by distinctness) and completes the missing stats merge
+    * (first effective application, by the unchanged watermark). No
+    * separately-trusted counter exists to drift. */
   def append(s: SparkSession, indexDir: String, incoming: DataFrame): (Long, Long) = {
-    val (n0, len0, wm, superBits) = readStats(s, indexDir)
+    val superBits = readSuperBits(s, indexDir)
+    val wm = s.read.parquet(s"$indexDir/blockstats")
+      .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
     val batch = incoming.where(col("doc_id") > wm).localCheckpoint()
-    val (nb, lenb, maxb) = docAgg(batch)
-    if (nb == 0L) (0L, 0L)
+    val batchStats = blockStatsOf(batch, superBits).localCheckpoint()
+    val touched = batchStats.select(col("sb")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) (0L, 0L)
     else {
-      val batchState = stateWithSb(batch, superBits).localCheckpoint()
-      val touched = batchState.select(col("sb")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      val sbs = touched.map(Integer.valueOf)
       val existing = s.read.parquet(s"$indexDir/postings")
-        .where(col("sb").isin(touched.map(Integer.valueOf): _*))
+        .where(col("sb").isin(sbs: _*))
         .select(col("term"), col("block"), col("plist"))
-      // the sides are doc-disjoint (watermark), so the merge is the
-      // inline operator's concat+sort, re-keyed and written back
-      val spark = s
+      // watermark-disjoint sides make concat+sort exact; the distinct is
+      // the replay guard (entries are identical on a re-merge)
       val merged = existing
-        .unionByName(batchState.select(col("term"), col("block"), col("plist")))
+        .unionByName(stateWithSb(batch, superBits)
+          .select(col("term"), col("block"), col("plist")))
         .groupBy(col("term"), col("block"))
-        .agg(array_sort(flatten(collect_list(col("plist")))).as("plist"))
+        .agg(array_distinct(array_sort(flatten(collect_list(col("plist")))))
+          .as("plist"))
         .withColumn("sb", shiftright(col("block"), superBits).cast("int"))
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        merged.write.mode("overwrite").partitionBy("sb")
-          .parquet(s"$indexDir/postings")
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      writeStats(s, indexDir, n0 + nb, len0 + lenb, math.max(wm, maxb), superBits)
+      writePartitioned(merged, s"$indexDir/postings", dynamic = true)
+      val statsMerged = s.read.parquet(s"$indexDir/blockstats")
+        .where(col("sb").isin(sbs: _*))
+        .select(col("sb"), col("n_docs"), col("total_len"), col("max_doc_id"))
+        .unionByName(batchStats)
+        .groupBy(col("sb"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"),
+          max(col("max_doc_id")).as("max_doc_id"))
+      writePartitioned(statsMerged, s"$indexDir/blockstats", dynamic = true)
+      val nb = batchStats.agg(sum(col("n_docs"))).collect()(0).getLong(0)
       (nb, touched.length.toLong)
     }
   }
@@ -137,9 +165,9 @@ object PostingsIndex {
     * at-least-once contract composes with append's watermark guard
     * ([[IvfIndex.appendStream]]'s discipline: a RETRIED micro-batch
     * re-appends nothing, because every doc in it sits at or below the
-    * stored `max_doc_id`), so the index converges to exactly the
-    * one-shot layout. The stream's only state is the sink checkpoint;
-    * index growth is the touched-tail-partition rewrites. */
+    * stored watermark), so the index converges to exactly the one-shot
+    * layout. The stream's only state is the sink checkpoint; index
+    * growth is the touched-tail-partition rewrites. */
   def appendStream(
       s: SparkSession,
       indexDir: String,
@@ -156,9 +184,9 @@ object PostingsIndex {
 
   /** BM25 top-10 for [[Retrieval.queryTerms]] FROM THE INDEX: a
     * term-pruned postings scan explodes into the (doc_id, dl, token, tf)
-    * frame and the stored counters supply the globals — then the scoring
-    * epilogue is [[Retrieval.bm25Score]] verbatim, which is why this
-    * entry shares `bm25_topk`'s oracle bit for bit. */
+    * frame and the superblock stats sum to the globals — then the
+    * scoring epilogue is [[Retrieval.bm25Score]] verbatim, which is why
+    * this entry shares `bm25_topk`'s oracle bit for bit. */
   def query(s: SparkSession, indexDir: String): DataFrame = {
     val tf = s.read.parquet(s"$indexDir/postings")
       .where(col("term").isin(Retrieval.queryTerms: _*))
@@ -166,8 +194,8 @@ object PostingsIndex {
       .select(col("e.doc_id").as("doc_id"), col("e.dl").as("dl"),
         col("token"), col("e.tf").as("tf"))
       .localCheckpoint()
-    val stats = s.read.parquet(s"$indexDir/docstats")
-      .select(col("n_docs"), col("total_len"))
+    val stats = s.read.parquet(s"$indexDir/blockstats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
     Retrieval.bm25Score(tf, stats)
   }
 
@@ -186,7 +214,9 @@ object PostingsIndex {
   private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
-    val idx = s"/tmp/graft_postings_${java.lang.Long.toHexString(tag)}"
+    // v2: layout version in the path — a layout change (docstats →
+    // blockstats) must never reuse an old-layout index behind the marker
+    val idx = s"/tmp/graft_postings_v2_${java.lang.Long.toHexString(tag)}"
     if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2

@@ -31,6 +31,12 @@ class PostingsIndexSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
+  private def statRows(idx: String): Map[Int, (Long, Long, Long)] =
+    spark.read.parquet(s"$idx/blockstats").collect()
+      .map(r => r.getAs[Int]("sb") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_len"),
+          r.getAs[Long]("max_doc_id"))).toMap
+
   private def postingRows(s: SparkSession, idx: String) =
     s.read.parquet(s"$idx/postings")
       .select(col("term"), col("block"), col("plist"), col("sb")).collect()
@@ -74,12 +80,8 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(postingRows(spark, lifecycleDir).sortBy(r => (r._1, r._2))
       .sameElements(postingRows(spark, oneShotDir).sortBy(r => (r._1, r._2))),
       "lifecycle layout must converge to the one-shot build")
-    // stored counters advanced by addition to the one-shot values
-    val s1 = spark.read.parquet(s"$oneShotDir/docstats").collect()(0)
-    val s2 = spark.read.parquet(s"$lifecycleDir/docstats").collect()(0)
-    assert(s1.getAs[Long]("n_docs") === s2.getAs[Long]("n_docs"))
-    assert(s1.getAs[Long]("total_len") === s2.getAs[Long]("total_len"))
-    assert(s1.getAs[Long]("max_doc_id") === s2.getAs[Long]("max_doc_id"))
+    // stored superblock stats merged to the one-shot values, row for row
+    assert(statRows(lifecycleDir) === statRows(oneShotDir))
     // replaying the same batch appends nothing (watermark guard)
     val (re, reParts) =
       PostingsIndex.append(spark, lifecycleDir, all.where(col("doc_id") >= 256))
@@ -111,12 +113,51 @@ class PostingsIndexSpec extends AnyFunSuite {
       assert(postingRows(spark, streamDir).sortBy(r => (r._1, r._2))
         .sameElements(postingRows(spark, oneShotDir).sortBy(r => (r._1, r._2))),
         "streamed ingestion must converge to the one-shot build")
-      val s1 = spark.read.parquet(s"$oneShotDir/docstats").collect()(0)
-      val s2 = spark.read.parquet(s"$streamDir/docstats").collect()(0)
-      assert(s1.getAs[Long]("n_docs") === s2.getAs[Long]("n_docs"),
-        "a redelivered batch must not advance the doc counter")
-      assert(s1.getAs[Long]("total_len") === s2.getAs[Long]("total_len"))
+      assert(statRows(streamDir) === statRows(oneShotDir),
+        "a redelivered batch must not advance the stats")
     } finally q.stop()
+  }
+
+  test("a crash between the postings and stats writes converges on retry") {
+    // simulate the torn-append window: run the append (both writes),
+    // then roll blockstats/ back to its pre-append state — the on-disk
+    // picture a crash after the postings write leaves — and RETRY the
+    // same batch. The retry must re-merge postings as a no-op (entry
+    // distinctness) and complete the missing stats merge exactly once.
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    def copyTree(from: Path, to: Path): Unit =
+      Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    def rmTree(p: Path): Unit = if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
+
+    val ids = (0L to 600L by 3L)
+    val all = synthDocs(ids)
+    val oneShotDir = tmpDir("graft_pidx_crash_oneshot")
+    val crashDir = tmpDir("graft_pidx_crash")
+    PostingsIndex.buildFrom(spark, all, oneShotDir, superBits = 2)
+    PostingsIndex.buildFrom(spark, all.where(col("doc_id") < 300), crashDir,
+      superBits = 2)
+    val statsPath = java.nio.file.Paths.get(s"$crashDir/blockstats")
+    val snapshot = java.nio.file.Paths.get(s"$crashDir/blockstats_snapshot")
+    copyTree(statsPath, snapshot)
+    val batch = all.where(col("doc_id") >= 300)
+    PostingsIndex.append(spark, crashDir, batch)
+    // roll stats back: postings carry the batch, stats do not
+    rmTree(statsPath)
+    copyTree(snapshot, statsPath)
+    rmTree(snapshot)
+    // retry (the at-least-once redelivery)
+    PostingsIndex.append(spark, crashDir, batch)
+    assert(postingRows(spark, crashDir).sortBy(r => (r._1, r._2))
+      .sameElements(postingRows(spark, oneShotDir).sortBy(r => (r._1, r._2))),
+      "retried append must not duplicate postings")
+    assert(statRows(crashDir) === statRows(oneShotDir),
+      "retried append must complete the stats merge exactly once")
   }
 
   test("query-time index scan is term-pruned; the corpus is never read") {

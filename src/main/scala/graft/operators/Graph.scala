@@ -81,6 +81,10 @@ object Graph {
     // steady state is bounded by one pass of (dst, contrib) longs per
     // round
     val adj = edges.join(deg, Seq("src")).localCheckpoint()
+    // e0's blocks exist only to build adj: free them now instead of
+    // holding edge-pair storage until the ContextCleaner notices — the
+    // lingering blocks measurably tax the queries that run next
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(e0)
     // the initial scores come from the CHECKPOINTED adjacency — not
     // from `deg`, whose lineage would re-run the whole base join
     var pr = adj.select(col("src").as("node")).distinct()

@@ -136,6 +136,24 @@ class PlanAuditSpec extends AnyFunSuite {
         df.queryExecution.analyzed.toString)
   }
 
+  test("pack_by_writer: per-writer windows ride (source, bucket); no broadcast hint on the offsets join") {
+    val df = graft.operators.Packing.packByWriter(spark, sf)
+    val plan = physicalPlan(df)
+    // the doc-level window must be keyed by (source, bucket) — a
+    // PARTITION BY source alone would serialize each writer's whole
+    // corpus through one partition
+    assert(plan.contains("hashpartitioning(source"),
+      s"doc-level window is not bucket-partitioned:\n$plan")
+    // the bucket-offset frame is source × bucket rows, corpus-
+    // proportional: the join must carry NO broadcast hint (AQE may still
+    // pick broadcast at gate SF — the plan must leave it that choice)
+    val hints = "(?i)ResolvedHint".r.findAllIn(
+      df.queryExecution.analyzed.toString).length
+    assert(hints == 0,
+      s"expected no broadcast hints, found $hints:\n" +
+        df.queryExecution.analyzed.toString)
+  }
+
   test("the hyperplane signature stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     val df = spark.range(10).select(

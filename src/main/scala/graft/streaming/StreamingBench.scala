@@ -307,6 +307,30 @@ object StreamingBench {
           spark.createDataFrame(Seq((0L, benchPhrase))).toDF("doc_id", "text")).toDF(),
         (b, per) => (0 until per).map(i => contamDoc(b.toLong * per + i, base)),
         "append", qn, batches, perBatch)),
+      // full retention verdict at ingestion (r10): fingerprint + lang-id
+      // + quality signals per doc, one first-arrival bit of state per
+      // distinct fingerprint; duplicates planted every 10th doc so the
+      // dedup precedence path runs
+      Leg("curation", twsOnly = false, qn => throughputOf[(Long, String)](spark,
+        ds => CurationStream.retention(
+          ds.toDF("doc_id", "text")).toDF(),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          val src = if (g % 10 == 9) g - 9 else g
+          (g, (0 until 25).map(j => s"w${(src * 31 + j * 7) % 997}").mkString(" "))
+            : (Long, String)
+        }, "append", qn, batches, perBatch)),
+      // per-source trending terms (r10): the Space-Saving buffer as
+      // streaming aggregation state — one ≤capacity-slot sketch per
+      // source, update mode
+      Leg("topterms", twsOnly = false, qn => throughputOf[(String, String)](spark,
+        ds => TopTermsStream.topTerms(ds.toDF("source", "text")),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          (s"src${g % 64}",
+            (0 until 8).map(j => s"t${(g * 13 + j * 5) % 499}").mkString(" "))
+            : (String, String)
+        }, "update", qn, batches, perBatch)),
       // weighted reservoir at ingestion (r10): a streaming aggregation
       // whose state is the ≤2k-entry top-k buffer per source — the leg
       // prices priority computation + map-side partial top-k + state

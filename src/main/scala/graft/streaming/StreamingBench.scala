@@ -129,6 +129,50 @@ object StreamingBench {
     }
   }
 
+  /** Build-once synthetic serving index for the `annserve` leg: 4096
+    * dim-16 vectors over 16 cells, deterministic content, rebuilt only
+    * when the done marker is absent — the leg prices SERVING, never the
+    * build (bucketedJoinRevenue's amortization discipline). Version the
+    * path on any layout change (the done-marker staleness gotcha). */
+  private def annServeIndex(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_annserve_bench_idx_v1"
+    if (!new java.io.File(s"$dir/_GRAFT_DONE").exists()) {
+      val vecs = spark.range(0, 4096).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          ((col("id") * lit(2654435761L) + j * lit(40503L)) % 1000L)
+            .cast("double") / 1000.0 + 0.001).as("embedding"))
+      graft.operators.IvfIndex.buildFrom(spark, vecs, dir, nCells = 16)
+      new java.io.File(s"$dir/_GRAFT_DONE").createNewFile()
+    }
+    dir
+  }
+
+  /** [[throughputOf]] for operators that run as `foreachBatch` sinks
+    * (index serving): the leg supplies the started query, the harness
+    * owns only the feed loop and the clock. */
+  def throughputForeach[T: Encoder](
+      spark: SparkSession,
+      start: Dataset[T] => org.apache.spark.sql.streaming.StreamingQuery,
+      mkBatch: (Int, Int) => Seq[T],
+      batches: Int,
+      perBatch: Int): (Long, Double) = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[T]
+    val q = start(in.toDS())
+    try {
+      val t0 = System.nanoTime()
+      var events = 0L
+      (0 until batches).foreach { b =>
+        val evs = mkBatch(b, perBatch)
+        events += evs.size
+        in.addData(evs)
+        q.processAllAvailable()
+      }
+      (events, (System.nanoTime() - t0) / 1e9)
+    } finally q.stop()
+  }
+
   /** Two-stream harness for the join paths: both sides advance together,
     * one `mkLeft`/`mkRight` pair per micro-batch. Events counted = total
     * rows fed on both sides. */
@@ -331,6 +375,26 @@ object StreamingBench {
             (0 until 8).map(j => s"t${(g * 13 + j * 5) % 499}").mkString(" "))
             : (String, String)
         }, "update", qn, batches, perBatch)),
+      // streamed ANN serving (r10): every trigger runs the audited batch
+      // plan via foreachBatch — probe broadcast + DPP-pruned members
+      // scan (StreamAnnServe's scaladoc has the why). Queries at 1/60
+      // the sibling batch size: each event is a full top-k search over
+      // ~512 candidates (2 probed cells x 256 members), not a row update
+      Leg("annserve", twsOnly = false, qn => {
+        val idxDir = annServeIndex(spark)
+        throughputForeach[(Long, Seq[Double])](spark,
+          ds => StreamAnnServe.serve(spark, idxDir,
+            ds.toDF("query_id", "qv"),
+            s"/tmp/graft_${qn}_ckpt_${System.nanoTime()}")(
+            (res, _) => { res.collect(); () }),
+          (b, per) => (0 until per / 60).map { i =>
+            val g = b.toLong * (per / 60) + i
+            (1000000000L + g,
+              (0 until 16).map(j =>
+                ((g * 2654435761L + j * 40503L) % 1000).toDouble / 1000.0
+                  + 0.001): Seq[Double])
+          }, batches, perBatch)
+      }),
       // weighted reservoir at ingestion (r10): a streaming aggregation
       // whose state is the ≤2k-entry top-k buffer per source — the leg
       // prices priority computation + map-side partial top-k + state

@@ -289,4 +289,56 @@ object Packing {
        |  src_rank * LEAST(corpus_tokens // GREATEST(src_tokens, 1),
        |    $interleaveMaxStride) AS vtime
        |FROM r JOIN st ON r.source = st.source CROSS JOIN tot""".stripMargin
+
+  // Seeded deterministic global training order (`epoch_order`): each
+  // epoch reads the corpus in a fresh pseudo-random permutation —
+  // pos = global rank of md5(seed:doc_id) — so shuffling is
+  // reproducible, resumable, and identical on every engine that can
+  // compute md5, with zero stored state (the permutation IS the seed).
+  //
+  // Scale shape: the rank of a HASH needs no corpus-wide sort-window,
+  // because the hash's own prefix is an order-aligned bucket key — the
+  // first two hex chars split the corpus into EXACTLY ≤256 buckets
+  // whose lexicographic order equals the full key's. Per-bucket counts
+  // (a bounded frame, so the broadcast hint is correct here — unlike
+  // the corpus-proportional bucketCounts above) take the tiny
+  // cumulative window; a per-bucket row_number finishes the rank fully
+  // parallel. Ties on the 32-char key break by doc_id in both engines.
+  // At 10^10 docs each bucket holds ~n/256 rows — the same per-bucket
+  // bound every other window in this file rides; widen the prefix to
+  // 3-4 chars (4096/65536 buckets) when n/256 outgrows a partition.
+
+  private[graft] val epochSeed = "ep1"
+
+  def epochOrder(s: SparkSession, dir: String): DataFrame = {
+    // two passes over a (doc_id)-only pruned scan + codegen'd md5 —
+    // cheaper than materializing the keyed frame for its two consumers
+    def keyed = Corpus.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(epochSeed), lit(":"), col("doc_id").cast("string")))
+          .as("key"))
+      .withColumn("bucket", substring(col("key"), 1, 2))
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bcnt"))
+      .withColumn("boffset",
+        coalesce(sum(col("bcnt")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    val local = Window.partitionBy(col("bucket"))
+      .orderBy(col("key"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("pos",
+        (col("boffset") + row_number().over(local)).cast("long"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  val epochOrderSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    md5('$epochSeed:' || CAST(doc_id AS VARCHAR)) AS key
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
 }

@@ -181,6 +181,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a bucket-partitioned window:\n$plan")
   }
 
+  test("epoch_order ranks the hash via its prefix buckets — one tiny single-partition window, offsets broadcast") {
+    val df = graft.operators.Packing.epochOrder(spark, sf)
+    val plan = physicalPlan(df)
+    // the only single-partition exchange allowed is the ≤256-row bucket
+    // offsets cumulative window; a second would mean the permutation
+    // rank collapsed the corpus into one sort-window
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles <= 1, s"per-doc rank collapsed to a single partition:\n$plan")
+    // the doc-level rank window rides the hash-prefix bucket
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"doc-level rank window is not bucket-partitioned:\n$plan")
+    // the offsets frame is bounded (≤256 rows) by construction, so the
+    // broadcast hint is correct — exactly one
+    val hints = "(?i)ResolvedHint".r.findAllIn(
+      df.queryExecution.analyzed.toString).length
+    assert(hints == 1, s"expected exactly the offsets broadcast hint, found $hints")
+  }
+
   test("corpus_retention reads documents exactly once") {
     val plan = physicalPlan(graft.operators.Curation.corpusRetention(spark, sf))
     val scans = "FileScan parquet".r.findAllIn(plan).length

@@ -172,6 +172,14 @@ object Retrieval {
     * as a column — never a shuffle. The top-10 is a TakeOrdered, not a
     * global sort. */
   def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val (tf, stats) = bm25TfStats(s, dir)
+    bm25Score(tf, stats)
+  }
+
+  /** The full-scan path's (tf, stats) frames — shared by [[bm25Topk]] and
+    * the [[bm25Rerank]] cascade so stage 1 of both is the same audited
+    * plan. */
+  private def bm25TfStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokensCol(col("text"))
     // document length WITHOUT a higher-order filter: the collapsed
     // normalized text yields no empty tokens except the one empty-string
@@ -194,7 +202,7 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    bm25Score(tf, stats)
+    (tf, stats)
   }
 
   /** The shared BM25 scoring epilogue over a (doc_id, dl, token, tf)
@@ -203,8 +211,9 @@ object Retrieval {
     * (the indexed entry shares this oracle). Term df comes from the tf
     * frame itself (≤ |query| rows after aggregation, broadcast back);
     * per-(doc, term) scores quantize to 10⁻⁴ BIGINTs before the sum, so
-    * the total is partition-order-free; top-10 is a TakeOrdered. */
-  private[graft] def bm25Score(tf: DataFrame, stats: DataFrame): DataFrame = {
+    * the total is partition-order-free; top-k is a TakeOrdered. */
+  private[graft] def bm25Score(
+      tf: DataFrame, stats: DataFrame, k: Int = 10): DataFrame = {
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = log(
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -220,13 +229,16 @@ object Retrieval {
       .groupBy(col("doc_id")).agg(sum(col("qs")).as("sq"))
       .select(col("doc_id"), (col("sq").cast("double") / 10000.0).as("bm25"))
       .orderBy(col("sq").desc, col("doc_id").asc)
-      .limit(10)
+      .limit(k)
       .select(col("doc_id"), col("bm25"))
   }
 
-  val bm25TopkSql: String = {
+  /** The shared WITH-chain of the BM25 oracles, through the per-doc
+    * quantized-sum CTE `agg` — single-sourced so [[bm25TopkSql]] and
+    * [[bm25RerankSql]]'s stage 1 cannot drift. */
+  private def bm25AggSql: String = {
     val terms = queryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id,
        |    list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0) AS toks
        |  FROM documents),
@@ -249,12 +261,86 @@ object Retrieval {
        |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
        |      * 10000.0, 0) AS BIGINT) AS qs
        |  FROM tf JOIN dft USING (token) CROSS JOIN stats),
-       |agg AS (SELECT doc_id, SUM(qs) AS sq FROM scored GROUP BY 1)
+       |agg AS (SELECT doc_id, SUM(qs) AS sq FROM scored GROUP BY 1)""".stripMargin
+  }
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25AggSql
        |SELECT doc_id, CAST(sq AS DOUBLE) / 10000.0 AS bm25
        |FROM agg
        |ORDER BY sq DESC, doc_id ASC
        |LIMIT 10""".stripMargin
+
+  /** Candidate budget and final k of the retrieve-then-rerank cascade. */
+  private[graft] val rerankCand = 50
+  private val rerankK = 10
+
+  /** Two-stage retrieve-then-rerank (`bm25_rerank`): BM25 pulls
+    * [[rerankCand]] lexically-matching candidates, then the list is
+    * re-ranked by embedding cosine against the TOP BM25 hit's vector —
+    * single-document pseudo-relevance feedback ("more like the best
+    * match"), the cascade every production retrieval stack runs: a cheap
+    * high-recall stage bounds the candidate set, the expensive precision
+    * stage only ever touches that bound. [[hybridRrf]] FUSES two
+    * independent legs; this CHAINS them — both compositions matter.
+    *
+    * Exactness: stage 1 inherits bm25's integer-quantized partition-
+    * order-free scores; the anchor is unique under (score desc, doc_id
+    * asc); stage 2 runs [[Similarity]]'s exact cosine tree — the same
+    * expression both engines evaluate — ranked (sim desc, doc_id asc).
+    *
+    * 100 TB shape: stage 1 is [[bm25Topk]]'s audited plan (query-term
+    * filter inside the scan stage, TakeOrdered); the candidate frame is
+    * ≤[[rerankCand]] rows, localCheckpoint'ed for its two consumers, and
+    * picks up vectors through ONE broadcast equi-join against a
+    * two-column pruned embeddings scan — the corpus never shuffles and
+    * the rerank window is bounded at the candidate budget. */
+  def bm25Rerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (tf, stats) = bm25TfStats(s, dir)
+    val cand = bm25Score(tf, stats, rerankCand)
+    val e = Similarity.embFrame(s, dir)
+    // one embeddings join serves both the anchor pick and the scoring
+    val ce = cand.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("bm25"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val anchor = ce.orderBy(col("bm25").desc, col("doc_id").asc).limit(1)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val scored = ce.crossJoin(broadcast(anchor))
+      .select(col("doc_id"),
+        (graft.functions.VectorFunctions.dot(col("v"), col("qv")) /
+          (col("nrm") * col("qn"))).as("sim"))
+    // bounded at rerankCand rows by construction — the one place a
+    // partitionless window is the right plan
+    val w = Window.orderBy(col("sim").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= rerankK)
+      .select(col("doc_id"), col("rank"), round(col("sim"), 4).as("sim"))
   }
+
+  val bm25RerankSql: String =
+    s"""WITH $bm25AggSql,
+       |cand AS (
+       |  SELECT doc_id, CAST(sq AS DOUBLE) / 10000.0 AS bm25
+       |  FROM agg ORDER BY sq DESC, doc_id ASC LIMIT $rerankCand),
+       |e AS (${Similarity.sqlVecs}),
+       |ce AS (
+       |  SELECT c.doc_id, c.bm25, e.v, e.nrm
+       |  FROM cand c JOIN e ON e.vec_id = c.doc_id),
+       |anchor AS (
+       |  SELECT v AS qv, nrm AS qn FROM ce
+       |  ORDER BY bm25 DESC, doc_id ASC LIMIT 1),
+       |rs AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(1, 65), i -> ce.v[i] * anchor.qv[i]))
+       |      / (ce.nrm * anchor.qn) AS sim
+       |  FROM ce CROSS JOIN anchor)
+       |SELECT doc_id, rank, round(sim, 4) AS sim FROM (
+       |  SELECT doc_id, sim,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT)
+       |      AS rank
+       |  FROM rs)
+       |WHERE rank <= $rerankK""".stripMargin
 
   // Hybrid-retrieval RRF constants: the standard k=60 damping
   // (Cormack/Clarke/Buettcher 2009), 10 probe entities, top-10 per leg

@@ -52,7 +52,7 @@ object Similarity {
 
   /** Shared base frame: the corpus with its double vector and norm — every
     * search path starts here, so [[annRecall]] can cache it once. */
-  private def embFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embFrame(s: SparkSession, dir: String): DataFrame =
     Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -332,13 +332,30 @@ object IvfIndex {
       indexDir: String,
       queries: DataFrame,
       nProbe: Int = 2,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    queryOn(s.read.parquet(s"$indexDir/centroids"),
+      s.read.parquet(s"$indexDir/members"), queries, nProbe, k)
+
+  /** [[query]] against already-constructed centroid/member frames — the
+    * seam a SERVING loop uses ([[graft.streaming.StreamAnnServe]]): a
+    * `DataFrame` carries its resolved file index, so building the two
+    * frames once per serving session and re-planning per trigger skips
+    * the per-trigger directory re-listing (one listing per cell
+    * partition — a metadata storm at production cell counts, pure waste
+    * when appends between triggers are absent or visible at the next
+    * session refresh). Batch callers construct the frames inline; the
+    * plans are identical either way. */
+  private[graft] def queryOn(
+      centsRaw: DataFrame,
+      members: DataFrame,
+      queries: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
     val q = queries
       .select(col("query_id"), vec(col("qv")).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val cents = broadcast(s.read.parquet(s"$indexDir/centroids"))
+    val cents = broadcast(centsRaw)
     val probes = probesOf(q, cents, nProbe)
-    val members = s.read.parquet(s"$indexDir/members")
     val scored = members.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

@@ -43,13 +43,19 @@ object StreamAnnServe {
       checkpointDir: String,
       nProbe: Int = 2,
       k: Int = 5)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // one directory listing per serving session, not per trigger: the
+    // frames carry their resolved file index across triggers (refresh =
+    // restart the serving query; appends land at the next session)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val members = s.read.parquet(s"$indexDir/members")
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
-        sink(IvfIndex.query(s, indexDir, df.toDF(), nProbe, k), batchId)
+        sink(IvfIndex.queryOn(cents, members, df.toDF(), nProbe, k), batchId)
         ()
       }
       .start()
+  }
 }

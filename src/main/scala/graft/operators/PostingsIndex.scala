@@ -182,6 +182,49 @@ object PostingsIndex {
       }
       .start()
 
+  /** Compact fragmented superblock partitions — the small-file
+    * maintenance leg of THIS index's lifecycle (build → append →
+    * appendStream → compact → query), [[IvfIndex.compact]]'s discipline
+    * pointed at the postings layout: a streaming ingest rewrites the
+    * tail superblock every micro-batch with as many part files as tasks
+    * carried its rows, so the hot tail accumulates slivers — the
+    * per-file open/footer tax on every term-pruned scan. Driver-side
+    * directory metadata (superblock-count-bounded) finds partitions
+    * above `maxFilesPerSb`; ONLY those rewrite, repartitioned BY sb
+    * (one task and one file each) under the same dynamic partition
+    * overwrite the append path uses. Untouched partitions keep their
+    * exact files; rows are bit-identical; a re-run finds nothing above
+    * the threshold. (blockstats never fragments: one row per sb.)
+    * Returns (partitions compacted, files before, files after). */
+  def compact(
+      s: SparkSession,
+      indexDir: String,
+      maxFilesPerSb: Int = 4): (Long, Long, Long) = {
+    val root = new java.io.File(s"$indexDir/postings")
+    def dataFiles(d: java.io.File): Int =
+      Option(d.listFiles()).map(_.count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+        .getOrElse(0)
+    val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("sb="))
+      .filter(dataFiles(_) > maxFilesPerSb)
+    if (frag.isEmpty) (0L, 0L, 0L)
+    else {
+      val ids = frag.map(_.getName.stripPrefix("sb=").toInt)
+      val before = frag.map(dataFiles).sum.toLong
+      val merged = s.read.parquet(s"$indexDir/postings")
+        .where(col("sb").isin(ids.map(Integer.valueOf): _*))
+        .repartition(col("sb"))
+        // EAGER: the rewrite deletes the very files being read (the
+        // append-path hazard, same cure)
+        .localCheckpoint()
+      writePartitioned(merged, s"$indexDir/postings", dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
+      val after = frag.map(dataFiles).sum.toLong
+      (frag.size.toLong, before, after)
+    }
+  }
+
   /** BM25 top-10 for [[Retrieval.queryTerms]] FROM THE INDEX: a
     * term-pruned postings scan explodes into the (doc_id, dl, token, tf)
     * frame and the superblock stats sum to the globals — then the

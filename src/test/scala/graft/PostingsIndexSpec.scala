@@ -88,6 +88,55 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(re === 0L && reParts === 0L, "a replayed batch must be a no-op")
   }
 
+  test("compact merges fragmented superblocks to one file each, bit-identical rows, others untouched") {
+    val all = synthDocs(0L to 700L by 7L)
+    val idx = tmpDir("graft_pidx_compact")
+    PostingsIndex.buildFrom(spark, all, idx, superBits = 2)
+
+    def listing(): Map[String, Set[String]] =
+      new java.io.File(s"$idx/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("sb="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .map(_.getName).toSet).toMap
+    def contents() = postingRows(spark, idx).sortBy(r => (r._1, r._2)).toSeq
+
+    val rows = contents()
+    // simulate a long streaming-append history: rewrite the TAIL
+    // superblocks (sb >= 1, the partitions appends actually touch) as
+    // ~8-file slivers each, leaving sb=0 at the build's layout
+    val frag0 = spark.read.parquet(s"$idx/postings")
+      .where(col("sb") >= 1).localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try frag0.repartition(8).write.mode("overwrite").partitionBy("sb")
+      .parquet(s"$idx/postings")
+    finally prevMode.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    assert(contents() === rows, "fragmentation rewrite must be layout-only")
+
+    val before = listing()
+    val threshold = 2
+    val fragged = before.filter(_._2.size > threshold).keySet
+    val small = before.keySet -- fragged
+    assert(fragged.nonEmpty, s"no fragmented partitions to compact: ${before.view.mapValues(_.size).toMap}")
+    assert(small.nonEmpty, "need untouched partitions for the no-touch claim")
+
+    val (nSb, filesBefore, filesAfter) = PostingsIndex.compact(spark, idx, threshold)
+    assert(nSb === fragged.size.toLong)
+    assert(filesBefore === fragged.toSeq.map(before(_).size).sum.toLong)
+    assert(filesAfter === fragged.size.toLong,
+      "each compacted partition must come back as exactly one file")
+    val after = listing()
+    small.foreach(p => assert(after(p) === before(p), s"partition $p was touched"))
+    fragged.foreach(p => assert(after(p).size === 1, s"partition $p not compacted"))
+    assert(contents() === rows, "compaction changed index contents")
+    // idempotent: nothing left above the threshold (the query path is
+    // covered by the contents equality — the synthetic vocabulary has no
+    // probe terms, so query() itself would be vacuously empty here)
+    assert(PostingsIndex.compact(spark, idx, threshold) === ((0L, 0L, 0L)))
+  }
+
   test("streaming ingestion converges to the one-shot layout; a replayed batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

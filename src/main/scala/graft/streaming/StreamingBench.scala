@@ -364,6 +364,16 @@ object StreamingBench {
           (g, (0 until 25).map(j => s"w${(src * 31 + j * 7) % 997}").mkString(" "))
             : (Long, String)
         }, "append", qn, batches, perBatch)),
+      // ingest-volume anomaly monitor at ingestion (r10): per-type
+      // running moments (3 exact longs) + open-day counters as state;
+      // day closures ride the watermark — ~1.4 days close per batch at
+      // this tick rate, so the close path runs hot
+      Leg("anomaly", twsOnly = false, qn => throughputOf[(String, Timestamp)](spark,
+        ds => StreamAnomaly.verdicts(ds.toDF("event_type", "ts")).toDF(),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          (s"src${g % 64}", new Timestamp(base + g * 2000L)): (String, Timestamp)
+        }, "append", qn, batches, perBatch)),
       // per-source trending terms (r10): the Space-Saving buffer as
       // streaming aggregation state — one ≤capacity-slot sketch per
       // source, update mode

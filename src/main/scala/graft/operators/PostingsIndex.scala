@@ -90,14 +90,32 @@ object PostingsIndex {
   private def readSuperBits(s: SparkSession, indexDir: String): Int =
     s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("super_bits").toInt
 
+  /** Per-(term, superblock) impact bounds — the block-max table of the
+    * WAND family (Broder et al. CIKM'03; block-max variant Ding & Suel
+    * SIGIR'11), at superblock granularity so a bound row maps 1:1 to a
+    * prunable partition: `max_tf` and `min_dl` bound the term's best
+    * possible tf-part in the superblock (tfPart is monotone up in tf,
+    * down in dl), `df_sb` sums to the term's exact global df. Derived
+    * purely from the postings rows being written — never separately
+    * trusted. */
+  private def termStatsOf(state: DataFrame): DataFrame =
+    state
+      .select(col("term"), col("sb"), explode(col("plist")).as("p"))
+      .groupBy(col("term"), col("sb"))
+      .agg(max(col("p.tf")).as("max_tf"), min(col("p.dl")).as("min_dl"),
+        count(lit(1)).as("df_sb"))
+
   /** Build the index from a (doc_id, text) frame. Returns
     * (partitions written, posting rows). */
   def buildFrom(
       s: SparkSession, docs: DataFrame, indexDir: String,
       superBits: Int = defaultSuperBits): (Long, Long) = {
     import s.implicits._
-    writePartitioned(stateWithSb(docs, superBits), s"$indexDir/postings",
+    val state = stateWithSb(docs, superBits).localCheckpoint()
+    writePartitioned(state, s"$indexDir/postings", dynamic = false)
+    writePartitioned(termStatsOf(state), s"$indexDir/termstats",
       dynamic = false)
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(state)
     writePartitioned(blockStatsOf(docs, superBits), s"$indexDir/blockstats",
       dynamic = false)
     Seq(superBits.toLong).toDF("super_bits")
@@ -146,7 +164,16 @@ object PostingsIndex {
         .agg(array_distinct(array_sort(flatten(collect_list(col("plist")))))
           .as("plist"))
         .withColumn("sb", shiftright(col("block"), superBits).cast("int"))
+        // EAGER: three consumers (postings write, termstats re-derivation)
+        // and the write replaces files the merge read
+        .localCheckpoint()
       writePartitioned(merged, s"$indexDir/postings", dynamic = true)
+      // touched superblocks' term bounds, re-derived from the postings
+      // rows now standing — pure derivation, so a crash-and-retry
+      // converges exactly like the stats merge below
+      writePartitioned(termStatsOf(merged), s"$indexDir/termstats",
+        dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
       val statsMerged = s.read.parquet(s"$indexDir/blockstats")
         .where(col("sb").isin(sbs: _*))
         .select(col("sb"), col("n_docs"), col("total_len"), col("max_doc_id"))
@@ -230,17 +257,123 @@ object PostingsIndex {
     * frame and the superblock stats sum to the globals — then the
     * scoring epilogue is [[Retrieval.bm25Score]] verbatim, which is why
     * this entry shares `bm25_topk`'s oracle bit for bit. */
-  def query(s: SparkSession, indexDir: String): DataFrame = {
+  def query(
+      s: SparkSession, indexDir: String,
+      terms: Seq[String] = Retrieval.queryTerms): DataFrame = {
     val tf = s.read.parquet(s"$indexDir/postings")
-      .where(col("term").isin(Retrieval.queryTerms: _*))
+      .where(col("term").isin(terms: _*))
       .select(col("term").as("token"), explode(col("plist")).as("e"))
       .select(col("e.doc_id").as("doc_id"), col("e.dl").as("dl"),
         col("token"), col("e.tf").as("tf"))
       .localCheckpoint()
-    val stats = s.read.parquet(s"$indexDir/blockstats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
-    Retrieval.bm25Score(tf, stats)
+    Retrieval.bm25Score(tf, globalStats(s, indexDir))
   }
+
+  private def globalStats(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/blockstats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+
+  /** Score the docs of `sbs` only: a STATICALLY pruned partition scan of
+    * the selected superblocks, fed through the one shared scoring
+    * epilogue with the index's stored term df (a pruned tf frame can no
+    * longer derive df from itself — that is `bm25ScoreWith`'s seam). */
+  private def scoreSbs(
+      s: SparkSession, indexDir: String, terms: Seq[String],
+      sbs: Seq[Int], k: Int): DataFrame = {
+    val dfT = s.read.parquet(s"$indexDir/termstats")
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
+      .select(col("term").as("token"), col("df"))
+    val tf = s.read.parquet(s"$indexDir/postings")
+      .where(col("sb").isin(sbs.map(Integer.valueOf): _*) &&
+        col("term").isin(terms: _*))
+      .select(col("term").as("token"), explode(col("plist")).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.dl").as("dl"),
+        col("token"), col("e.tf").as("tf"))
+    Retrieval.bm25ScoreWith(tf, globalStats(s, indexDir), dfT, k)
+  }
+
+  /** WAND superblock selection: which partitions can possibly hold a
+    * top-`k` document? Returns (selected sbs, all sbs with query terms).
+    *
+    * Soundness is argued entirely in the QUANTIZED INTEGER domain the
+    * scores are summed in: per (term, sb) the bound
+    * `ubq = round(idf·tfPart(max_tf, min_dl)·10⁴)` uses the exact same
+    * expression trees as a document's per-term contribution
+    * (`Retrieval.qScoreCol`), and both trees are weakly monotone under
+    * IEEE round-to-nearest — so `qs(doc, term) ≤ ubq(term, sb)` holds as
+    * computed, not just mathematically, and a doc's total
+    * `sq = Σ qs ≤ Σ ubq = UBq(sb)` in exact BIGINT arithmetic. The
+    * threshold θ is the k-th best total sq over a bootstrap prefix of
+    * superblocks (taken in UBq-descending order until a per-sb LOWER
+    * bound on distinct docs — max over terms of df_sb — covers k);
+    * a superblock is pruned iff `UBq < θ` STRICTLY, because a pruned doc
+    * tying θ could still win the (sq desc, doc_id asc) tie-break. With
+    * fewer than k bootstrap docs, nothing prunes (θ undefined) and the
+    * query degenerates to the full indexed scan — correct, never wrong.
+    * Driver-side work is one collect of the per-sb bound frame
+    * (superblock-count-bounded, the touched-cells discipline). */
+  private[graft] def wandSelect(
+      s: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int): (Seq[Int], Seq[Int]) = {
+    val ts = s.read.parquet(s"$indexDir/termstats")
+      .where(col("term").isin(terms: _*))
+      .localCheckpoint() // tiny; bounds + df derive from one read
+    val dfT = ts.groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
+    val perSb = ts
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(globalStats(s, indexDir)))
+      .select(col("sb"), col("df_sb"),
+        Retrieval.qScoreCol(col("max_tf"), col("min_dl")).as("ubq"))
+      .groupBy(col("sb"))
+      .agg(sum(col("ubq")).as("ub"), max(col("df_sb")).as("min_docs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(ts)
+    val byBound = perSb.sortBy(r => (-r._2, r._1))
+    // bootstrap: the best-bounded prefix guaranteed to hold ≥ k docs
+    val cum = byBound.scanLeft(0L)(_ + _._3).tail
+    val nBoot = cum.indexWhere(_ >= k) match {
+      case -1 => byBound.length
+      case i  => i + 1
+    }
+    val boot = byBound.take(nBoot).map(_._1).toSeq
+    val theta: Option[Long] =
+      if (boot.isEmpty) None
+      else {
+        val scores = scoreSbs(s, indexDir, terms, boot, k).collect()
+        if (scores.length < k) None
+        else Some(scores.map(r => math.rint(r.getDouble(1) * 10000.0).toLong).min)
+      }
+    val selected = theta match {
+      case None    => byBound.map(_._1).toSeq
+      case Some(t) => (boot ++ byBound.drop(nBoot).filter(_._2 >= t).map(_._1)).toSeq
+    }
+    (selected.sorted, perSb.map(_._1).sorted.toSeq)
+  }
+
+  /** Block-max WAND top-`k`: prune superblock partitions whose quantized
+    * impact upper bound cannot reach the bootstrap threshold, then score
+    * ONLY the surviving partitions — the classic two-level
+    * candidate-then-exact retrieval shape ([[wandSelect]] carries the
+    * exactness argument), bit-identical to the full indexed scan and so
+    * to `bm25_topk`'s oracle. On a corpus whose probe terms spread
+    * evenly the bound never separates and nothing prunes (the gate
+    * corpus — documented, still exact); the spec's skewed corpus proves
+    * the pruning bites where impact concentrates. */
+  def queryWand(
+      s: SparkSession, indexDir: String,
+      terms: Seq[String] = Retrieval.queryTerms, k: Int = 10): DataFrame = {
+    val (selected, _) = wandSelect(s, indexDir, terms, k)
+    if (selected.isEmpty) scoreSbs(s, indexDir, terms, Seq.empty, k)
+    else scoreSbs(s, indexDir, terms, selected, k)
+  }
+
+  /** Oracle-gated WAND entry (`bm25_wand`): the same lifecycle index as
+    * `bm25_indexed`, queried through the pruning path; shares
+    * `bm25_topk`'s oracle because the pruning is exact. */
+  def bm25Wand(s: SparkSession, dir: String): DataFrame =
+    queryWand(s, ensureLifecycleIndex(s, dir))
 
   /** Oracle-gated query entry (`bm25_indexed`): build-once/query-many
     * through the FULL lifecycle — bootstrap from the corpus prefix below
@@ -257,9 +390,10 @@ object PostingsIndex {
   private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
-    // v2: layout version in the path — a layout change (docstats →
-    // blockstats) must never reuse an old-layout index behind the marker
-    val idx = s"/tmp/graft_postings_v2_${java.lang.Long.toHexString(tag)}"
+    // v3: layout version in the path — a layout change (v2 blockstats,
+    // v3 + termstats) must never reuse an old-layout index behind the
+    // marker
+    val idx = s"/tmp/graft_postings_v3_${java.lang.Long.toHexString(tag)}"
     if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Corpus
@@ -212,17 +212,41 @@ object Retrieval {
     * frame itself (≤ |query| rows after aggregation, broadcast back);
     * per-(doc, term) scores quantize to 10⁻⁴ BIGINTs before the sum, so
     * the total is partition-order-free; top-k is a TakeOrdered. */
-  private[graft] def bm25Score(
-      tf: DataFrame, stats: DataFrame, k: Int = 10): DataFrame = {
-    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val idf = log(
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+  /** THE per-(doc, term) score pieces — single expression trees shared by
+    * every BM25 path (full-scan, indexed, rerank stage 1, WAND bounds),
+    * so all of them stay bit-identical to the one oracle. Both pieces are
+    * WEAKLY MONOTONE under IEEE round-to-nearest (each step is a rounded
+    * monotone op), which is what makes the WAND upper bounds sound:
+    * `idfCol` expects (df, n_docs) columns, increasing as df decreases;
+    * `tfPartCol` expects (tf, dl, total_len, n_docs), increasing in tf,
+    * decreasing in dl. */
+  private[graft] def idfCol: Column = log(
+    (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+
+  private[graft] def tfPartCol(tf: Column, dl: Column): Column = {
     val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
-    val tfPart = (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val qscore = round(idf * tfPart * 10000.0, 0).cast("long")
+    (tf.cast("double") * lit(k1 + 1.0)) /
+      (tf.cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
+  }
+
+  /** One quantized per-(doc, term) contribution (BIGINT 1e-4 units). */
+  private[graft] def qScoreCol(tf: Column, dl: Column): Column =
+    round(idfCol * tfPartCol(tf, dl) * 10000.0, 0).cast("long")
+
+  private[graft] def bm25Score(
+      tf: DataFrame, stats: DataFrame, k: Int = 10): DataFrame =
+    bm25ScoreWith(tf, stats,
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df")), k)
+
+  /** [[bm25Score]] with the per-term document frequency supplied by the
+    * caller — the seam the WAND path needs: a pruned tf frame no longer
+    * contains every doc of a term, so df must come from the index's
+    * stored term stats instead of the frame itself. */
+  private[graft] def bm25ScoreWith(
+      tf: DataFrame, stats: DataFrame, dfT: DataFrame, k: Int): DataFrame = {
+    val qscore = qScoreCol(col("tf"), col("dl"))
     tf.join(broadcast(dfT), Seq("token"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), qscore.as("qs"))

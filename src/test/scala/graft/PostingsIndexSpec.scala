@@ -82,10 +82,53 @@ class PostingsIndexSpec extends AnyFunSuite {
       "lifecycle layout must converge to the one-shot build")
     // stored superblock stats merged to the one-shot values, row for row
     assert(statRows(lifecycleDir) === statRows(oneShotDir))
+    // the WAND bound table converges too (re-derived from the merged
+    // postings on append, never separately trusted)
+    def termStats(idx: String) = spark.read.parquet(s"$idx/termstats")
+      .collect().map(r => (r.getString(0), r.getInt(4),
+        r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(termStats(lifecycleDir) === termStats(oneShotDir),
+      "appended termstats diverged from a one-shot build")
     // replaying the same batch appends nothing (watermark guard)
     val (re, reParts) =
       PostingsIndex.append(spark, lifecycleDir, all.where(col("doc_id") >= 256))
     assert(re === 0L && reParts === 0L, "a replayed batch must be a no-op")
+  }
+
+  test("bm25_wand equals the full-scan bm25_topk row for row") {
+    val wand = PostingsIndex.bm25Wand(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val scanned = Retrieval.bm25Topk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(wand.sameElements(scanned),
+      "WAND-pruned scoring must be bit-identical to the corpus-scan operator")
+  }
+
+  test("WAND prunes the superblocks impact cannot reach; pruned result stays exact") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_wand")
+    // skewed corpus: every doc is 10 tokens with constant dl; "hot"
+    // carries tf=3 in superblock 0 and tf=1 everywhere else, so sb 0's
+    // quantized bound strictly dominates and θ (the 10th-best full score,
+    // all sb-0 docs tie) exceeds the other superblocks' bounds
+    val docs = (0L to 700L by 7L).map { i =>
+      val rep = if (i < 256) 3 else 1
+      (i, ("hot " * rep) + (1 to (10 - rep)).map(j => s"f${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    PostingsIndex.buildFrom(spark, docs, idx, superBits = 2)
+
+    val (selected, all) = PostingsIndex.wandSelect(spark, idx, Seq("hot"), 10)
+    assert(all === Seq(0, 1, 2), s"scenario must span 3 superblocks, got $all")
+    assert(selected === Seq(0),
+      s"only the impact-bearing superblock may survive selection, got $selected")
+
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getDouble(1))
+    val wand = PostingsIndex.queryWand(spark, idx, Seq("hot"), 10).collect().map(key)
+    val full = PostingsIndex.query(spark, idx, Seq("hot")).collect().map(key)
+    assert(wand.sameElements(full), "pruning changed the top-k")
+    // tie-break sanity: all sb-0 docs score identically, so the top-10
+    // are the ten smallest doc_ids
+    assert(wand.map(_._1).toSeq === (0L to 63L by 7L).take(10).toSeq)
   }
 
   test("compact merges fragmented superblocks to one file each, bit-identical rows, others untouched") {

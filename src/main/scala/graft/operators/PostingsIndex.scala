@@ -387,6 +387,53 @@ object PostingsIndex {
   def bm25Indexed(s: SparkSession, dir: String): DataFrame =
     query(s, ensureLifecycleIndex(s, dir))
 
+  /** Phrase search FROM THE INDEX (`phrase_search_indexed`): the standing
+    * inverted index prunes the verify set before any text is tokenized.
+    * Candidates per phrase = docs whose stored tf reaches every distinct
+    * term's multiplicity in the phrase (tf ≥ m is necessary for a term
+    * to occupy m distinct slots — a superset of the true matches, and a
+    * superset under the SAME canonical tokenization the verify uses,
+    * the precondition that makes index pruning sound); the intersection
+    * across terms is one doc-keyed aggregate over the term-pruned
+    * postings scan. The positional verify then runs
+    * [[Retrieval.phraseHitsOf]] with pid PINNED per candidate pair, so a
+    * doc is only verified against phrases it was a candidate for —
+    * identical output to the full-scan path, so the entry SHARES
+    * `phrase_search`'s oracle.
+    *
+    * 100 TB shape: the postings scan reads Σ df(term) rows, not the
+    * corpus (term-pruned in the scan — the index is the point); the
+    * candidate set is bounded by the rarest term's df. The doc join is
+    * NOT hint-forced: for rare-term phrases AQE broadcasts the candidate
+    * frame, while a stopword-only phrase (corpus-proportional
+    * candidates) degrades to a shuffle join instead of a driver-OOM
+    * broadcast (the packInterleave lesson, round 10). */
+  def phraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureLifecycleIndex(s, dir)
+    val phrases = Retrieval.gatePhrases
+    val cands = phrases.zipWithIndex.map { case (p, pid) =>
+      val mult = p.groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
+      val needTf = p.distinct.foldLeft(lit(Long.MaxValue)) { (acc, t) =>
+        when(col("term") === t, lit(mult(t))).otherwise(acc)
+      }
+      s.read.parquet(s"$idx/postings")
+        .where(col("term").isin(p.distinct: _*))
+        .select(col("term"), explode(col("plist")).as("e"))
+        .where(col("e.tf") >= needTf)
+        .groupBy(col("e.doc_id").as("doc_id"))
+        .agg(count_distinct(col("term")).as("nt"))
+        .where(col("nt") === p.distinct.size)
+        .select(col("doc_id"), lit(pid).as("pid"))
+    }.reduce(_ unionByName _)
+    val toks = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
+      .join(cands, Seq("doc_id"))
+      .select(col("doc_id"), col("pid"),
+        posexplode(graft.operators.TextAnalysis.tokensCol(col("text"))))
+      .toDF("doc_id", "pid", "pos", "token")
+      .where(col("token").isin(phrases.flatten.distinct: _*))
+    Retrieval.phraseHitsOf(toks, phrases)
+  }
+
   private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL

@@ -461,4 +461,99 @@ object Retrieval {
        |  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
        |  FROM fused) WHERE rank <= $rrfOutK""".stripMargin
+
+  /** Gate phrases for [[phraseSearch]]: one with a REPEATED term (a token
+    * may satisfy two slots of the same phrase — the slot-distinctness
+    * subtlety), one 2-gram with broad support at every test SF. */
+  private[graft] val gatePhrases: Seq[Seq[String]] =
+    Seq(Seq("table", "table", "key"), Seq("table", "part"))
+
+  /** Exact phrase search (`phrase_search`): per (phrase, document), how
+    * many times the token sequence occurs and where it first starts —
+    * the positional-retrieval capability (quote queries, contamination
+    * probes by exact passage) the BM25 family's bag-of-words scoring
+    * cannot express.
+    *
+    * Plan: ONE tokenize+posexplode scan; the `isin` over the phrases'
+    * term set runs in the same codegen stage as the explode, so only
+    * phrase-term occurrences ever leave the scan task — at 100 TB the
+    * exchanged row count is Σ_terms df·tf (query-bounded), not the token
+    * count. Each surviving token emits one (phrase, slot) candidate per
+    * slot it could fill; a single (phrase, doc, start)-keyed aggregate
+    * with map-side partials then verifies adjacency by DISTINCT-SLOT
+    * COUNT — `count(distinct slot) = |phrase|` iff every position
+    * start..start+k-1 held the right term — replacing the k-way
+    * positional self-join a naive plan would shuffle k times (the DuckDB
+    * oracle does exactly that slice-compare form). Distinctness (not
+    * plain count) is what makes repeated phrase terms correct: one token
+    * matching two slots lands at two DIFFERENT starts, but at the same
+    * start it must not double-count a single slot. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseHitsOf(
+      slottedTokens(Corpus.documents(s, dir).select(col("doc_id"), col("text"))),
+      gatePhrases)
+
+  /** The (doc_id, pid, pos, token) stream [[phraseHitsOf]] consumes:
+    * pid = null means the row may serve ANY phrase (the full-scan path);
+    * the indexed path joins a per-phrase candidate set first and pins
+    * pid so a doc is verified only against the phrases it was a
+    * candidate for. */
+  private def slottedTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lit(null).cast("int").as("pid"),
+        posexplode(TextAnalysis.tokensCol(col("text"))))
+      .toDF("doc_id", "pid", "pos", "token")
+      .where(col("token").isin(gatePhrases.flatten.distinct: _*))
+
+  /** The slot-verification kernel shared by the full-scan and indexed
+    * paths (identical output = shared oracle). */
+  private[graft] def phraseHitsOf(
+      toks: DataFrame, phrases: Seq[Seq[String]]): DataFrame = {
+    val slots = for {
+      (p, pid) <- phrases.zipWithIndex
+      (t, i) <- p.zipWithIndex
+    } yield (pid, i, t)
+    val emit = array(slots.map { case (pid, i, t) =>
+      when((col("pid").isNull || col("pid") === pid) && col("token") === lit(t),
+        struct(lit(pid).as("pid"), lit(i).as("slot"))).otherwise(lit(null))
+    }: _*)
+    val lenOf = element_at(
+      array(phrases.map(p => lit(p.length.toLong)): _*), col("pid") + 1)
+    val strOf = element_at(
+      array(phrases.map(p => lit(p.mkString(" "))): _*), col("pid") + 1)
+    toks
+      .select(col("doc_id"), col("pos"),
+        explode(filter(emit, e => e.isNotNull)).as("e"))
+      .select(col("doc_id"), col("e.pid").as("pid"), col("e.slot").as("slot"),
+        (col("pos") - col("e.slot")).as("start"))
+      .where(col("start") >= 0)
+      .groupBy(col("pid"), col("doc_id"), col("start"))
+      .agg(count_distinct(col("slot")).as("nslots"))
+      .where(col("nslots") === lenOf)
+      .groupBy(col("pid"), col("doc_id"))
+      .agg(count(lit(1)).as("hits"), min(col("start")).cast("long").as("first_pos"))
+      .select(strOf.as("phrase"), col("doc_id"), col("hits"), col("first_pos"))
+  }
+
+  /** [[phraseSearch]]'s oracle, in the house positional form
+    * ([[Dedup.posGramsSqlForN]]'s `UNNEST(range(...)) AS u(pos)` +
+    * direct slice compare) — structurally UNLIKE the Spark plan's
+    * slot-count verification, which is the point of an oracle. */
+  val phraseSearchSql: String = {
+    val legs = gatePhrases.map { p =>
+      val conds = p.zipWithIndex
+        .map { case (t, i) => s"toks[pos+${i + 1}] = '$t'" }.mkString(" AND ")
+      s"""SELECT '${p.mkString(" ")}' AS phrase, doc_id,
+         |    CAST(pos AS BIGINT) AS pos
+         |  FROM t, UNNEST(range(0, len(toks) - ${p.length - 1})) AS u(pos)
+         |  WHERE $conds""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks
+       |  FROM documents),
+       |m AS (
+       |  $legs)
+       |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS hits,
+       |  MIN(pos) AS first_pos
+       |FROM m GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -60,6 +60,29 @@ object PostingsIndex {
       .otherwise(size(toks).cast("long"))
   }
 
+  /** The positional payload of a (doc_id, text) frame, as its OWN table
+    * (Lucene's .doc/.pos file split): one row per (term, doc) carrying
+    * the sorted token positions, partitioned by the same superblock as
+    * the postings rows. Kept out of the postings struct on purpose —
+    * nested-schema pruning cannot drop a struct field through `explode`
+    * when several fields are read, so in-struct positions would tax
+    * every BM25 scan with the index's largest column (total ints =
+    * total tokens, vs Σ df posting rows); in its own table the doc-only
+    * paths never open a positions file at all (spec-pinned via
+    * ReadSchema). */
+  private[graft] def positionsStateOf(docs: DataFrame, superBits: Int): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    docs
+      .select(col("doc_id"), posexplode(toks))
+      .withColumnRenamed("col", "term")
+      .where(length(col("term")) > 0)
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("sb",
+        shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
+          .cast("int"))
+  }
+
   /** Per-superblock doc stats of a (doc_id, text) frame: one scan, no
     * explode. Includes superblocks whose docs have zero tokens (they
     * produce no postings but must count toward the globals). */
@@ -116,6 +139,8 @@ object PostingsIndex {
     writePartitioned(termStatsOf(state), s"$indexDir/termstats",
       dynamic = false)
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(state)
+    writePartitioned(positionsStateOf(docs, superBits),
+      s"$indexDir/positions", dynamic = false)
     writePartitioned(blockStatsOf(docs, superBits), s"$indexDir/blockstats",
       dynamic = false)
     Seq(superBits.toLong).toDF("super_bits")
@@ -174,6 +199,19 @@ object PostingsIndex {
       writePartitioned(termStatsOf(merged), s"$indexDir/termstats",
         dynamic = true)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
+      // positional payload for the same touched partitions — pure
+      // derivation like termstats, written BEFORE blockstats so the
+      // watermark advances last; the batch's rows are watermark-new, so
+      // dropDuplicates only fires on a replay (identical rows — the same
+      // role array_distinct plays in the plist merge)
+      val posMerged = s.read.parquet(s"$indexDir/positions")
+        .where(col("sb").isin(sbs: _*))
+        .unionByName(positionsStateOf(batch, superBits))
+        .dropDuplicates(Seq("term", "doc_id"))
+        // EAGER: the write replaces the files the merge read
+        .localCheckpoint()
+      writePartitioned(posMerged, s"$indexDir/positions", dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(posMerged)
       val statsMerged = s.read.parquet(s"$indexDir/blockstats")
         .where(col("sb").isin(sbs: _*))
         .select(col("sb"), col("n_docs"), col("total_len"), col("max_doc_id"))
@@ -227,28 +265,38 @@ object PostingsIndex {
       s: SparkSession,
       indexDir: String,
       maxFilesPerSb: Int = 4): (Long, Long, Long) = {
-    val root = new java.io.File(s"$indexDir/postings")
     def dataFiles(d: java.io.File): Int =
       Option(d.listFiles()).map(_.count(f =>
         f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
         .getOrElse(0)
-    val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("sb="))
-      .filter(dataFiles(_) > maxFilesPerSb)
-    if (frag.isEmpty) (0L, 0L, 0L)
-    else {
-      val ids = frag.map(_.getName.stripPrefix("sb=").toInt)
-      val before = frag.map(dataFiles).sum.toLong
-      val merged = s.read.parquet(s"$indexDir/postings")
-        .where(col("sb").isin(ids.map(Integer.valueOf): _*))
-        .repartition(col("sb"))
-        // EAGER: the rewrite deletes the very files being read (the
-        // append-path hazard, same cure)
-        .localCheckpoint()
-      writePartitioned(merged, s"$indexDir/postings", dynamic = true)
-      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
-      val after = frag.map(dataFiles).sum.toLong
-      (frag.size.toLong, before, after)
+    // both row tables fragment the same way under streaming ingest (the
+    // positions table rewrites the hot tail each micro-batch too);
+    // blockstats never fragments (one row per sb)
+    def compactDir(path: String): (Long, Long, Long) = {
+      val root = new java.io.File(path)
+      val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith("sb="))
+        .filter(dataFiles(_) > maxFilesPerSb)
+      if (frag.isEmpty) (0L, 0L, 0L)
+      else {
+        val ids = frag.map(_.getName.stripPrefix("sb=").toInt)
+        val before = frag.map(dataFiles).sum.toLong
+        val merged = s.read.parquet(path)
+          .where(col("sb").isin(ids.map(Integer.valueOf): _*))
+          .repartition(col("sb"))
+          // EAGER: the rewrite deletes the very files being read (the
+          // append-path hazard, same cure)
+          .localCheckpoint()
+        writePartitioned(merged, path, dynamic = true)
+        org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
+        val after = frag.map(dataFiles).sum.toLong
+        (frag.size.toLong, before, after)
+      }
+    }
+    val dirs = Seq(s"$indexDir/postings", s"$indexDir/positions")
+      .filter(p => new java.io.File(p).isDirectory)
+    dirs.map(compactDir).foldLeft((0L, 0L, 0L)) {
+      case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
     }
   }
 
@@ -408,6 +456,35 @@ object PostingsIndex {
     * frame, while a stopword-only phrase (corpus-proportional
     * candidates) degrades to a shuffle join instead of a driver-OOM
     * broadcast (the packInterleave lesson, round 10). */
+  /** Phrase search FROM POSITIONS (`phrase_search_positional`): the
+    * index's stored positional payload answers the phrase query with NO
+    * corpus access at all — the Lucene production shape, and the last
+    * step of the trio (full scan → index-candidates + text verify →
+    * positions-only). The term-pruned postings scan explodes each
+    * posting's positions back into exactly the (doc_id, pos, token)
+    * stream the full scan's tokenizer would have emitted for those terms
+    * (same canonical tokenization at build time — the equivalence that
+    * lets all three paths share ONE oracle), then the shared slot kernel
+    * verifies adjacency. Spec-pinned: the plan reads only the index's
+    * `positions/` table, never documents.parquet — and conversely the
+    * BM25 paths never open a positions file ([[positionsStateOf]]'s
+    * .doc/.pos split).
+    *
+    * 100 TB shape: bytes read = the phrase terms' positions rows
+    * (Σ df·(1 + tf) ints, term-pruned in the scan) — independent of
+    * corpus text size; everything downstream is bounded by the same
+    * term-pruned row count as the full scan's post-filter stream, minus
+    * the corpus tokenize. */
+  def phraseSearchPositional(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureLifecycleIndex(s, dir)
+    val phrases = Retrieval.gatePhrases
+    val toks = s.read.parquet(s"$idx/positions")
+      .where(col("term").isin(phrases.flatten.distinct: _*))
+      .select(col("doc_id"), lit(null).cast("int").as("pid"),
+        explode(col("positions")).as("pos"), col("term").as("token"))
+    Retrieval.phraseHitsOf(toks, phrases)
+  }
+
   def phraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureLifecycleIndex(s, dir)
     val phrases = Retrieval.gatePhrases
@@ -437,10 +514,10 @@ object PostingsIndex {
   private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
-    // v3: layout version in the path — a layout change (v2 blockstats,
-    // v3 + termstats) must never reuse an old-layout index behind the
-    // marker
-    val idx = s"/tmp/graft_postings_v3_${java.lang.Long.toHexString(tag)}"
+    // v4: layout version in the path — a layout change (v2 blockstats,
+    // v3 + termstats, v4 + positional payload) must never reuse an
+    // old-layout index behind the marker
+    val idx = s"/tmp/graft_postings_v4_${java.lang.Long.toHexString(tag)}"
     if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2

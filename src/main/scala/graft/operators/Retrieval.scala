@@ -56,7 +56,13 @@ object Retrieval {
     * payload alongside the id: tf, and the doc's length dl — the
     * denormalized norm every impact-ordered production index stores with
     * the posting, so query-time scoring never joins a doc-length table
-    * (one long per posting buys the join away). */
+    * (one long per posting buys the join away). Token POSITIONS are
+    * deliberately NOT here: Spark's nested-schema pruning cannot drop a
+    * struct field through `explode` when several fields are read, so an
+    * in-struct positional payload would tax every BM25 scan with the
+    * index's largest column — the persisted index stores positions as a
+    * separate table instead (Lucene's .doc/.pos file split;
+    * [[graft.operators.PostingsIndex.positionsStateOf]]). */
   private[graft] def postingsStateOf(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
     val dlCol = when(length(TextAnalysis.normTextCol(col("text"))) === 0, 0L)

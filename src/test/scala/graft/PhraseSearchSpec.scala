@@ -74,6 +74,80 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(idx === full)
   }
 
+  test("positional path == full scan, with the corpus never read") {
+    val full = Retrieval.phraseSearch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val posQ = PostingsIndex.phraseSearchPositional(spark, sf)
+    val pos = posQ.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(full.nonEmpty && pos === full)
+    val plan = posQ.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"positional phrase query read the corpus:\n$plan")
+    assert(plan.contains("/positions"),
+      s"positional phrase query did not read the positions table:\n$plan")
+  }
+
+  test("the .doc/.pos split: BM25's postings reads never open a positions file") {
+    // positions live in their OWN table, not a plist struct field —
+    // nested-schema pruning cannot drop a struct field through explode
+    // when several fields are read, so in-struct positions would ride
+    // along on every BM25 scan; pin both halves of the split
+    val idx = {
+      val d = java.nio.file.Files.createTempDirectory("graft_pos_prune").toFile
+      d.deleteOnExit()
+      d.getAbsolutePath
+    }
+    import spark.implicits._
+    PostingsIndex.buildFrom(spark,
+      (0L to 100L).map(i => (i, s"alpha beta gamma doc$i")).toDF("doc_id", "text"),
+      idx, superBits = 2)
+    val tfPlan = spark.read.parquet(s"$idx/postings")
+      .where(col("term").isin("alpha", "beta"))
+      .select(col("term"), explode(col("plist")).as("e"))
+      .select(col("e.doc_id"), col("e.dl"), col("e.tf"))
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("ReadSchema") && !tfPlan.contains("positions"),
+      s"a BM25-shaped postings read touched positions:\n$tfPlan")
+    // and the payload actually exists on the other side of the split,
+    // sorted per (term, doc)
+    val posRows = spark.read.parquet(s"$idx/positions")
+      .where(col("term") === "alpha").collect()
+    assert(posRows.length === 101)
+    assert(posRows.forall(_.getAs[Seq[Int]]("positions") === Seq(0)))
+  }
+
+  test("append converges the positions table to the one-shot layout; replay is a no-op") {
+    import spark.implicits._
+    def synth(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, s"alpha beta doc$i alpha")).toDF("doc_id", "text")
+    def tmp(n: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(n).toFile
+      d.deleteOnExit()
+      d.getAbsolutePath
+    }
+    def posRows(idx: String): Set[(String, Long, Seq[Int])] =
+      spark.read.parquet(s"$idx/positions").collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+          r.getAs[Seq[Int]]("positions"))).toSet
+    val ids = 0L to 700L by 7L
+    val oneShot = tmp("graft_pos_one")
+    PostingsIndex.buildFrom(spark, synth(ids), oneShot, superBits = 2)
+    val staged = tmp("graft_pos_staged")
+    val (lo, hi) = ids.partition(_ < 350L)
+    PostingsIndex.buildFrom(spark, synth(lo), staged, superBits = 2)
+    PostingsIndex.append(spark, staged, synth(hi))
+    assert(posRows(staged) === posRows(oneShot))
+    // replayed batch: every doc at or below the watermark — merges nothing
+    PostingsIndex.append(spark, staged, synth(hi))
+    assert(posRows(staged) === posRows(oneShot))
+    // and the repeated term's positions are the sorted pair (0, 3)
+    assert(posRows(staged).filter(_._1 == "alpha")
+      .forall(_._3 === Seq(0, 3)))
+  }
+
   test("tf >= multiplicity candidate cut is non-vacuous for the repeated-term phrase") {
     // docs holding 'table' ONCE can never match "table table key" — the
     // indexed path's tf>=2 cut must exclude them while the 2-gram's tf>=1

@@ -43,7 +43,13 @@ object EntityResolution {
     * stable integer node id the contraction runs on — `min(p_partkey)`
     * is deterministic and oracle-recomputable, unlike a hash. */
   private def nameUniverse(s: SparkSession, dir: String): DataFrame =
-    Corpus.part(s, dir)
+    universeOf(Corpus.part(s, dir))
+
+  /** [[nameUniverse]] over an arbitrary (p_partkey, p_name) frame —
+    * shared with the incremental path, whose batch universe must use
+    * the IDENTICAL nid/blk derivation or merge precedence breaks. */
+  private[graft] def universeOf(parts: DataFrame): DataFrame =
+    parts
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_rows"))
       .withColumn("blk", element_at(split(col("p_name"), " "), 2))
@@ -75,10 +81,17 @@ object EntityResolution {
   /** Oracle-gated `entity_resolution`: (p_name, entity_id, n_rows) — the
     * canonical entity label (component-minimum nid) for every distinct
     * name, singletons labelling themselves. */
-  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+  def entityResolution(s: SparkSession, dir: String): DataFrame =
+    resolveLabels(s, nameUniverse(s, dir))
+      .select(col("p_name"), col("entity_id"), col("n_rows"))
+
+  /** Full resolution of a universe frame, keeping the working columns:
+    * (p_name, nid, n_rows, blk, entity_id) — the standing table the
+    * incremental path merges into. */
+  private[graft] def resolveLabels(s: SparkSession, universe: DataFrame): DataFrame = {
     // the universe feeds both self-join sides and the final label join —
     // three consumers, one tiny frame: materialize once
-    val names = nameUniverse(s, dir).localCheckpoint()
+    val names = universe.localCheckpoint()
     // canonical src > dst for the contraction
     val edges = matchesOf(names)
       .select(col("nid_b").as("src"), col("nid_a").as("dst"))
@@ -86,9 +99,81 @@ object EntityResolution {
     val labels = Dedup.starContract(s, edges)
     val out = names
       .join(labels, names("nid") === labels("doc_id"), "left")
+      .select(col("p_name"), col("nid"), col("n_rows"), col("blk"),
+        coalesce(col("label"), col("nid")).as("entity_id"))
+      .localCheckpoint() // materialize before freeing the inputs
+    Seq(edges, names).foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
+    out
+  }
+
+  /** Ingest cut for the gate's incremental scenario: standing state =
+    * parts below, daily batch = parts at or above (append-only partkey
+    * ingest — the discipline every incremental entry shares). */
+  private[graft] val entityCut = 100L
+
+  /** Oracle-gated `entity_incremental`: yesterday's resolved label table
+    * absorbs a new-parts batch WITHOUT re-resolving the universe — and
+    * must equal the full recompute row for row, so the entry SHARES
+    * `entity_resolution`'s oracle (the incremental family's
+    * strongest-form contract).
+    *
+    * What the merge re-verifies is the load-bearing bound: only pairs
+    * with a NEW name on one side (Σ_blocks new·|block| candidates — the
+    * daily term, not the Σ|block|² universe term), because old↔old
+    * connectivity is already summarized by the standing labels. Those
+    * labels re-enter the closure as EDGES (nid → entity_id, each a real
+    * member-to-member edge of the old match graph's transitive
+    * closure), so a new name bridging two standing entities merges them
+    * — the case a label-preserving merge would get wrong, spec-pinned.
+    * Append-only ingest gives snapshot precedence for free: an old
+    * name's nid = min partkey sits below the cut, so the merged nid,
+    * and hence every label, is recompute-identical. */
+  def entityIncremental(s: SparkSession, dir: String): DataFrame = {
+    val parts = Corpus.part(s, dir).select(col("p_partkey"), col("p_name"))
+    val snap = resolveLabels(s, universeOf(parts.where(col("p_partkey") < entityCut)))
+    entityMerge(s, snap, parts.where(col("p_partkey") >= entityCut))
+  }
+
+  /** Merge a (p_partkey, p_name) batch into a standing resolved table.
+    * One batch-only scan; everything else is vocabulary-sized. */
+  private[graft] def entityMerge(
+      s: SparkSession, snap: DataFrame, incoming: DataFrame): DataFrame = {
+    val inc = universeOf(incoming)
+    val names = snap.as("s")
+      .join(inc.as("i"), col("s.p_name") === col("i.p_name"), "full")
+      .select(
+        coalesce(col("s.p_name"), col("i.p_name")).as("p_name"),
+        // snapshot precedence: a standing name's nid is below the cut,
+        // the batch's min partkey cannot beat it
+        coalesce(col("s.nid"), col("i.nid")).as("nid"),
+        (coalesce(col("s.n_rows"), lit(0L)) + coalesce(col("i.n_rows"), lit(0L)))
+          .as("n_rows"),
+        coalesce(col("s.blk"), col("i.blk")).as("blk"),
+        col("s.entity_id").as("old_label"),
+        col("s.p_name").isNull.as("is_new"))
+      .localCheckpoint()
+    // new edges: every NEW name against its whole block (old names and
+    // new block-mates alike); nid_a > nid_b emits each unordered pair
+    // once — new↔old pairs always order this way (new nids sit above
+    // the cut), new↔new pairs appear in both role assignments
+    val newEdges = names.where(col("is_new")).as("a")
+      .join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.nid") > col("b.nid"))
+      .where(levenshtein(col("a.p_name"), col("b.p_name")) <= editMax)
+      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+    // standing labels as edges: each a member→component-min edge of the
+    // old match graph's closure, so old↔old connectivity re-enters the
+    // contraction without re-verifying a single old pair
+    val labelEdges = names
+      .where(!col("is_new") && col("old_label") =!= col("nid"))
+      .select(col("nid").as("src"), col("old_label").as("dst"))
+    val edges = newEdges.unionByName(labelEdges).localCheckpoint()
+    val labels = Dedup.starContract(s, edges)
+    val out = names
+      .join(labels, names("nid") === labels("doc_id"), "left")
       .select(col("p_name"),
         coalesce(col("label"), col("nid")).as("entity_id"), col("n_rows"))
-      .localCheckpoint() // materialize before freeing the inputs
+      .localCheckpoint()
     Seq(edges, names).foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     out
   }

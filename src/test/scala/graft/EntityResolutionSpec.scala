@@ -56,6 +56,55 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(keys.distinct.length === keys.length, "pair emitted twice")
   }
 
+  test("incremental merge == full recompute on the gate corpus, with a non-vacuous cut") {
+    import org.apache.spark.sql.functions.col
+    val full = EntityResolution.entityResolution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = EntityResolution.entityIncremental(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full)
+    // the cut must actually split the corpus: standing names AND new
+    // names both exist, or the scenario degenerates
+    val parts = graft.sources.Corpus.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"))
+    val snapNames = parts.where(col("p_partkey") < EntityResolution.entityCut)
+      .select("p_name").distinct().collect().map(_.getString(0)).toSet
+    val allNames = parts.select("p_name").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(snapNames.nonEmpty && (allNames -- snapNames).nonEmpty,
+      s"cut ${EntityResolution.entityCut} does not split the universe")
+  }
+
+  test("a new name bridging two standing entities merges them through label edges") {
+    import spark.implicits._
+    // standing: two singleton entities 3+ edits apart (no old-old match)
+    val snapParts = Seq((1L, "aaaaaa k"), (2L, "bbbaaa k"))
+      .toDF("p_partkey", "p_name")
+    val snap = EntityResolution.resolveLabels(
+      spark, EntityResolution.universeOf(snapParts))
+    assert(snap.collect().map(r => r.getAs[Long]("entity_id")).distinct.length === 2,
+      "precondition: the standing names must be separate entities")
+    // batch: one bridge within distance 2 of BOTH (d=2 to aaaaaa, d=1
+    // to bbbaaa) — label-preserving merges get this wrong
+    val merged = EntityResolution.entityMerge(spark, snap,
+      Seq((101L, "bbaaaa k")).toDF("p_partkey", "p_name")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged.keySet === Set("aaaaaa k", "bbbaaa k", "bbaaaa k"))
+    assert(merged.values.map(_._1).toSet === Set(1L),
+      s"bridge must merge everything into entity 1, got $merged")
+  }
+
+  test("re-ingesting rows of a standing name keeps its nid and adds support") {
+    import spark.implicits._
+    val snap = EntityResolution.resolveLabels(spark,
+      EntityResolution.universeOf(Seq((5L, "zzzz q")).toDF("p_partkey", "p_name")))
+    val merged = EntityResolution.entityMerge(spark, snap,
+      Seq((200L, "zzzz q"), (201L, "zzzz q")).toDF("p_partkey", "p_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(merged.toSeq === Seq(("zzzz q", 5L, 3L)),
+      "snapshot precedence: nid stays the standing min, n_rows accumulates")
+  }
+
   test("n_rows sums to the corpus row count — support rides the universe aggregate") {
     val res = EntityResolution.entityResolution(spark, sf)
     val total = res.agg(org.apache.spark.sql.functions.sum("n_rows"))

@@ -83,6 +83,18 @@ object PostingsIndex {
           .cast("int"))
   }
 
+  /** Per-doc lengths as their own table (Lucene's .nvd norms file): one
+    * (doc_id, dl) row per doc, partitioned by superblock. The postings
+    * keep dl denormalized for scan-time scoring; THIS table is the
+    * source of truth that makes [[delete]] exact — blockstats for a
+    * touched superblock recompute from the surviving doclens rows, which
+    * include zero-token docs (they have no postings or positions row to
+    * recover a count from, but they do count toward n_docs). */
+  private[graft] def doclensStateOf(docs: DataFrame, superBits: Int): DataFrame =
+    docs.select(col("doc_id"), dlCol.as("dl"),
+      shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
+        .cast("int").as("sb"))
+
   /** Per-superblock doc stats of a (doc_id, text) frame: one scan, no
     * explode. Includes superblocks whose docs have zero tokens (they
     * produce no postings but must count toward the globals). */
@@ -141,6 +153,8 @@ object PostingsIndex {
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(state)
     writePartitioned(positionsStateOf(docs, superBits),
       s"$indexDir/positions", dynamic = false)
+    writePartitioned(doclensStateOf(docs, superBits),
+      s"$indexDir/doclens", dynamic = false)
     writePartitioned(blockStatsOf(docs, superBits), s"$indexDir/blockstats",
       dynamic = false)
     Seq(superBits.toLong).toDF("super_bits")
@@ -212,6 +226,15 @@ object PostingsIndex {
         .localCheckpoint()
       writePartitioned(posMerged, s"$indexDir/positions", dynamic = true)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(posMerged)
+      // norms file: same touched-partition merge, dropDuplicates the
+      // replay guard (one row per doc)
+      val dlMerged = s.read.parquet(s"$indexDir/doclens")
+        .where(col("sb").isin(sbs: _*))
+        .unionByName(doclensStateOf(batch, superBits))
+        .dropDuplicates(Seq("doc_id"))
+        .localCheckpoint()
+      writePartitioned(dlMerged, s"$indexDir/doclens", dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(dlMerged)
       val statsMerged = s.read.parquet(s"$indexDir/blockstats")
         .where(col("sb").isin(sbs: _*))
         .select(col("sb"), col("n_docs"), col("total_len"), col("max_doc_id"))
@@ -293,10 +316,115 @@ object PostingsIndex {
         (frag.size.toLong, before, after)
       }
     }
-    val dirs = Seq(s"$indexDir/postings", s"$indexDir/positions")
+    val dirs = Seq(s"$indexDir/postings", s"$indexDir/positions",
+      s"$indexDir/doclens")
       .filter(p => new java.io.File(p).isDirectory)
     dirs.map(compactDir).foldLeft((0L, 0L, 0L)) {
       case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+    }
+  }
+
+  /** Dynamic partition overwrite never touches a partition the written
+    * frame has NO rows for — so a superblock whose every row is deleted
+    * would keep its stale files. Purge those explicitly. */
+  private def purgeEmptyPartitions(
+      path: String, touched: Seq[Int], live: Set[Int]): Unit =
+    (touched.toSet -- live).foreach { sb =>
+      val d = new java.io.File(s"$path/sb=$sb")
+      if (d.isDirectory) {
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
+        d.delete()
+      }
+    }
+
+  /** Delete a set of doc ids from the standing index — the opt-out /
+    * takedown leg of the lifecycle (build → append → compact → DELETE →
+    * query), without which a 100 TB corpus index must rebuild to forget
+    * a document. Rewrites ONLY the superblock partitions the ids can
+    * live in: the partition is a pure function of the id
+    * (sb = doc_id >> (blockBits + superBits)), so the touched set comes
+    * from the delete list alone — no index scan, the same
+    * touched-partitions discipline as [[append]].
+    *
+    * Exactness under deletion is what the [[doclensStateOf]] norms
+    * table buys: touched blockstats recompute n_docs/total_len from the
+    * SURVIVING doclens rows (zero-token docs included — they have no
+    * postings or positions row to recover from), while `max_doc_id` is
+    * deliberately carried forward: it is the ingest watermark, and
+    * letting it regress would let a replayed append resurrect the very
+    * docs just deleted. (term, block) rows and termstats rows whose
+    * entries all die vanish with the partition rewrite; a partition
+    * whose every row dies is purged explicitly (dynamic overwrite
+    * cannot rewrite a partition it has no rows for). Replaying the same
+    * delete is a no-op by construction — every write is a pure function
+    * of (standing state − ids). Returns (partitions touched, posting
+    * entries removed). */
+  def delete(s: SparkSession, indexDir: String, ids: DataFrame): (Long, Long) = {
+    val superBits = readSuperBits(s, indexDir)
+    val del = ids.select(col("doc_id")).distinct().localCheckpoint()
+    val touched = del
+      .select(shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
+        .cast("int").as("sb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) (0L, 0L)
+    else {
+      val sbs = touched.map(Integer.valueOf).toSeq
+      val before = s.read.parquet(s"$indexDir/postings")
+        .where(col("sb").isin(sbs: _*))
+        .select(explode(col("plist"))).count()
+      val kept = s.read.parquet(s"$indexDir/postings")
+        .where(col("sb").isin(sbs: _*))
+        .select(col("term"), col("block"), col("sb"),
+          explode(col("plist")).as("e"))
+        .join(del, col("e.doc_id") === del("doc_id"), "left_anti")
+        .groupBy(col("term"), col("block"), col("sb"))
+        .agg(sort_array(collect_list(col("e"))).as("plist"))
+        .select(col("term"), col("block"), col("plist"), col("sb"))
+        // EAGER: the writes replace the files being read
+        .localCheckpoint()
+      val after = kept.select(explode(col("plist"))).count()
+      val liveSbs = kept.select(col("sb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      writePartitioned(kept, s"$indexDir/postings", dynamic = true)
+      writePartitioned(termStatsOf(kept), s"$indexDir/termstats",
+        dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(kept)
+      purgeEmptyPartitions(s"$indexDir/postings", touched, liveSbs)
+      purgeEmptyPartitions(s"$indexDir/termstats", touched, liveSbs)
+      val posKept = s.read.parquet(s"$indexDir/positions")
+        .where(col("sb").isin(sbs: _*))
+        .join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val posLive = posKept.select(col("sb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      writePartitioned(posKept, s"$indexDir/positions", dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(posKept)
+      purgeEmptyPartitions(s"$indexDir/positions", touched, posLive)
+      val dlKept = s.read.parquet(s"$indexDir/doclens")
+        .where(col("sb").isin(sbs: _*))
+        .join(del, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val dlLive = dlKept.select(col("sb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      writePartitioned(dlKept, s"$indexDir/doclens", dynamic = true)
+      // blockstats: survivors' counts, the standing watermark — the row
+      // persists at n_docs = 0 so the superblock stays non-ingestable
+      val statsNew = s.read.parquet(s"$indexDir/blockstats")
+        .where(col("sb").isin(sbs: _*))
+        .select(col("sb"), col("max_doc_id"))
+        .join(dlKept.groupBy(col("sb"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len")),
+          Seq("sb"), "left")
+        .select(col("sb"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("total_len"), lit(0L)).as("total_len"),
+          col("max_doc_id"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(dlKept)
+      purgeEmptyPartitions(s"$indexDir/doclens", touched, dlLive)
+      writePartitioned(statsNew, s"$indexDir/blockstats", dynamic = true)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(statsNew)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
+      (touched.length.toLong, before - after)
     }
   }
 
@@ -509,6 +637,33 @@ object PostingsIndex {
       .toDF("doc_id", "pid", "pos", "token")
       .where(col("token").isin(phrases.flatten.distinct: _*))
     Retrieval.phraseHitsOf(toks, phrases)
+  }
+
+  /** Gate opt-out predicate for `postings_delete`: every 7th doc. */
+  private[graft] val deleteEvery = 7L
+
+  /** Oracle-gated `postings_delete`: build the index over the full
+    * corpus, DELETE every [[deleteEvery]]-th doc, and serialize the
+    * standing postings in [[Retrieval.serializePostings]]'s wire form —
+    * which must equal a from-scratch build over the surviving corpus
+    * (the oracle recomputes exactly that), proving deletion leaves no
+    * trace: no tombstones, no stale entries, no vanished-survivor rows.
+    * Cached per corpus fingerprint like the lifecycle index (deletion
+    * is deterministic). */
+  def postingsDelete(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong * 31 +
+      Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
+    val idx = s"/tmp/graft_postings_v4d_${java.lang.Long.toHexString(tag)}"
+    if (!new java.io.File(s"$idx/_GRAFT_DELETED").exists()) {
+      val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
+      buildFrom(s, docs, idx, superBits = 2)
+      delete(s, idx,
+        docs.where(pmod(col("doc_id"), lit(deleteEvery)) === 0)
+          .select(col("doc_id")))
+      new java.io.File(s"$idx/_GRAFT_DELETED").createNewFile()
+    }
+    Retrieval.serializePostings(
+      s.read.parquet(s"$idx/postings").select(col("term"), col("block"), col("plist")))
   }
 
   private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {

@@ -83,7 +83,7 @@ object Retrieval {
     * would compress from (and the driver's row compare sorts by every
     * column, so outputs stay scalar). gaps computed from the id array
     * (the serialized alias below would otherwise lateral-shadow it). */
-  private def serializePostings(state: DataFrame): DataFrame =
+  private[graft] def serializePostings(state: DataFrame): DataFrame =
     state
       .withColumn("ids", transform(col("plist"), _.getField("doc_id")))
       .withColumn("df_block", size(col("plist")).cast("long"))
@@ -130,10 +130,15 @@ object Retrieval {
       mergePostings(postingsStateOf(snap), Dedup.snapshotCut - 1L, incoming))
   }
 
-  val buildPostingsSql: String =
+  val buildPostingsSql: String = buildPostingsSqlFor("documents")
+
+  /** [[buildPostingsSql]] over an arbitrary documents-shaped relation —
+    * shared with `postings_delete`, whose oracle is a from-scratch build
+    * over the SURVIVING corpus. */
+  private[graft] def buildPostingsSqlFor(rel: String): String =
     s"""WITH dt AS (
        |  SELECT doc_id, t AS term FROM (
-       |    SELECT doc_id, UNNEST(${TextAnalysis.tokensSql}) AS t FROM documents)
+       |    SELECT doc_id, UNNEST(${TextAnalysis.tokensSql}) AS t FROM $rel)
        |  WHERE length(t) > 0),
        |tfa AS (
        |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

@@ -95,6 +95,88 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(re === 0L && reParts === 0L, "a replayed batch must be a no-op")
   }
 
+  test("delete leaves no trace, touches only its partitions, preserves the watermark, replays as a no-op") {
+    import spark.implicits._
+    val ids = 0L to 700L by 7L
+    // deleted set lives entirely in sb=1 (docs 256..511) and includes
+    // that superblock's max doc (511 = 7*73) to pin watermark behavior
+    val delIds = Seq(259L, 273L, 511L)
+    val lifecycleDir = tmpDir("graft_pidx_del")
+    val scratchDir = tmpDir("graft_pidx_del_scratch")
+    PostingsIndex.buildFrom(spark, synthDocs(ids), lifecycleDir, superBits = 2)
+    PostingsIndex.buildFrom(spark,
+      synthDocs(ids.filterNot(delIds.contains)), scratchDir, superBits = 2)
+    def files(d: java.io.File): Map[String, Long] =
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val sb0 = new java.io.File(s"$lifecycleDir/postings/sb=0")
+    val before = files(sb0)
+    val (touched, removed) = PostingsIndex.delete(spark, lifecycleDir,
+      delIds.toDF("doc_id"))
+    assert(touched === 1L, "delete must rewrite only the ids' superblock")
+    assert(removed > 0L)
+    assert(files(sb0) === before, "an untouched partition was rewritten")
+    // every row table equals a from-scratch build over the survivors
+    assert(postingRows(spark, lifecycleDir).sortBy(r => (r._1, r._2))
+      .sameElements(postingRows(spark, scratchDir).sortBy(r => (r._1, r._2))),
+      "deleted index diverged from the from-scratch build")
+    def posRows(idx: String) = spark.read.parquet(s"$idx/positions")
+      .collect().map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Seq[Int]]("positions"))).toSet
+    def dlRows(idx: String) = spark.read.parquet(s"$idx/doclens")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"))).toSet
+    assert(posRows(lifecycleDir) === posRows(scratchDir))
+    assert(dlRows(lifecycleDir) === dlRows(scratchDir))
+    // stats: survivor counts, but max_doc_id does NOT regress — it is
+    // the ingest watermark (a scratch build over survivors shows 504)
+    val st = statRows(lifecycleDir)
+    assert(st(1)._1 === statRows(scratchDir)(1)._1)
+    assert(st(1)._2 === statRows(scratchDir)(1)._2)
+    assert(st(1)._3 === 511L, "watermark must survive deletion of the max doc")
+    // replaying the delete converges: same partition touched, nothing removed
+    val (t2, r2) = PostingsIndex.delete(spark, lifecycleDir, delIds.toDF("doc_id"))
+    assert(t2 === 1L && r2 === 0L)
+    // and a deleted doc cannot be resurrected by an append replay
+    val (re, _) = PostingsIndex.append(spark, lifecycleDir, synthDocs(Seq(511L)))
+    assert(re === 0L, "append resurrected a deleted doc below the watermark")
+  }
+
+  test("deleting a whole superblock purges its partitions and zeroes its stats row") {
+    import spark.implicits._
+    val ids = 0L to 700L by 7L
+    val idx = tmpDir("graft_pidx_purge")
+    PostingsIndex.buildFrom(spark, synthDocs(ids), idx, superBits = 2)
+    PostingsIndex.delete(spark, idx, ids.filter(_ < 256).toDF("doc_id"))
+    Seq("postings", "positions", "doclens", "termstats").foreach { t =>
+      assert(!new java.io.File(s"$idx/$t/sb=0").exists(),
+        s"stale $t partition survived a full-superblock delete")
+    }
+    // the stats row persists at zero with its watermark — the superblock
+    // stays non-ingestable
+    assert(statRows(idx)(0) === ((0L, 0L, 252L)))
+    // and reads still work end to end
+    assert(spark.read.parquet(s"$idx/postings")
+      .select(explode(col("plist")).as("e"))
+      .where(col("e.doc_id") < 256).count() === 0L)
+  }
+
+  test("zero-token docs flow through the norms table: delete decrements n_docs exactly") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_norms")
+    // doc 2 normalizes to the empty string — no postings, no positions,
+    // but it must count in (and delete from) the superblock stats
+    PostingsIndex.buildFrom(spark,
+      Seq((1L, "alpha beta"), (2L, "   "), (3L, "alpha")).toDF("doc_id", "text"),
+      idx, superBits = 2)
+    assert(statRows(idx)(0) === ((3L, 3L, 3L)))
+    PostingsIndex.delete(spark, idx, Seq(2L).toDF("doc_id"))
+    assert(statRows(idx)(0) === ((2L, 3L, 3L)),
+      "zero-token doc's deletion must decrement n_docs without touching total_len")
+    PostingsIndex.delete(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(statRows(idx)(0) === ((1L, 1L, 3L)))
+  }
+
   test("bm25_wand equals the full-scan bm25_topk row for row") {
     val wand = PostingsIndex.bm25Wand(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))

@@ -140,10 +140,18 @@ object IvfIndex {
     // below would admit both copies permanently. Duplicate deliveries
     // carry identical payloads, so any-row-wins is sound; conflicting
     // payloads under one id are corrupt input either way.
-    val e = batch
+    val e0 = batch
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .dropDuplicates("vec_id")
       .withColumn("nrm", norm(col("v")))
+    // tombstone guard: a retried ingest of an old batch must not
+    // resurrect a deleted id ([[delete]]'s contract) — the id-based
+    // snapshot precedence below can no longer see the removed row
+    val tombDir = s"$indexDir/deleted"
+    val e =
+      if (new java.io.File(tombDir).isDirectory)
+        e0.join(s.read.parquet(tombDir), Seq("vec_id"), "left_anti")
+      else e0
     // frozen quantizer AND frozen codebook: an appended vector gets the
     // cell and the codes a from-scratch build would give it
     val assigned = withCodes(assignCells(e, cents), cb)
@@ -217,6 +225,31 @@ object IvfIndex {
     * alone would create): a run that dies between bootstrap and append
     * re-runs BOTH — append's snapshot-precedence dedup makes the replay
     * a no-op for rows that already landed. */
+  /** Gate opt-out predicate for `ann_ivf_deleted`: every 9th vector. */
+  private[graft] val deleteEvery = 9L
+
+  /** Oracle-gated `ann_ivf_deleted`: build over the full corpus, DELETE
+    * every [[deleteEvery]]-th vector, query the standing index — which
+    * must equal the inline IVF plan scored over the surviving member
+    * set (the oracle filters members only: the frozen quantizer,
+    * survivor assignments, and the query batch are deletion-invariant,
+    * exactly the index's semantics). Cached per corpus fingerprint like
+    * the lifecycle index (deletion is deterministic). */
+  def annIvfDeleted(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong * 31 +
+      Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
+    val idx = s"/tmp/graft_ivfdel_${java.lang.Long.toHexString(tag)}"
+    if (!new java.io.File(s"$idx/_GRAFT_DELETED").exists()) {
+      val e = Corpus.embeddings(s, dir)
+      buildFrom(s, e, idx, nCells = 16)
+      delete(s, idx,
+        e.where(pmod(col("vec_id"), lit(deleteEvery)) === 0)
+          .select(col("vec_id")))
+      new java.io.File(s"$idx/_GRAFT_DELETED").createNewFile()
+    }
+    query(s, idx, queryBatch(s, dir), nProbe = 2, k = 5)
+  }
+
   private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
@@ -229,6 +262,72 @@ object IvfIndex {
       new java.io.File(s"$idx/_GRAFT_APPENDED").createNewFile()
     }
     idx
+  }
+
+  /** Delete a set of vec ids from the standing index — the opt-out /
+    * takedown leg ([[graft.operators.PostingsIndex.delete]]'s discipline
+    * pointed at the vector layout). A cell is NOT a function of the id
+    * (assignment is the frozen-quantizer argmax), so the touched-cell
+    * set comes from ONE column-pruned scan of (vec_id, cell): 8 bytes
+    * per indexed vector — the embedding and codes columns are never
+    * read for discovery (cell is the partition directory, free). Only
+    * the touched cell partitions then rewrite under dynamic overwrite;
+    * a fully-emptied cell's directory is purged explicitly (dynamic
+    * overwrite cannot rewrite a partition it has no rows for).
+    *
+    * Deleted ids also land in a `deleted/` TOMBSTONE table (cumulative,
+    * bounded by total deletions): [[append]]'s precedence is id-based
+    * (snapshot ≻ batch), so without tombstones a RETRIED ingest of an
+    * old batch would re-admit a just-deleted id — the resurrection the
+    * postings index blocks with its watermark. Replaying the delete is
+    * a no-op (both writes are pure functions of state − ids). Returns
+    * (cells touched, vectors removed). */
+  def delete(s: SparkSession, indexDir: String, ids: DataFrame): (Long, Long) = {
+    val del = ids.select(col("vec_id")).distinct().localCheckpoint()
+    // tombstones first: if we crash mid-delete, a standing tombstone is
+    // safe (append skips the id; the physical rows go on the retry)
+    val tombDir = s"$indexDir/deleted"
+    val tombs =
+      if (new java.io.File(tombDir).isDirectory)
+        s.read.parquet(tombDir).unionByName(del).distinct().localCheckpoint()
+      else del
+    tombs.coalesce(1).write.mode("overwrite").parquet(tombDir)
+    val touched = s.read.parquet(s"$indexDir/members")
+      .select(col("vec_id"), col("cell"))
+      .join(del, Seq("vec_id"))
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nCells
+    val out = if (touched.isEmpty) (0L, 0L)
+    else {
+      val cells = touched.map(Integer.valueOf).toSeq
+      val current = s.read.parquet(s"$indexDir/members")
+        .where(col("cell").isin(cells: _*))
+      val kept = current.join(del, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("cell"))
+        // EAGER: the overwrite replaces the files being read
+        .localCheckpoint()
+      val removed = current.count() - kept.count()
+      val live = kept.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(modeKey)
+      s.conf.set(modeKey, "dynamic")
+      try kept.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/members")
+      finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(kept)
+      (touched.toSet -- live).foreach { c =>
+        val d = new java.io.File(s"$indexDir/members/cell=$c")
+        if (d.isDirectory) {
+          Option(d.listFiles()).foreach(_.foreach(_.delete()))
+          d.delete()
+        }
+      }
+      (touched.length.toLong, removed)
+    }
+    Seq(del, tombs).distinct
+      .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
+    out
   }
 
   /** Streaming ingestion into the persisted index: each micro-batch of

@@ -240,7 +240,13 @@ object Similarity {
     rankBySim(scored)
   }
 
-  val annIvfSql: String =
+  val annIvfSql: String = annIvfSqlFiltered("TRUE")
+
+  /** [[annIvfSql]] with a member-side predicate — `ann_ivf_deleted`'s
+    * oracle: deletion removes MEMBERS only, while the frozen quantizer
+    * (cents), assignments of survivors, and the query batch are
+    * untouched — exactly the index's post-delete semantics. */
+  private[graft] def annIvfSqlFiltered(memberPred: String): String =
     s"""WITH e AS ($sqlVecs),
        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < $nCentroids),
        |cellscores AS (
@@ -262,7 +268,7 @@ object Similarity {
        |    list_sum(list_transform(range(1, 65), i -> p.qv[i] * m.v[i])) / (p.qn * m.nrm) AS sim
        |  FROM e m JOIN assigned a ON m.vec_id = a.vec_id
        |  JOIN probes p ON a.cell = p.cell
-       |  WHERE m.vec_id <> p.query_id),
+       |  WHERE m.vec_id <> p.query_id AND ($memberPred)),
        |ranked AS (
        |  SELECT query_id, neighbor_id, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id

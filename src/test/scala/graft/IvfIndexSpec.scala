@@ -190,6 +190,71 @@ class IvfIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(idxFull), true)
   }
 
+  test("delete removes rows physically, touches only their cells, and tombstones block resurrection") {
+    import spark.implicits._
+    val idx = s"/tmp/graft_ivf_del_${System.nanoTime()}"
+    val e = Corpus.embeddings(spark, sf)
+    IvfIndex.buildFrom(spark, e, idx, nCells = 16)
+    def listing: Map[String, Set[String]] =
+      new java.io.File(s"$idx/members").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = listing
+    val allRows = spark.read.parquet(s"$idx/members")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // delete ids spanning a FEW cells so some partitions stay untouched
+    val victimCells = allRows.map(_._2).distinct.sorted.take(3).toSet
+    val delIds = allRows.filter(r => victimCells(r._2)).map(_._1).take(20).toSeq
+    val (touched, removed) = IvfIndex.delete(spark, idx, delIds.toDF("vec_id"))
+    assert(removed === delIds.length.toLong)
+    assert(touched <= victimCells.size.toLong)
+    // physical removal: no trace of a deleted id anywhere in members
+    val remaining = spark.read.parquet(s"$idx/members")
+      .where(col("vec_id").isin(delIds.map(java.lang.Long.valueOf): _*)).count()
+    assert(remaining === 0L, "deleted ids still present in the members table")
+    // untouched cells keep their exact files
+    val after = listing
+    val changed = before.keySet.filter(c => after.get(c) != before.get(c))
+    assert(changed.forall(c => victimCells(c.stripPrefix("cell=").toInt)),
+      s"a cell outside the victims was rewritten: $changed")
+    // replay is a no-op
+    val (_, removedAgain) = IvfIndex.delete(spark, idx, delIds.toDF("vec_id"))
+    assert(removedAgain === 0L)
+    // resurrection guard: a retried old ingest carrying a deleted id
+    // appends nothing — the tombstone, not the (gone) snapshot row,
+    // blocks it
+    val payload = e.where(col("vec_id") === delIds.head)
+    val (_, res) = IvfIndex.append(spark, idx, payload)
+    assert(res === 0L, "append resurrected a deleted vector")
+    assert(spark.read.parquet(s"$idx/members")
+      .where(col("vec_id") === delIds.head).count() === 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("deleting a whole cell purges its directory") {
+    import spark.implicits._
+    val idx = s"/tmp/graft_ivf_purge_${System.nanoTime()}"
+    val e = Corpus.embeddings(spark, sf)
+    IvfIndex.buildFrom(spark, e, idx, nCells = 16)
+    val cellRows = spark.read.parquet(s"$idx/members")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val victim = cellRows.groupBy(_._2).minBy(_._2.length)._1
+    val ids = cellRows.filter(_._2 == victim).map(_._1).toSeq
+    IvfIndex.delete(spark, idx, ids.toDF("vec_id"))
+    assert(!new java.io.File(s"$idx/members/cell=$victim").exists(),
+      "an emptied cell's directory must be purged, not left stale")
+    // queries over the index still work end to end
+    assert(spark.read.parquet(s"$idx/members").count() ===
+      cellRows.length.toLong - ids.length.toLong)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("streaming ingestion converges to the one-shot layout, batch by batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

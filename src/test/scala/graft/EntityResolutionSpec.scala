@@ -105,6 +105,14 @@ class EntityResolutionSpec extends AnyFunSuite {
       "snapshot precedence: nid stays the standing min, n_rows accumulates")
   }
 
+  test("incremental plan: blocked equi-joins only, no cartesian, no nested loop") {
+    val plan = EntityResolution.entityIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental entity plan went all-pairs:\n$plan")
+  }
+
   test("n_rows sums to the corpus row count — support rides the universe aggregate") {
     val res = EntityResolution.entityResolution(spark, sf)
     val total = res.agg(org.apache.spark.sql.functions.sum("n_rows"))

@@ -148,6 +148,25 @@ class PhraseSearchSpec extends AnyFunSuite {
       .forall(_._3 === Seq(0, 3)))
   }
 
+  test("plan shapes: term filters pushed into every phrase scan; no cartesian anywhere") {
+    val full = Retrieval.phraseSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("CartesianProduct") &&
+      !full.contains("BroadcastNestedLoopJoin"),
+      s"full-scan phrase plan went all-pairs:\n$full")
+    val positional = PostingsIndex.phraseSearchPositional(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the whole point of the positional path: the term restriction is a
+    // data-skipping filter ON THE INDEX SCAN, not a post-read filter
+    assert(positional.contains("PushedFilters: [In(term"),
+      s"term pruning did not reach the positions scan:\n$positional")
+    val indexed = PostingsIndex.phraseSearchIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!indexed.contains("CartesianProduct") &&
+      !indexed.contains("BroadcastNestedLoopJoin"),
+      s"indexed phrase plan went all-pairs:\n$indexed")
+  }
+
   test("tf >= multiplicity candidate cut is non-vacuous for the repeated-term phrase") {
     // docs holding 'table' ONCE can never match "table table key" — the
     // indexed path's tf>=2 cut must exclude them while the 2-gram's tf>=1

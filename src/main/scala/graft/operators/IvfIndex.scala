@@ -330,6 +330,27 @@ object IvfIndex {
     out
   }
 
+  /** Streaming takedown for the vector index — [[appendStream]]'s dual
+    * ([[graft.operators.PostingsIndex.deleteStream]]'s composition):
+    * each micro-batch of vec ids runs one [[delete]]. Retries re-delete
+    * nothing (delete is a pure function of state − ids), and the
+    * tombstones written per batch keep any LATER retried ingest from
+    * resurrecting the ids, so appends and takedowns can interleave in
+    * any order the checkpoints replay them. */
+  def deleteStream(
+      s: SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        delete(s, indexDir, df.toDF())
+        ()
+      }
+      .start()
+
   /** Streaming ingestion into the persisted index: each micro-batch of
     * (vec_id, embedding) rows runs one [[append]] under the frozen
     * quantizer — the `foreachBatch` at-least-once contract composes with

@@ -270,6 +270,28 @@ object PostingsIndex {
       }
       .start()
 
+  /** Streaming takedown: opt-out doc ids arriving as a stream apply to
+    * the standing index per micro-batch — [[appendStream]]'s dual, run
+    * through the same `foreachBatch` composition: [[delete]] is a pure
+    * function of (state − ids), so the at-least-once retry a
+    * foreachBatch sink actually has re-deletes nothing, and interleaved
+    * appends/deletes serialize at the index (the tombstone-free postings
+    * side is safe because the WATERMARK blocks re-ingest of deleted
+    * ranges). The stream's only state is the sink checkpoint. */
+  def deleteStream(
+      s: SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        delete(s, indexDir, df.toDF())
+        ()
+      }
+      .start()
+
   /** Compact fragmented superblock partitions — the small-file
     * maintenance leg of THIS index's lifecycle (build → append →
     * appendStream → compact → query), [[IvfIndex.compact]]'s discipline

@@ -255,6 +255,41 @@ class IvfIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("streaming takedown converges to the batch delete; a racing ingest retry stays blocked") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idxStr = s"/tmp/graft_ivf_delstr_${System.nanoTime()}"
+    val idxBatch = s"/tmp/graft_ivf_delb_${System.nanoTime()}"
+    val e = Corpus.embeddings(spark, sf)
+    val delIds = Seq(30L, 77L, 123L, 401L)
+    IvfIndex.buildFrom(spark, e, idxStr, nCells = 16)
+    IvfIndex.buildFrom(spark, e, idxBatch, nCells = 16)
+    IvfIndex.delete(spark, idxBatch, delIds.toDF("vec_id"))
+    val in = MemoryStream[Long]
+    val q = IvfIndex.deleteStream(spark, idxStr,
+      in.toDF().toDF("vec_id"), s"/tmp/graft_ivf_delstr_ckpt_${System.nanoTime()}")
+    try {
+      val (b1, b2) = delIds.splitAt(2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable() // redelivered takedown: no-op
+      in.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def contents(idx: String) = spark.read.parquet(s"$idx/members")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(contents(idxStr) === contents(idxBatch),
+      "streamed takedown diverged from the one-shot batch delete")
+    // an ingest retry arriving AFTER the takedown stream stays blocked
+    val (_, res) = IvfIndex.append(spark, idxStr,
+      e.where(col("vec_id") === delIds.head))
+    assert(res === 0L, "retried ingest resurrected a stream-deleted vector")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idxStr), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idxStr), true)
+    fs.delete(new org.apache.hadoop.fs.Path(idxBatch), true)
+  }
+
   test("streaming ingestion converges to the one-shot layout, batch by batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -292,6 +292,34 @@ class PostingsIndexSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming takedown converges to the batch delete; redelivered ids are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val ids = (0L to 500L by 5L)
+    val all = synthDocs(ids)
+    val delIds = Seq(100L, 255L, 260L, 495L) // spans sb 0, 1
+    val batchDir = tmpDir("graft_pidx_delstream_batch")
+    val streamDir = tmpDir("graft_pidx_delstream")
+    PostingsIndex.buildFrom(spark, all, batchDir, superBits = 2)
+    PostingsIndex.delete(spark, batchDir, delIds.toDF("doc_id"))
+    PostingsIndex.buildFrom(spark, all, streamDir, superBits = 2)
+    val in = MemoryStream[Long]
+    val q = PostingsIndex.deleteStream(spark, streamDir,
+      in.toDF().toDF("doc_id"), tmpDir("graft_pidx_delstream_ckpt"))
+    try {
+      val (b1, b2) = delIds.splitAt(2)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b1); q.processAllAvailable() // redelivery: nothing left to remove
+      in.addData(b2); q.processAllAvailable()
+      assert(postingRows(spark, streamDir).sortBy(r => (r._1, r._2))
+        .sameElements(postingRows(spark, batchDir).sortBy(r => (r._1, r._2))),
+        "streamed takedown must converge to the one-shot batch delete")
+      assert(statRows(streamDir) === statRows(batchDir))
+    } finally q.stop()
+  }
+
   test("a crash between the postings and stats writes converges on retry") {
     // simulate the torn-append window: run the append (both writes),
     // then roll blockstats/ back to its pre-append state — the on-disk

@@ -52,7 +52,10 @@ object EntityResolution {
     parts
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_rows"))
-      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+      // get (not element_at): a single-token name has no head noun and
+      // must yield a NULL key — which never equi-joins, so such names
+      // stay singletons — rather than an ANSI out-of-bounds error
+      .withColumn("blk", get(split(col("p_name"), " "), lit(1)))
 
   /** Verified match pairs over the blocked candidate set, with node ids
     * for the resolution stage: (name_a, name_b, nid_a < nid_b, dist). */

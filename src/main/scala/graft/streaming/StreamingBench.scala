@@ -364,6 +364,20 @@ object StreamingBench {
           (g, (0 until 25).map(j => s"w${(src * 31 + j * 7) % 997}").mkString(" "))
             : (Long, String)
         }, "append", qn, batches, perBatch)),
+      // entity resolution at ingestion (r10): per-block membership as
+      // state (vocabulary-bounded — 3200 distinct names over 64 blocks
+      // here, so most events hit the known-name re-emit path and the
+      // rest run the edit-distance match + merge); adjectives collide
+      // within groups of 5 (one-char edits) so merging actually happens
+      Leg("entity", twsOnly = false, qn => throughputOf[(Long, String)](spark,
+        ds => StreamEntityResolve.resolve(spark,
+          ds.toDF("p_partkey", "p_name")).toDF(),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          val blk = g % 64
+          val v = (g / 64) % 50
+          (g, s"v${v / 5}a${v % 5} blk$blk"): (Long, String)
+        }, "update", qn, batches, perBatch)),
       // ingest-volume anomaly monitor at ingestion (r10): per-type
       // running moments (3 exact longs) + open-day counters as state;
       // day closures ride the watermark — ~1.4 days close per batch at

@@ -546,6 +546,70 @@ object Retrieval {
       .select(strOf.as("phrase"), col("doc_id"), col("hits"), col("first_pos"))
   }
 
+  /** Gate term pair + window for [[nearSearch]]. */
+  private[graft] val nearTerms: (String, String) = ("table", "part")
+  private[graft] val nearWindow = 3L
+
+  /** Proximity search (`near_search`): documents where the two probe
+    * terms co-occur within ±[[nearWindow]] tokens, any order — the
+    * relaxation between [[phraseSearch]]'s exact adjacency and BM25's
+    * bag-of-words (the NEAR/k operator of classic retrieval).
+    *
+    * Plan: composition, not a new operator — the positional token
+    * stream (one scan, term-filtered in the explode's codegen stage,
+    * materialized once for both sides) runs through the audited
+    * [[RangeJoin.pointInRange]] banded kernel. The doc key is FUSED
+    * into the banded value (gpos = doc_id·2²⁰ + pos, sound while
+    * positions stay below 2²⁰ — band width 2W+1 ≪ 2²⁰ means cross-doc
+    * band collisions exist but cross-doc matches cannot), and the exact
+    * residual re-checks doc equality and |Δpos| ≤ W on the ORIGINAL
+    * columns — banding is covering, the residual is the semantics
+    * (pointInRange's own contract). Per-doc work is true pairs plus
+    * band neighbors, never the occ_A × occ_B cross product a bare
+    * doc-equi join would fan out on a stopword pair. */
+  def nearSearch(s: SparkSession, dir: String): DataFrame = {
+    val (ta, tb) = nearTerms
+    val w = nearWindow
+    val shift = 1L << 20
+    val toks = Corpus.documents(s, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokensCol(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .where(col("token").isin(ta, tb))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .localCheckpoint() // ONE corpus scan feeds both join sides
+    val a = toks.where(col("token") === ta)
+      .select(col("doc_id").as("a_doc"), col("pos").as("a_pos"),
+        (col("doc_id") * shift + col("pos")).as("gpos"))
+    val b = toks.where(col("token") === tb)
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        (col("doc_id") * shift + col("pos") - w).as("gstart"),
+        (col("doc_id") * shift + col("pos") + w + 1L).as("gend"))
+    RangeJoin.pointInRange(a, b, col("gpos"), col("gstart"), col("gend"),
+      bandWidth = 2 * w + 1,
+      residual = Some(col("a_doc") === col("b_doc") &&
+        abs(col("a_pos") - col("b_pos")) <= w))
+      .groupBy(col("a_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("a_pos") - col("b_pos"))).as("min_dist"))
+  }
+
+  /** [[nearSearch]]'s oracle: the direct positional self-join (the
+    * naive plan the banded kernel replaces — structurally different,
+    * which is the point of an oracle). */
+  val nearSearchSql: String = {
+    val (ta, tb) = nearTerms
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos+1] AS tok
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |    UNNEST(range(0, len(toks))) AS u(pos))
+       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  MIN(ABS(a.pos - b.pos)) AS min_dist
+       |FROM t a JOIN t b
+       |  ON a.doc_id = b.doc_id AND ABS(a.pos - b.pos) <= $nearWindow
+       |WHERE a.tok = '$ta' AND b.tok = '$tb'
+       |GROUP BY 1""".stripMargin
+  }
+
   /** [[phraseSearch]]'s oracle, in the house positional form
     * ([[Dedup.posGramsSqlForN]]'s `UNNEST(range(...)) AS u(pos)` +
     * direct slice compare) — structurally UNLIKE the Spark plan's

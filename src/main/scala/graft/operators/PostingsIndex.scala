@@ -635,6 +635,26 @@ object PostingsIndex {
     Retrieval.phraseHitsOf(toks, phrases)
   }
 
+  /** Proximity search FROM POSITIONS (`near_search_positional`):
+    * [[Retrieval.nearSearch]]'s window semantics answered from the
+    * index's `positions/` table with no corpus access — the positional
+    * stream comes from exploding the probe terms' stored position lists
+    * (term-pruned in the scan) instead of tokenizing text, then the
+    * SAME fused-key banded kernel runs; identical output, shared
+    * oracle. Bytes read: the two terms' positions rows, independent of
+    * corpus text size. */
+  def nearSearchPositional(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureLifecycleIndex(s, dir)
+    val (ta, tb) = Retrieval.nearTerms
+    val toks = s.read.parquet(s"$idx/positions")
+      .where(col("term").isin(ta, tb))
+      .select(col("doc_id"), explode(col("positions")).as("pos"),
+        col("term").as("token"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .localCheckpoint() // one index read feeds both join sides
+    Retrieval.nearPairsOf(toks)
+  }
+
   def phraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = ensureLifecycleIndex(s, dir)
     val phrases = Retrieval.gatePhrases

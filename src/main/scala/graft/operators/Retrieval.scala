@@ -569,14 +569,22 @@ object Retrieval {
     * doc-equi join would fan out on a stopword pair. */
   def nearSearch(s: SparkSession, dir: String): DataFrame = {
     val (ta, tb) = nearTerms
-    val w = nearWindow
-    val shift = 1L << 20
     val toks = Corpus.documents(s, dir)
       .select(col("doc_id"), posexplode(TextAnalysis.tokensCol(col("text"))))
       .toDF("doc_id", "pos", "token")
       .where(col("token").isin(ta, tb))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
       .localCheckpoint() // ONE corpus scan feeds both join sides
+    nearPairsOf(toks)
+  }
+
+  /** The fused-key banded proximity kernel shared by the full-scan and
+    * positional paths (identical output = shared oracle). Input: the
+    * probe terms' (doc_id, pos, token) occurrences. */
+  private[graft] def nearPairsOf(toks: DataFrame): DataFrame = {
+    val (ta, tb) = nearTerms
+    val w = nearWindow
+    val shift = 1L << 20
     val a = toks.where(col("token") === ta)
       .select(col("doc_id").as("a_doc"), col("pos").as("a_pos"),
         (col("doc_id") * shift + col("pos")).as("gpos"))

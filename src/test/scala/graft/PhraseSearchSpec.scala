@@ -178,6 +178,17 @@ class PhraseSearchSpec extends AnyFunSuite {
       s"near_search degraded to an all-pairs join:\n$plan")
   }
 
+  test("near_search_positional == full scan, with the corpus never read") {
+    val full = Retrieval.nearSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val posQ = PostingsIndex.nearSearchPositional(spark, sf)
+    val pos = posQ.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.nonEmpty && pos === full)
+    assert(!posQ.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "positional proximity query read the corpus")
+  }
+
   test("plan shapes: term filters pushed into every phrase scan; no cartesian anywhere") {
     val full = Retrieval.phraseSearch(spark, sf)
       .queryExecution.executedPlan.toString

@@ -546,6 +546,56 @@ object Retrieval {
       .select(strOf.as("phrase"), col("doc_id"), col("hits"), col("first_pos"))
   }
 
+  /** Context tokens shown on each side of a snippet hit. */
+  private[graft] val snippetContext = 3L
+
+  /** KWIC snippets (`phrase_snippets`): for every phrase hit, the
+    * keyword-in-context window — [[snippetContext]] tokens either side
+    * of the FIRST occurrence — as display text. The retrieval family's
+    * last mile: match ([[phraseSearch]]) → rank (bm25) → show (this).
+    *
+    * Plan: the hit list (query-bounded: ≤ docs-with-hits rows) joins
+    * back to the corpus on doc_id — AQE broadcasts the hit side — and
+    * the window is ONE `slice` on the already-split token array; no
+    * second tokenize, no per-hit regex. Both engines clamp the slice at
+    * the document edges, so the snippet is exact at position 0 and at
+    * end-of-doc. */
+  def phraseSnippets(s: SparkSession, dir: String): DataFrame = {
+    val ctx = snippetContext
+    val plen = gatePhrases.tail.foldLeft(
+      when(col("phrase") === gatePhrases.head.mkString(" "),
+        lit(gatePhrases.head.length.toLong))) { (acc, p) =>
+      acc.when(col("phrase") === p.mkString(" "), lit(p.length.toLong))
+    }
+    val hits = phraseSearch(s, dir)
+      .select(col("phrase"), col("doc_id"), col("first_pos"))
+    val docs = Corpus.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+    val from0 = greatest(col("first_pos") - ctx, lit(0L))
+    hits.join(docs, Seq("doc_id"))
+      .select(col("phrase"), col("doc_id"), col("first_pos"),
+        array_join(slice(col("toks"), (from0 + 1L).cast("int"),
+          (col("first_pos") + plen + ctx - from0).cast("int")), " ")
+          .as("snippet"))
+  }
+
+  /** [[phraseSnippets]]'s oracle: the phrase CTE + one slice join.
+    * (lazy: it interpolates [[phraseSearchSql]], which initializes
+    * later in this object — the round-9 init-order gotcha.) */
+  lazy val phraseSnippetsSql: String = {
+    val lenCase = gatePhrases
+      .map(p => s"WHEN '${p.mkString(" ")}' THEN ${p.length}")
+      .mkString(" ")
+    s"""WITH ph AS ($phraseSearchSql),
+       |t AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents)
+       |SELECT ph.phrase, ph.doc_id, ph.first_pos,
+       |  array_to_string(t.toks[
+       |    GREATEST(ph.first_pos - $snippetContext, 0) + 1 :
+       |    ph.first_pos + (CASE ph.phrase $lenCase END) + $snippetContext],
+       |    ' ') AS snippet
+       |FROM ph JOIN t USING (doc_id)""".stripMargin
+  }
+
   /** Gate term pair + window for [[nearSearch]]. */
   private[graft] val nearTerms: (String, String) = ("table", "part")
   private[graft] val nearWindow = 3L

@@ -189,6 +189,24 @@ class PhraseSearchSpec extends AnyFunSuite {
       "positional proximity query read the corpus")
   }
 
+  test("snippets clamp at document edges and center interior hits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snip").toFile
+    dir.deleteOnExit()
+    Seq(
+      (1L, "table part tail1 tail2 tail3 tail4"),         // hit at pos 0: no left context
+      (2L, "l4 l3 l2 l1 table part"),                     // hit at end: no right context
+      (3L, "a b c table part x y z"))                     // interior: 3 each side
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Retrieval.phraseSnippets(spark, dir.getAbsolutePath).collect()
+      .map(r => (r.getLong(1), r.getString(3))).toMap
+    assert(got === Map(
+      1L -> "table part tail1 tail2 tail3",
+      2L -> "l3 l2 l1 table part",
+      3L -> "a b c table part x y z"))
+  }
+
   test("plan shapes: term filters pushed into every phrase scan; no cartesian anywhere") {
     val full = Retrieval.phraseSearch(spark, sf)
       .queryExecution.executedPlan.toString

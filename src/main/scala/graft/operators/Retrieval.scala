@@ -556,10 +556,12 @@ object Retrieval {
     *
     * Plan: the hit list (query-bounded: ≤ docs-with-hits rows) joins
     * back to the corpus on doc_id — AQE broadcasts the hit side — and
-    * the window is ONE `slice` on the already-split token array; no
-    * second tokenize, no per-hit regex. Both engines clamp the slice at
-    * the document edges, so the snippet is exact at position 0 and at
-    * end-of-doc. */
+    * the per-hit work is ONE `slice` on the join scan's token array (no
+    * per-hit regex or re-search). Two corpus passes total: the match
+    * pass and the display join-back — the standard search shape, where
+    * production would replace the second scan with a doc store point
+    * lookup. Both engines clamp the slice at the document edges, so the
+    * snippet is exact at position 0 and at end-of-doc. */
   def phraseSnippets(s: SparkSession, dir: String): DataFrame = {
     val ctx = snippetContext
     val plen = gatePhrases.tail.foldLeft(

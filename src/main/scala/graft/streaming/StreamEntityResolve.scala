@@ -34,7 +34,13 @@ import graft.operators.EntityResolution
   *  - a name with no second token has a null blocking key in batch
   *    (null never equi-joins): the stream twin mirrors it by labelling
   *    such names as singletons without consulting block state.
-  */
+  *
+  * Per-event cost is O(|block|) — the linear match scan over the
+  * block's membership (and a membership rewrite when a merge fires),
+  * the in-state analog of the batch blocked self-join's per-name
+  * candidate list. A pathologically hot blocking key gets the same
+  * treatment as batch (`vocab_overlap`'s df-cap discipline: cap or
+  * re-key the block), not a different algorithm. */
 object StreamEntityResolve {
 
   final case class Member(name: String, nid: Long, label: Long)

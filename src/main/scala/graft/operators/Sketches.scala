@@ -427,10 +427,7 @@ object Sketches {
   def tableStats(s: SparkSession, dir: String): DataFrame = {
     val li = Corpus.lineitem(s, dir)
     val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
-    val stk = li.select(explode(array(allCols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
-        .as("kv"))
-      .select(col("kv.col_name"), col("kv.v"))
+    val stk = stackedOf(li)
     // ONE aggregation tree for rows/nulls/NDV-exact/NDV-sketch: the
     // (col_name, bucket) partial carries a running count, a per-bucket
     // distinct count (buckets partition the value space by hash, so the
@@ -475,6 +472,96 @@ object Sketches {
         col("b.min_str"), col("b.max_str"))
     base.join(broadcast(bounds), Seq("col_name"))
   }
+
+  private def stackedOf(li: DataFrame): DataFrame = {
+    val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
+    li.select(explode(array(allCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("kv"))
+      .select(col("kv.col_name"), col("kv.v"))
+  }
+
+  /** Ingest cut for `stats_incremental` (l_orderkey — append-only). */
+  private[graft] val statsCut = 1000L
+
+  /** The MERGEABLE per-(col, bucket) stats state of a lineitem slice:
+    * running count, HLL register max, and nulls riding the NULL bucket.
+    * Counts SUM, registers MAX-merge — both associative, so a snapshot
+    * merged with a batch is bit-identical to the one-shot state. The
+    * per-bucket EXACT distinct count the full [[tableStats]] also
+    * carries is deliberately absent: it is not mergeable with bounded
+    * state (the overlap between yesterday's and today's value sets is
+    * unknowable from counts), which is exactly why production ANALYZE
+    * maintenance keeps sketch registers, not distinct counts. */
+  private def statsStateOf(li: DataFrame): DataFrame =
+    stackedOf(li)
+      .select(col("col_name"),
+        when(col("v").isNotNull, hllBucketCol(col("v"))).as("bucket"),
+        when(col("v").isNotNull, hllRhoCol(col("v"))).as("rho"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("rho")).as("max_rho"))
+
+  /** Typed per-column bounds of a lineitem slice (min/max merge). */
+  private def statsBoundsOf(li: DataFrame): DataFrame = {
+    val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
+    val aggs = allCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val structs =
+      statsNumericCols.map(c => struct(lit(c).as("col_name"),
+        col(s"min_$c").cast("double").as("min_num"),
+        col(s"max_$c").cast("double").as("max_num"),
+        nullS.as("min_str"), nullS.as("max_str"))) ++
+      (statsStringCols ++ statsTsCols).map(c => struct(lit(c).as("col_name"),
+        nullD.as("min_num"), nullD.as("max_num"),
+        col(s"min_$c").cast("string").as("min_str"),
+        col(s"max_$c").cast("string").as("max_str")))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(structs: _*)).as("b"))
+      .select(col("b.col_name"), col("b.min_num"), col("b.max_num"),
+        col("b.min_str"), col("b.max_str"))
+  }
+
+  /** Oracle-gated `stats_incremental`: nightly ANALYZE maintenance —
+    * yesterday's stats STATE (per-(col, bucket) counts + HLL registers
+    * + typed bounds, the standing tables a warehouse persists) absorbs
+    * an ingest batch without rescanning the accumulated corpus, and the
+    * finalized mergeable stats (n_rows, n_nulls, ndv_est, bounds) must
+    * equal the full-table recompute — the oracle IS [[tableStatsSql]]
+    * minus its non-mergeable `ndv_exact` column. Register max-merge is
+    * exact (not approximately-correct: the merged registers are
+    * bitwise the one-shot registers), so `ndv_est` carries no
+    * incremental drift — the property that makes sketch-based ANALYZE
+    * trustworthy across thousands of daily merges. */
+  def statsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+    val snap = li.where(col("l_orderkey") < statsCut)
+    val batch = li.where(col("l_orderkey") >= statsCut)
+    val merged = statsStateOf(snap).unionByName(statsStateOf(batch))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("max_rho")).as("max_rho"))
+    val s0 = sum(when(col("bucket").isNotNull, pow(lit(2.0), -col("max_rho"))))
+    val nb = sum(when(col("bucket").isNotNull, 1L).otherwise(0L))
+    val base = merged.groupBy(col("col_name")).agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("bucket").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      s0.as("s0"), nb.as("nb"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        round(hllEstExpr(col("s0"), col("nb")), 4).as("ndv_est"))
+    val bounds = statsBoundsOf(snap).unionByName(statsBoundsOf(batch))
+      .groupBy(col("col_name"))
+      .agg(min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+    base.join(broadcast(bounds), Seq("col_name"))
+  }
+
+  /** [[statsIncremental]]'s oracle: the full-table stats minus the
+    * non-mergeable exact-NDV column. */
+  lazy val statsIncrementalSql: String =
+    s"""SELECT col_name, n_rows, n_nulls, ndv_est,
+       |  min_num, max_num, min_str, max_str
+       |FROM ($tableStatsSql) t""".stripMargin
 
   val tableStatsSql: String = {
     val stacked = (statsNumericCols ++ statsTsCols).map(c =>

@@ -329,6 +329,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       "merged half-sketches must reproduce the whole-corpus estimate exactly")
   }
 
+  test("stats_incremental == full table_stats on the mergeable columns; cut non-vacuous") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val mergeable = Seq("col_name", "n_rows", "n_nulls", "ndv_est",
+      "min_num", "max_num", "min_str", "max_str")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(mergeable.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
+    val full = rows(Sketches.tableStats(spark, sf))
+    val inc = rows(Sketches.statsIncremental(spark, sf))
+    assert(inc === full,
+      "snapshot+batch register/count/bounds merge must equal the one-shot stats")
+    val li = graft.sources.Corpus.lineitem(spark, sf)
+    val below = li.where(col("l_orderkey") < Sketches.statsCut).count()
+    val above = li.where(col("l_orderkey") >= Sketches.statsCut).count()
+    assert(below > 0 && above > 0, "the ingest cut must split the table")
+  }
+
   test("CountMin merges, never underestimates, and is SQL-exposed") {
     import org.apache.spark.sql.functions._
     import graft.functions.SketchFunctions

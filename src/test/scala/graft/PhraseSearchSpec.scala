@@ -224,6 +224,12 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(!indexed.contains("CartesianProduct") &&
       !indexed.contains("BroadcastNestedLoopJoin"),
       s"indexed phrase plan went all-pairs:\n$indexed")
+    val snip = Retrieval.phraseSnippets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!snip.contains("CartesianProduct") &&
+      !snip.contains("BroadcastNestedLoopJoin") &&
+      snip.contains("BroadcastHashJoin"),
+      s"snippet join-back must broadcast the hit list:\n$snip")
   }
 
   test("tf >= multiplicity candidate cut is non-vacuous for the repeated-term phrase") {

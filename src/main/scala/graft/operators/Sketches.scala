@@ -484,6 +484,40 @@ object Sketches {
   /** Ingest cut for `stats_incremental` (l_orderkey — append-only). */
   private[graft] val statsCut = 1000L
 
+  /** The streaming twin's stacked projection: the SAME bucket/rho
+    * Catalyst expressions as the batch state (zero drift by
+    * construction), plus the typed values the bounds fold needs —
+    * min/max over the double cast equals cast-of-min/max for the
+    * numeric columns (monotone), and ISO timestamp strings order like
+    * their instants. */
+  private[graft] def streamStackedOf(li: DataFrame): DataFrame = {
+    val structs =
+      statsNumericCols.map(c => struct(lit(c).as("col_name"),
+        col(c).cast("string").as("v"),
+        col(c).cast("double").as("num_v"),
+        lit(null).cast("string").as("str_v"))) ++
+      (statsStringCols ++ statsTsCols).map(c => struct(lit(c).as("col_name"),
+        col(c).cast("string").as("v"),
+        lit(null).cast("double").as("num_v"),
+        col(c).cast("string").as("str_v")))
+    li.select(explode(array(structs: _*)).as("kv"))
+      .select(col("kv.col_name"),
+        // register INDEX for the state fold: the same hex bucket the
+        // batch groups by, as its integer value
+        when(col("kv.v").isNotNull,
+          conv(hllBucketCol(col("kv.v")), 16, 10).cast("int")).as("bucket"),
+        when(col("kv.v").isNotNull, hllRhoCol(col("kv.v"))).as("rho"),
+        col("kv.num_v"), col("kv.str_v"))
+  }
+
+  /** Finalize a (col_name, n_rows, n_nulls, s0, nb, bounds…) state row
+    * into the mergeable stats shape — the SAME estimator expression the
+    * batch paths use, applied as a stateless projection. */
+  private[graft] def finalizeStatsCols(df: DataFrame): DataFrame =
+    df.select(col("col_name"), col("n_rows"), col("n_nulls"),
+      round(hllEstExpr(col("s0"), col("nb")), 4).as("ndv_est"),
+      col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+
   /** The MERGEABLE per-(col, bucket) stats state of a lineitem slice:
     * running count, HLL register max, and nulls riding the NULL bucket.
     * Counts SUM, registers MAX-merge — both associative, so a snapshot

@@ -378,6 +378,20 @@ object StreamingBench {
           val v = (g / 64) % 50
           (g, s"v${v / 5}a${v % 5} blk$blk"): (Long, String)
         }, "update", qn, batches, perBatch)),
+      // at-ingestion ANALYZE (r10): five column-states total, each 256
+      // register slots + counts + bounds; every event explodes to 5
+      // stacked rows and pays one md5 per column — the leg prices that
+      // hashing plus the fold
+      Leg("stats", twsOnly = false, qn => throughputOf[(Long, Long, String, String, String)](spark,
+        ds => StreamStats.stats(spark, ds.toDF("l_orderkey", "l_suppkey",
+          "l_linestatus", "l_returnflag", "l_shipdate")),
+        (b, per) => (0 until per).map { i =>
+          val g = b.toLong * per + i
+          (g, g % 997, if (g % 2 == 0) "O" else "F",
+            if (g % 3 == 0) "R" else "N",
+            f"1995-${g % 12 + 1}%02d-${g % 28 + 1}%02d")
+            : (Long, Long, String, String, String)
+        }, "update", qn, batches, perBatch)),
       // ingest-volume anomaly monitor at ingestion (r10): per-type
       // running moments (3 exact longs) + open-day counters as state;
       // day closures ride the watermark — ~1.4 days close per batch at

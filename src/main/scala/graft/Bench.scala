@@ -29,6 +29,36 @@ object Bench {
       finally src.close()
     }.getOrElse("[]")
 
+  /** Fixed-workload machine-speed score: a CPU-bound hash aggregate over a
+    * generated range plus one canonical parquet write+scan round-trip in
+    * /tmp, min of 3 (steady-state, the min-of-2 rationale). The sandbox's
+    * speed moves ±60% day-over-day at IDENTICAL loadavg (round-10 judge
+    * A/B: the same code + query subset measured 62 s one day, 100 s
+    * another), so `loadavg` cannot adjudicate cross-day bench drift —
+    * ledger comparisons divide totals by this score first (BASELINE.md
+    * "Methodology"). Emitted as `calib_sec`: higher = slower machine. */
+  private def calibrate(spark: org.apache.spark.sql.SparkSession): Double = {
+    val dir = s"/tmp/graft_calib_${System.nanoTime()}"
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("sum(id * 2654435761)", "count(distinct id % 1000)")
+        .collect()
+      spark.range(0, 2000000L, 1, 32)
+        .selectExpr("id", "id % 97 as k", "cast(id as string) as s")
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).selectExpr("sum(k)", "max(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val score = (1 to 3).map(_ => once()).min
+    Try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+    score
+  }
+
   /** Frees executor-heap residue between suites: cached plans plus any
     * still-pinned `localCheckpoint` blocks whose owning frames went out of
     * scope before the ContextCleaner noticed. Keeps one pass's storage
@@ -52,6 +82,9 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
+    // machine-speed score, measured JVM-warm before any suite runs
+    val calibSec = calibrate(spark)
+    releaseHeap(spark)
     // deterministic order: per-query numbers comparable across rounds;
     // SPARK_GRAFT_ONLY (comma-separated names) = local iteration filter
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -182,7 +215,7 @@ object Bench {
     // carries the same data. (r8: the streaming block — cut from every
     // driver artifact through r7 — moved behind the map too; it fits
     // the tail alongside q/loadavg/value.)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"queries":$qs$streaming$bucketed$relayout$errJson,"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"queries":$qs$streaming$bucketed$relayout$errJson,"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
     spark.stop()
   }
 }

@@ -185,12 +185,17 @@ object EntityResolution {
     """SELECT p_name, MIN(p_partkey) AS nid, COUNT(*) AS n_rows
       |  FROM part GROUP BY 1""".stripMargin
 
+  // NULLIF mirrors the Spark side's get(split(p_name,' '),1) blocking key:
+  // a single-token name gets a NULL key there and never equi-joins, while
+  // DuckDB's split_part returns '' for a missing token — without NULLIF
+  // every singleton name would share block '' in the oracle only.
   private val matchesSql =
     s"""SELECT a.p_name AS name_a, b.p_name AS name_b,
        |       a.nid AS nid_a, b.nid AS nid_b,
        |       levenshtein(a.p_name, b.p_name) AS dist
        |  FROM names a JOIN names b
-       |    ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       |    ON NULLIF(split_part(a.p_name, ' ', 2), '')
+       |     = NULLIF(split_part(b.p_name, ' ', 2), '')
        |   AND a.nid < b.nid
        | WHERE levenshtein(a.p_name, b.p_name) <= $editMax""".stripMargin
 

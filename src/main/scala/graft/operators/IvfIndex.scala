@@ -50,7 +50,16 @@ object IvfIndex {
     buildFrom(s, Corpus.embeddings(s, corpusDir), indexDir, nCells)
 
   /** [[build]] over an arbitrary (vec_id, embedding) frame — the seam the
-    * incremental path uses to bootstrap from a corpus prefix. */
+    * incremental path uses to bootstrap from a corpus prefix.
+    *
+    * PQ codes are only meaningful when the vector dimension equals
+    * [[Similarity.pqM]]·[[Similarity.pqSubDims]] (the codebook's subspace
+    * slicing); a lower-dim build (e.g. a dim-16 serving index) would
+    * slice past the array and every code would tie to cid 0. The build
+    * detects the dimension (one bounded row) and records PQ validity as
+    * a `_GRAFT_PQ_OK` marker — [[queryPq]] requires it, so querying a
+    * non-PQ-dim index fails loudly instead of returning ADC garbage;
+    * [[query]] never reads codes and is unaffected. */
   def buildFrom(
       s: SparkSession,
       corpus: DataFrame,
@@ -59,13 +68,22 @@ object IvfIndex {
     val e = corpus
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = e.where(col("vec_id") < nCells)
+    val pqDim = Similarity.pqM * Similarity.pqSubDims
+    val dimOk = e.limit(1).select(size(col("v")).as("d")).collect()
+      .headOption.forall(_.getInt(0) == pqDim)
+    // sample rule: the nCells SMALLEST ids PRESENT in the input (a
+    // TakeOrdered, one pass) — on a 0-based-prefix corpus this is exactly
+    // `vec_id < nCells` (the inline operator's rule, so the shared
+    // oracles are unaffected), and unlike the absolute-id form it stays
+    // well-defined when a corpus's low ids have been deleted — the
+    // precondition [[retrain]]'s fresh-build-equality contract needs
+    val cents = e.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // PQ codebook, frozen at build exactly like the coarse quantizer:
     // the first pqK vectors' NORMALIZED directions (the deterministic
     // stand-in Similarity.annPq uses) — appends encode under this table
-    val cb = e.where(col("vec_id") < Similarity.pqK)
+    val cb = e.orderBy(col("vec_id").asc).limit(Similarity.pqK)
       .select(col("vec_id").as("cid"),
         transform(col("v"), x => x / col("nrm")).as("cv"))
     cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
@@ -74,6 +92,8 @@ object IvfIndex {
     val assigned = withCodes(assignCells(e, bc), bcb)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/members")
+    val marker = new java.io.File(s"$indexDir/_GRAFT_PQ_OK")
+    if (dimOk) marker.createNewFile() else marker.delete()
     val m = s.read.parquet(s"$indexDir/members")
     (m.select(col("cell")).distinct().count(), m.count())
   }
@@ -87,7 +107,8 @@ object IvfIndex {
     * the raw double subspace distance over the codebook, ties to the
     * smaller code id; codes land in subspace order. At production dims
     * the array would be BYTE codes — the 128x compression — long here to
-    * keep the oracle join types trivial. */
+    * keep the oracle join types trivial. Assumes pqM·pqSubDims-dim
+    * vectors — callers gate with [[buildFrom]]'s `_GRAFT_PQ_OK` marker. */
   private def withCodes(members: DataFrame, cb: DataFrame): DataFrame = {
     val en = members.select(col("vec_id"),
       transform(col("v"), x => x / col("nrm")).as("nv"))
@@ -205,7 +226,7 @@ object IvfIndex {
       nProbe = 2, k = 5, nCand = Similarity.pqCandidates)
 
   /** The shared benchmark query batch: the first 10 corpus vectors. */
-  private def queryBatch(s: SparkSession, dir: String): DataFrame =
+  private[graft] def queryBatch(s: SparkSession, dir: String): DataFrame =
     Corpus.embeddings(s, dir).where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
@@ -250,10 +271,13 @@ object IvfIndex {
     query(s, idx, queryBatch(s, dir), nProbe = 2, k = 5)
   }
 
-  private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
+  private[graft] def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
-    val idx = s"/tmp/graft_ivf_${java.lang.Long.toHexString(tag)}"
+    // v2: layout gained the _GRAFT_PQ_OK marker — a pre-marker cached
+    // index must not serve queryPq (done-marker discipline: any layout
+    // change bumps the cache path)
+    val idx = s"/tmp/graft_ivf2_${java.lang.Long.toHexString(tag)}"
     if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
       val e = Corpus.embeddings(s, dir)
       val increment = col("vec_id") >= 16 && col("vec_id") % 4 === 3
@@ -372,6 +396,169 @@ object IvfIndex {
         ()
       }
       .start()
+
+  /** Re-train the frozen quantizer and migrate the index under it — the
+    * maintenance leg that closes the append path's one honest debt: every
+    * append encodes under the BUILD-time coarse quantizer and codebook
+    * (correct for replay convergence), so as the ingested distribution
+    * drifts away from the build sample, new vectors crowd into few cells
+    * and probed-cell recall decays ([[RetrainSpec]] constructs exactly
+    * this and measures the decay and the recovery).
+    *
+    * The pass re-fits BOTH frozen tables from the LIVE member set — the
+    * same deterministic sample rule a fresh [[buildFrom]] over the
+    * surviving corpus would use (ids < nCells / < pqK among live
+    * members), so the re-trained index is bit-equal to a from-scratch
+    * build over the live corpus (spec-pinned), and the standing oracles
+    * are unaffected — then re-assigns every member under the new tables
+    * and rewrites ONLY the cells where anything actually changed
+    * (membership or codes), under dynamic partition overwrite with
+    * explicit purge of emptied cells. The scan is necessarily full (any
+    * member's cell may move) but the WRITE cost is proportional to the
+    * drift: an unchanged quantizer rewrites nothing — which also makes
+    * the pass idempotent and crash-convergent (all writes are pure
+    * functions of (vec_id, v, nrm), which never change; a replay after a
+    * crash between the table writes and the migration re-derives the
+    * same target and completes it). The `deleted/` tombstone table is
+    * untouched: takedowns survive re-training.
+    *
+    * `lloydRounds` picks the quantizer fit:
+    *  - 0 (default): the deterministic sample rule — nCells smallest LIVE
+    *    ids' vectors, exactly [[buildFrom]]'s rule over the surviving
+    *    corpus, so the re-trained index is bit-equal to a fresh build
+    *    (`RetrainSpec` pins the equality table for table);
+    *  - >0: spherical k-means on a bounded deterministic sample of the
+    *    live members (id-hash-ordered TakeOrdered, ≤ `sampleCap` rows —
+    *    the codebook's bounded-collect discipline; driver-local Lloyd in
+    *    a fixed single-threaded order, so the result is replay-exact),
+    *    seeded from the 0-round rule. This is the fit that actually
+    *    ADAPTS: when ingest has drifted away from the build sample, the
+    *    new centroids follow the live distribution and probed-cell
+    *    recall recovers (`RetrainSpec` measures before/after).
+    * Returns (cells rewritten, vectors whose cell moved). */
+  def retrain(
+      s: SparkSession,
+      indexDir: String,
+      nCells: Int = 16,
+      lloydRounds: Int = 0,
+      sampleCap: Int = 4096): (Long, Long) = {
+    val members = s.read.parquet(s"$indexDir/members")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("codes").as("old_codes"), col("cell").as("old_cell"))
+      // EAGER: the table writes below replace files this frame reads
+      .localCheckpoint()
+    val cents =
+      if (lloydRounds <= 0)
+        members.orderBy(col("vec_id").asc).limit(nCells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      else
+        lloydCentroids(s, members, nCells, lloydRounds, sampleCap)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val cb = members.orderBy(col("vec_id").asc).limit(Similarity.pqK)
+      .select(col("vec_id").as("cid"),
+        transform(col("v"), x => x / col("nrm")).as("cv"))
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val bc = broadcast(s.read.parquet(s"$indexDir/centroids"))
+    val bcb = broadcast(s.read.parquet(s"$indexDir/codebook"))
+    val reassigned = withCodes(
+        assignCells(members.select(col("vec_id"), col("v"), col("nrm")), bc), bcb)
+      .join(members.select(col("vec_id"), col("old_codes"), col("old_cell")),
+        Seq("vec_id"))
+      .localCheckpoint()
+    // a cell is touched if it loses a member, gains one, or any resident's
+    // codes change under the new codebook — comparing against the standing
+    // row (not the pre-crash one) is what makes a replayed retrain a no-op
+    val changed = reassigned
+      .where(col("cell") =!= col("old_cell") || col("codes") =!= col("old_codes"))
+    val touched = changed
+      .select(explode(array(col("cell"), col("old_cell"))).as("c"))
+      .distinct().collect().map(_.getInt(0)).toSet // bounded by nCells
+    val moved = changed.where(col("cell") =!= col("old_cell")).count()
+    if (touched.nonEmpty) {
+      val cells = touched.toSeq.sorted.map(Integer.valueOf)
+      val out = reassigned.where(col("cell").isin(cells: _*))
+        .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("cell"))
+      val live = out.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(modeKey)
+      s.conf.set(modeKey, "dynamic")
+      try out.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/members")
+      finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
+      (touched -- live).foreach { c =>
+        val d = new java.io.File(s"$indexDir/members/cell=$c")
+        if (d.isDirectory) {
+          Option(d.listFiles()).foreach(_.foreach(_.delete()))
+          d.delete()
+        }
+      }
+    }
+    Seq(members, reassigned)
+      .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
+    (touched.size.toLong, moved)
+  }
+
+  /** Driver-local spherical k-means over a bounded deterministic sample
+    * of the live members — [[retrain]]'s adaptive quantizer fit.
+    *
+    * Sample: rows ordered by an id-hash (then id), TakeOrdered at
+    * `sampleCap` — a deterministic spread across the live id space (a
+    * smallest-id sample would systematically miss drifted high-id
+    * ingest, the very data the re-fit exists to follow). The collect is
+    * bounded at sampleCap vectors, the codebook discipline. Lloyd runs
+    * single-threaded in sorted-id order: assign by max cosine (ties to
+    * the smaller cluster), recompute each centroid as its members' mean
+    * (an emptied cluster keeps its previous centroid — [[Similarity]]'s
+    * lloydLocal convention). Returns the (cid, cv, cn) centroid frame;
+    * cids are cluster indexes. */
+  private def lloydCentroids(
+      s: SparkSession,
+      members: DataFrame,
+      k: Int,
+      rounds: Int,
+      sampleCap: Int): DataFrame = {
+    import s.implicits._
+    val pts = members
+      .select(col("vec_id"), col("v"))
+      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)).asc,
+        col("vec_id").asc)
+      .limit(sampleCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val kk = math.min(k, pts.length)
+    var cents: Array[Array[Double]] = Array.tabulate(kk)(i => pts(i)._2.clone())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (_ <- 1 to rounds) {
+      val dims = cents.map(_.length).max
+      val sums = Array.ofDim[Double](kk, dims)
+      val cnts = new Array[Long](kk)
+      pts.foreach { case (_, v) =>
+        var best = 0; var bs = Double.NegativeInfinity; var c = 0
+        while (c < kk) {
+          val sc = cos(v, cents(c))
+          if (sc > bs) { bs = sc; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < math.min(v.length, dims)) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    cents.zipWithIndex.map { case (cv, cid) =>
+      var n2 = 0.0; cv.foreach(x => n2 += x * x)
+      (cid.toLong, cv.toSeq, math.sqrt(n2))
+    }.toSeq.toDF("cid", "cv", "cn")
+  }
 
   /** Compact fragmented cell partitions — the missing maintenance leg of
     * the index lifecycle (build → append → appendStream → compact →
@@ -507,8 +694,10 @@ object IvfIndex {
       nProbe: Int = 2,
       k: Int = 5,
       nCand: Int = 20): DataFrame = {
-    val pqM = Similarity.pqM
-    val pqSubDims = Similarity.pqSubDims
+    require(new java.io.File(s"$indexDir/_GRAFT_PQ_OK").exists(),
+      s"$indexDir was built with a vector dimension != " +
+        s"${Similarity.pqM * Similarity.pqSubDims}: its PQ codes are " +
+        "degenerate; use query() or rebuild at the PQ dimension")
     val q = queries
       .select(col("query_id"), vec(col("qv")).as("qv"))
       .withColumn("qn", norm(col("qv")))

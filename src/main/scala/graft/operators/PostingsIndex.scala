@@ -184,7 +184,14 @@ object PostingsIndex {
     val superBits = readSuperBits(s, indexDir)
     val wm = s.read.parquet(s"$indexDir/blockstats")
       .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
-    val batch = incoming.where(col("doc_id") > wm).localCheckpoint()
+    // tombstone guard: an id taken down BEFORE it was ever ingested
+    // (above-watermark [[delete]]) must stay out when its batch arrives
+    val tombDir = s"$indexDir/tombstones"
+    val batch0 = incoming.where(col("doc_id") > wm)
+    val batch =
+      (if (new java.io.File(tombDir).isDirectory)
+        batch0.join(s.read.parquet(tombDir), Seq("doc_id"), "left_anti")
+      else batch0).localCheckpoint()
     val batchStats = blockStatsOf(batch, superBits).localCheckpoint()
     val touched = batchStats.select(col("sb")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -275,9 +282,10 @@ object PostingsIndex {
     * through the same `foreachBatch` composition: [[delete]] is a pure
     * function of (state − ids), so the at-least-once retry a
     * foreachBatch sink actually has re-deletes nothing, and interleaved
-    * appends/deletes serialize at the index (the tombstone-free postings
-    * side is safe because the WATERMARK blocks re-ingest of deleted
-    * ranges). The stream's only state is the sink checkpoint. */
+    * appends/deletes serialize at the index: the WATERMARK blocks
+    * re-ingest of already-ingested deleted ranges, and the `tombstones/`
+    * table blocks first ingest of ids whose takedown arrived before
+    * their batch. The stream's only state is the sink checkpoint. */
   def deleteStream(
       s: SparkSession,
       indexDir: String,
@@ -339,7 +347,7 @@ object PostingsIndex {
       }
     }
     val dirs = Seq(s"$indexDir/postings", s"$indexDir/positions",
-      s"$indexDir/doclens")
+      s"$indexDir/doclens", s"$indexDir/termstats")
       .filter(p => new java.io.File(p).isDirectory)
     dirs.map(compactDir).foldLeft((0L, 0L, 0L)) {
       case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
@@ -379,12 +387,38 @@ object PostingsIndex {
     * whose every row dies is purged explicitly (dynamic overwrite
     * cannot rewrite a partition it has no rows for). Replaying the same
     * delete is a no-op by construction — every write is a pure function
-    * of (standing state − ids). Returns (partitions touched, posting
-    * entries removed). */
+    * of (standing state − ids).
+    *
+    * An id ABOVE the ingest watermark has no physical rows yet, and the
+    * watermark guard alone would re-admit it when its batch finally
+    * arrives (the delete-before-append interleaving [[deleteStream]] /
+    * [[appendStream]] checkpoints can replay). Those ids land in a
+    * `tombstones/` table — written FIRST, so a crash mid-delete leaves
+    * the takedown standing — that [[append]] anti-joins every incoming
+    * batch against; cumulative and bounded by above-watermark takedown
+    * volume ([[IvfIndex.delete]]'s `deleted/` discipline). Returns
+    * (partitions touched, posting entries removed). */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): (Long, Long) = {
     val superBits = readSuperBits(s, indexDir)
     val del = ids.select(col("doc_id")).distinct().localCheckpoint()
-    val touched = del
+    val wm = s.read.parquet(s"$indexDir/blockstats")
+      .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
+    val above = del.where(col("doc_id") > wm)
+    if (above.limit(1).count() > 0) {
+      val tombDir = s"$indexDir/tombstones"
+      val tombs =
+        if (new java.io.File(tombDir).isDirectory)
+          // EAGER: the overwrite replaces the files being read
+          s.read.parquet(tombDir).unionByName(above).distinct().localCheckpoint()
+        else above
+      tombs.coalesce(1).write.mode("overwrite").parquet(tombDir)
+      if (tombs ne above)
+        org.apache.spark.sql.graft.Bridge.releaseCheckpoint(tombs)
+    }
+    // only ids at or below the watermark can have physical rows — an
+    // above-watermark takedown is fully served by its tombstone, no
+    // partition rewrite
+    val touched = del.where(col("doc_id") <= wm)
       .select(shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
         .cast("int").as("sb"))
       .distinct().collect().map(_.getInt(0)).sorted
@@ -585,6 +619,79 @@ object PostingsIndex {
   def bm25Indexed(s: SparkSession, dir: String): DataFrame =
     query(s, ensureLifecycleIndex(s, dir))
 
+  /** Per-query more-like-this BM25 FROM THE INDEX: for each (query_id,
+    * term) row of the bounded query-profile frame `qt` (a handful of
+    * probe documents' distinct tokens), score every OTHER document's
+    * match against that profile and keep the top `k` per query — the
+    * lexical candidate generator of an indexed hybrid-retrieval stack
+    * ([[graft.operators.Retrieval.hybridRrfIndexed]]).
+    *
+    * Plan: ONE term-pruned postings scan over the union of all queries'
+    * terms (the isin pushes to the parquet scan — bytes read are
+    * Σ df(term), never the corpus), exploded once and joined to the
+    * broadcast profile; term df comes from the stored `termstats` (the
+    * [[scoreSbs]] seam — a pruned frame cannot derive df from itself...
+    * here it could, but the stored stats are the production source and
+    * already oracle-gated), globals from `blockstats`. Scores are the
+    * shared quantized trees ([[Retrieval.qScoreCol]]), summed as BIGINTs
+    * per (query, doc) — partition-order-free — then ranked
+    * (sum desc, doc_id asc) within each query. Self-matches are
+    * excluded (a query doc would trivially top its own profile). */
+  def bm25MoreLikeThis(
+      s: SparkSession, indexDir: String, qt: DataFrame, k: Int): DataFrame =
+    bm25Batch(s.read.parquet(s"$indexDir/postings"),
+      s.read.parquet(s"$indexDir/termstats"),
+      s.read.parquet(s"$indexDir/blockstats"),
+      qt, k, excludeSelf = true)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("r"))
+
+  /** The multi-query BM25 core over ALREADY-CONSTRUCTED index frames —
+    * [[IvfIndex.queryOn]]'s seam pointed at the postings layout, so a
+    * serving loop ([[graft.streaming.StreamBm25Serve]]) lists the index
+    * directories once per session and re-plans per trigger. The dynamic
+    * `isin` over the batch's term union is applied to the cached frame at
+    * plan time, so each trigger's scan is still term-pruned (parquet
+    * row-group min/max on `term`), never a full postings read.
+    * `excludeSelf` drops doc_id == query_id matches — the more-like-this
+    * convention, meaningless for synthetic serving query ids. Returns
+    * (query_id, doc_id, r, bm25) for ranks 1..k per query. */
+  private[graft] def bm25Batch(
+      postings: DataFrame, termstats: DataFrame, blockstats: DataFrame,
+      qt: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = qt.select(col("query_id"), col("term")).localCheckpoint()
+    // bounded: the distinct vocabulary of the query batch
+    val terms = prof.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dfT = termstats
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
+    val tf = postings
+      .where(col("term").isin(terms: _*))
+      .select(col("term"), explode(col("plist")).as("e"))
+      .select(col("term"), col("e.doc_id").as("doc_id"),
+        col("e.tf").as("tf"), col("e.dl").as("dl"))
+    val joined = tf.join(broadcast(prof), Seq("term"))
+    val scored = (if (excludeSelf) joined.where(col("doc_id") =!= col("query_id"))
+      else joined)
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(blockstats.agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))))
+      .select(col("query_id"), col("doc_id"),
+        Retrieval.qScoreCol(col("tf"), col("dl")).as("qs"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qs")).as("sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq").desc, col("doc_id").asc)
+    // prof's checkpoint blocks stay pinned until the session GC notices —
+    // a handful of (query_id, term) rows, deliberately not force-released
+    // because the returned plan still reads them
+    scored.withColumn("r", row_number().over(w))
+      .where(col("r") <= k)
+      .select(col("query_id"), col("doc_id"), col("r"),
+        (col("sq").cast("double") / 10000.0).as("bm25"))
+  }
+
   /** Phrase search FROM THE INDEX (`phrase_search_indexed`): the standing
     * inverted index prunes the verify set before any text is tokenized.
     * Candidates per phrase = docs whose stored tf reaches every distinct
@@ -643,11 +750,34 @@ object PostingsIndex {
     * SAME fused-key banded kernel runs; identical output, shared
     * oracle. Bytes read: the two terms' positions rows, independent of
     * corpus text size. */
-  def nearSearchPositional(s: SparkSession, dir: String): DataFrame = {
-    val idx = ensureLifecycleIndex(s, dir)
+  def nearSearchPositional(s: SparkSession, dir: String): DataFrame =
+    nearPositionalOn(s, ensureLifecycleIndex(s, dir))
+
+  /** [[nearSearchPositional]] against an explicit index — the spec seam.
+    *
+    * Superblock pruning (the block-max machinery pointed at proximity):
+    * a qualifying pair lives within ONE document, so its superblock must
+    * contain BOTH probe terms — the per-(term, sb) rows of the stored
+    * `termstats` give each term's superblock set, and only the
+    * INTERSECTION's partitions are scanned (driver-side work is
+    * superblock-count-bounded, the [[wandSelect]] discipline; the prune
+    * is a static partition filter, so pruned superblocks' files are
+    * never opened — plan-asserted in `PostingsIndexSpec`). Exact by
+    * construction: a doc outside the intersection lacks one term
+    * entirely and can contribute no pair. On a corpus whose probe terms
+    * appear in every superblock nothing prunes (the WAND degeneracy,
+    * same documentation) — the spec's skewed corpus proves the prune
+    * bites where term support concentrates. */
+  private[graft] def nearPositionalOn(s: SparkSession, idx: String): DataFrame = {
     val (ta, tb) = Retrieval.nearTerms
-    val toks = s.read.parquet(s"$idx/positions")
+    val sbs = s.read.parquet(s"$idx/termstats")
       .where(col("term").isin(ta, tb))
+      .groupBy(col("sb")).agg(count_distinct(col("term")).as("nt"))
+      .where(col("nt") === 2)
+      .select(col("sb")).collect().map(_.getInt(0)).sorted
+    val toks = s.read.parquet(s"$idx/positions")
+      .where(col("sb").isin(sbs.map(Integer.valueOf).toSeq: _*) &&
+        col("term").isin(ta, tb))
       .select(col("doc_id"), explode(col("positions")).as("pos"),
         col("term").as("token"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
@@ -708,7 +838,7 @@ object PostingsIndex {
       s.read.parquet(s"$idx/postings").select(col("term"), col("block"), col("plist")))
   }
 
-  private def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
+  private[graft] def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
     // v4: layout version in the path — a layout change (v2 blockstats,

@@ -473,6 +473,111 @@ object Retrieval {
        |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
        |  FROM fused) WHERE rank <= $rrfOutK""".stripMargin
 
+  /** Indexed hybrid retrieval (`hybrid_rrf_indexed`): the SAME RRF fusion
+    * shape as [[hybridRrf]], with both legs served from the two PERSISTED
+    * indexes — the production stack, where candidate generation is index
+    * reads, never corpus scans:
+    *
+    *  - lexical leg: per-query more-like-this BM25 from the postings
+    *    index ([[PostingsIndex.bm25MoreLikeThis]] — each probe document's
+    *    distinct tokens form its query profile; one term-pruned postings
+    *    scan, stored df/globals, quantized-BIGINT scoring),
+    *  - semantic leg: probed-cell cosine from the IVF index
+    *    ([[IvfIndex.query]], nProbe=2 — `ann_ivf`'s exact semantics,
+    *    dynamic-partition-pruned members scan).
+    *
+    * [[hybridRrf]] keeps both legs EXACT full scans (its oracle shape);
+    * this entry trades the vector leg to probed-cell recall for index-
+    * bounded I/O — so it carries its own oracle, expressing each leg's
+    * exact semantics (the BM25 tree over per-query profiles; the `ann_ivf`
+    * CTE chain, single-sourced via [[Similarity.annIvfCtesSql]]) and the
+    * identical fusion.
+    *
+    * 100 TB shape: bytes read are Σ df over the probe vocabulary (postings
+    * leg) + nProbe/nCells of the members table (vector leg); each leg
+    * emits ≤ queries × legK rows, so fusion cost is independent of corpus
+    * size — and both index builds are the amortized pre-paid pass. */
+  def hybridRrfIndexed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pidx = PostingsIndex.ensureLifecycleIndex(s, dir)
+    val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
+    val qt = Corpus.documents(s, dir)
+      .where(col("doc_id") < rrfQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val lr = PostingsIndex.bm25MoreLikeThis(s, pidx, qt, rrfLegK)
+      .withColumnRenamed("r", "lr")
+    val vr = IvfIndex
+      .query(s, vidx, IvfIndex.queryBatch(s, dir), nProbe = 2, k = rrfLegK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("vr"))
+    val fused = vr.join(lr, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(rrfDamp) + col("vr")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfDamp) + col("lr")), lit(0.0))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= rrfOutK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("rrf"))
+  }
+
+  /** [[hybridRrfIndexed]]'s oracle: the per-query BM25 tree (the
+    * [[bm25AggSql]] formula with a query axis — df/stats over the FULL
+    * corpus, exactly what the index's termstats/blockstats store) fused
+    * with the `ann_ivf` CTE chain. */
+  val hybridRrfIndexedSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(${TextAnalysis.tokensSql}, t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM d),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM (
+       |  SELECT doc_id, UNNEST(toks) AS token FROM d
+       |  WHERE doc_id < $rrfQueries)),
+       |tf AS (
+       |  SELECT doc_id, dl, token, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, dl, UNNEST(toks) AS token FROM d)
+       |  GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |lscored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(round(
+       |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * ((CAST(tf AS DOUBLE) * ${k1 + 1.0})
+       |          / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b
+       |              * CAST(dl AS DOUBLE)
+       |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |      * 10000.0, 0) AS BIGINT) AS qs
+       |  FROM tf JOIN qt USING (token) JOIN dft USING (token) CROSS JOIN stats
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lagg AS (SELECT query_id, doc_id, SUM(qs) AS sq FROM lscored GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT query_id, doc_id AS neighbor_id, r AS lr FROM (
+       |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY sq DESC, doc_id ASC) AS r
+       |    FROM lagg) WHERE r <= $rrfLegK),
+       |${Similarity.annIvfCtesSql("TRUE")},
+       |vr AS (
+       |  SELECT query_id, neighbor_id, rank AS vr FROM ranked
+       |  WHERE rank <= $rrfLegK),
+       |fused AS (
+       |  SELECT COALESCE(vr.query_id, lr.query_id) AS query_id,
+       |    COALESCE(vr.neighbor_id, lr.neighbor_id) AS neighbor_id,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($rrfDamp + vr), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / ($rrfDamp + lr), CAST(0.0 AS DOUBLE)) AS score
+       |  FROM vr FULL OUTER JOIN lr
+       |    ON vr.query_id = lr.query_id AND vr.neighbor_id = lr.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, round(score, 6) AS rrf FROM (
+       |  SELECT query_id, neighbor_id, score, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM fused) WHERE rank <= $rrfOutK""".stripMargin
+
   /** Gate phrases for [[phraseSearch]]: one with a REPEATED term (a token
     * may satisfy two slots of the same phrase — the slot-distinctness
     * subtlety), one 2-gram with broad support at every test SF. */
@@ -633,7 +738,16 @@ object Retrieval {
   /** The fused-key banded proximity kernel shared by the full-scan and
     * positional paths (identical output = shared oracle). Input: the
     * probe terms' (doc_id, pos, token) occurrences. */
-  private[graft] def nearPairsOf(toks: DataFrame): DataFrame = {
+  private[graft] def nearPairsOf(toks: DataFrame): DataFrame =
+    nearPairFrame(toks)
+      .groupBy(col("a_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("a_pos") - col("b_pos"))).as("min_dist"))
+
+  /** The raw qualifying pair frame (a_doc, a_pos, b_doc, b_pos) under the
+    * banded kernel — [[nearPairsOf]] aggregates it; [[nearSnippets]]
+    * additionally picks a display anchor from it. */
+  private def nearPairFrame(toks: DataFrame): DataFrame = {
     val (ta, tb) = nearTerms
     val w = nearWindow
     val shift = 1L << 20
@@ -648,9 +762,89 @@ object Retrieval {
       bandWidth = 2 * w + 1,
       residual = Some(col("a_doc") === col("b_doc") &&
         abs(col("a_pos") - col("b_pos")) <= w))
-      .groupBy(col("a_doc").as("doc_id"))
+  }
+
+  /** Proximity snippets (`near_snippets`): [[phraseSnippets]]' KWIC
+    * last-mile extended to [[nearSearch]] hits. Per hit document, the
+    * display anchor is the CLOSEST qualifying pair (ties → smaller left
+    * position, then smaller right position — a total order, so both
+    * engines pick the same pair), and the snippet is the token window
+    * from [[snippetContext]] before the pair's left term to
+    * [[snippetContext]] past its right term, clamped at the document
+    * edges ([[phraseSnippets]]' clamp discipline — exact at position 0
+    * and at end-of-doc, spec-pinned).
+    *
+    * Plan: the pair frame is the audited banded kernel; the anchor pick
+    * is one struct-min aggregate fused into the SAME (doc)-keyed
+    * aggregation that counts pairs — no second pass, no window over an
+    * unbounded frame — and the join-back to the corpus is the hit list
+    * (query-bounded) against the token scan, AQE-broadcast like the
+    * phrase twin. */
+  def nearSnippets(s: SparkSession, dir: String): DataFrame =
+    nearSnippetsOf(s,
+      Corpus.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** [[nearSnippets]] over an arbitrary (doc_id, text) frame — the seam
+    * the edge-clamp spec feeds synthetic documents through. */
+  private[graft] def nearSnippetsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val (ta, tb) = nearTerms
+    val ctx = snippetContext
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokensCol(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .where(col("token").isin(ta, tb))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .localCheckpoint() // ONE corpus scan feeds both join sides
+    val lo = least(col("a_pos"), col("b_pos"))
+    val hi = greatest(col("a_pos"), col("b_pos"))
+    val hits = nearPairFrame(toks)
+      .select(col("a_doc").as("doc_id"),
+        abs(col("a_pos") - col("b_pos")).as("dist"), lo.as("lo"), hi.as("hi"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
-        min(abs(col("a_pos") - col("b_pos"))).as("min_dist"))
+        min(struct(col("dist"), col("lo"), col("hi"))).as("best"))
+      .select(col("doc_id"), col("n_pairs"), col("best.dist").as("min_dist"),
+        col("best.lo").as("start_pos"), col("best.hi").as("hi"))
+    val tokArr = docs
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("toks"))
+    val from0 = greatest(col("start_pos") - ctx, lit(0L))
+    hits.join(tokArr, Seq("doc_id"))
+      .select(col("doc_id"), col("n_pairs"), col("min_dist"), col("start_pos"),
+        array_join(slice(col("toks"), (from0 + 1L).cast("int"),
+          (col("hi") + ctx - from0 + 1L).cast("int")), " ").as("snippet"))
+  }
+
+  /** [[nearSnippets]]' oracle: the naive positional self-join pair set,
+    * aggregated and anchor-picked by window — structurally unlike the
+    * banded kernel + struct-min plan (the point of an oracle). */
+  val nearSnippetsSql: String = {
+    val (ta, tb) = nearTerms
+    s"""WITH t0 AS (SELECT doc_id, ${TextAnalysis.tokensSql} AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, toks[pos+1] AS tok
+       |  FROM t0, UNNEST(range(0, len(toks))) AS u(pos)),
+       |p AS (
+       |  SELECT a.doc_id, a.pos AS a_pos, b.pos AS b_pos
+       |  FROM t a JOIN t b
+       |    ON a.doc_id = b.doc_id AND ABS(a.pos - b.pos) <= $nearWindow
+       |  WHERE a.tok = '$ta' AND b.tok = '$tb'),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    MIN(ABS(a_pos - b_pos)) AS min_dist
+       |  FROM p GROUP BY 1),
+       |best AS (
+       |  SELECT doc_id, LEAST(a_pos, b_pos) AS lo, GREATEST(a_pos, b_pos) AS hi
+       |  FROM (
+       |    SELECT doc_id, a_pos, b_pos, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id
+       |      ORDER BY ABS(a_pos - b_pos), LEAST(a_pos, b_pos),
+       |        GREATEST(a_pos, b_pos)) AS rn
+       |    FROM p) WHERE rn = 1)
+       |SELECT agg.doc_id, agg.n_pairs, agg.min_dist, best.lo AS start_pos,
+       |  array_to_string(t0.toks[
+       |    GREATEST(best.lo - $snippetContext, 0) + 1 :
+       |    best.hi + $snippetContext + 1], ' ') AS snippet
+       |FROM agg JOIN best USING (doc_id) JOIN t0 USING (doc_id)""".stripMargin
   }
 
   /** [[nearSearch]]'s oracle: the direct positional self-join (the

@@ -247,7 +247,16 @@ object Similarity {
     * (cents), assignments of survivors, and the query batch are
     * untouched — exactly the index's post-delete semantics. */
   private[graft] def annIvfSqlFiltered(memberPred: String): String =
-    s"""WITH e AS ($sqlVecs),
+    s"""WITH ${annIvfCtesSql(memberPred)}
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= $topK""".stripMargin
+
+  /** The IVF chain through `ranked` (ALL ranks) as a bare CTE list — the
+    * seam `hybrid_rrf_indexed`'s oracle splices its own leg cut and
+    * fusion onto, so the vector-leg semantics cannot drift from
+    * `ann_ivf`'s. */
+  private[graft] def annIvfCtesSql(memberPred: String): String =
+    s"""e AS ($sqlVecs),
        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < $nCentroids),
        |cellscores AS (
        |  SELECT e.vec_id, e.v, e.nrm, c.cid,
@@ -273,9 +282,7 @@ object Similarity {
        |  SELECT query_id, neighbor_id, sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
-       |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
-       |FROM ranked WHERE rank <= $topK""".stripMargin
+       |  FROM scored)""".stripMargin
 
   // Product quantization: M subspaces × K codebook entries. The codebook
   // is the first K vectors' subvectors (k-means with zero iterations —

@@ -148,6 +148,24 @@ object StreamingBench {
     dir
   }
 
+  /** Build-once synthetic postings index for the `bm25serve` leg: 4096
+    * docs × 20 tokens over a 997-term vocabulary, deterministic content,
+    * rebuilt only when the done marker is absent — the leg prices
+    * SERVING, never the build ([[annServeIndex]]'s discipline). */
+  private def bm25ServeIndex(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_bm25serve_bench_idx_v1"
+    if (!new java.io.File(s"$dir/_GRAFT_DONE").exists()) {
+      val docs = spark.range(0, 4096).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
+          concat(lit("w"),
+            ((col("id") * 7 + j * 13) % 997L).cast("string")))).as("text"))
+      graft.operators.PostingsIndex.buildFrom(spark, docs, dir, superBits = 2)
+      new java.io.File(s"$dir/_GRAFT_DONE").createNewFile()
+    }
+    dir
+  }
+
   /** [[throughputOf]] for operators that run as `foreachBatch` sinks
     * (index serving): the leg supplies the started query, the harness
     * owns only the feed loop and the clock. */
@@ -425,18 +443,44 @@ object StreamingBench {
             ds.toDF("query_id", "qv"),
             s"/tmp/graft_${qn}_ckpt_${System.nanoTime()}")(
             (res, _) => { res.collect(); () }),
-          (b, per) => (0 until per / 60).map { i =>
-            val g = b.toLong * (per / 60) + i
-            (1000000000L + g,
-              (0 until 16).map(j =>
-                ((g * 2654435761L + j * 40503L) % 1000).toDouble / 1000.0
-                  + 0.001): Seq[Double])
+          (b, per) => {
+            // ~1 query per 60 events of leg budget, floored at 1 so a
+            // small perBatch still issues work instead of an empty batch
+            val qper = math.max(1, per / 60)
+            (0 until qper).map { i =>
+              val g = b.toLong * qper + i
+              (1000000000L + g,
+                (0 until 16).map(j =>
+                  ((g * 2654435761L + j * 40503L) % 1000).toDouble / 1000.0
+                    + 0.001): Seq[Double])
+            }
           }, batches, perBatch)
       }),
       // weighted reservoir at ingestion (r10): a streaming aggregation
       // whose state is the ≤2k-entry top-k buffer per source — the leg
       // prices priority computation + map-side partial top-k + state
       // merge for 64 sources
+      // lexical serving at ingestion (r11): per-trigger term-pruned
+      // postings reads, the ANN serving leg's BM25 twin — each query is
+      // a 3-term search over the 997-term vocabulary, ~1 query per 60
+      // events of leg budget (the annserve exchange rate)
+      Leg("bm25serve", twsOnly = false, qn => {
+        val idxDir = bm25ServeIndex(spark)
+        throughputForeach[(Long, Seq[String])](spark,
+          ds => StreamBm25Serve.serve(spark, idxDir,
+            ds.toDF("query_id", "terms"),
+            s"/tmp/graft_${qn}_ckpt_${System.nanoTime()}")(
+            (res, _) => { res.collect(); () }),
+          (b, per) => {
+            val qper = math.max(1, per / 60)
+            (0 until qper).map { i =>
+              val g = b.toLong * qper + i
+              (2000000000L + g,
+                (0 until 3).map(j =>
+                  s"w${(g * 37 + j * 311) % 997}"): Seq[String])
+            }
+          }, batches, perBatch)
+      }),
       Leg("wsample", twsOnly = false, qn => throughputOf[(String, Long, Long)](spark,
         ds => StreamWeightedSample.picks(
           ds.toDF("source", "doc_id", "n_chars")),

@@ -379,4 +379,116 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(tfPlan.contains("PushedFilters: [In(term"),
       s"query terms not pushed into the index scan:\n$tfPlan")
   }
+
+  test("proximity search prunes superblocks lacking either term; pruned result stays exact") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_nearprune")
+    // term support concentrates: 'part' lives ONLY in sb 0 (ids < 256),
+    // 'table' everywhere — a pair needs both, so only sb 0 can qualify
+    val docs = (0L to 700L by 7L).map { i =>
+      val tail = if (i < 256) "table near part here" else "table alone here"
+      (i, s"filler$i $tail")
+    }.toDF("doc_id", "text")
+    PostingsIndex.buildFrom(spark, docs, idx, superBits = 2)
+
+    // the operator's selection: superblocks holding BOTH terms
+    val selected = spark.read.parquet(s"$idx/termstats")
+      .where(col("term").isin("table", "part"))
+      .groupBy(col("sb")).agg(count_distinct(col("term")).as("nt"))
+      .where(col("nt") === 2)
+      .select(col("sb")).collect().map(_.getInt(0)).toSet
+    assert(selected === Set(0), s"expected only sb 0 to qualify: $selected")
+    // and 'table' alone spans more superblocks — the prune is non-vacuous
+    val tableSbs = spark.read.parquet(s"$idx/termstats")
+      .where(col("term") === "table").select(col("sb"))
+      .collect().map(_.getInt(0)).toSet
+    assert(tableSbs.size > 1, "corpus must span superblocks for the claim")
+
+    // static partition pruning: the sb restriction lands as a partition
+    // filter on the positions scan (pruned superblocks' files are never
+    // opened) — inputFiles would lie here (it ignores filters)
+    val prunedPlan = spark.read.parquet(s"$idx/positions")
+      .where(col("sb").isin(selected.toSeq.map(Integer.valueOf): _*) &&
+        col("term").isin("table", "part"))
+      .queryExecution.executedPlan.toString
+    val pf = prunedPlan.split("PartitionFilters: \\[", 2)
+    assert(pf.length === 2 && !pf(1).startsWith("]") && pf(1).take(80).contains("sb#"),
+      s"sb restriction not a partition filter:\n$prunedPlan")
+
+    // exactness: pruned operator == the unpruned positional path
+    val got = PostingsIndex.nearPositionalOn(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val unprunedToks = spark.read.parquet(s"$idx/positions")
+      .where(col("term").isin("table", "part"))
+      .select(col("doc_id"), explode(col("positions")).as("pos"),
+        col("term").as("token"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+    val want = Retrieval.nearPairsOf(unprunedToks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === want, "superblock pruning changed the proximity result")
+    assert(got.nonEmpty, "gate corpus must produce pairs")
+    assert(got.map(_._1).forall(_ < 256), "pairs can only live in sb 0")
+  }
+
+  test("an above-watermark delete tombstones the id: the later-arriving batch cannot admit it") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_tomb")
+    PostingsIndex.buildFrom(spark, synthDocs(0L to 20L), idx, superBits = 2)
+    def docIds(): Set[Long] =
+      spark.read.parquet(s"$idx/doclens").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+
+    // takedown arrives BEFORE the doc was ever ingested (id 100 > wm 20):
+    // no physical rows to remove, but the intent must stand
+    val (sbs0, removed0) =
+      PostingsIndex.delete(spark, idx, Seq(100L).toDF("doc_id"))
+    assert(removed0 === 0L, "nothing physical should be removed")
+    assert(sbs0 >= 0L)
+    assert(docIds() === (0L to 20L).toSet, "standing docs must be untouched")
+
+    // the doc's batch finally arrives, alongside legitimate new docs
+    PostingsIndex.append(spark, idx, synthDocs(Seq(99L, 100L, 101L)))
+    assert(docIds() === ((0L to 20L).toSet + 99L + 101L),
+      "the tombstoned id must stay out; its batch-mates must land")
+
+    // replaying the batch (the foreachBatch retry) changes nothing
+    PostingsIndex.append(spark, idx, synthDocs(Seq(99L, 100L, 101L)))
+    assert(docIds() === ((0L to 20L).toSet + 99L + 101L))
+
+    // replaying the delete is a no-op too (tombstone merge is pure)
+    PostingsIndex.delete(spark, idx, Seq(100L).toDF("doc_id"))
+    assert(docIds() === ((0L to 20L).toSet + 99L + 101L))
+  }
+
+  test("compact defragments termstats alongside the other tables") {
+    val idx = tmpDir("graft_pidx_tscompact")
+    PostingsIndex.buildFrom(spark, synthDocs(0L to 700L by 7L), idx, superBits = 2)
+    def tsFiles(): Map[String, Int] =
+      new java.io.File(s"$idx/termstats").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("sb="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))).toMap
+    def tsRows() = spark.read.parquet(s"$idx/termstats")
+      .collect().map(r => (r.getString(0), r.getAs[Int]("sb"),
+        r.getAs[Long]("max_tf"), r.getAs[Long]("min_dl"),
+        r.getAs[Long]("df_sb"))).sortBy(r => (r._1, r._2)).toSeq
+    val rows = tsRows()
+    // fragment termstats the way a long append history does (dynamic
+    // overwrite rewrites the hot tail every batch)
+    val frag = spark.read.parquet(s"$idx/termstats").localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try frag.repartition(8).write.mode("overwrite").partitionBy("sb")
+      .parquet(s"$idx/termstats")
+    finally prev.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    assert(tsRows() === rows, "fragmentation rewrite must be layout-only")
+    assert(tsFiles().values.exists(_ > 2), "termstats not fragmented")
+
+    PostingsIndex.compact(spark, idx, maxFilesPerSb = 2)
+    assert(tsFiles().values.forall(_ <= 2),
+      s"termstats still fragmented after compact: ${tsFiles()}")
+    assert(tsRows() === rows, "compaction changed termstats contents")
+  }
 }

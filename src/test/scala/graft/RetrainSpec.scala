@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IvfIndex
+
+/** Quantizer re-training contracts (round-10 verdict, Missing #1):
+  *
+  *  1. drift decay + recovery — an index whose appends come from a
+  *     distribution the build sample never saw loses probed-cell recall
+  *     (the frozen quantizer scatters each drifted cluster across cells);
+  *     `retrain(lloydRounds > 0)` re-fits the quantizer on the LIVE
+  *     members and recall recovers;
+  *  2. fresh-build equality — `retrain(lloydRounds = 0)` leaves the index
+  *     bit-equal to a from-scratch [[IvfIndex.buildFrom]] over the
+  *     surviving corpus, table for table (centroids, codebook, members);
+  *  3. takedowns survive — the `deleted/` tombstones still block a
+  *     replayed ingest after the migration.
+  */
+class RetrainSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** 64-dim synthetic vectors: id belongs to cluster `axis(id)`, its
+    * vector is that axis direction plus small deterministic jitter —
+    * tight clusters whose true neighbors are their cluster-mates. */
+  private def vecs(ids: Seq[Long], axisOf: Long => Int): DataFrame = {
+    import spark.implicits._
+    ids.map { id =>
+      val a = axisOf(id)
+      val v = Array.tabulate(64) { d =>
+        (if (d == a) 1.0 else 0.0) + 0.02 * (((id * 31 + d * 7) % 11).toDouble / 11.0)
+      }
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Mean top-`k` recall of the index query vs exact cosine over the
+    * live corpus, for the given query vectors. */
+  private def recallOf(
+      idx: String, queries: DataFrame, corpus: DataFrame, k: Int): Double = {
+    val got = IvfIndex.query(spark, idx, queries, nProbe = 2, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val c = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val recalls = q.map { case (qid, qv) =>
+      val truth = c.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val hit = got.getOrElse(qid, Set.empty)
+      truth.intersect(hit).size.toDouble / k
+    }
+    recalls.sum / recalls.length
+  }
+
+  test("drifted appends decay probed-cell recall; lloyd retrain recovers it; tombstones survive") {
+    import spark.implicits._
+    val idx = tmpDir("graft_retrain_drift")
+    // region A: 16 tight clusters on axes 0..15, ids 0..79
+    val regionA = vecs(0L until 80L, id => (id % 16).toInt)
+    IvfIndex.buildFrom(spark, regionA, idx, nCells = 16)
+    // region B drift: 8 NEW clusters on axes 32..39, ids 1000..1099 —
+    // near-orthogonal to every build-time centroid, so the frozen
+    // quantizer assigns them by jitter noise and cluster-mates scatter
+    val regionB = vecs(1000L until 1100L, id => 32 + (id % 8).toInt)
+    IvfIndex.append(spark, idx, regionB)
+    // region A expires (the takedown/retention path)
+    IvfIndex.delete(spark, idx,
+      regionA.select(col("vec_id")))
+    val live = regionB
+
+    val queries = vecs(2000L until 2010L, id => 32 + (id % 8).toInt)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+    val before = recallOf(idx, queries, live, k = 5)
+    val (cellsRewritten, _) =
+      IvfIndex.retrain(spark, idx, nCells = 16, lloydRounds = 5)
+    val after = recallOf(idx, queries, live, k = 5)
+    assert(cellsRewritten > 0, "drifted index should migrate cells")
+    assert(after > before,
+      s"retrain must recover recall: before=$before after=$after")
+    assert(after >= 0.9, s"post-retrain recall too low: $after")
+    assert(before <= 0.6, s"drift scenario not degraded enough: $before")
+
+    // the tombstones survived the migration: a replayed region-A ingest
+    // re-admits nothing
+    IvfIndex.append(spark, idx, regionA)
+    val ids = spark.read.parquet(s"$idx/members").select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === (1000L until 1100L).toSet,
+      "a replayed ingest resurrected deleted ids after retrain")
+  }
+
+  test("retrain(lloydRounds = 0) leaves the index bit-equal to a fresh build over survivors") {
+    import spark.implicits._
+    val idx = tmpDir("graft_retrain_eq")
+    val freshIdx = tmpDir("graft_retrain_fresh")
+    val a = vecs(0L until 60L, id => (id % 16).toInt)
+    val b = vecs(60L until 100L, id => 16 + (id % 16).toInt)
+    IvfIndex.buildFrom(spark, a, idx, nCells = 16)
+    IvfIndex.append(spark, idx, b)
+    // expire a prefix slice including some of the build-time sample ids
+    val expired = (0L until 30L).filter(_ % 3 != 2)
+    IvfIndex.delete(spark, idx, expired.toDF("vec_id"))
+    IvfIndex.retrain(spark, idx, nCells = 16, lloydRounds = 0)
+
+    val survivors = a.unionByName(b)
+      .where(!col("vec_id").isin(expired.map(java.lang.Long.valueOf): _*))
+    IvfIndex.buildFrom(spark, survivors, freshIdx, nCells = 16)
+
+    def table(dir: String, t: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$dir/$t").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    for ((t, cols) <- Seq(
+        "centroids" -> Seq("cid", "cv", "cn"),
+        "codebook" -> Seq("cid", "cv"),
+        "members" -> Seq("vec_id", "v", "nrm", "codes", "cell"))) {
+      assert(table(idx, t, cols) === table(freshIdx, t, cols),
+        s"$t diverged from the fresh build")
+    }
+    // idempotent: a replayed retrain rewrites nothing
+    assert(IvfIndex.retrain(spark, idx, nCells = 16, lloydRounds = 0) ===
+      ((0L, 0L)))
+  }
+}

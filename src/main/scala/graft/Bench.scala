@@ -41,8 +41,11 @@ object Bench {
     val dir = s"/tmp/graft_calib_${System.nanoTime()}"
     def once(): Double = {
       val t0 = System.nanoTime()
+      // modulo keeps each term < 1e6 so the 20M-row ANSI sum stays far
+      // from long overflow while the multiply still prices the ALU
       spark.range(0, 20000000L, 1, 32)
-        .selectExpr("sum(id * 2654435761)", "count(distinct id % 1000)")
+        .selectExpr("sum((id * 2654435761) % 1000003)",
+          "count(distinct id % 1000)")
         .collect()
       spark.range(0, 2000000L, 1, 32)
         .selectExpr("id", "id % 97 as k", "cast(id as string) as s")

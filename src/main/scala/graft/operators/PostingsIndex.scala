@@ -484,6 +484,36 @@ object PostingsIndex {
     }
   }
 
+  /** Drop tombstones the watermark already enforces — the hygiene pass
+    * that keeps `tombstones/` bounded by IN-FLIGHT takedowns instead of
+    * all-time above-watermark takedown volume: an id at or below the
+    * ingest watermark can never re-enter via [[append]] (the
+    * `doc_id > wm` guard runs BEFORE the tombstone anti-join), so its
+    * tombstone is redundant the moment the watermark passes it. A pure
+    * function of (standing tombstones, watermark) — idempotent,
+    * replay-safe, and safe to run concurrently with queries (queries
+    * never read tombstones). The vector index has NO analog: its append
+    * precedence is id-based with no watermark, so [[IvfIndex]]'s
+    * `deleted/` table must stay cumulative — the documented asymmetry.
+    * Returns (tombstones dropped, tombstones kept). */
+  def vacuumTombstones(s: SparkSession, indexDir: String): (Long, Long) = {
+    val tombDir = s"$indexDir/tombstones"
+    if (!new java.io.File(tombDir).isDirectory) (0L, 0L)
+    else {
+      val wm = s.read.parquet(s"$indexDir/blockstats")
+        .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
+      // EAGER: the overwrite replaces the files being read
+      val t = s.read.parquet(tombDir).localCheckpoint()
+      val kept = t.where(col("doc_id") > wm)
+      val total = t.count()
+      val keptN = kept.count()
+      if (keptN < total)
+        kept.coalesce(1).write.mode("overwrite").parquet(tombDir)
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(t)
+      (total - keptN, keptN)
+    }
+  }
+
   /** BM25 top-10 for [[Retrieval.queryTerms]] FROM THE INDEX: a
     * term-pruned postings scan explodes into the (doc_id, dl, token, tf)
     * frame and the superblock stats sum to the globals — then the
@@ -638,12 +668,47 @@ object PostingsIndex {
     * (sum desc, doc_id asc) within each query. Self-matches are
     * excluded (a query doc would trivially top its own profile). */
   def bm25MoreLikeThis(
-      s: SparkSession, indexDir: String, qt: DataFrame, k: Int): DataFrame =
-    bm25Batch(s.read.parquet(s"$indexDir/postings"),
-      s.read.parquet(s"$indexDir/termstats"),
+      s: SparkSession, indexDir: String, qt: DataFrame, k: Int,
+      maxTerms: Int = Retrieval.mltProfileTerms): DataFrame = {
+    import s.implicits._
+    val termstats = s.read.parquet(s"$indexDir/termstats")
+    // informative-term selection (the Lucene MoreLikeThis discipline):
+    // keep each query's `maxTerms` LOWEST-df profile terms (rarest =
+    // highest idf = most informative; ties by token — a total order both
+    // engines share). A raw document vocabulary is stopword-heavy, and
+    // Σ df over stopwords is corpus-proportional — the selection is what
+    // keeps the postings leg's I/O query-bounded at 100 TB. df comes
+    // from the stored termstats: a vocabulary-sized term-pruned lookup.
+    // The selection itself runs ON THE DRIVER over two bounded collects
+    // (the profile rows and their df lookups) — at a handful of probe
+    // documents this is hundreds of rows, and keeping it local avoids
+    // the checkpoint + window round-trips that would otherwise dominate
+    // the query's latency (a serving-path concern as much as a bench
+    // one).
+    val profRows = qt.select(col("query_id"), col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val allTerms = profRows.map(_._2).distinct.toSeq
+    val dfByTerm = termstats.where(col("term").isin(allTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = profRows
+      .filter(p => dfByTerm.contains(p._2))
+      .groupBy(_._1).toSeq
+      .flatMap { case (qid, ps) =>
+        ps.map(_._2).distinct
+          .sortBy(t => (dfByTerm(t), t)).take(maxTerms)
+          .map(t => (qid, t))
+      }
+    val prof = selected.toDF("query_id", "term")
+    // the selected terms' df is already on the driver — hand it down as
+    // a local relation so the scoring DAG never re-scans termstats
+    val dfT = selected.map(_._2).distinct
+      .map(t => (t, dfByTerm(t))).toDF("term", "df")
+    bm25BatchOn(s.read.parquet(s"$indexDir/postings"), dfT,
       s.read.parquet(s"$indexDir/blockstats"),
-      qt, k, excludeSelf = true)
+      prof, selected.map(_._2).distinct, k, excludeSelf = true)
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("r"))
+  }
 
   /** The multi-query BM25 core over ALREADY-CONSTRUCTED index frames —
     * [[IvfIndex.queryOn]]'s seam pointed at the postings layout, so a
@@ -658,7 +723,6 @@ object PostingsIndex {
   private[graft] def bm25Batch(
       postings: DataFrame, termstats: DataFrame, blockstats: DataFrame,
       qt: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val prof = qt.select(col("query_id"), col("term")).localCheckpoint()
     // bounded: the distinct vocabulary of the query batch
     val terms = prof.select(col("term")).distinct()
@@ -666,6 +730,21 @@ object PostingsIndex {
     val dfT = termstats
       .where(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
+    bm25BatchOn(postings, dfT, blockstats, prof, terms, k, excludeSelf)
+  }
+
+  /** [[bm25Batch]] with the profile's term union AND the per-term df
+    * frame supplied by a caller that already holds them — skips the
+    * checkpoint, collect, and termstats-scan round-trips
+    * ([[bm25MoreLikeThis]] selects terms and df driver-side; the
+    * serving path derives them from the micro-batch). `prof`/`dfT`
+    * must be cheap to re-evaluate (local relations or
+    * already-materialized frames). */
+  private def bm25BatchOn(
+      postings: DataFrame, dfT: DataFrame, blockstats: DataFrame,
+      prof: DataFrame, terms: Seq[String], k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tf = postings
       .where(col("term").isin(terms: _*))
       .select(col("term"), explode(col("plist")).as("e"))

@@ -380,6 +380,10 @@ object Retrieval {
   // Hybrid-retrieval RRF constants: the standard k=60 damping
   // (Cormack/Clarke/Buettcher 2009), 10 probe entities, top-10 per leg
   // fused to a final top-5.
+  /** More-like-this profile budget: each query document contributes its
+    * [[mltProfileTerms]] lowest-df (most informative) tokens — the
+    * Lucene MoreLikeThis default neighborhood. */
+  private[graft] val mltProfileTerms = 25
   private val rrfDamp = 60
   private val rrfQueries = 10
   private val rrfLegK = 10
@@ -479,9 +483,13 @@ object Retrieval {
     * reads, never corpus scans:
     *
     *  - lexical leg: per-query more-like-this BM25 from the postings
-    *    index ([[PostingsIndex.bm25MoreLikeThis]] — each probe document's
-    *    distinct tokens form its query profile; one term-pruned postings
-    *    scan, stored df/globals, quantized-BIGINT scoring),
+    *    index ([[PostingsIndex.bm25MoreLikeThis]] — each probe document
+    *    contributes its [[mltProfileTerms]] lowest-df tokens (the Lucene
+    *    MoreLikeThis informative-term selection, df from the stored
+    *    termstats; a raw vocabulary is stopword-heavy and Σ df over
+    *    stopwords is corpus-proportional); one term-pruned postings
+    *    scan over the selected profiles, stored df/globals,
+    *    quantized-BIGINT scoring),
     *  - semantic leg: probed-cell cosine from the IVF index
     *    ([[IvfIndex.query]], nProbe=2 — `ann_ivf`'s exact semantics,
     *    dynamic-partition-pruned members scan).
@@ -513,6 +521,16 @@ object Retrieval {
       .query(s, vidx, IvfIndex.queryBatch(s, dir), nProbe = 2, k = rrfLegK)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("vr"))
+    rrfFuse(vr, lr, rrfOutK)
+  }
+
+  /** THE RRF fusion tail — (query_id, neighbor_id, vr) ⋈ (query_id,
+    * neighbor_id, lr) full-outer, score = Σ 1/(60 + rank), top `outK`
+    * per query — single-sourced for [[hybridRrf]]'s indexed twin and the
+    * serving loop ([[graft.streaming.StreamHybridServe]]) so the fusion
+    * arithmetic cannot drift between batch and stream. */
+  private[graft] def rrfFuse(vr: DataFrame, lr: DataFrame, outK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = vr.join(lr, Seq("query_id", "neighbor_id"), "full_outer")
       .select(col("query_id"), col("neighbor_id"),
         (coalesce(lit(1.0) / (lit(rrfDamp) + col("vr")), lit(0.0)) +
@@ -520,7 +538,7 @@ object Retrieval {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     fused.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= rrfOutK)
+      .where(col("rank") <= outK)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("score"), 6).as("rrf"))
   }
@@ -544,8 +562,13 @@ object Retrieval {
        |    SELECT doc_id, dl, UNNEST(toks) AS token FROM d)
        |  GROUP BY 1, 2, 3),
        |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qsel AS (
+       |  SELECT query_id, token FROM (
+       |    SELECT qt.query_id, qt.token, ROW_NUMBER() OVER (
+       |      PARTITION BY qt.query_id ORDER BY dft.df ASC, qt.token ASC) AS tr
+       |    FROM qt JOIN dft USING (token)) WHERE tr <= $mltProfileTerms),
        |lscored AS (
-       |  SELECT qt.query_id, tf.doc_id,
+       |  SELECT qsel.query_id, tf.doc_id,
        |    CAST(round(
        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
        |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
@@ -554,8 +577,8 @@ object Retrieval {
        |              * CAST(dl AS DOUBLE)
        |              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
        |      * 10000.0, 0) AS BIGINT) AS qs
-       |  FROM tf JOIN qt USING (token) JOIN dft USING (token) CROSS JOIN stats
-       |  WHERE tf.doc_id <> qt.query_id),
+       |  FROM tf JOIN qsel USING (token) JOIN dft USING (token) CROSS JOIN stats
+       |  WHERE tf.doc_id <> qsel.query_id),
        |lagg AS (SELECT query_id, doc_id, SUM(qs) AS sq FROM lscored GROUP BY 1, 2),
        |lr AS (
        |  SELECT query_id, doc_id AS neighbor_id, r AS lr FROM (

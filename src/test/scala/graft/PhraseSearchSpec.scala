@@ -230,6 +230,18 @@ class PhraseSearchSpec extends AnyFunSuite {
       !snip.contains("BroadcastNestedLoopJoin") &&
       snip.contains("BroadcastHashJoin"),
       s"snippet join-back must broadcast the hit list:\n$snip")
+    val nearSnip = Retrieval.nearSnippets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!nearSnip.contains("CartesianProduct") &&
+      !nearSnip.contains("BroadcastNestedLoopJoin") &&
+      nearSnip.contains("BroadcastHashJoin"),
+      s"near-snippet join-back must broadcast the hit list:\n$nearSnip")
+    val hybrid = Retrieval.hybridRrfIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!hybrid.contains("CartesianProduct"),
+      s"indexed hybrid fusion went cartesian:\n$hybrid")
+    assert(hybrid.toLowerCase.contains("dynamicpruning"),
+      s"the hybrid vector leg lost dynamic partition pruning:\n$hybrid")
   }
 
   test("tf >= multiplicity candidate cut is non-vacuous for the repeated-term phrase") {

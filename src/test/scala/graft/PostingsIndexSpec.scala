@@ -460,6 +460,39 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(docIds() === ((0L to 20L).toSet + 99L + 101L))
   }
 
+  test("vacuum drops only watermark-covered tombstones; protection is seamless across the handoff") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_vacuum")
+    PostingsIndex.buildFrom(spark, synthDocs(0L to 20L), idx, superBits = 2)
+    def docIds(): Set[Long] =
+      spark.read.parquet(s"$idx/doclens").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+
+    // two in-flight takedowns above the watermark (wm = 20)
+    PostingsIndex.delete(spark, idx, Seq(100L, 300L).toDF("doc_id"))
+    // nothing is watermark-covered yet: vacuum keeps both
+    assert(PostingsIndex.vacuumTombstones(spark, idx) === ((0L, 2L)))
+
+    // id 100's batch arrives: blocked by its tombstone; wm advances to 101
+    PostingsIndex.append(spark, idx, synthDocs(Seq(99L, 100L, 101L)))
+    assert(!docIds().contains(100L))
+    // 100 is now watermark-covered (100 <= 101) and redundant; 300 is not
+    assert(PostingsIndex.vacuumTombstones(spark, idx) === ((1L, 1L)))
+    val standing = spark.read.parquet(s"$idx/tombstones")
+      .collect().map(_.getLong(0)).toSet
+    assert(standing === Set(300L))
+
+    // protection is seamless: the replayed batch is still blocked — by
+    // the WATERMARK now, not the dropped tombstone
+    PostingsIndex.append(spark, idx, synthDocs(Seq(99L, 100L, 101L)))
+    assert(!docIds().contains(100L))
+    // and 300's takedown still stands when its batch finally lands
+    PostingsIndex.append(spark, idx, synthDocs(Seq(299L, 300L, 301L)))
+    assert(docIds().intersect(Set(299L, 300L, 301L)) === Set(299L, 301L))
+    // idempotent: nothing newly covered
+    assert(PostingsIndex.vacuumTombstones(spark, idx) === ((1L, 0L)))
+  }
+
   test("compact defragments termstats alongside the other tables") {
     val idx = tmpDir("graft_pidx_tscompact")
     PostingsIndex.buildFrom(spark, synthDocs(0L to 700L by 7L), idx, superBits = 2)

@@ -313,6 +313,16 @@ object PostingsIndex {
     * overwrite the append path uses. Untouched partitions keep their
     * exact files; rows are bit-identical; a re-run finds nothing above
     * the threshold. (blockstats never fragments: one row per sb.)
+    *
+    * Compacted files are additionally SORTED key-major (term for the
+    * term tables, doc_id for the norms) — Lucene's sorted term
+    * dictionary, at parquet granularity: an append-order file has every
+    * term's range spanning the whole file, so row-group min/max stats
+    * prune nothing for a term-pushed scan; a term-sorted rewrite makes
+    * each row group's [min, max] a narrow slice, so the scan skips the
+    * groups a probe's terms cannot live in. Sorting rides the rewrite
+    * for free (one task per partition already holds its rows) and is
+    * layout-only — the contents-equality specs gate it unchanged.
     * Returns (partitions compacted, files before, files after). */
   def compact(
       s: SparkSession,
@@ -325,7 +335,7 @@ object PostingsIndex {
     // both row tables fragment the same way under streaming ingest (the
     // positions table rewrites the hot tail each micro-batch too);
     // blockstats never fragments (one row per sb)
-    def compactDir(path: String): (Long, Long, Long) = {
+    def compactDir(path: String, sortCols: Seq[String]): (Long, Long, Long) = {
       val root = new java.io.File(path)
       val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
         .filter(d => d.isDirectory && d.getName.startsWith("sb="))
@@ -337,6 +347,9 @@ object PostingsIndex {
         val merged = s.read.parquet(path)
           .where(col("sb").isin(ids.map(Integer.valueOf): _*))
           .repartition(col("sb"))
+          // key-major order within the task; the partitionBy write splits
+          // by sb directory and each file keeps its rows' relative order
+          .sortWithinPartitions(sortCols.map(col): _*)
           // EAGER: the rewrite deletes the very files being read (the
           // append-path hazard, same cure)
           .localCheckpoint()
@@ -346,12 +359,16 @@ object PostingsIndex {
         (frag.size.toLong, before, after)
       }
     }
-    val dirs = Seq(s"$indexDir/postings", s"$indexDir/positions",
-      s"$indexDir/doclens", s"$indexDir/termstats")
-      .filter(p => new java.io.File(p).isDirectory)
-    dirs.map(compactDir).foldLeft((0L, 0L, 0L)) {
-      case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
-    }
+    val dirs = Seq(
+      s"$indexDir/postings" -> Seq("term", "block"),
+      s"$indexDir/positions" -> Seq("term", "doc_id"),
+      s"$indexDir/doclens" -> Seq("doc_id"),
+      s"$indexDir/termstats" -> Seq("term"))
+      .filter { case (p, _) => new java.io.File(p).isDirectory }
+    dirs.map { case (p, sc) => compactDir(p, sc) }
+      .foldLeft((0L, 0L, 0L)) {
+        case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+      }
   }
 
   /** Dynamic partition overwrite never touches a partition the written

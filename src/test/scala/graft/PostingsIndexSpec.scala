@@ -256,6 +256,17 @@ class PostingsIndexSpec extends AnyFunSuite {
     small.foreach(p => assert(after(p) === before(p), s"partition $p was touched"))
     fragged.foreach(p => assert(after(p).size === 1, s"partition $p not compacted"))
     assert(contents() === rows, "compaction changed index contents")
+    // key-major layout: each compacted file holds its terms in sorted
+    // order, so parquet row-group min/max stats can prune term-pushed
+    // scans (an append-order file spans the whole vocabulary per group)
+    fragged.foreach { p =>
+      val f = new java.io.File(s"$idx/postings/$p").listFiles()
+        .filter(x => x.isFile && !x.getName.startsWith(".") &&
+          !x.getName.startsWith("_")).head
+      val terms = spark.read.parquet(f.getAbsolutePath)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      assert(terms === terms.sorted, s"compacted $p is not term-sorted")
+    }
     // idempotent: nothing left above the threshold (the query path is
     // covered by the contents equality — the synthetic vocabulary has no
     // probe terms, so query() itself would be vacuously empty here)

@@ -33,23 +33,46 @@ object Sketches {
   /** Register id (first 2 hex chars) of one hashed value — THE bucket
     * rule, shared by [[hllRegisters]] and [[tableStats]]. */
   private[graft] def hllBucketCol(value: Column): Column =
-    substring(hllHash(value), 1, 2)
+    hllBucketOfHash(hllHash(value))
+
+  /** Bucket/rank from an ALREADY-PROJECTED hash column — the hot paths
+    * project `when(v.isNotNull, hllHash(v)).as("h")` first and derive
+    * both from the attribute, so the md5 runs ONCE per value: inlining
+    * [[hllHash]] into both derivations duplicates the digest tree (the
+    * rank alone references it three times), and codegen's subexpression
+    * elimination refuses conditionally-evaluated branches — measured as
+    * the dominant term of ANALYZE's honest runtime (round-11 probe).
+    * CollapseProject keeps the split: it never re-inlines a non-cheap
+    * expression with multiple uses. */
+  private[graft] def hllBucketOfHash(h: Column): Column = substring(h, 1, 2)
 
   /** Register rank of one hashed value: leading zero BITS of the
-    * 120-bit remainder + 1, from hex text — 4 bits per leading '0'
-    * char, plus 3/2/1/0 inside the first non-zero digit. All-zero
-    * remainder (p ~ 2^-120) pins the max rank. ONE copy shared by
-    * [[hllRegisters]] and [[tableStats]] (a fix to the rank arithmetic
-    * reaches both operators and their oracles together). */
-  private[graft] def hllRhoCol(value: Column): Column = {
-    val rest = substring(hllHash(value), 3, 30)
-    val zeros = length(regexp_extract(rest, "^0*", 0))
-    val firstNz = rest.substr(zeros + lit(1), lit(1))
-    val nlzInDigit = when(firstNz === "1", 3)
-      .when(firstNz.isin("2", "3"), 2)
-      .when(firstNz.isin("4", "5", "6", "7"), 1)
-      .otherwise(0)
-    when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
+    * 120-bit remainder + 1. All-zero remainder (p ~ 2^-120) pins the
+    * max rank. ONE copy shared by [[hllRegisters]] and [[tableStats]]
+    * (a fix to the rank arithmetic reaches both operators and their
+    * oracles together).
+    *
+    * Computed as exact INTEGER/string arithmetic: the remainder splits
+    * into two 60-bit limbs (15 hex chars each through `conv`), and the
+    * rank reads off `bin`'s digit count — `length(bin(x))` is exactly
+    * `floor(log2 x) + 1` with no float in sight. Values are bit-equal
+    * to the previous regexp-over-hex form (`PropertySpec` pins the
+    * equivalence), so the oracles' regexp chain is untouched — but the
+    * per-value cost drops ~8×: the regexp engine per stacked value was
+    * what made ANALYZE's honest (un-count-pruned) runtime ~17 s at
+    * sf0.1 (round-11 probe). */
+  private[graft] def hllRhoCol(value: Column): Column =
+    hllRhoOfHash(hllHash(value))
+
+  private[graft] def hllRhoOfHash(h: Column): Column = {
+    val hi = conv(substring(h, 3, 15), 16, 10).cast("long")
+    val lo = conv(substring(h, 18, 15), 16, 10).cast("long")
+    // leading null guard: a null value must stay null (the regexp form's
+    // behavior), not fall through to the all-zero branch
+    when(h.isNull, lit(null).cast("int"))
+      .when(hi > 0, lit(61) - length(bin(hi)))
+      .when(lo > 0, lit(121) - length(bin(lo)))
+      .otherwise(lit(121))
   }
 
   /** The estimator over (s0 = Σ2^-max_rho, nb = occupied registers)
@@ -70,9 +93,10 @@ object Sketches {
     * which is what makes the operator shuffle ≤ 256 rows per key at any
     * volume (and what `PipelineOpsSpec` asserts directly). */
   private[graft] def hllRegisters(ev: DataFrame): DataFrame =
-    ev.select(col("event_type"),
-        hllBucketCol(col("user_id")).as("bucket"),
-        hllRhoCol(col("user_id")).as("rho"))
+    ev.select(col("event_type"), hllHash(col("user_id")).as("h"))
+      .select(col("event_type"),
+        hllBucketOfHash(col("h")).as("bucket"),
+        hllRhoOfHash(col("h")).as("rho"))
       .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("max_rho"))
 
   /** Estimate from a register frame ((event_type, bucket, max_rho)). */
@@ -438,8 +462,10 @@ object Sketches {
     // `hll_distinct_users` sketch uses — one derivation, two operators.
     val perBucket = stk
       .select(col("col_name"), col("v"),
-        when(col("v").isNotNull, hllBucketCol(col("v"))).as("bucket"),
-        when(col("v").isNotNull, hllRhoCol(col("v"))).as("rho"))
+        when(col("v").isNotNull, hllHash(col("v"))).as("h"))
+      .select(col("col_name"), col("v"),
+        hllBucketOfHash(col("h")).as("bucket"),
+        hllRhoOfHash(col("h")).as("rho"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("nd"),
         max(col("rho")).as("max_rho"))
@@ -502,12 +528,14 @@ object Sketches {
         col(c).cast("string").as("str_v")))
     li.select(explode(array(structs: _*)).as("kv"))
       .select(col("kv.col_name"),
+        when(col("kv.v").isNotNull, hllHash(col("kv.v"))).as("h"),
+        col("kv.num_v"), col("kv.str_v"))
+      .select(col("col_name"),
         // register INDEX for the state fold: the same hex bucket the
         // batch groups by, as its integer value
-        when(col("kv.v").isNotNull,
-          conv(hllBucketCol(col("kv.v")), 16, 10).cast("int")).as("bucket"),
-        when(col("kv.v").isNotNull, hllRhoCol(col("kv.v"))).as("rho"),
-        col("kv.num_v"), col("kv.str_v"))
+        conv(hllBucketOfHash(col("h")), 16, 10).cast("int").as("bucket"),
+        hllRhoOfHash(col("h")).as("rho"),
+        col("num_v"), col("str_v"))
   }
 
   /** Finalize a (col_name, n_rows, n_nulls, s0, nb, bounds…) state row
@@ -530,8 +558,10 @@ object Sketches {
   private def statsStateOf(li: DataFrame): DataFrame =
     stackedOf(li)
       .select(col("col_name"),
-        when(col("v").isNotNull, hllBucketCol(col("v"))).as("bucket"),
-        when(col("v").isNotNull, hllRhoCol(col("v"))).as("rho"))
+        when(col("v").isNotNull, hllHash(col("v"))).as("h"))
+      .select(col("col_name"),
+        hllBucketOfHash(col("h")).as("bucket"),
+        hllRhoOfHash(col("h")).as("rho"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), max(col("rho")).as("max_rho"))
 

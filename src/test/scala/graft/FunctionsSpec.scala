@@ -101,6 +101,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out("ad1") === AdCtr("ad1", 2, 1))
   }
 
+  test("hll rho integer-limb form == the regexp-over-hex definition, null-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ORIGINAL regexp tree, replicated verbatim as the reference
+    def md5h(v: org.apache.spark.sql.Column) =
+      md5(concat(v.cast("string"), lit("|hll")))
+    def rhoRegexp(v: org.apache.spark.sql.Column) = {
+      val rest = substring(md5h(v), 3, 30)
+      val zeros = length(regexp_extract(rest, "^0*", 0))
+      val firstNz = rest.substr(zeros + lit(1), lit(1))
+      val nlzInDigit = when(firstNz === "1", 3)
+        .when(firstNz.isin("2", "3"), 2)
+        .when(firstNz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+      when(zeros === 30, lit(121)).otherwise(zeros * 4 + nlzInDigit + 1)
+    }
+    val vals = (0L until 20000L).map(i => Some(s"v$i")) :+ None
+    val df = vals.toDF("v")
+      .select(col("v"), rhoRegexp(col("v")).as("old"),
+        graft.operators.Sketches.hllRhoCol(col("v")).as("nu"),
+        graft.operators.Sketches.hllBucketCol(col("v")).as("b"))
+    val bad = df.where(!(col("old") <=> col("nu"))).count()
+    assert(bad === 0L, "integer-limb rho diverged from the regexp definition")
+    // ranks actually spread (the test isn't vacuous at rho == 1)
+    val maxRho = df.agg(max(col("nu"))).collect()(0).getInt(0)
+    assert(maxRho >= 10, s"20k values should reach rank >= 10: $maxRho")
+    assert(df.where(col("v").isNull && col("nu").isNull).count() === 1L,
+      "null value must keep a null rank")
+  }
+
   test("aggregators are usable from AdEvent streams via fromAdEvent") {
     import spark.implicits._
     val es = Seq(

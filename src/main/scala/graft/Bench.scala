@@ -104,11 +104,20 @@ object Bench {
       }
     } else ""
     releaseHeap(spark)
+    // Timed action: a NOOP-sink write, NOT count() — count lets Catalyst
+    // prune every subtree whose output the count never reads, and the
+    // round-11 honest sweep measured the fiction at 3-29× for ~10
+    // queries (build_postings 0.31 s counted vs 8.9 s evaluated: the
+    // count never materializes a single posting list; table_stats 0.37
+    // vs 7.5: the rank/estimator branches vanish). The noop sink
+    // evaluates and discards every row — the cost a real consumer pays —
+    // with no driver collect. One-time ledger re-baseline documented in
+    // BASELINE.md ("Honest bench re-baseline").
     def runOnce(dir: String): Seq[(String, Timed)] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val err = Try(fn(spark, dir).count()) match {
+        val err = Try(fn(spark, dir).write.format("noop").mode("overwrite").save()) match {
           case Success(_) => None
           case Failure(e) => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }

@@ -68,7 +68,13 @@ object Retrieval {
     val dlCol = when(length(TextAnalysis.normTextCol(col("text"))) === 0, 0L)
       .otherwise(size(toks).cast("long"))
     docs
-      .select(col("doc_id"), dlCol.as("dl"), explode(toks).as("term"))
+      // dl BELOW the explode, as its own projection: a sibling
+      // expression in the same select as a generator lands in the
+      // Project ABOVE the Generate — evaluated once per TOKEN, which
+      // re-ran the two regexes + split over the full text ~dl times per
+      // doc (measured 10× on the honest build cost, round 11)
+      .select(col("doc_id"), dlCol.as("dl"), toks.as("toks"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
@@ -208,7 +214,10 @@ object Retrieval {
     // localCheckpoint: the frame is tiny (query-term-bearing rows only)
     // and feeds both df and the score join — without it the corpus would
     // be re-scanned per consumer (measured 3 scans before this shape)
-    val tf = docs.select(col("doc_id"), dlCol.as("dl"), explode(toks).as("token"))
+    // dl below the explode (the postingsStateOf placement fix): a
+    // generator's sibling expressions evaluate per exploded row
+    val tf = docs.select(col("doc_id"), dlCol.as("dl"), toks.as("toks"))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .where(col("token").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))

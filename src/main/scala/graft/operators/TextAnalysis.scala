@@ -175,18 +175,24 @@ object TextAnalysis {
 
   /** Predicted language as a pure column expression over the raw text
     * (argmax of marker-word hits, precedence = declaration order) —
-    * shared by [[langId]] and the single-pass [[Curation]] verdict. */
+    * shared by [[langId]] and the single-pass [[Curation]] verdict.
+    *
+    * Built as `array_max` over (score, -index, lang) structs, NOT a
+    * when-chain fold: the fold's running best-score tree referenced
+    * itself twice per step, so language i's regexp_count was embedded
+    * ~2^(k-i) times — and codegen's subexpression elimination refuses
+    * conditionally-evaluated subtrees, so every copy RAN (measured
+    * ~360 µs/doc on `lang_id`, round-11 honest sweep). The struct-array
+    * form evaluates each marker regex exactly once; the lexicographic
+    * max on (s, -i) keeps the fold's tie rule (first declared wins on
+    * equal hits) bit for bit. */
   def predictedLang(text: Column): Column = {
-    val scores = langMarkers.map { case (l, pat) =>
-      l -> regexp_count(lower(text), lit(pat)).cast("long")
+    val lt = lower(text)
+    val entries = langMarkers.zipWithIndex.map { case ((l, pat), i) =>
+      struct(regexp_count(lt, lit(pat)).cast("long").as("s"),
+        lit(-i).as("p"), lit(l).as("lang"))
     }
-    val (firstLang, firstScore) = scores.head
-    scores.tail.foldLeft((firstScore, lit(firstLang))) {
-      case ((bestScore, bestLang), (l, score)) =>
-        val better = score > bestScore
-        (when(better, score).otherwise(bestScore),
-         when(better, lit(l)).otherwise(bestLang))
-    }._2
+    array_max(array(entries: _*)).getField("lang")
   }
 
   def langId(s: SparkSession, dir: String): DataFrame = {

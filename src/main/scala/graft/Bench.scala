@@ -85,12 +85,14 @@ object Bench {
     spark.range(100000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    // machine-speed score, measured JVM-warm before any suite runs
-    val calibSec = calibrate(spark)
-    releaseHeap(spark)
-    // deterministic order: per-query numbers comparable across rounds;
-    // SPARK_GRAFT_ONLY (comma-separated names) = local iteration filter
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // machine-speed score, measured JVM-warm before any suite runs —
+    // full runs only (like the streaming/bucketed/relayout sections): a
+    // SPARK_GRAFT_ONLY dev iteration shouldn't pay 3 calibration rounds
+    // for a number the ledger only uses on full-suite totals (0.0 =
+    // not measured)
+    val calibSec = if (only.isEmpty) calibrate(spark) else 0.0
+    releaseHeap(spark)
     // Streaming legs run FIRST, in a JVM that has executed nothing but the
     // warm-up — r5's artifact ran them last, after 150 batch queries whose
     // heap residue collapsed the default-store (heap-map) legs 4-25x while

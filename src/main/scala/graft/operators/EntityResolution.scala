@@ -185,17 +185,18 @@ object EntityResolution {
     """SELECT p_name, MIN(p_partkey) AS nid, COUNT(*) AS n_rows
       |  FROM part GROUP BY 1""".stripMargin
 
-  // NULLIF mirrors the Spark side's get(split(p_name,' '),1) blocking key:
-  // a single-token name gets a NULL key there and never equi-joins, while
-  // DuckDB's split_part returns '' for a missing token — without NULLIF
-  // every singleton name would share block '' in the oracle only.
+  // string_split(...)[2] mirrors the Spark side's get(split(p_name,' '),1)
+  // blocking key EXACTLY: a single-token name has no element 2 → NULL key
+  // → never equi-joins, while a name with consecutive spaces has an EMPTY
+  // STRING element that does join (NULLIF would over-correct that case;
+  // split_part alone would under-correct the missing case — both latent
+  // on TPC-H's single-spaced multi-word names, pinned by spec anyway).
   private val matchesSql =
     s"""SELECT a.p_name AS name_a, b.p_name AS name_b,
        |       a.nid AS nid_a, b.nid AS nid_b,
        |       levenshtein(a.p_name, b.p_name) AS dist
        |  FROM names a JOIN names b
-       |    ON NULLIF(split_part(a.p_name, ' ', 2), '')
-       |     = NULLIF(split_part(b.p_name, ' ', 2), '')
+       |    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
        |   AND a.nid < b.nid
        | WHERE levenshtein(a.p_name, b.p_name) <= $editMax""".stripMargin
 

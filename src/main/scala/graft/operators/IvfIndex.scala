@@ -77,8 +77,8 @@ object IvfIndex {
     // oracles are unaffected), and unlike the absolute-id form it stays
     // well-defined when a corpus's low ids have been deleted — the
     // precondition [[retrain]]'s fresh-build-equality contract needs
-    val cents = e.orderBy(col("vec_id").asc).limit(nCells)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = denseCids(e.orderBy(col("vec_id").asc).limit(nCells)
+      .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn")))
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // PQ codebook, frozen at build exactly like the coarse quantizer:
     // the first pqK vectors' NORMALIZED directions (the deterministic
@@ -122,6 +122,36 @@ object IvfIndex {
         array_sort(collect_list(struct(col("m"), col("cid")))),
         x => x("cid")).as("codes"))
     members.join(codes, Seq("vec_id"))
+  }
+
+  /** Re-key a (vec_id, cv, cn…) sample to DENSE centroid ids 0..k-1 in
+    * ascending-vec_id order. The `cell` partition column is an int (the
+    * partition-directory value reads back as IntegerType — the DPP
+    * contract), and with the smallest-ids-PRESENT sample rule a raw
+    * vec_id cid could exceed Int.MaxValue after heavy retention deletion
+    * on a >2³¹-vector corpus — the cast would throw under ANSI. The
+    * renumbering is MONOTONE in vec_id, so every tie rule that compared
+    * cids (assignment argmax → larger cid; probe order → smaller cid)
+    * picks the same winner as the oracle's vec_id-keyed form. */
+  /** Delete emptied cell directories — dynamic overwrite cannot rewrite
+    * a partition it has no rows for ([[PostingsIndex]]'s
+    * purgeEmptyPartitions discipline at the cell layout; ONE copy for
+    * the delete and retrain paths). */
+  private def purgeEmptyCells(
+      indexDir: String, touched: Set[Int], live: Set[Int]): Unit =
+    (touched -- live).foreach { c =>
+      val d = new java.io.File(s"$indexDir/members/cell=$c")
+      if (d.isDirectory) {
+        Option(d.listFiles()).foreach(_.foreach(_.delete()))
+        d.delete()
+      }
+    }
+
+  private def denseCids(sample: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("vec_id").asc) // ≤ nCells rows by contract
+    sample.withColumn("cid", (row_number().over(w) - 1).cast("long"))
+      .drop("vec_id")
+      .select(col("cid") +: sample.columns.filter(_ != "vec_id").map(col): _*)
   }
 
   /** Cell assignment under a broadcast centroid table — shared by the
@@ -340,13 +370,7 @@ object IvfIndex {
         .parquet(s"$indexDir/members")
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(kept)
-      (touched.toSet -- live).foreach { c =>
-        val d = new java.io.File(s"$indexDir/members/cell=$c")
-        if (d.isDirectory) {
-          Option(d.listFiles()).foreach(_.foreach(_.delete()))
-          d.delete()
-        }
-      }
+      purgeEmptyCells(indexDir, touched.toSet, live)
       (touched.length.toLong, removed)
     }
     Seq(del, tombs).distinct
@@ -449,8 +473,8 @@ object IvfIndex {
       .localCheckpoint()
     val cents =
       if (lloydRounds <= 0)
-        members.orderBy(col("vec_id").asc).limit(nCells)
-          .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        denseCids(members.orderBy(col("vec_id").asc).limit(nCells)
+          .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn")))
       else
         lloydCentroids(s, members, nCells, lloydRounds, sampleCap)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -486,13 +510,7 @@ object IvfIndex {
       try out.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/members")
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
-      (touched -- live).foreach { c =>
-        val d = new java.io.File(s"$indexDir/members/cell=$c")
-        if (d.isDirectory) {
-          Option(d.listFiles()).foreach(_.foreach(_.delete()))
-          d.delete()
-        }
-      }
+      purgeEmptyCells(indexDir, touched, live)
     }
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
@@ -521,13 +539,17 @@ object IvfIndex {
     import s.implicits._
     val pts = members
       .select(col("vec_id"), col("v"))
-      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000003L)).asc,
-        col("vec_id").asc)
+      // the inner % bounds the multiplicand so the spread-hash product
+      // stays far from Long overflow (ANSI would throw) at any id
+      .orderBy(pmod((col("vec_id") % lit(94906249L)) * lit(2654435761L),
+        lit(1000003L)).asc, col("vec_id").asc)
       .limit(sampleCap)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val kk = math.min(k, pts.length)
+    if (kk == 0)
+      return Seq.empty[(Long, Seq[Double], Double)].toDF("cid", "cv", "cn")
     var cents: Array[Array[Double]] = Array.tabulate(kk)(i => pts(i)._2.clone())
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

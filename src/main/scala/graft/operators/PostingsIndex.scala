@@ -347,9 +347,13 @@ object PostingsIndex {
         val merged = s.read.parquet(path)
           .where(col("sb").isin(ids.map(Integer.valueOf): _*))
           .repartition(col("sb"))
-          // key-major order within the task; the partitionBy write splits
-          // by sb directory and each file keeps its rows' relative order
-          .sortWithinPartitions(sortCols.map(col): _*)
+          // sb FIRST: the partitionBy writer requires ordering by the
+          // partition column and would otherwise insert its own sort on
+          // top — leaving the key-major property hanging on that sort's
+          // stability (not guaranteed under spill). Leading with sb
+          // satisfies the writer's required ordering, so ONE sort runs
+          // and each file keeps its keys in order.
+          .sortWithinPartitions(("sb" +: sortCols).map(col): _*)
           // EAGER: the rewrite deletes the very files being read (the
           // append-path hazard, same cure)
           .localCheckpoint()
@@ -439,8 +443,14 @@ object PostingsIndex {
       .select(shiftright(col("doc_id"), Retrieval.postingsBlockBits + superBits)
         .cast("int").as("sb"))
       .distinct().collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) (0L, 0L)
-    else {
+    if (touched.isEmpty) {
+      // the COMMON path for purely above-watermark takedowns (a
+      // deleteStream of not-yet-ingested ids hits it every micro-batch)
+      // — release the checkpoint here too or each batch pins blocks
+      // until the ContextCleaner notices
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
+      (0L, 0L)
+    } else {
       val sbs = touched.map(Integer.valueOf).toSeq
       val before = s.read.parquet(s"$indexDir/postings")
         .where(col("sb").isin(sbs: _*))

@@ -138,4 +138,26 @@ class RetrainSpec extends AnyFunSuite {
     assert(IvfIndex.retrain(spark, idx, nCells = 16, lloydRounds = 0) ===
       ((0L, 0L)))
   }
+
+  test("build, query, and both retrain modes survive vec_ids above Int.MaxValue") {
+    // the 100 TB posture: after heavy retention deletion the smallest
+    // LIVE ids can be arbitrarily large — the dense-cid re-keying (not
+    // the raw vec_id) is what keeps the int cell cast safe, and the
+    // lloyd sample hash must not overflow a long under ANSI
+    val idx = tmpDir("graft_retrain_bigid")
+    val base = 3_000_000_000L // > Int.MaxValue
+    val vs = vecs(base until (base + 64L), id => (id % 16).toInt)
+    IvfIndex.buildFrom(spark, vs, idx, nCells = 16)
+    val queries = vecs(9_000_000_000L until 9_000_000_005L, id => (id % 16).toInt)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    assert(IvfIndex.query(spark, idx, queries, nProbe = 2, k = 3)
+      .collect().length === 15, "5 queries x top-3")
+    assert(IvfIndex.retrain(spark, idx, nCells = 16, lloydRounds = 0) ===
+      ((0L, 0L)), "same sample -> same quantizer -> no-op")
+    val (cells, _) = IvfIndex.retrain(spark, idx, nCells = 8, lloydRounds = 2)
+    assert(cells > 0, "k change must migrate cells")
+    assert(IvfIndex.query(spark, idx, queries, nProbe = 2, k = 3)
+      .collect().length === 15, "index serves after big-id lloyd retrain")
+  }
 }

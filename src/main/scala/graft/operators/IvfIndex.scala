@@ -57,8 +57,9 @@ object IvfIndex {
     * slicing); a lower-dim build (e.g. a dim-16 serving index) would
     * slice past the array and every code would tie to cid 0. The build
     * detects the dimension (one bounded row) and records PQ validity as
-    * a `_GRAFT_PQ_OK` marker — [[queryPq]] requires it, so querying a
-    * non-PQ-dim index fails loudly instead of returning ADC garbage;
+    * a `_GRAFT_PQ_OK` marker — [[queryPq]] requires it (re-deriving it
+    * once from the stored dimension for pre-marker indexes), so querying
+    * a non-PQ-dim index fails loudly instead of returning ADC garbage;
     * [[query]] never reads codes and is unaffected. */
   def buildFrom(
       s: SparkSession,
@@ -124,15 +125,6 @@ object IvfIndex {
     members.join(codes, Seq("vec_id"))
   }
 
-  /** Re-key a (vec_id, cv, cn…) sample to DENSE centroid ids 0..k-1 in
-    * ascending-vec_id order. The `cell` partition column is an int (the
-    * partition-directory value reads back as IntegerType — the DPP
-    * contract), and with the smallest-ids-PRESENT sample rule a raw
-    * vec_id cid could exceed Int.MaxValue after heavy retention deletion
-    * on a >2³¹-vector corpus — the cast would throw under ANSI. The
-    * renumbering is MONOTONE in vec_id, so every tie rule that compared
-    * cids (assignment argmax → larger cid; probe order → smaller cid)
-    * picks the same winner as the oracle's vec_id-keyed form. */
   /** Delete emptied cell directories — dynamic overwrite cannot rewrite
     * a partition it has no rows for ([[PostingsIndex]]'s
     * purgeEmptyPartitions discipline at the cell layout; ONE copy for
@@ -147,6 +139,15 @@ object IvfIndex {
       }
     }
 
+  /** Re-key a (vec_id, cv, cn…) sample to DENSE centroid ids 0..k-1 in
+    * ascending-vec_id order. The `cell` partition column is an int (the
+    * partition-directory value reads back as IntegerType — the DPP
+    * contract), and with the smallest-ids-PRESENT sample rule a raw
+    * vec_id cid could exceed Int.MaxValue after heavy retention deletion
+    * on a >2³¹-vector corpus — the cast would throw under ANSI. The
+    * renumbering is MONOTONE in vec_id, so every tie rule that compared
+    * cids (assignment argmax → larger cid; probe order → smaller cid)
+    * picks the same winner as the oracle's vec_id-keyed form. */
   private def denseCids(sample: DataFrame): DataFrame = {
     val w = Window.orderBy(col("vec_id").asc) // ≤ nCells rows by contract
     sample.withColumn("cid", (row_number().over(w) - 1).cast("long"))
@@ -339,13 +340,20 @@ object IvfIndex {
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): (Long, Long) = {
     val del = ids.select(col("vec_id")).distinct().localCheckpoint()
     // tombstones first: if we crash mid-delete, a standing tombstone is
-    // safe (append skips the id; the physical rows go on the retry)
+    // safe (append skips the id; the physical rows go on the retry).
+    // APPEND-ONLY ([[PostingsIndex.delete]]'s discipline): a whole-set
+    // rewrite would delete the standing files before the new job commits,
+    // so a crash mid-write would erase every prior tombstone and let a
+    // retried ingest resurrect long-deleted ids. Appending only the ids
+    // not already present keeps prior takedowns physically untouched and
+    // makes a replayed delete write nothing.
     val tombDir = s"$indexDir/deleted"
-    val tombs =
+    val fresh =
       if (new java.io.File(tombDir).isDirectory)
-        s.read.parquet(tombDir).unionByName(del).distinct().localCheckpoint()
+        del.join(s.read.parquet(tombDir), Seq("vec_id"), "left_anti")
       else del
-    tombs.coalesce(1).write.mode("overwrite").parquet(tombDir)
+    if (fresh.limit(1).count() > 0)
+      fresh.coalesce(1).write.mode("append").parquet(tombDir)
     val touched = s.read.parquet(s"$indexDir/members")
       .select(col("vec_id"), col("cell"))
       .join(del, Seq("vec_id"))
@@ -373,8 +381,7 @@ object IvfIndex {
       purgeEmptyCells(indexDir, touched.toSet, live)
       (touched.length.toLong, removed)
     }
-    Seq(del, tombs).distinct
-      .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
     out
   }
 
@@ -446,6 +453,19 @@ object IvfIndex {
     * same target and completes it). The `deleted/` tombstone table is
     * untouched: takedowns survive re-training.
     *
+    * SERVING MUST QUIESCE ACROSS RETRAIN: between the quantizer/codebook
+    * writes and the completed member migration, the index holds new
+    * centroids over the old cell layout — a query in that window probes
+    * the wrong cells and is silently WRONG, not merely stale, and a
+    * crashed retrain leaves that state standing until the replay
+    * converges it. The pass brackets itself with a
+    * `_GRAFT_RETRAIN_INPROGRESS` marker (created before the first table
+    * write, removed after the migration + purge); [[query]] / [[queryPq]]
+    * and a new [[graft.streaming.StreamAnnServe]] session refuse to serve
+    * while it stands, which enforces both halves of the contract: no
+    * serving inside the window, and a crashed retrain must be replayed
+    * (same arguments — it converges) before queries resume.
+    *
     * `lloydRounds` picks the quantizer fit:
     *  - 0 (default): the deterministic sample rule — nCells smallest LIVE
     *    ids' vectors, exactly [[buildFrom]]'s rule over the surviving
@@ -477,6 +497,12 @@ object IvfIndex {
           .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn")))
       else
         lloydCentroids(s, members, nCells, lloydRounds, sampleCap)
+    // quiesce bracket: from here to the end of the member migration the
+    // index is incorrect to serve (new quantizer, old layout) — the
+    // marker makes every query path refuse, and a crash leaves it
+    // standing so the replay requirement is enforced, not just documented
+    val inProgress = new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS")
+    inProgress.createNewFile()
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     val cb = members.orderBy(col("vec_id").asc).limit(Similarity.pqK)
       .select(col("vec_id").as("cid"),
@@ -512,10 +538,20 @@ object IvfIndex {
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
       purgeEmptyCells(indexDir, touched, live)
     }
+    inProgress.delete()
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     (touched.size.toLong, moved)
   }
+
+  /** The quiesce guard [[retrain]]'s marker drives: refuse to serve an
+    * index whose quantizer and member layout may disagree. One
+    * `File.exists` per query batch / serving session — negligible. */
+  private[graft] def requireNotRetraining(indexDir: String): Unit =
+    require(!new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS").exists(),
+      s"$indexDir has a retrain in progress (or a crashed one): its " +
+        "centroids/codebook and member layout may disagree and results " +
+        "would be silently wrong — replay retrain() to completion first")
 
   /** Driver-local spherical k-means over a bounded deterministic sample
     * of the live members — [[retrain]]'s adaptive quantizer fit.
@@ -661,9 +697,11 @@ object IvfIndex {
       indexDir: String,
       queries: DataFrame,
       nProbe: Int = 2,
-      k: Int = 5): DataFrame =
+      k: Int = 5): DataFrame = {
+    requireNotRetraining(indexDir)
     queryOn(s.read.parquet(s"$indexDir/centroids"),
       s.read.parquet(s"$indexDir/members"), queries, nProbe, k)
+  }
 
   /** [[query]] against already-constructed centroid/member frames — the
     * seam a SERVING loop uses ([[graft.streaming.StreamAnnServe]]): a
@@ -716,10 +754,22 @@ object IvfIndex {
       nProbe: Int = 2,
       k: Int = 5,
       nCand: Int = 20): DataFrame = {
-    require(new java.io.File(s"$indexDir/_GRAFT_PQ_OK").exists(),
-      s"$indexDir was built with a vector dimension != " +
-        s"${Similarity.pqM * Similarity.pqSubDims}: its PQ codes are " +
-        "degenerate; use query() or rebuild at the PQ dimension")
+    requireNotRetraining(indexDir)
+    val pqDim = Similarity.pqM * Similarity.pqSubDims
+    if (!new java.io.File(s"$indexDir/_GRAFT_PQ_OK").exists()) {
+      // migration path: an index persisted before the marker existed has
+      // perfectly valid codes iff its stored dimension matches — probe
+      // ONE bounded centroids row and stamp the marker so the probe
+      // never re-runs; only a genuine dimension mismatch still fails
+      val d = s.read.parquet(s"$indexDir/centroids")
+        .orderBy(col("cid").asc).limit(1)
+        .select(size(col("cv")).as("d")).collect().headOption.map(_.getInt(0))
+      require(d.contains(pqDim),
+        s"$indexDir was built with a vector dimension " +
+          s"${d.fold("<empty>")(_.toString)} != $pqDim: its PQ codes are " +
+          "degenerate; use query() or rebuild at the PQ dimension")
+      new java.io.File(s"$indexDir/_GRAFT_PQ_OK").createNewFile()
+    }
     val q = queries
       .select(col("query_id"), vec(col("qv")).as("qv"))
       .withColumn("qn", norm(col("qv")))

@@ -187,6 +187,7 @@ object PostingsIndex {
     // tombstone guard: an id taken down BEFORE it was ever ingested
     // (above-watermark [[delete]]) must stay out when its batch arrives
     val tombDir = s"$indexDir/tombstones"
+    recoverTombstones(indexDir)
     val batch0 = incoming.where(col("doc_id") > wm)
     val batch =
       (if (new java.io.File(tombDir).isDirectory)
@@ -388,6 +389,27 @@ object PostingsIndex {
       }
     }
 
+  /** Recursive delete for the vacuum swap's scratch dirs (a crashed
+    * Spark write can leave a `_temporary/` subtree a flat file sweep
+    * would miss). */
+  private def rmDirTree(d: java.io.File): Unit = {
+    if (d.isDirectory) Option(d.listFiles()).foreach(_.foreach(rmDirTree))
+    d.delete(); ()
+  }
+
+  /** Crash repair for [[vacuumTombstones]]'s two-rename swap: if the
+    * standing `tombstones/` is missing but the pre-vacuum set is parked
+    * at `tombstones.old` (a crash between the renames), restore it. The
+    * pre-vacuum set is a superset of the vacuumed one — restoring it is
+    * always safe (extra tombstones only re-filter ids the watermark
+    * already blocks). Called before every tombstone read or write, so no
+    * reader ever observes the mid-swap window. */
+  private def recoverTombstones(indexDir: String): Unit = {
+    val tomb = new java.io.File(s"$indexDir/tombstones")
+    val old = new java.io.File(s"$indexDir/tombstones.old")
+    if (!tomb.isDirectory && old.isDirectory) { old.renameTo(tomb); () }
+  }
+
   /** Delete a set of doc ids from the standing index — the opt-out /
     * takedown leg of the lifecycle (build → append → compact → DELETE →
     * query), without which a 100 TB corpus index must rebuild to forget
@@ -414,8 +436,9 @@ object PostingsIndex {
     * watermark guard alone would re-admit it when its batch finally
     * arrives (the delete-before-append interleaving [[deleteStream]] /
     * [[appendStream]] checkpoints can replay). Those ids land in a
-    * `tombstones/` table — written FIRST, so a crash mid-delete leaves
-    * the takedown standing — that [[append]] anti-joins every incoming
+    * `tombstones/` table — written FIRST and APPEND-ONLY, so a crash
+    * mid-delete leaves every takedown standing, prior ones included —
+    * that [[append]] anti-joins every incoming
     * batch against; cumulative and bounded by above-watermark takedown
     * volume ([[IvfIndex.delete]]'s `deleted/` discipline). Returns
     * (partitions touched, posting entries removed). */
@@ -427,14 +450,22 @@ object PostingsIndex {
     val above = del.where(col("doc_id") > wm)
     if (above.limit(1).count() > 0) {
       val tombDir = s"$indexDir/tombstones"
-      val tombs =
+      recoverTombstones(indexDir)
+      // APPEND-ONLY: a whole-set rewrite to the same path would delete
+      // the standing files before the new job commits, so a crash
+      // mid-write would erase every prior tombstone — the exact
+      // resurrection this table exists to block. Appending only the ids
+      // not already present keeps prior takedowns physically untouched
+      // (the append's files appear at job commit; a crash leaves only
+      // `_temporary/` garbage readers ignore) and makes a replayed
+      // delete a no-op by the anti-join. Shrinking the set is
+      // [[vacuumTombstones]]'s job, via a staged swap.
+      val fresh =
         if (new java.io.File(tombDir).isDirectory)
-          // EAGER: the overwrite replaces the files being read
-          s.read.parquet(tombDir).unionByName(above).distinct().localCheckpoint()
+          above.join(s.read.parquet(tombDir), Seq("doc_id"), "left_anti")
         else above
-      tombs.coalesce(1).write.mode("overwrite").parquet(tombDir)
-      if (tombs ne above)
-        org.apache.spark.sql.graft.Bridge.releaseCheckpoint(tombs)
+      if (fresh.limit(1).count() > 0)
+        fresh.coalesce(1).write.mode("append").parquet(tombDir)
     }
     // only ids at or below the watermark can have physical rows — an
     // above-watermark takedown is fully served by its tombstone, no
@@ -522,20 +553,40 @@ object PostingsIndex {
     * never read tombstones). The vector index has NO analog: its append
     * precedence is id-based with no watermark, so [[IvfIndex]]'s
     * `deleted/` table must stay cumulative — the documented asymmetry.
+    *
+    * The rewrite is a STAGED SWAP, never an in-place overwrite (which
+    * would delete the standing set before the new job commits — a crash
+    * there would erase live above-watermark tombstones): the kept set is
+    * written whole to `tombstones.next`, the standing dir is parked at
+    * `tombstones.old`, the new dir renamed into place, and only then is
+    * the old set dropped. Every crash window is covered: before the
+    * first rename the standing set is untouched; between the renames
+    * [[recoverTombstones]] (run before every tombstone read) restores
+    * the parked pre-vacuum set — a safe superset; after the second the
+    * new set is live and `.old` is stale garbage the next vacuum sweeps.
     * Returns (tombstones dropped, tombstones kept). */
   def vacuumTombstones(s: SparkSession, indexDir: String): (Long, Long) = {
+    recoverTombstones(indexDir)
     val tombDir = s"$indexDir/tombstones"
     if (!new java.io.File(tombDir).isDirectory) (0L, 0L)
     else {
       val wm = s.read.parquet(s"$indexDir/blockstats")
         .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
-      // EAGER: the overwrite replaces the files being read
+      // EAGER: the staged write replaces the files being read only after
+      // the swap, but the count + write double-consume the scan
       val t = s.read.parquet(tombDir).localCheckpoint()
       val kept = t.where(col("doc_id") > wm)
       val total = t.count()
       val keptN = kept.count()
-      if (keptN < total)
-        kept.coalesce(1).write.mode("overwrite").parquet(tombDir)
+      if (keptN < total) {
+        val next = new java.io.File(s"$tombDir.next")
+        val old = new java.io.File(s"$tombDir.old")
+        rmDirTree(next); rmDirTree(old) // stale scratch from a prior crash
+        kept.coalesce(1).write.mode("overwrite").parquet(next.getPath)
+        new java.io.File(tombDir).renameTo(old)
+        next.renameTo(new java.io.File(tombDir))
+        rmDirTree(old)
+      }
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(t)
       (total - keptN, keptN)
     }
@@ -749,7 +800,20 @@ object PostingsIndex {
     * (query_id, doc_id, r, bm25) for ranks 1..k per query. */
   private[graft] def bm25Batch(
       postings: DataFrame, termstats: DataFrame, blockstats: DataFrame,
-      qt: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+      qt: DataFrame, k: Int, excludeSelf: Boolean): DataFrame =
+    bm25BatchPinned(postings, termstats, blockstats, qt, k, excludeSelf)._1
+
+  /** [[bm25Batch]] plus the profile checkpoint it pins: the returned plan
+    * reads the checkpointed blocks, so a ONE-SHOT batch caller may leave
+    * the release to the context cleaner — but a serving loop runs one of
+    * these per trigger, and per-trigger pins accumulate in storage memory
+    * until GC happens to notice ([[graft.streaming.StreamBm25Serve]]).
+    * Serving callers MUST release the second element (Bridge
+    * .releaseCheckpoint) after the sink has materialized the batch
+    * result — and not before: release invalidates the plan. */
+  private[graft] def bm25BatchPinned(
+      postings: DataFrame, termstats: DataFrame, blockstats: DataFrame,
+      qt: DataFrame, k: Int, excludeSelf: Boolean): (DataFrame, DataFrame) = {
     val prof = qt.select(col("query_id"), col("term")).localCheckpoint()
     // bounded: the distinct vocabulary of the query batch
     val terms = prof.select(col("term")).distinct()
@@ -757,7 +821,7 @@ object PostingsIndex {
     val dfT = termstats
       .where(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
-    bm25BatchOn(postings, dfT, blockstats, prof, terms, k, excludeSelf)
+    (bm25BatchOn(postings, dfT, blockstats, prof, terms, k, excludeSelf), prof)
   }
 
   /** [[bm25Batch]] with the profile's term union AND the per-term df
@@ -789,9 +853,10 @@ object PostingsIndex {
       .agg(sum(col("qs")).as("sq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sq").desc, col("doc_id").asc)
-    // prof's checkpoint blocks stay pinned until the session GC notices —
-    // a handful of (query_id, term) rows, deliberately not force-released
-    // because the returned plan still reads them
+    // prof's checkpoint blocks stay pinned because the returned plan
+    // still reads them — one-shot batch callers leave the release to the
+    // context cleaner (a handful of (query_id, term) rows); serving
+    // loops release per trigger via [[bm25BatchPinned]]
     scored.withColumn("r", row_number().over(w))
       .where(col("r") <= k)
       .select(col("query_id"), col("doc_id"), col("r"),

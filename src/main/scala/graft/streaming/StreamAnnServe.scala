@@ -44,6 +44,9 @@ object StreamAnnServe {
       nProbe: Int = 2,
       k: Int = 5)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // retrain quiesce: a session must not pin frames from an index whose
+    // quantizer and layout may disagree ([[IvfIndex.retrain]]'s contract)
+    IvfIndex.requireNotRetraining(indexDir)
     // one directory listing per serving session, not per trigger: the
     // frames carry their resolved file index across triggers (refresh =
     // restart the serving query; appends land at the next session)

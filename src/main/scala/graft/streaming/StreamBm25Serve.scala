@@ -60,8 +60,13 @@ object StreamBm25Serve {
         val qt = df.toDF()
           .select(col("query_id"), explode(col("terms")).as("term"))
           .distinct()
-        sink(PostingsIndex.bm25Batch(postings, termstats, blockstats,
-          qt, k, excludeSelf = false), batchId)
+        val (res, pinned) = PostingsIndex.bm25BatchPinned(
+          postings, termstats, blockstats, qt, k, excludeSelf = false)
+        sink(res, batchId)
+        // the sink has materialized the batch — release the per-trigger
+        // profile checkpoint, or a long-running session pins one block
+        // set per trigger until GC notices (unbounded storage growth)
+        org.apache.spark.sql.graft.Bridge.releaseCheckpoint(pinned)
         ()
       }
       .start()

@@ -40,6 +40,8 @@ object StreamHybridServe {
       k: Int = 5,
       nProbe: Int = 2)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // retrain quiesce for the semantic leg ([[IvfIndex.retrain]])
+    IvfIndex.requireNotRetraining(ivfIndexDir)
     // one directory listing per serving session, not per trigger
     val postings = s.read.parquet(s"$postingsIndexDir/postings")
     val termstats = s.read.parquet(s"$postingsIndexDir/termstats")
@@ -50,8 +52,13 @@ object StreamHybridServe {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
-        sink(fuseOn(postings, termstats, blockstats, cents, members,
-          df.toDF(), legK, k, nProbe), batchId)
+        val (res, pinned) = fuseOn(postings, termstats, blockstats, cents,
+          members, df.toDF(), legK, k, nProbe)
+        sink(res, batchId)
+        // sink has materialized the fused batch — release the lexical
+        // leg's per-trigger profile pin ([[StreamBm25Serve]]'s leak
+        // discipline; the semantic leg checkpoints nothing)
+        org.apache.spark.sql.graft.Bridge.releaseCheckpoint(pinned)
         ()
       }
       .start()
@@ -59,16 +66,21 @@ object StreamHybridServe {
 
   /** The per-batch kernel — also the spec's batch comparand, so stream
     * ≡ batch holds by construction and the spec checks the PLUMBING
-    * (micro-batch independence, per-trigger pruning), not arithmetic. */
+    * (micro-batch independence, per-trigger pruning), not arithmetic.
+    * Returns (fused frame, pinned profile checkpoint) — the caller
+    * releases the pin once the frame is materialized. */
   private[graft] def fuseOn(
       postings: DataFrame, termstats: DataFrame, blockstats: DataFrame,
       cents: DataFrame, members: DataFrame,
-      queries: DataFrame, legK: Int, k: Int, nProbe: Int): DataFrame = {
+      queries: DataFrame, legK: Int, k: Int,
+      nProbe: Int): (DataFrame, DataFrame) = {
     val qt = queries
       .select(col("query_id"), explode(col("terms")).as("term"))
       .distinct()
-    val lr = PostingsIndex
-      .bm25Batch(postings, termstats, blockstats, qt, legK, excludeSelf = false)
+    val (lr0, pinned) = PostingsIndex
+      .bm25BatchPinned(postings, termstats, blockstats, qt, legK,
+        excludeSelf = false)
+    val lr = lr0
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         col("r").as("lr"))
     val vr = IvfIndex
@@ -76,6 +88,6 @@ object StreamHybridServe {
         nProbe, legK)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("vr"))
-    Retrieval.rrfFuse(vr, lr, k)
+    (Retrieval.rrfFuse(vr, lr, k), pinned)
   }
 }

@@ -234,6 +234,70 @@ class IvfIndexSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(idx), true)
   }
 
+  test("vector tombstones append, never rewrite; replayed deletes write nothing") {
+    import spark.implicits._
+    val idx = s"/tmp/graft_ivf_tombapp_${System.nanoTime()}"
+    IvfIndex.buildFrom(spark, Corpus.embeddings(spark, sf), idx, nCells = 16)
+    val tombDir = new java.io.File(s"$idx/deleted")
+    def tombFiles(): Set[String] =
+      tombDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    // two takedowns arriving separately: the second leaves the first's
+    // files physically untouched (append-only — the overwrite it replaced
+    // would erase every prior tombstone on a crash mid-write, the exact
+    // resurrection window the table exists to close)
+    IvfIndex.delete(spark, idx, Seq(3L).toDF("vec_id"))
+    val first = tombFiles()
+    IvfIndex.delete(spark, idx, Seq(7L).toDF("vec_id"))
+    assert(first.subsetOf(tombFiles()),
+      "a later takedown must not rewrite standing tombstone files")
+    // replayed delete (both already tombstoned): no new files, no rows
+    val standing = tombFiles()
+    val (_, removed) = IvfIndex.delete(spark, idx, Seq(3L, 7L).toDF("vec_id"))
+    assert(removed === 0L)
+    assert(tombFiles() === standing, "replayed deletes must not write files")
+    assert(spark.read.parquet(s"$idx/deleted")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 7L))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
+  test("a standing retrain marker quiesces every query path; a pre-marker PQ index migrates on first query") {
+    val idx = s"/tmp/graft_ivf_guard_${System.nanoTime()}"
+    IvfIndex.build(spark, sf, idx, nCells = 16)
+    val queries = Corpus.embeddings(spark, sf).where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val want = IvfIndex.queryPq(spark, idx, queries).collect().map(key).toSet
+
+    // a crashed (or running) retrain leaves the marker standing: every
+    // query path must refuse — the window's results would be silently
+    // wrong (new quantizer over the old cell layout), not stale
+    val marker = new java.io.File(s"$idx/_GRAFT_RETRAIN_INPROGRESS")
+    assert(marker.createNewFile())
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.query(spark, idx, queries)
+    }
+    assert(e1.getMessage.contains("retrain"))
+    intercept[IllegalArgumentException] { IvfIndex.queryPq(spark, idx, queries) }
+    assert(marker.delete())
+
+    // pre-marker migration: an index persisted before _GRAFT_PQ_OK
+    // existed has valid codes iff the stored dimension matches — the
+    // first PQ query probes one centroids row, stamps the marker, and
+    // answers identically; the probe never re-runs
+    assert(new java.io.File(s"$idx/_GRAFT_PQ_OK").delete())
+    val got = IvfIndex.queryPq(spark, idx, queries).collect().map(key).toSet
+    assert(got === want, "migrated PQ query diverged")
+    assert(new java.io.File(s"$idx/_GRAFT_PQ_OK").exists(),
+      "migration must stamp the marker")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(idx), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+  }
+
   test("deleting a whole cell purges its directory") {
     import spark.implicits._
     val idx = s"/tmp/graft_ivf_purge_${System.nanoTime()}"

@@ -504,6 +504,50 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(PostingsIndex.vacuumTombstones(spark, idx) === ((1L, 0L)))
   }
 
+  test("tombstone crash-safety: deletes append, never rewrite; a mid-vacuum crash recovers") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_tombcrash")
+    PostingsIndex.buildFrom(spark, synthDocs(0L to 20L), idx, superBits = 2)
+    val tombDir = new java.io.File(s"$idx/tombstones")
+    def tombFiles(): Set[String] =
+      tombDir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    def docIds(): Set[Long] =
+      spark.read.parquet(s"$idx/doclens").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+
+    // two takedowns arriving separately: the second write must leave the
+    // first's files physically untouched (append-only — the overwrite it
+    // replaced deleted the standing set before the new job committed, so
+    // a crash mid-write erased every prior takedown)
+    PostingsIndex.delete(spark, idx, Seq(100L).toDF("doc_id"))
+    val first = tombFiles()
+    PostingsIndex.delete(spark, idx, Seq(300L).toDF("doc_id"))
+    assert(first.subsetOf(tombFiles()),
+      "a later takedown must not rewrite the standing tombstone files")
+    // a replayed delete (both ids already tombstoned) writes NOTHING
+    val standing = tombFiles()
+    PostingsIndex.delete(spark, idx, Seq(100L, 300L).toDF("doc_id"))
+    assert(tombFiles() === standing, "replayed deletes must not write files")
+
+    // crash between vacuum's two renames: the pre-vacuum set is parked
+    // at tombstones.old and the standing dir is gone — every tombstone
+    // consumer must restore it before reading
+    assert(tombDir.renameTo(new java.io.File(s"$idx/tombstones.old")))
+    PostingsIndex.append(spark, idx, synthDocs(Seq(99L, 100L, 101L)))
+    assert(docIds().intersect(Set(99L, 100L, 101L)) === Set(99L, 101L),
+      "the parked tombstone set must be recovered before the append reads it")
+    assert(tombDir.isDirectory && !new java.io.File(s"$idx/tombstones.old").exists(),
+      "recovery must restore the standing directory")
+
+    // vacuum also self-recovers from the same crash state (and then
+    // drops the now-covered id 100, keeping the in-flight 300)
+    assert(tombDir.renameTo(new java.io.File(s"$idx/tombstones.old")))
+    assert(PostingsIndex.vacuumTombstones(spark, idx) === ((1L, 1L)))
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .collect().map(_.getLong(0)).toSet === Set(300L))
+  }
+
   test("compact defragments termstats alongside the other tables") {
     val idx = tmpDir("graft_pidx_tscompact")
     PostingsIndex.buildFrom(spark, synthDocs(0L to 700L by 7L), idx, superBits = 2)

@@ -66,7 +66,7 @@ class StreamHybridServeSpec extends AnyFunSuite {
         spark.read.parquet(s"$vidx/centroids"),
         spark.read.parquet(s"$vidx/members"),
         qs.toDF("query_id", "terms", "qv"), legK = 10, k = 5, nProbe = 2)
-      .collect().map(r =>
+      ._1.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.sorted.toSeq === want.sorted.toSeq,
       "streamed hybrid serving diverged from the batch fusion")

@@ -127,8 +127,8 @@ object IvfIndex {
 
   /** Delete emptied cell directories — dynamic overwrite cannot rewrite
     * a partition it has no rows for ([[PostingsIndex]]'s
-    * purgeEmptyPartitions discipline at the cell layout; ONE copy for
-    * the delete and retrain paths). */
+    * purgeEmptyPartitions discipline at the cell layout; [[delete]]'s
+    * path — [[retrain]] handles emptied cells via its swap manifest). */
   private def purgeEmptyCells(
       indexDir: String, touched: Set[Int], live: Set[Int]): Unit =
     (touched -- live).foreach { c =>
@@ -443,15 +443,30 @@ object IvfIndex {
     * build over the live corpus (spec-pinned), and the standing oracles
     * are unaffected — then re-assigns every member under the new tables
     * and rewrites ONLY the cells where anything actually changed
-    * (membership or codes), under dynamic partition overwrite with
-    * explicit purge of emptied cells. The scan is necessarily full (any
+    * (membership or codes). The scan is necessarily full (any
     * member's cell may move) but the WRITE cost is proportional to the
     * drift: an unchanged quantizer rewrites nothing — which also makes
-    * the pass idempotent and crash-convergent (all writes are pure
-    * functions of (vec_id, v, nrm), which never change; a replay after a
-    * crash between the table writes and the migration re-derives the
-    * same target and completes it). The `deleted/` tombstone table is
+    * the pass idempotent (all writes are pure
+    * functions of (vec_id, v, nrm), which never change; a replay
+    * re-derives the same target). The `deleted/` tombstone table is
     * untouched: takedowns survive re-training.
+    *
+    * The member migration is the ONE index write that MOVES rows across
+    * partitions, so — unlike [[append]]/[[delete]], whose partitions
+    * never exchange rows — a torn dynamic-overwrite commit could lose a
+    * moved row forever (its new cell committed without it being the
+    * problem's dual: old cell replaced, new cell's replacement never
+    * committed). The migration therefore goes through a STAGED SWAP
+    * instead of dynamic overwrite: the touched cells' complete new
+    * content lands under `members.retrain/` first (standing members
+    * untouched), a `_GRAFT_STAGED` marker commits it together with the
+    * staged/emptied cell lists, and only then does a driver-side
+    * directory swap replace the touched cells one rename at a time.
+    * Every row exists in `members/` ∪ `members.retrain/` at every
+    * instant, and [[completeRetrainSwap]] — run at the head of every
+    * retrain — rolls a crashed swap forward deterministically (swap
+    * steps are individually idempotent; an un-staged crash just discards
+    * the staging dir and recomputes from the untouched standing set).
     *
     * SERVING MUST QUIESCE ACROSS RETRAIN: between the quantizer/codebook
     * writes and the completed member migration, the index holds new
@@ -478,7 +493,14 @@ object IvfIndex {
     *    seeded from the 0-round rule. This is the fit that actually
     *    ADAPTS: when ingest has drifted away from the build sample, the
     *    new centroids follow the live distribution and probed-cell
-    *    recall recovers (`RetrainSpec` measures before/after).
+    *    recall recovers (`RetrainSpec` measures before/after). The PQ
+    *    CODEBOOK gets the same treatment — its own k = pqK Lloyd fit
+    *    over the same id-hash-spread sample — because a codebook pinned
+    *    to the smallest live ids quantizes drifted vectors against
+    *    pre-drift directions: every drifted member's subspace distances
+    *    collapse to jitter noise and ADC candidate selection degrades
+    *    even where the exact re-rank is available to hide it
+    *    (`RetrainSpec` measures ADC agreement before/after).
     * Returns (cells rewritten, vectors whose cell moved). */
   def retrain(
       s: SparkSession,
@@ -486,6 +508,10 @@ object IvfIndex {
       nCells: Int = 16,
       lloydRounds: Int = 0,
       sampleCap: Int = 4096): (Long, Long) = {
+    // roll a crashed swap forward FIRST: after it the standing member
+    // set is whole (pre-swap or fully post-swap, never a mix), so the
+    // recomputation below sees consistent rows either way
+    completeRetrainSwap(indexDir)
     val members = s.read.parquet(s"$indexDir/members")
       .select(col("vec_id"), col("v"), col("nrm"),
         col("codes").as("old_codes"), col("cell").as("old_cell"))
@@ -504,9 +530,18 @@ object IvfIndex {
     val inProgress = new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS")
     inProgress.createNewFile()
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val cb = members.orderBy(col("vec_id").asc).limit(Similarity.pqK)
-      .select(col("vec_id").as("cid"),
-        transform(col("v"), x => x / col("nrm")).as("cv"))
+    // adaptive codebook (lloydRounds > 0): its own pqK-means over the
+    // same drift-following sample as the quantizer; the 0-round mode
+    // keeps the fresh-build rule so bit-equality with buildFrom holds
+    val cb =
+      if (lloydRounds <= 0)
+        members.orderBy(col("vec_id").asc).limit(Similarity.pqK)
+          .select(col("vec_id").as("cid"),
+            transform(col("v"), x => x / col("nrm")).as("cv"))
+      else
+        lloydCentroids(s, members, Similarity.pqK, lloydRounds, sampleCap)
+          .select(col("cid"),
+            transform(col("cv"), x => x / col("cn")).as("cv"))
     cb.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     val bc = broadcast(s.read.parquet(s"$indexDir/centroids"))
     val bcb = broadcast(s.read.parquet(s"$indexDir/codebook"))
@@ -530,18 +565,83 @@ object IvfIndex {
         .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("cell"))
       val live = out.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val modeKey = "spark.sql.sources.partitionOverwriteMode"
-      val prev = s.conf.getOption(modeKey)
-      s.conf.set(modeKey, "dynamic")
-      try out.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$indexDir/members")
-      finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
-      purgeEmptyCells(indexDir, touched, live)
+      // staged swap: standing members stays whole until the complete new
+      // content of every touched cell is committed under members.retrain
+      val staging = new java.io.File(s"$indexDir/members.retrain")
+      rmDirTree(staging) // stale un-staged scratch from a prior crash
+      out.write.mode("overwrite").partitionBy("cell")
+        .parquet(staging.getPath)
+      writeSwapManifest(staging, staged = live, emptied = touched -- live)
+      // commit point: from here the swap (and any crash replay of it)
+      // only moves directories — no recomputation can change the target
+      new java.io.File(staging, "_GRAFT_STAGED").createNewFile()
+      completeRetrainSwap(indexDir)
     }
     inProgress.delete()
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     (touched.size.toLong, moved)
+  }
+
+  /** Recursive delete for the retrain staging protocol's scratch (a
+    * crashed Spark write can leave a `_temporary/` subtree). */
+  private def rmDirTree(d: java.io.File): Unit = {
+    if (d.isDirectory) Option(d.listFiles()).foreach(_.foreach(rmDirTree))
+    d.delete(); ()
+  }
+
+  /** The swap manifest: which staged cell dirs move into `members/` and
+    * which touched cells emptied out entirely (a partitioned write emits
+    * no directory for zero rows, so absence alone cannot distinguish
+    * "emptied" from "already swapped" on replay — the manifest can). */
+  private def writeSwapManifest(
+      staging: java.io.File, staged: Set[Int], emptied: Set[Int]): Unit = {
+    val f = new java.io.File(staging, "_GRAFT_SWAP")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try {
+      w.println(staged.toSeq.sorted.mkString(","))
+      w.println(emptied.toSeq.sorted.mkString(","))
+    } finally w.close()
+  }
+
+  /** Roll a committed staged swap forward ([[retrain]]'s migration
+    * protocol; also its crash recovery — called at the head of every
+    * retrain). Each step is individually idempotent: an emptied cell's
+    * delete re-runs as a no-op; a staged cell whose source dir is gone
+    * was already swapped and its target is left alone; a staged cell
+    * whose source still exists gets its target cleared and the source
+    * renamed in (a crash between those two re-runs both). A staging dir
+    * without the `_GRAFT_STAGED` marker never had a complete new layout
+    * committed — the standing members set is untouched, so it is
+    * discarded and the caller recomputes from scratch. */
+  private def completeRetrainSwap(indexDir: String): Unit = {
+    val staging = new java.io.File(s"$indexDir/members.retrain")
+    if (!staging.isDirectory) return
+    if (!new java.io.File(staging, "_GRAFT_STAGED").exists()) {
+      rmDirTree(staging)
+      return
+    }
+    val lines = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(staging, "_GRAFT_SWAP"), "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    def cellsOf(line: Option[String]): Seq[Int] =
+      line.toSeq.flatMap(_.split(",")).filter(_.nonEmpty).map(_.toInt)
+    val staged = cellsOf(lines.headOption)
+    val emptied = cellsOf(lines.drop(1).headOption)
+    emptied.foreach { c =>
+      rmDirTree(new java.io.File(s"$indexDir/members/cell=$c"))
+    }
+    staged.foreach { c =>
+      val src = new java.io.File(staging, s"cell=$c")
+      val dst = new java.io.File(s"$indexDir/members/cell=$c")
+      if (src.isDirectory) { // absent = already swapped on a prior replay
+        rmDirTree(dst)
+        require(src.renameTo(dst), s"retrain swap: rename failed for cell=$c")
+      }
+    }
+    rmDirTree(staging)
   }
 
   /** The quiesce guard [[retrain]]'s marker drives: refuse to serve an

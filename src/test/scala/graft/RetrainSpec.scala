@@ -139,6 +139,153 @@ class RetrainSpec extends AnyFunSuite {
       ((0L, 0L)))
   }
 
+  /** Mean top-`k` agreement of the ADC candidate path ([[IvfIndex
+    * .queryPq]]) with the exact probed-cell scorer ([[IvfIndex.query]])
+    * on the SAME index — isolates codebook quality from quantizer
+    * recall: both paths share the probe tree, so any divergence is ADC
+    * candidate selection ranking the wrong nCand rows. */
+  private def adcAgreement(idx: String, queries: DataFrame, k: Int): Double = {
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(IvfIndex.query(spark, idx, queries, nProbe = 2, k = k))
+    val adc = topk(IvfIndex.queryPq(spark, idx, queries, nProbe = 2, k = k))
+    val per = exact.map { case (qid, want) =>
+      want.intersect(adc.getOrElse(qid, Set.empty)).size.toDouble / k
+    }
+    per.sum / per.size
+  }
+
+  /** Mean PQ reconstruction error of the standing index: avg over
+    * (member, subspace) of the min squared subspace distance to the
+    * codebook — the PQ training objective, and the quantity that sets
+    * ADC candidate quality at production cell sizes (at toy SF the exact
+    * re-rank plus nCand-sized cells saturate end-to-end agreement at ANY
+    * codebook fit, so the error is the honest measurable). */
+  private def pqQuantError(idx: String): Double = {
+    val cb = spark.read.parquet(s"$idx/codebook")
+    val en = spark.read.parquet(s"$idx/members").select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("nv"))
+    graft.operators.Similarity.pqCells(en, "vec_id", cb)
+      .groupBy(col("vec_id"), col("m")).agg(min(col("d2")).as("d"))
+      .agg(avg(col("d"))).collect()(0).getDouble(0)
+  }
+
+  test("drift decays the PQ codebook fit; the adaptive re-fit recovers it without hurting ADC selection") {
+    val idx = tmpDir("graft_retrain_adc")
+    // region A holds the smallest ids — under the old codebook rule a
+    // retrain would re-fit PQ from exactly these pre-drift vectors
+    val regionA = vecs(0L until 80L, id => (id % 16).toInt)
+    IvfIndex.buildFrom(spark, regionA, idx, nCells = 16)
+    // drifted region B stays ALONGSIDE region A (nothing expires): the
+    // smallest live ids remain pre-drift, the worst case for an
+    // id-anchored codebook — its entries cannot express region B's
+    // subspace structure, so every drifted member quantizes to noise
+    val regionB = vecs(1000L until 1600L, id => 32 + (id % 8).toInt)
+    IvfIndex.append(spark, idx, regionB)
+    val queries = vecs(2000L until 2010L, id => 32 + (id % 8).toInt)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+    val errBefore = pqQuantError(idx)
+    val agreeBefore = adcAgreement(idx, queries, k = 5)
+    IvfIndex.retrain(spark, idx, nCells = 16, lloydRounds = 5)
+    val errAfter = pqQuantError(idx)
+    val agreeAfter = adcAgreement(idx, queries, k = 5)
+    info(s"PQ reconstruction error: before=$errBefore after=$errAfter; " +
+      s"ADC agreement: before=$agreeBefore after=$agreeAfter")
+    assert(errAfter < errBefore * 0.5,
+      s"adaptive codebook must follow the drifted distribution: " +
+        s"before=$errBefore after=$errAfter")
+    assert(agreeAfter >= agreeBefore,
+      s"codebook re-fit must not hurt end-to-end ADC selection: " +
+        s"before=$agreeBefore after=$agreeAfter")
+  }
+
+  test("a torn retrain converges on replay from every crash window; queries quiesce until then") {
+    import java.io.File
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    def copyTree(src: File, dst: File): Unit = {
+      val sp = src.toPath
+      Files.walk(sp).forEach { p: Path =>
+        val t = dst.toPath.resolve(sp.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rm(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    // three identical drifted indexes: R = reference (clean retrain),
+    // X = crash mid-swap, Y = crash between the table writes and staging
+    val dirs = Seq("ref", "midswap", "pretables").map(n => tmpDir(s"graft_torn_$n"))
+    val (r, x, y) = (dirs(0), dirs(1), dirs(2))
+    val regionA = vecs(0L until 80L, id => (id % 16).toInt)
+    val regionB = vecs(1000L until 1100L, id => 32 + (id % 8).toInt)
+    dirs.foreach { d =>
+      IvfIndex.buildFrom(spark, regionA, d, nCells = 16)
+      IvfIndex.append(spark, d, regionB)
+    }
+    val (cellsMoved, _) = IvfIndex.retrain(spark, r, nCells = 16, lloydRounds = 3)
+    assert(cellsMoved > 0, "the drift scenario must migrate cells")
+
+    def table(dir: String, t: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$dir/$t").select(cols.map(col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    def assertConverged(victim: String): Unit = {
+      for ((t, cols) <- Seq(
+          "centroids" -> Seq("cid", "cv", "cn"),
+          "codebook" -> Seq("cid", "cv"),
+          "members" -> Seq("vec_id", "v", "nrm", "codes", "cell")))
+        assert(table(victim, t, cols) === table(r, t, cols),
+          s"$t diverged from the clean retrain after replay")
+      assert(!new File(s"$victim/_GRAFT_RETRAIN_INPROGRESS").exists())
+      assert(!new File(s"$victim/members.retrain").exists())
+    }
+
+    // Y: crash AFTER the quantizer/codebook writes, BEFORE staging — new
+    // tables over the old layout, marker standing
+    copyTree(new File(s"$r/centroids"), { rm(new File(s"$y/centroids")); new File(s"$y/centroids") })
+    copyTree(new File(s"$r/codebook"), { rm(new File(s"$y/codebook")); new File(s"$y/codebook") })
+    assert(new File(s"$y/_GRAFT_RETRAIN_INPROGRESS").createNewFile())
+    val qs = vecs(2000L until 2005L, id => 32 + (id % 8).toInt)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    intercept[IllegalArgumentException] { IvfIndex.query(spark, y, qs) }
+    IvfIndex.retrain(spark, y, nCells = 16, lloydRounds = 3)
+    assertConverged(y)
+
+    // X: crash MID-SWAP — staging fully committed (manifest + marker),
+    // some cells already renamed in, others not. Build the committed
+    // staging from the reference's post-retrain members, then swap only
+    // the first staged cell before "dying".
+    copyTree(new File(s"$r/centroids"), { rm(new File(s"$x/centroids")); new File(s"$x/centroids") })
+    copyTree(new File(s"$r/codebook"), { rm(new File(s"$x/codebook")); new File(s"$x/codebook") })
+    val staging = new File(s"$x/members.retrain")
+    Files.createDirectories(staging.toPath)
+    val rCells = new File(s"$r/members").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toInt).sorted
+    rCells.foreach(c => copyTree(new File(s"$r/members/cell=$c"),
+      new File(staging, s"cell=$c")))
+    val xCells = new File(s"$x/members").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toInt)
+    val emptied = xCells.toSet -- rCells.toSet
+    val mf = new java.io.PrintWriter(new File(staging, "_GRAFT_SWAP"), "UTF-8")
+    mf.println(rCells.mkString(",")); mf.println(emptied.toSeq.sorted.mkString(","))
+    mf.close()
+    assert(new File(staging, "_GRAFT_STAGED").createNewFile())
+    assert(new File(s"$x/_GRAFT_RETRAIN_INPROGRESS").createNewFile())
+    // partial swap: first staged cell renamed in, then the crash
+    val c0 = rCells.head
+    rm(new File(s"$x/members/cell=$c0"))
+    assert(new File(staging, s"cell=$c0").renameTo(new File(s"$x/members/cell=$c0")))
+    intercept[IllegalArgumentException] { IvfIndex.query(spark, x, qs) }
+    assert(IvfIndex.retrain(spark, x, nCells = 16, lloydRounds = 3) === ((0L, 0L)),
+      "the replay must roll the committed swap forward, then find nothing to redo")
+    assertConverged(x)
+  }
+
   test("build, query, and both retrain modes survive vec_ids above Int.MaxValue") {
     // the 100 TB posture: after heavy retention deletion the smallest
     // LIVE ids can be arbitrarily large — the dense-cid re-keying (not

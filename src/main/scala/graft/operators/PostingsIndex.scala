@@ -769,14 +769,7 @@ object PostingsIndex {
     val dfByTerm = termstats.where(col("term").isin(allTerms: _*))
       .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val selected = profRows
-      .filter(p => dfByTerm.contains(p._2))
-      .groupBy(_._1).toSeq
-      .flatMap { case (qid, ps) =>
-        ps.map(_._2).distinct
-          .sortBy(t => (dfByTerm(t), t)).take(maxTerms)
-          .map(t => (qid, t))
-      }
+    val selected = mltSelect(profRows, dfByTerm, maxTerms)
     val prof = selected.toDF("query_id", "term")
     // the selected terms' df is already on the driver — hand it down as
     // a local relation so the scoring DAG never re-scans termstats
@@ -787,6 +780,25 @@ object PostingsIndex {
       prof, selected.map(_._2).distinct, k, excludeSelf = true)
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("r"))
   }
+
+  /** THE informative-term selection rule (the Lucene MoreLikeThis
+    * discipline): per query, the `maxTerms` lowest-df profile terms,
+    * ties by token — a total order both engines share. ONE driver-side
+    * definition for the indexed path (df from stored termstats) and the
+    * full-scan routing twin (df from a corpus pass), so the selected
+    * profiles — and therefore the scored rows — cannot drift. */
+  private[graft] def mltSelect(
+      profRows: Array[(Long, String)],
+      dfByTerm: Map[String, Long],
+      maxTerms: Int): Seq[(Long, String)] =
+    profRows
+      .filter(p => dfByTerm.contains(p._2))
+      .groupBy(_._1).toSeq
+      .flatMap { case (qid, ps) =>
+        ps.map(_._2).distinct
+          .sortBy(t => (dfByTerm(t), t)).take(maxTerms)
+          .map(t => (qid, t))
+      }
 
   /** The multi-query BM25 core over ALREADY-CONSTRUCTED index frames —
     * [[IvfIndex.queryOn]]'s seam pointed at the postings layout, so a
@@ -835,28 +847,45 @@ object PostingsIndex {
       postings: DataFrame, dfT: DataFrame, blockstats: DataFrame,
       prof: DataFrame, terms: Seq[String], k: Int,
       excludeSelf: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = postings
       .where(col("term").isin(terms: _*))
       .select(col("term"), explode(col("plist")).as("e"))
       .select(col("term"), col("e.doc_id").as("doc_id"),
         col("e.tf").as("tf"), col("e.dl").as("dl"))
+    // prof's checkpoint blocks stay pinned because the returned plan
+    // still reads them — one-shot batch callers leave the release to the
+    // context cleaner (a handful of (query_id, term) rows); serving
+    // loops release per trigger via [[bm25BatchPinned]]
+    bm25ProfileRank(tf,
+      blockstats.agg(
+        sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len")),
+      dfT, prof, k, excludeSelf)
+  }
+
+  /** THE per-query profile-scoring epilogue over an already-pruned
+    * (term, doc_id, tf, dl) frame, a 1-row (n_docs, total_len) globals
+    * frame, a (term, df) frame, and a (query_id, term) profile — shared
+    * by the index path ([[bm25BatchOn]] — tf from a term-pruned postings
+    * scan) and the full-scan routing twin
+    * ([[graft.operators.Retrieval.hybridRrfScanned]] — tf from a
+    * term-filtered corpus tokenize), so the quantized-BIGINT scoring and
+    * the (sq desc, doc_id asc) rank total order cannot drift between the
+    * two legs a router flips between. */
+  private[graft] def bm25ProfileRank(
+      tf: DataFrame, globals: DataFrame, dfT: DataFrame,
+      prof: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val joined = tf.join(broadcast(prof), Seq("term"))
     val scored = (if (excludeSelf) joined.where(col("doc_id") =!= col("query_id"))
       else joined)
       .join(broadcast(dfT), Seq("term"))
-      .crossJoin(broadcast(blockstats.agg(
-        sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))))
+      .crossJoin(broadcast(globals))
       .select(col("query_id"), col("doc_id"),
         Retrieval.qScoreCol(col("tf"), col("dl")).as("qs"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("qs")).as("sq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sq").desc, col("doc_id").asc)
-    // prof's checkpoint blocks stay pinned because the returned plan
-    // still reads them — one-shot batch callers leave the release to the
-    // context cleaner (a handful of (query_id, term) rows); serving
-    // loops release per trigger via [[bm25BatchPinned]]
     scored.withColumn("r", row_number().over(w))
       .where(col("r") <= k)
       .select(col("query_id"), col("doc_id"), col("r"),
@@ -903,8 +932,12 @@ object PostingsIndex {
     * corpus text size; everything downstream is bounded by the same
     * term-pruned row count as the full scan's post-filter stream, minus
     * the corpus tokenize. */
-  def phraseSearchPositional(s: SparkSession, dir: String): DataFrame = {
-    val idx = ensureLifecycleIndex(s, dir)
+  def phraseSearchPositional(s: SparkSession, dir: String): DataFrame =
+    phrasePositionalOn(s, ensureLifecycleIndex(s, dir))
+
+  /** [[phraseSearchPositional]] against an explicit index — the seam
+    * [[Router.phraseAutoOn]] and the specs use. */
+  private[graft] def phrasePositionalOn(s: SparkSession, idx: String): DataFrame = {
     val phrases = Retrieval.gatePhrases
     val toks = s.read.parquet(s"$idx/positions")
       .where(col("term").isin(phrases.flatten.distinct: _*))
@@ -956,8 +989,13 @@ object PostingsIndex {
     Retrieval.nearPairsOf(toks)
   }
 
-  def phraseSearchIndexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = ensureLifecycleIndex(s, dir)
+  def phraseSearchIndexed(s: SparkSession, dir: String): DataFrame =
+    phraseIndexedOn(s, dir, ensureLifecycleIndex(s, dir))
+
+  /** [[phraseSearchIndexed]] against an explicit index — the seam
+    * [[Router.phraseAutoOn]] and the specs use. */
+  private[graft] def phraseIndexedOn(
+      s: SparkSession, dir: String, idx: String): DataFrame = {
     val phrases = Retrieval.gatePhrases
     val cands = phrases.zipWithIndex.map { case (p, pid) =>
       val mult = p.groupBy(identity).map { case (t, o) => (t, o.size.toLong) }

@@ -196,7 +196,14 @@ object Retrieval {
   /** The full-scan path's (tf, stats) frames — shared by [[bm25Topk]] and
     * the [[bm25Rerank]] cascade so stage 1 of both is the same audited
     * plan. */
-  private def bm25TfStats(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def bm25TfStats(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bm25TfStatsFor(s, dir, queryTerms)
+
+  /** The full-scan (tf, stats) frames for an arbitrary term set — the
+    * seam the routing scan twin ([[hybridRrfScanned]]) needs: its probe
+    * vocabulary is the MLT profiles' terms, not [[queryTerms]]. */
+  private[graft] def bm25TfStatsFor(
+      s: SparkSession, dir: String, terms: Seq[String]): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokensCol(col("text"))
     // document length WITHOUT a higher-order filter: the collapsed
     // normalized text yields no empty tokens except the one empty-string
@@ -218,7 +225,7 @@ object Retrieval {
     // generator's sibling expressions evaluate per exploded row
     val tf = docs.select(col("doc_id"), dlCol.as("dl"), toks.as("toks"))
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
-      .where(col("token").isin(queryTerms: _*))
+      .where(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -528,6 +535,53 @@ object Retrieval {
       .withColumnRenamed("r", "lr")
     val vr = IvfIndex
       .query(s, vidx, IvfIndex.queryBatch(s, dir), nProbe = 2, k = rrfLegK)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("vr"))
+    rrfFuse(vr, lr, rrfOutK)
+  }
+
+  /** The full-scan twin of [[hybridRrfIndexed]] — SAME semantics (same
+    * MLT profile selection, same quantized scoring, same probed-cell
+    * vector leg, same fusion: shares `hybrid_rrf_indexed`'s oracle bit
+    * for bit), ZERO index reads. This is the leg a stats-driven router
+    * ([[Router.hybridAuto]]) flips to when the corpus is small enough
+    * that the indexed path's fixed costs (≈6 sequential bounded driver
+    * jobs — the HybridProbe attribution) outweigh its index-bounded
+    * I/O; it is also the apples-to-apples comparand that turns the
+    * "indexed wins at scale" regime claim into a measurable crossover.
+    *
+    * Construction: ONE corpus tokenize pass filtered to the probe docs'
+    * vocabulary serves both the df lookups (for the shared
+    * [[PostingsIndex.mltSelect]] profile rule) and the scoring tf frame
+    * (through the shared [[PostingsIndex.bm25ProfileRank]] epilogue);
+    * the vector leg is the inline IVF plan at legK
+    * ([[Similarity.annIvfFromK]] — `ann_ivf`'s exact semantics, which is
+    * also what the persisted index serves). */
+  def hybridRrfScanned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qt = Corpus.documents(s, dir)
+      .where(col("doc_id") < rrfQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val profRows = qt.collect().map(r => (r.getLong(0), r.getString(1)))
+    val allTerms = profRows.map(_._2).distinct.toSeq
+    // one corpus tokenize pass serves df AND the scoring tf
+    val (tfAll, globals) = bm25TfStatsFor(s, dir, allTerms)
+    val dfByTerm = tfAll.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = PostingsIndex.mltSelect(profRows, dfByTerm, mltProfileTerms)
+    val prof = selected.toDF("query_id", "term")
+    val terms = selected.map(_._2).distinct
+    val dfT = terms.map(t => (t, dfByTerm(t))).toDF("term", "df")
+    val tf = tfAll.where(col("token").isin(terms: _*))
+      .select(col("token").as("term"), col("doc_id"), col("tf"), col("dl"))
+    val lr = PostingsIndex
+      .bm25ProfileRank(tf, globals, dfT, prof, rrfLegK, excludeSelf = true)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("r").as("lr"))
+    val vr = Similarity.annIvfFromK(Similarity.embFrame(s, dir), rrfLegK)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("vr"))
     rrfFuse(vr, lr, rrfOutK)

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stats-driven index/path routing: ONE user-facing entry point per
+  * scan/index twin family that picks the leg itself, from stored index
+  * stats plus a static cost model — the [[RangeJoin.autoBandWidth]]
+  * discipline (stats → decision → plan) applied to the four retrieval
+  * families that, until now, documented their crossovers in prose and
+  * made the caller choose:
+  *
+  *  - BM25: full corpus tokenize ([[Retrieval.bm25Topk]]) vs term-pruned
+  *    postings scan ([[PostingsIndex.query]]) — same oracle.
+  *  - Phrase: corpus tokenize + slot verify ([[Retrieval.phraseSearch]])
+  *    vs index candidates + text verify
+  *    ([[PostingsIndex.phraseSearchIndexed]]) vs positions-only
+  *    ([[PostingsIndex.phraseSearchPositional]]) — same oracle.
+  *  - ANN: inline IVF re-deriving cells per run ([[Similarity.annIvf]])
+  *    vs the persisted cell-partitioned index ([[IvfIndex.query]]) —
+  *    same oracle.
+  *  - Hybrid RRF: the indexed fusion ([[Retrieval.hybridRrfIndexed]])
+  *    vs its full-scan twin ([[Retrieval.hybridRrfScanned]]) — same
+  *    oracle (the scanned twin exists exactly so this family has a
+  *    semantics-identical pair to route between).
+  *
+  * COST MODEL (one unit ≡ the work of scanning + tokenizing one corpus
+  * token; deliberately coarse — the router only has to get the ORDER of
+  * two costs right, and the honest regime evidence in BASELINE.md shows
+  * the two sides differ by multiples at every scale that matters):
+  *
+  *  - a full text scan costs `total_len` units (every token is
+  *    tokenized whether or not it matters);
+  *  - a term-pruned postings read costs Σ df over the probe terms
+  *    (positional reads add the tf-proportional positions payload —
+  *    still ≤ the same Σ df-bounded order);
+  *  - vector work converts at [[vecUnitCost]] units per (vector ×
+  *    centroid) dot: the inline leg pays `nVec · nCells` assignment
+  *    dots every run, the indexed leg reads `nProbe/nCells` of the
+  *    members table;
+  *  - every EXTRA sequential bounded driver job an indexed path needs
+  *    (directory probes, profile selection, threshold bootstraps)
+  *    costs [[jobOverheadTokens]] units — the scheduler-latency term
+  *    that makes small corpora route to the scan (the measured
+  *    `hybrid_rrf_indexed` regime story, BASELINE.md). Conf-overridable
+  *    (`spark.graft.router.jobOverheadTokens`) because it is a machine
+  *    property, not a data property.
+  *
+  * The stats come from the indexes themselves (blockstats total_len,
+  * termstats df, members/centroids row counts — the index IS the stats
+  * store; all probes are driver-bounded metadata reads), so the choice
+  * flips when the data flips: the gate corpora land on different legs
+  * per family and per scale factor, and `RouterSpec` pins both
+  * directions of every decision on synthetic stats AND end-to-end on
+  * synthetic corpora with the plan shape asserted. */
+object Router {
+
+  /** Units per (vector × centroid) double-dot relative to one token of
+    * text-scan work: a 64-dim dot is ~64 FMAs vs a token's split+hash. */
+  private[graft] val vecUnitCost = 16L
+
+  /** Extra sequential bounded driver jobs the indexed hybrid stack pays
+    * per run (profile collect, df probe, probe-list builds — the
+    * HybridProbe attribution, BASELINE.md). */
+  private[graft] val hybridDriverJobs = 6L
+
+  private val overheadKey = "spark.graft.router.jobOverheadTokens"
+
+  /** Token-units charged per extra sequential driver job of an indexed
+    * path — ~0.2 s of scheduler latency expressed at the measured
+    * small-corpus scan rate. At production corpus sizes this term is
+    * noise; at gate sizes it is the honest reason a scan wins. */
+  private[graft] def jobOverheadTokens(s: SparkSession): Long =
+    s.conf.getOption(overheadKey).map(_.toLong).getOrElse(50000L)
+
+  /** A routing decision: the chosen leg plus both modeled costs (kept
+    * for explainability — `reason` renders the comparison). */
+  final case class Choice(leg: String, scanCost: Long, indexedCost: Long) {
+    def reason: String = s"$leg: scan≈$scanCost vs indexed≈$indexedCost units"
+  }
+
+  // ---- pure deciders (unit-testable on synthetic stats) ----
+
+  /** BM25: term-pruned postings read (Σ df) + one extra driver job vs
+    * the full corpus tokenize (total_len). */
+  private[graft] def decideBm25(
+      totalLen: Long, sumDf: Long, ovh: Long): Choice = {
+    val idx = sumDf + ovh
+    Choice(if (idx < totalLen) "indexed" else "scan", totalLen, idx)
+  }
+
+  /** Phrase: positions-only wins whenever the positional payload exists
+    * (its read is the same Σ df order as the candidate path MINUS any
+    * corpus access — measured fastest at every SF, BASELINE.md); else
+    * the candidate path vs the full scan is the BM25 comparison. */
+  private[graft] def decidePhrase(
+      hasPositions: Boolean, totalLen: Long, sumDf: Long,
+      ovh: Long): Choice =
+    if (hasPositions) Choice("positional", totalLen, sumDf)
+    else decideBm25(totalLen, sumDf, ovh)
+
+  /** ANN: the inline leg re-pays `nVec · nCells` assignment dots every
+    * run; the index reads `nProbe/nCells` of the members. */
+  private[graft] def decideAnn(
+      nVec: Long, nCells: Long, nProbe: Long, ovh: Long): Choice = {
+    val scan = nVec * nCells * vecUnitCost
+    val idx = nVec * nProbe * vecUnitCost / math.max(nCells, 1L) + ovh
+    Choice(if (idx < scan) "indexed" else "scan", scan, idx)
+  }
+
+  /** Hybrid: scan = corpus tokenize (lexical leg) + inline assignment
+    * (vector leg); indexed = probed-cell read + [[hybridDriverJobs]]
+    * job overheads (the lexical leg's Σ df is profile-bounded by
+    * construction — 25 lowest-df terms × 10 queries — and charged as
+    * negligible next to the job term). */
+  private[graft] def decideHybrid(
+      totalLen: Long, nVec: Long, nCells: Long, nProbe: Long,
+      ovh: Long): Choice = {
+    val scan = totalLen + nVec * nCells * vecUnitCost
+    val idx = nVec * nProbe * vecUnitCost / math.max(nCells, 1L) +
+      hybridDriverJobs * ovh
+    Choice(if (idx < scan) "indexed" else "scan", scan, idx)
+  }
+
+  // ---- stored-stats probes (driver-bounded metadata reads) ----
+
+  /** Corpus token count from the postings index's blockstats — the
+    * index carries its own ANALYZE. */
+  private[graft] def totalLenOf(s: SparkSession, pidx: String): Long =
+    s.read.parquet(s"$pidx/blockstats")
+      .agg(coalesce(sum(col("total_len")), lit(0L))).collect()(0).getLong(0)
+
+  /** Σ df over the probe terms from the stored termstats — a
+    * term-pruned, superblock-count-bounded read. */
+  private[graft] def sumDfOf(
+      s: SparkSession, pidx: String, terms: Seq[String]): Long =
+    s.read.parquet(s"$pidx/termstats")
+      .where(col("term").isin(terms: _*))
+      .agg(coalesce(sum(col("df_sb")), lit(0L))).collect()(0).getLong(0)
+
+  /** (nVec, nCells) from the IVF index — parquet footer row counts, no
+    * data pages read. */
+  private[graft] def ivfMetaOf(s: SparkSession, vidx: String): (Long, Long) =
+    (s.read.parquet(s"$vidx/members").count(),
+      s.read.parquet(s"$vidx/centroids").count())
+
+  // ---- routed entry points (oracle-gated as *_auto) ----
+
+  /** `bm25_auto`: shares `bm25_topk`'s oracle — identical rows either
+    * leg (the twins' standing contract). */
+  def bm25Auto(s: SparkSession, dir: String): DataFrame =
+    bm25AutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir))
+
+  private[graft] def bm25AutoOn(
+      s: SparkSession, dir: String, pidx: String): DataFrame = {
+    val c = decideBm25(totalLenOf(s, pidx),
+      sumDfOf(s, pidx, Retrieval.queryTerms), jobOverheadTokens(s))
+    if (c.leg == "indexed") PostingsIndex.query(s, pidx)
+    else Retrieval.bm25Topk(s, dir)
+  }
+
+  /** `phrase_auto`: shares `phrase_search`'s oracle (all three legs
+    * do). */
+  def phraseAuto(s: SparkSession, dir: String): DataFrame =
+    phraseAutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir))
+
+  private[graft] def phraseAutoOn(
+      s: SparkSession, dir: String, pidx: String): DataFrame = {
+    val terms = Retrieval.gatePhrases.flatten.distinct
+    val c = decidePhrase(
+      new java.io.File(s"$pidx/positions").isDirectory,
+      totalLenOf(s, pidx), sumDfOf(s, pidx, terms), jobOverheadTokens(s))
+    c.leg match {
+      case "positional" => PostingsIndex.phrasePositionalOn(s, pidx)
+      case "indexed"    => PostingsIndex.phraseIndexedOn(s, dir, pidx)
+      case _            => Retrieval.phraseSearch(s, dir)
+    }
+  }
+
+  /** `ann_auto`: shares `ann_ivf`'s oracle. */
+  def annAuto(s: SparkSession, dir: String): DataFrame =
+    annAutoOn(s, dir, IvfIndex.ensureLifecycleIndex(s, dir))
+
+  private[graft] def annAutoOn(
+      s: SparkSession, dir: String, vidx: String): DataFrame = {
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    val c = decideAnn(nVec, nCells, nProbe = 2L, jobOverheadTokens(s))
+    if (c.leg == "indexed")
+      IvfIndex.query(s, vidx, IvfIndex.queryBatch(s, dir), nProbe = 2, k = 5)
+    else Similarity.annIvf(s, dir)
+  }
+
+  /** `hybrid_auto`: shares `hybrid_rrf_indexed`'s oracle — the scanned
+    * twin computes the identical semantics with zero index reads. */
+  def hybridAuto(s: SparkSession, dir: String): DataFrame =
+    hybridAutoOn(s, dir,
+      PostingsIndex.ensureLifecycleIndex(s, dir),
+      IvfIndex.ensureLifecycleIndex(s, dir))
+
+  private[graft] def hybridAutoOn(
+      s: SparkSession, dir: String, pidx: String, vidx: String): DataFrame = {
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    val c = decideHybrid(totalLenOf(s, pidx), nVec, nCells, nProbe = 2L,
+      jobOverheadTokens(s))
+    if (c.leg == "indexed") Retrieval.hybridRrfIndexed(s, dir)
+    else Retrieval.hybridRrfScanned(s, dir)
+  }
+}

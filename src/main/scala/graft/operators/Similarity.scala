@@ -61,19 +61,22 @@ object Similarity {
     * within each query_id by `ordering` (which must end in a unique
     * tie-break column), keep [[topK]], project `out` (may reference the
     * `rank` column). Single-sources the rank cast and cutoff policy. */
-  private def rankTopK(scored: DataFrame, ordering: Seq[Column], out: Seq[Column]): DataFrame = {
+  private def rankTopK(
+      scored: DataFrame, ordering: Seq[Column], out: Seq[Column],
+      k: Int = topK): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(ordering: _*)
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= topK)
+      .where(col("rank") <= k)
       .select(out: _*)
   }
 
   /** The cosine paths' shared projection: (query_id, rank, neighbor, sim). */
-  private def rankBySim(scored: DataFrame): DataFrame =
+  private def rankBySim(scored: DataFrame, k: Int = topK): DataFrame =
     rankTopK(scored,
       Seq(col("sim").desc, col("neighbor_id").asc),
       Seq(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 4).as("sim")))
+        round(col("sim"), 4).as("sim")),
+      k)
 
   /** Brute-force exact top-k: broadcast the query batch against the corpus,
     * rank per query with a window, keep k. */
@@ -216,7 +219,13 @@ object Similarity {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfFrom(embFrame(s, dir))
 
-  private[graft] def annIvfFrom(e: DataFrame): DataFrame = {
+  private[graft] def annIvfFrom(e: DataFrame): DataFrame =
+    annIvfFromK(e, topK)
+
+  /** [[annIvfFrom]] at an explicit `k` — the seam
+    * [[Retrieval.hybridRrfScanned]] needs: its vector leg is this exact
+    * inline plan cut at the hybrid legK instead of the oracle top-5. */
+  private[graft] def annIvfFromK(e: DataFrame, k: Int): DataFrame = {
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val cellScores = e.crossJoin(broadcast(cents))
@@ -237,7 +246,7 @@ object Similarity {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
-    rankBySim(scored)
+    rankBySim(scored, k)
   }
 
   val annIvfSql: String = annIvfSqlFiltered("TRUE")

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, PostingsIndex, Retrieval, Router, Similarity}
+
+/** Stats-driven routing contracts:
+  *
+  *  1. every pure decider flips in BOTH directions on synthetic stats;
+  *  2. the scanned hybrid twin returns the indexed twin's exact rows —
+  *     the precondition that lets one oracle gate whatever leg the
+  *     router picks;
+  *  3. end-to-end, the chosen PLAN flips with real corpus stats: the
+  *     same entry point reads only the index on an index-favoring
+  *     corpus and only the corpus files on a scan-favoring one.
+  */
+class RouterSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("graft_router_corpus")
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // adaptive plans finalize on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("every decider flips in both directions on synthetic stats") {
+    val ovh = 50000L
+    assert(Router.decideBm25(totalLen = 1000000L, sumDf = 2000L, ovh).leg === "indexed")
+    assert(Router.decideBm25(totalLen = 10000L, sumDf = 9000L, ovh).leg === "scan")
+
+    assert(Router.decidePhrase(hasPositions = true, 10L, 5L, ovh).leg === "positional")
+    assert(Router.decidePhrase(hasPositions = false, 1000000L, 2000L, ovh).leg === "indexed")
+    assert(Router.decidePhrase(hasPositions = false, 10000L, 9000L, ovh).leg === "scan")
+
+    assert(Router.decideAnn(nVec = 100000L, nCells = 16L, nProbe = 2L, ovh).leg === "indexed")
+    assert(Router.decideAnn(nVec = 100L, nCells = 16L, nProbe = 2L, ovh).leg === "scan")
+
+    assert(Router.decideHybrid(totalLen = 10000000L, nVec = 100000L,
+      nCells = 16L, nProbe = 2L, ovh).leg === "indexed")
+    assert(Router.decideHybrid(totalLen = 10000L, nVec = 400L,
+      nCells = 16L, nProbe = 2L, ovh).leg === "scan")
+  }
+
+  test("the scanned hybrid twin equals the indexed twin row for row") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val scanned = Retrieval.hybridRrfScanned(spark, sf).collect().map(key)
+    val indexed = Retrieval.hybridRrfIndexed(spark, sf).collect().map(key)
+    assert(scanned.sorted.toSeq === indexed.sorted.toSeq,
+      "the two hybrid legs must be routing-interchangeable")
+    assert(scanned.nonEmpty)
+  }
+
+  test("bm25_auto: the plan flips with the corpus stats") {
+    // scan regime: every token IS a probe term, so the index saves
+    // nothing and the job overhead decides
+    val scanDir = writeDocs(
+      (0L until 200L).map(i => (i, "spark table scan window join")))
+    val scanIdx = tmpDir("graft_router_pidx_scan")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$scanDir/documents.parquet"), scanIdx, superBits = 2)
+    // leg markers: both legs checkpoint their tf frame (hiding its scan
+    // behind an ExistingRDD), but the stats side stays lazy — the scan
+    // leg reads documents.parquet for globals, the indexed leg reads the
+    // index's blockstats
+    val p1 = plan(Router.bm25AutoOn(spark, scanDir, scanIdx))
+    assert(p1.contains("documents.parquet") && !p1.contains("blockstats"),
+      s"scan-regime corpus must route to the full scan:\n$p1")
+
+    // index regime: probe terms are a sliver of a fat corpus
+    val pad = (0 until 39).map(j => s"pad$j").mkString(" ")
+    val idxDir = writeDocs((0L until 2000L).map(i => (i, s"spark $pad")))
+    val idxIdx = tmpDir("graft_router_pidx_idx")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$idxDir/documents.parquet"), idxIdx, superBits = 2)
+    val routed = Router.bm25AutoOn(spark, idxDir, idxIdx)
+    val p2 = plan(routed)
+    assert(p2.contains("blockstats") && !p2.contains("documents.parquet"),
+      s"index-regime corpus must route to the postings scan:\n$p2")
+    // and the routed rows are the scan twin's rows (the shared-oracle
+    // contract, exercised on the synthetic corpus too)
+    val want = Retrieval.bm25Topk(spark, idxDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(routed.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sameElements(want))
+  }
+
+  test("ann_auto: the plan flips with the corpus size") {
+    import spark.implicits._
+    def vecs(n: Int): Seq[(Long, Seq[Double])] =
+      (0 until n).map { i =>
+        (i.toLong, Array.tabulate(64)(d =>
+          if (d == i % 16) 1.0 else 0.01 * ((i * 7 + d) % 5)).toSeq)
+      }
+    def corpusOf(n: Int): (String, String) = {
+      val dir = tmpDir("graft_router_ann")
+      vecs(n).toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val vidx = tmpDir("graft_router_vidx")
+      IvfIndex.buildFrom(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"), vidx, nCells = 16)
+      (dir, vidx)
+    }
+    // tiny corpus: re-deriving cells inline is cheaper than the index's
+    // fixed probe overhead
+    val (smallDir, smallIdx) = corpusOf(32)
+    val p1 = plan(Router.annAutoOn(spark, smallDir, smallIdx))
+    assert(p1.contains("embeddings.parquet") && !p1.contains("members"),
+      s"tiny corpus must route to the inline plan:\n$p1")
+    // bigger corpus: the per-run assignment dominates; probed cells win.
+    // (the indexed leg still reads embeddings.parquet for its BOUNDED
+    // query batch — vec_id < 10, filter-pushed — so the discriminating
+    // marker is the members table, absent from the inline plan)
+    val (bigDir, bigIdx) = corpusOf(500)
+    val p2 = plan(Router.annAutoOn(spark, bigDir, bigIdx))
+    assert(p2.contains("members"),
+      s"bigger corpus must route to the persisted index:\n$p2")
+  }
+
+  test("phrase_auto: positional when positions exist; candidate path when they don't; scan when stats say so") {
+    // the gate corpus routes positional and never opens the corpus
+    val pGate = plan(Router.phraseAuto(spark, sf))
+    assert(pGate.contains("positions") && !pGate.contains("documents.parquet"),
+      s"gate corpus must route to the positions-only path:\n$pGate")
+
+    // index-favoring synthetic corpus (phrase terms are a sliver)
+    val pad = (0 until 29).map(j => s"pad$j").mkString(" ")
+    val idxDir = writeDocs(
+      (0L until 2000L).map(i => (i, s"table part key $pad")))
+    val idx = tmpDir("graft_router_phidx")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$idxDir/documents.parquet"), idx, superBits = 2)
+    // positions lost/absent: the router must fall back to the candidate
+    // path, which verifies against the corpus text
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(s"$idx/positions"))
+    val p2 = plan(Router.phraseAutoOn(spark, idxDir, idx))
+    assert(p2.contains("postings") && p2.contains("documents.parquet"),
+      s"no positions + index-favoring stats must route to candidates+verify:\n$p2")
+
+    // scan-favoring synthetic corpus: every token is a phrase term
+    val scanDir = writeDocs((0L until 200L).map(i => (i, "table part key")))
+    val scanIdx = tmpDir("graft_router_phscan")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$scanDir/documents.parquet"), scanIdx, superBits = 2)
+    rmTree(new java.io.File(s"$scanIdx/positions"))
+    val p3 = plan(Router.phraseAutoOn(spark, scanDir, scanIdx))
+    assert(p3.contains("documents.parquet") && !p3.contains("postings"),
+      s"scan-favoring stats must route to the full scan:\n$p3")
+  }
+
+  test("hybrid_auto: the gate corpus routes to the scanned twin (index fixed costs dominate at toy SF)") {
+    val p = plan(Router.hybridAuto(spark, sf))
+    assert(p.contains("documents.parquet") && p.contains("embeddings.parquet"),
+      s"the scanned twin reads the corpus files:\n$p")
+    assert(!p.contains("members") && !p.contains(s"postings"),
+      s"the scanned twin must not read either index:\n$p")
+  }
+}

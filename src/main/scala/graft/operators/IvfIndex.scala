@@ -95,6 +95,7 @@ object IvfIndex {
       .parquet(s"$indexDir/members")
     val marker = new java.io.File(s"$indexDir/_GRAFT_PQ_OK")
     if (dimOk) marker.createNewFile() else marker.delete()
+    IndexVersion.bump(indexDir)
     val m = s.read.parquet(s"$indexDir/members")
     (m.select(col("cell")).distinct().count(), m.count())
   }
@@ -229,6 +230,7 @@ object IvfIndex {
     finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
     Seq(assigned, merged)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
+    IndexVersion.bump(indexDir) // refresh signal for serving sessions
     (touched.length.toLong, appended)
   }
 
@@ -379,6 +381,7 @@ object IvfIndex {
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(kept)
       purgeEmptyCells(indexDir, touched.toSet, live)
+      IndexVersion.bump(indexDir) // refresh signal for serving sessions
       (touched.length.toLong, removed)
     }
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
@@ -580,6 +583,7 @@ object IvfIndex {
     inProgress.delete()
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
+    if (touched.nonEmpty) IndexVersion.bump(indexDir) // refresh signal
     (touched.size.toLong, moved)
   }
 
@@ -765,6 +769,9 @@ object IvfIndex {
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
       val after = frag.map(dataFiles).sum.toLong
+      // refresh signal: a pinned serving frame would otherwise keep
+      // referencing the very files the compaction just deleted
+      IndexVersion.bump(indexDir)
       (frag.size.toLong, before, after)
     }
   }
@@ -806,12 +813,12 @@ object IvfIndex {
   /** [[query]] against already-constructed centroid/member frames — the
     * seam a SERVING loop uses ([[graft.streaming.StreamAnnServe]]): a
     * `DataFrame` carries its resolved file index, so building the two
-    * frames once per serving session and re-planning per trigger skips
+    * frames once per index VERSION and re-planning per trigger skips
     * the per-trigger directory re-listing (one listing per cell
     * partition — a metadata storm at production cell counts, pure waste
-    * when appends between triggers are absent or visible at the next
-    * session refresh). Batch callers construct the frames inline; the
-    * plans are identical either way. */
+    * between mutations; the serving loop re-opens the frames when
+    * [[IndexVersion]]'s stamp moves). Batch callers construct the
+    * frames inline; the plans are identical either way. */
   private[graft] def queryOn(
       centsRaw: DataFrame,
       members: DataFrame,

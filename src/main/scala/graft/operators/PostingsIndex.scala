@@ -159,6 +159,7 @@ object PostingsIndex {
       dynamic = false)
     Seq(superBits.toLong).toDF("super_bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    IndexVersion.bump(indexDir)
     val p = s.read.parquet(s"$indexDir/postings")
     (p.select(col("sb")).distinct().count(), p.count())
   }
@@ -252,6 +253,7 @@ object PostingsIndex {
           max(col("max_doc_id")).as("max_doc_id"))
       writePartitioned(statsMerged, s"$indexDir/blockstats", dynamic = true)
       val nb = batchStats.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+      IndexVersion.bump(indexDir) // refresh signal for serving sessions
       (nb, touched.length.toLong)
     }
   }
@@ -370,10 +372,14 @@ object PostingsIndex {
       s"$indexDir/doclens" -> Seq("doc_id"),
       s"$indexDir/termstats" -> Seq("term"))
       .filter { case (p, _) => new java.io.File(p).isDirectory }
-    dirs.map { case (p, sc) => compactDir(p, sc) }
+    val out = dirs.map { case (p, sc) => compactDir(p, sc) }
       .foldLeft((0L, 0L, 0L)) {
         case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
       }
+    // refresh signal: a pinned serving frame would otherwise keep
+    // referencing the very files the compaction just deleted
+    if (out._1 > 0) IndexVersion.bump(indexDir)
+    out
   }
 
   /** Dynamic partition overwrite never touches a partition the written
@@ -538,6 +544,7 @@ object PostingsIndex {
       writePartitioned(statsNew, s"$indexDir/blockstats", dynamic = true)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(statsNew)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
+      IndexVersion.bump(indexDir) // refresh signal for serving sessions
       (touched.length.toLong, before - after)
     }
   }

@@ -47,15 +47,27 @@ object StreamAnnServe {
     // retrain quiesce: a session must not pin frames from an index whose
     // quantizer and layout may disagree ([[IvfIndex.retrain]]'s contract)
     IvfIndex.requireNotRetraining(indexDir)
-    // one directory listing per serving session, not per trigger: the
-    // frames carry their resolved file index across triggers (refresh =
-    // restart the serving query; appends land at the next session)
-    val cents = s.read.parquet(s"$indexDir/centroids")
-    val members = s.read.parquet(s"$indexDir/members")
+    // one directory listing per index VERSION, not per trigger: the
+    // frames carry their resolved file index across triggers, and the
+    // per-trigger staleness check is ONE file stat on the mutation-
+    // bumped stamp ([[graft.operators.IndexVersion]]) — an append,
+    // delete, compact, or retrain becomes visible at the next trigger
+    // without restarting the query, and an unchanged index never pays a
+    // re-listing
+    var stamp = graft.operators.IndexVersion.stamp(indexDir)
+    var cents = s.read.parquet(s"$indexDir/centroids")
+    var members = s.read.parquet(s"$indexDir/members")
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
+        val cur = graft.operators.IndexVersion.stamp(indexDir)
+        if (cur != stamp) {
+          IvfIndex.requireNotRetraining(indexDir) // never onto a torn layout
+          cents = s.read.parquet(s"$indexDir/centroids")
+          members = s.read.parquet(s"$indexDir/members")
+          stamp = cur
+        }
         sink(IvfIndex.queryOn(cents, members, df.toDF(), nProbe, k), batchId)
         ()
       }

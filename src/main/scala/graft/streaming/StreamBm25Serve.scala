@@ -20,11 +20,13 @@ import graft.operators.PostingsIndex
   *    data-dependent — only a per-trigger batch re-plan can push it into
   *    the scan. A stream-static join would re-read the postings table in
   *    full every trigger.
-  *  - index frames constructed ONCE per serving session: a `DataFrame`
+  *  - index frames constructed ONCE per index version: a `DataFrame`
   *    carries its resolved file index, so per-trigger planning skips the
   *    directory re-listing (a metadata storm at production superblock
-  *    counts). Appends land at the next serving session, exactly the ANN
-  *    twin's refresh contract.
+  *    counts); the per-trigger staleness check is one file stat on the
+  *    mutation-bumped stamp ([[graft.operators.IndexVersion]]), so
+  *    appends land at the NEXT TRIGGER — exactly the ANN twin's refresh
+  *    contract.
   *  - no state: serving is read-only and per-query independent; the only
   *    streaming state is the sink checkpoint, and at-least-once
   *    redelivery is idempotent for any sink keyed by (query_id, r).
@@ -49,14 +51,25 @@ object StreamBm25Serve {
       checkpointDir: String,
       k: Int = 10)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    // one directory listing per serving session, not per trigger
-    val postings = s.read.parquet(s"$indexDir/postings")
-    val termstats = s.read.parquet(s"$indexDir/termstats")
-    val blockstats = s.read.parquet(s"$indexDir/blockstats")
+    // one directory listing per index VERSION, not per trigger: the
+    // per-trigger staleness check is one file stat on the mutation-
+    // bumped stamp ([[graft.operators.IndexVersion]]) — appends become
+    // visible at the next trigger without restarting the query
+    var stamp = graft.operators.IndexVersion.stamp(indexDir)
+    var postings = s.read.parquet(s"$indexDir/postings")
+    var termstats = s.read.parquet(s"$indexDir/termstats")
+    var blockstats = s.read.parquet(s"$indexDir/blockstats")
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
+        val cur = graft.operators.IndexVersion.stamp(indexDir)
+        if (cur != stamp) {
+          postings = s.read.parquet(s"$indexDir/postings")
+          termstats = s.read.parquet(s"$indexDir/termstats")
+          blockstats = s.read.parquet(s"$indexDir/blockstats")
+          stamp = cur
+        }
         val qt = df.toDF()
           .select(col("query_id"), explode(col("terms")).as("term"))
           .distinct()

@@ -19,8 +19,9 @@ import graft.operators.{IvfIndex, PostingsIndex, Retrieval}
   * re-plans the batch kernels per trigger (the only shape that keeps the
   * data-dependent term pushdown AND dynamic partition pruning — each
   * needs a per-batch plan), index frames are constructed once per
-  * serving session (no per-trigger directory listings; appends land at
-  * the next session), and the only streaming state is the sink
+  * index version (no per-trigger directory listings; appends to either
+  * index land at the next trigger via the mutation-bumped stamp,
+  * [[graft.operators.IndexVersion]]), and the only streaming state is the sink
   * checkpoint — at-least-once redelivery is idempotent for any sink
   * keyed by (query_id, rank). Per-trigger I/O: Σ df over the batch's
   * terms + nProbe/nCells of the members table. */
@@ -42,16 +43,35 @@ object StreamHybridServe {
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // retrain quiesce for the semantic leg ([[IvfIndex.retrain]])
     IvfIndex.requireNotRetraining(ivfIndexDir)
-    // one directory listing per serving session, not per trigger
-    val postings = s.read.parquet(s"$postingsIndexDir/postings")
-    val termstats = s.read.parquet(s"$postingsIndexDir/termstats")
-    val blockstats = s.read.parquet(s"$postingsIndexDir/blockstats")
-    val cents = s.read.parquet(s"$ivfIndexDir/centroids")
-    val members = s.read.parquet(s"$ivfIndexDir/members")
+    // one directory listing per index VERSION, not per trigger — both
+    // indexes watched independently via the mutation-bumped stamp
+    // ([[graft.operators.IndexVersion]]); an append to either becomes
+    // visible at the next trigger without restarting the query
+    var pStamp = graft.operators.IndexVersion.stamp(postingsIndexDir)
+    var vStamp = graft.operators.IndexVersion.stamp(ivfIndexDir)
+    var postings = s.read.parquet(s"$postingsIndexDir/postings")
+    var termstats = s.read.parquet(s"$postingsIndexDir/termstats")
+    var blockstats = s.read.parquet(s"$postingsIndexDir/blockstats")
+    var cents = s.read.parquet(s"$ivfIndexDir/centroids")
+    var members = s.read.parquet(s"$ivfIndexDir/members")
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
+        val pCur = graft.operators.IndexVersion.stamp(postingsIndexDir)
+        if (pCur != pStamp) {
+          postings = s.read.parquet(s"$postingsIndexDir/postings")
+          termstats = s.read.parquet(s"$postingsIndexDir/termstats")
+          blockstats = s.read.parquet(s"$postingsIndexDir/blockstats")
+          pStamp = pCur
+        }
+        val vCur = graft.operators.IndexVersion.stamp(ivfIndexDir)
+        if (vCur != vStamp) {
+          IvfIndex.requireNotRetraining(ivfIndexDir)
+          cents = s.read.parquet(s"$ivfIndexDir/centroids")
+          members = s.read.parquet(s"$ivfIndexDir/members")
+          vStamp = vCur
+        }
         val (res, pinned) = fuseOn(postings, termstats, blockstats, cents,
           members, df.toDF(), legK, k, nProbe)
         sink(res, batchId)

@@ -75,6 +75,48 @@ object Sketches {
       .otherwise(lit(121))
   }
 
+  // ------------------------------------------------------------------
+  // Production-fast ANALYZE hash mode (round-11 verdict, Missing #4).
+  //
+  // The md5 path above is the ORACLE mode: both engines digest the same
+  // bytes, so the registers — and the estimate — match bitwise, which is
+  // what lets a DuckDB oracle gate an approximate sketch at all. But at
+  // 100 TB the nightly ANALYZE pays a cryptographic digest per stacked
+  // value where any well-mixed 64-bit hash suffices; xxhash64 is Spark's
+  // native codegen'd hash and ~an order of magnitude cheaper. The fast
+  // mode swaps ONLY the value→(bucket, rho) projection — same 256
+  // registers, same estimator expression, same aggregation tree — and is
+  // gated on estimator ACCURACY against exact NDV (`FastAnalyzeSpec`)
+  // rather than register equality; the oracles stay on md5 (the default,
+  // so every gate run is unaffected unless the conf is set).
+  //
+  // Scope: the ONE-SHOT ANALYZE ([[tableStats]]). The incremental /
+  // streaming stats family merges PERSISTED register state, and a hash
+  // mode is a property of that state — mixing modes across merges would
+  // silently max-merge registers from different hash spaces — so those
+  // paths stay pinned to the mode their state was created under (md5).
+
+  /** Conf key: `"md5"` (default — oracle-exact across engines) or
+    * `"xxhash64"` (production-fast; estimator-accuracy-gated). */
+  private[graft] val hashModeKey = "spark.graft.analyze.hashMode"
+
+  private def fastMode(s: SparkSession): Boolean =
+    s.conf.getOption(hashModeKey).contains("xxhash64")
+
+  /** Fast-path register id: the hash's top 8 bits (0..255 int). */
+  private[graft] def fastBucketOfHash(h: Column): Column =
+    shiftrightunsigned(h, 56).cast("int")
+
+  /** Fast-path rank: leading zero bits of the LOW 56 bits + 1, via the
+    * same `length(bin(x))` integer trick as the md5 limbs (no float);
+    * all-zero remainder (p ~ 2^-56) pins the max rank 57. */
+  private[graft] def fastRhoOfHash(h: Column): Column = {
+    val rem = h.bitwiseAND(lit(0x00ffffffffffffffL))
+    when(h.isNull, lit(null).cast("int"))
+      .when(rem > 0, lit(57) - length(bin(rem)))
+      .otherwise(lit(57))
+  }
+
   /** The estimator over (s0 = Σ2^-max_rho, nb = occupied registers)
     * aggregate columns — linear counting under the small-range cut,
     * raw harmonic mean above it. Shared by [[hllEstimate]] and
@@ -460,12 +502,22 @@ object Sketches {
     // the NULL bucket. Bucket/rank/estimator are the SAME
     // [[hllBucketCol]]/[[hllRhoCol]]/[[hllEstExpr]] the
     // `hll_distinct_users` sketch uses — one derivation, two operators.
+    // hash mode: md5 (oracle-exact, default) or xxhash64 (production-
+    // fast — see the fast-mode block above). Only the value→(bucket,
+    // rho) projection differs; every aggregate below is shared.
+    val useFast = fastMode(s)
+    val hCol =
+      if (useFast) when(col("v").isNotNull, xxhash64(col("v")))
+      else when(col("v").isNotNull, hllHash(col("v")))
+    val bucketCol =
+      if (useFast) fastBucketOfHash(col("h")) else hllBucketOfHash(col("h"))
+    val rhoCol =
+      if (useFast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
     val perBucket = stk
+      .select(col("col_name"), col("v"), hCol.as("h"))
       .select(col("col_name"), col("v"),
-        when(col("v").isNotNull, hllHash(col("v"))).as("h"))
-      .select(col("col_name"), col("v"),
-        hllBucketOfHash(col("h")).as("bucket"),
-        hllRhoOfHash(col("h")).as("rho"))
+        bucketCol.as("bucket"),
+        rhoCol.as("rho"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("nd"),
         max(col("rho")).as("max_rho"))

@@ -24,27 +24,31 @@ import org.apache.spark.sql.functions._
   *    oracle (the scanned twin exists exactly so this family has a
   *    semantics-identical pair to route between).
   *
-  * COST MODEL (one unit ≡ the work of scanning + tokenizing one corpus
-  * token; deliberately coarse — the router only has to get the ORDER of
-  * two costs right, and the honest regime evidence in BASELINE.md shows
-  * the two sides differ by multiples at every scale that matters):
+  * COST MODEL (deliberately coarse — the router only has to get the
+  * ORDER of two costs right, and the measured evidence in BASELINE.md
+  * round 12 shows the sides differ by multiples away from the
+  * crossovers):
   *
-  *  - a full text scan costs `total_len` units (every token is
-  *    tokenized whether or not it matters);
-  *  - a term-pruned postings read costs Σ df over the probe terms
-  *    (positional reads add the tf-proportional positions payload —
-  *    still ≤ the same Σ df-bounded order);
-  *  - vector work converts at [[vecUnitCost]] units per (vector ×
-  *    centroid) dot: the inline leg pays `nVec · nCells` assignment
-  *    dots every run, the indexed leg reads `nProbe/nCells` of the
-  *    members table;
-  *  - every EXTRA sequential bounded driver job an indexed path needs
-  *    (directory probes, profile selection, threshold bootstraps)
-  *    costs [[jobOverheadTokens]] units — the scheduler-latency term
-  *    that makes small corpora route to the scan (the measured
-  *    `hybrid_rrf_indexed` regime story, BASELINE.md). Conf-overridable
-  *    (`spark.graft.router.jobOverheadTokens`) because it is a machine
-  *    property, not a data property.
+  *  - bm25/phrase decide in MILLISECONDS with three measured machine
+  *    constants (fixed pass cost, per-token marginal, per-superblock
+  *    file open) — the per-partition term is load-bearing: it is what
+  *    correctly routes a FRAGMENTED index (superBits sized for a corpus
+  *    that then grew 10×) back to the linear scan, the one measured
+  *    point where the index loses (Bm25CrossoverProbe + SbSizeProbe);
+  *  - ann/hybrid decide in token-units: a full text scan costs
+  *    `total_len` (every token tokenized whether or not it matters), a
+  *    term-pruned postings read costs Σ df, vector work converts at
+  *    [[vecUnitCost]] units per (vector × centroid) dot — the inline
+  *    leg pays `nVec · nCells` assignment dots every run, the indexed
+  *    leg reads `nProbe/nCells` of the members table — and every EXTRA
+  *    sequential bounded driver job an indexed path needs costs
+  *    [[jobOverheadTokens]] units (conf-overridable,
+  *    `spark.graft.router.jobOverheadTokens`: a machine property, not a
+  *    data property). Calibrated against the round-12 crossover probes,
+  *    the hybrid decision matches the measured winner at every point
+  *    (indexed everywhere the indexes exist — the scanned twin re-pays
+  *    tokenize + assignment per run), and the job term is what routes
+  *    genuinely tiny vector corpora to the inline plan.
   *
   * The stats come from the indexes themselves (blockstats total_len,
   * termstats df, members/centroids row counts — the index IS the stats
@@ -67,26 +71,47 @@ object Router {
   private val overheadKey = "spark.graft.router.jobOverheadTokens"
 
   /** Token-units charged per extra sequential driver job of an indexed
-    * path — ~0.2 s of scheduler latency expressed at the measured
-    * small-corpus scan rate. At production corpus sizes this term is
-    * noise; at gate sizes it is the honest reason a scan wins. */
+    * path (ann/hybrid deciders) — ~0.2 s of scheduler latency expressed
+    * at the measured small-corpus scan rate (~60K token-units/s,
+    * Bm25CrossoverProbe round 12). At production corpus sizes this term
+    * is noise; at gate sizes it is the honest reason a scan can win. */
   private[graft] def jobOverheadTokens(s: SparkSession): Long =
-    s.conf.getOption(overheadKey).map(_.toLong).getOrElse(50000L)
+    s.conf.getOption(overheadKey).map(_.toLong).getOrElse(12000L)
 
   /** A routing decision: the chosen leg plus both modeled costs (kept
-    * for explainability — `reason` renders the comparison). */
+    * for explainability — `reason` renders the comparison; the unit is
+    * per-family: milliseconds for bm25/phrase, token-units for
+    * ann/hybrid). */
   final case class Choice(leg: String, scanCost: Long, indexedCost: Long) {
-    def reason: String = s"$leg: scan≈$scanCost vs indexed≈$indexedCost units"
+    def reason: String = s"$leg: scan≈$scanCost vs indexed≈$indexedCost"
   }
 
   // ---- pure deciders (unit-testable on synthetic stats) ----
 
-  /** BM25: term-pruned postings read (Σ df) + one extra driver job vs
-    * the full corpus tokenize (total_len). */
+  // bm25/phrase model in MILLISECONDS, three machine constants measured
+  // by Bm25CrossoverProbe + SbSizeProbe (BASELINE round 12) — this is
+  // the one family where a single marginal rate cannot match the
+  // measurements, because the indexed side's real cost has a
+  // PARTITION-COUNT term: every superblock's file must be opened even
+  // when the term prune discards its row groups, and at ~9 ms per
+  // partition a fragmented index (superBits sized for a small corpus
+  // that then grew 10×) loses to a linear scan of a still-small corpus
+  // — exactly what the sf1 gate index measures (205 sbs: indexed 2.6 s
+  // vs scan 1.7 s; rebuilt at superBits=8, 13 sbs: 0.5 s). The fix at
+  // scale is layout (bigger superblocks / compaction), but the router
+  // must be honest about the index that EXISTS.
+  private val scanFixedMs = 800L   // corpus tokenize pass, fixed
+  private val indexFixedMs = 450L  // index probe session, fixed
+  private val tokenNanos = 300L    // per scanned+tokenized token
+  private val sbOpenMs = 9L        // per superblock partition opened
+
+  /** BM25: term-pruned postings read (Σ df rows + one file open per
+    * superblock) vs the full corpus tokenize (total_len tokens). */
   private[graft] def decideBm25(
-      totalLen: Long, sumDf: Long, ovh: Long): Choice = {
-    val idx = sumDf + ovh
-    Choice(if (idx < totalLen) "indexed" else "scan", totalLen, idx)
+      totalLen: Long, sumDf: Long, nSb: Long): Choice = {
+    val scan = scanFixedMs + totalLen * tokenNanos / 1000000L
+    val idx = indexFixedMs + sumDf * tokenNanos / 1000000L + nSb * sbOpenMs
+    Choice(if (idx < scan) "indexed" else "scan", scan, idx)
   }
 
   /** Phrase: positions-only wins whenever the positional payload exists
@@ -95,9 +120,9 @@ object Router {
     * the candidate path vs the full scan is the BM25 comparison. */
   private[graft] def decidePhrase(
       hasPositions: Boolean, totalLen: Long, sumDf: Long,
-      ovh: Long): Choice =
+      nSb: Long): Choice =
     if (hasPositions) Choice("positional", totalLen, sumDf)
-    else decideBm25(totalLen, sumDf, ovh)
+    else decideBm25(totalLen, sumDf, nSb)
 
   /** ANN: the inline leg re-pays `nVec · nCells` assignment dots every
     * run; the index reads `nProbe/nCells` of the members. */
@@ -138,6 +163,11 @@ object Router {
       .where(col("term").isin(terms: _*))
       .agg(coalesce(sum(col("df_sb")), lit(0L))).collect()(0).getLong(0)
 
+  /** Superblock count from blockstats (one row per sb — a parquet
+    * footer count, no data pages). */
+  private[graft] def nSbOf(s: SparkSession, pidx: String): Long =
+    s.read.parquet(s"$pidx/blockstats").count()
+
   /** (nVec, nCells) from the IVF index — parquet footer row counts, no
     * data pages read. */
   private[graft] def ivfMetaOf(s: SparkSession, vidx: String): (Long, Long) =
@@ -154,7 +184,7 @@ object Router {
   private[graft] def bm25AutoOn(
       s: SparkSession, dir: String, pidx: String): DataFrame = {
     val c = decideBm25(totalLenOf(s, pidx),
-      sumDfOf(s, pidx, Retrieval.queryTerms), jobOverheadTokens(s))
+      sumDfOf(s, pidx, Retrieval.queryTerms), nSbOf(s, pidx))
     if (c.leg == "indexed") PostingsIndex.query(s, pidx)
     else Retrieval.bm25Topk(s, dir)
   }
@@ -169,7 +199,7 @@ object Router {
     val terms = Retrieval.gatePhrases.flatten.distinct
     val c = decidePhrase(
       new java.io.File(s"$pidx/positions").isDirectory,
-      totalLenOf(s, pidx), sumDfOf(s, pidx, terms), jobOverheadTokens(s))
+      totalLenOf(s, pidx), sumDfOf(s, pidx, terms), nSbOf(s, pidx))
     c.leg match {
       case "positional" => PostingsIndex.phrasePositionalOn(s, pidx)
       case "indexed"    => PostingsIndex.phraseIndexedOn(s, dir, pidx)

@@ -41,14 +41,22 @@ class RouterSpec extends AnyFunSuite {
   }
 
   test("every decider flips in both directions on synthetic stats") {
+    assert(Router.decideBm25(totalLen = 10000000L, sumDf = 2000L, nSb = 20L)
+      .leg === "indexed")
+    assert(Router.decideBm25(totalLen = 50000L, sumDf = 40000L, nSb = 300L)
+      .leg === "scan")
+    // fragmentation ALONE flips it — the measured sf1 point (205 sbs:
+    // indexed 2.6 s vs scan 1.7 s; 13 sbs: 0.5 s — SbSizeProbe)
+    assert(Router.decideBm25(totalLen = 10000000L, sumDf = 2000L, nSb = 2000L)
+      .leg === "scan")
+
+    assert(Router.decidePhrase(hasPositions = true, 10L, 5L, 1L).leg === "positional")
+    assert(Router.decidePhrase(hasPositions = false, 10000000L, 2000L, 20L)
+      .leg === "indexed")
+    assert(Router.decidePhrase(hasPositions = false, 50000L, 40000L, 300L)
+      .leg === "scan")
+
     val ovh = 50000L
-    assert(Router.decideBm25(totalLen = 1000000L, sumDf = 2000L, ovh).leg === "indexed")
-    assert(Router.decideBm25(totalLen = 10000L, sumDf = 9000L, ovh).leg === "scan")
-
-    assert(Router.decidePhrase(hasPositions = true, 10L, 5L, ovh).leg === "positional")
-    assert(Router.decidePhrase(hasPositions = false, 1000000L, 2000L, ovh).leg === "indexed")
-    assert(Router.decidePhrase(hasPositions = false, 10000L, 9000L, ovh).leg === "scan")
-
     assert(Router.decideAnn(nVec = 100000L, nCells = 16L, nProbe = 2L, ovh).leg === "indexed")
     assert(Router.decideAnn(nVec = 100L, nCells = 16L, nProbe = 2L, ovh).leg === "scan")
 
@@ -69,10 +77,11 @@ class RouterSpec extends AnyFunSuite {
   }
 
   test("bm25_auto: the plan flips with the corpus stats") {
-    // scan regime: every token IS a probe term, so the index saves
-    // nothing and the job overhead decides
+    // scan regime: every token IS a probe term (the index prunes
+    // nothing) AND the doc ids spread across ~200 superblocks (the
+    // fragmented-index shape the per-partition cost term exists for)
     val scanDir = writeDocs(
-      (0L until 200L).map(i => (i, "spark table scan window join")))
+      (0L until 200L).map(i => (i * 1024L, "spark table scan window join")))
     val scanIdx = tmpDir("graft_router_pidx_scan")
     PostingsIndex.buildFrom(spark, spark.read
       .parquet(s"$scanDir/documents.parquet"), scanIdx, superBits = 2)
@@ -158,8 +167,10 @@ class RouterSpec extends AnyFunSuite {
     assert(p2.contains("postings") && p2.contains("documents.parquet"),
       s"no positions + index-favoring stats must route to candidates+verify:\n$p2")
 
-    // scan-favoring synthetic corpus: every token is a phrase term
-    val scanDir = writeDocs((0L until 200L).map(i => (i, "table part key")))
+    // scan-favoring synthetic corpus: every token is a phrase term and
+    // the ids fragment the index across ~200 superblocks
+    val scanDir = writeDocs(
+      (0L until 200L).map(i => (i * 1024L, "table part key")))
     val scanIdx = tmpDir("graft_router_phscan")
     PostingsIndex.buildFrom(spark, spark.read
       .parquet(s"$scanDir/documents.parquet"), scanIdx, superBits = 2)
@@ -169,11 +180,14 @@ class RouterSpec extends AnyFunSuite {
       s"scan-favoring stats must route to the full scan:\n$p3")
   }
 
-  test("hybrid_auto: the gate corpus routes to the scanned twin (index fixed costs dominate at toy SF)") {
+  test("hybrid_auto: the gate corpus routes to the indexed fusion (measured winner at every probed SF)") {
     val p = plan(Router.hybridAuto(spark, sf))
-    assert(p.contains("documents.parquet") && p.contains("embeddings.parquet"),
-      s"the scanned twin reads the corpus files:\n$p")
-    assert(!p.contains("members") && !p.contains(s"postings"),
-      s"the scanned twin must not read either index:\n$p")
+    assert(p.contains("members"),
+      s"the indexed fusion reads the IVF members table:\n$p")
+    // the scanned twin remains reachable: starve the vector index to a
+    // sliver of its corpus and the stats flip the choice
+    val c = Router.decideHybrid(totalLen = 10000L, nVec = 100L,
+      nCells = 16L, nProbe = 2L, Router.jobOverheadTokens(spark))
+    assert(c.leg === "scan")
   }
 }

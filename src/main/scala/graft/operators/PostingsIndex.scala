@@ -382,6 +382,134 @@ object PostingsIndex {
     out
   }
 
+  /** Re-layout the standing index at a different superblock size — the
+    * production fix for the measured fragmentation inversion (BASELINE
+    * round 12: superBits sized for a small corpus that then grew 10×
+    * leaves ~9 ms of file-open cost per tiny partition, and the
+    * term-pruned scan LOSES to a linear corpus scan — 2.6 s vs 1.7 s at
+    * the sf1 gate index; re-laid out at superBits=8 it wins again at
+    * 0.5 s, `SbSizeProbe`). The Lucene analog is a forceMerge: an
+    * unavoidable full-index rewrite (every row's partition changes),
+    * amortized over every query after — and the one the stats-driven
+    * router ([[Router.decideBm25]]'s per-superblock term) tells you to
+    * schedule.
+    *
+    * Rows are layout-invariant: postings keep (term, block, plist) —
+    * block is doc-id-derived, unchanged — and only the sb tag
+    * re-derives (`sb = block >> superBits`); positions/doclens re-tag
+    * from doc_id the same way; termstats re-aggregate from the
+    * re-tagged postings via the SAME derivation a build uses; and
+    * blockstats re-derive (n_docs, total_len, per-sb doc max) from
+    * doclens — the doc-level source of truth — while every standing
+    * ingest watermark maps to the superblock that now contains it, so
+    * the GLOBAL watermark (append's replay guard) survives exactly,
+    * even for superblocks whose every doc was deleted. Tombstones copy
+    * through verbatim.
+    *
+    * Atomicity is a whole-tree staged swap ([[vacuumTombstones]]'s
+    * discipline at index scope): the complete new tree lands at
+    * `<indexDir>.next` + a READY marker, the standing tree parks at
+    * `<indexDir>.old`, the new tree renames in, then the old tree
+    * drops. Every crash window either leaves the standing tree
+    * untouched (pre-READY scratch is discarded), is rolled FORWARD
+    * (READY tree present), or is rolled BACK (parked tree restored) by
+    * [[recoverRebucket]], which runs at the head of every rebucket; a
+    * crash can leave the index path briefly ABSENT, which fails queries
+    * loudly (never wrongly) until the recovery runs. The new tree
+    * carries a fresh [[IndexVersion]] stamp, so running serving
+    * sessions re-open it at their next trigger. Returns (superblocks
+    * before, superblocks after). */
+  def rebucket(
+      s: SparkSession, indexDir: String, newSuperBits: Int): (Long, Long) = {
+    recoverRebucket(indexDir)
+    val oldBits = readSuperBits(s, indexDir)
+    val oldSb = s.read.parquet(s"$indexDir/blockstats").count()
+    if (oldBits == newSuperBits) return (oldSb, oldSb)
+    import s.implicits._
+    val bb = Retrieval.postingsBlockBits
+    val next = new java.io.File(s"$indexDir.next")
+    rmDirTree(next)
+    val state = s.read.parquet(s"$indexDir/postings")
+      .select(col("term"), col("block"), col("plist"),
+        shiftright(col("block"), newSuperBits).cast("int").as("sb"))
+      // EAGER + two consumers (postings write, termstats re-derivation)
+      .localCheckpoint()
+    writePartitioned(state, s"${next.getPath}/postings", dynamic = false)
+    writePartitioned(termStatsOf(state), s"${next.getPath}/termstats",
+      dynamic = false)
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(state)
+    def sbOf(doc: org.apache.spark.sql.Column) =
+      shiftright(doc, bb + newSuperBits).cast("int")
+    writePartitioned(
+      s.read.parquet(s"$indexDir/positions")
+        .select(col("doc_id"), col("term"), col("positions"),
+          sbOf(col("doc_id")).as("sb")),
+      s"${next.getPath}/positions", dynamic = false)
+    val doclens = s.read.parquet(s"$indexDir/doclens")
+      .select(col("doc_id"), col("dl"), sbOf(col("doc_id")).as("sb"))
+    writePartitioned(doclens, s"${next.getPath}/doclens", dynamic = false)
+    val counts = doclens.groupBy(col("sb"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"),
+        max(col("doc_id")).as("doc_max"))
+    val wms = s.read.parquet(s"$indexDir/blockstats")
+      .select(sbOf(col("max_doc_id")).as("sb"), col("max_doc_id"))
+      .groupBy(col("sb")).agg(max(col("max_doc_id")).as("wm"))
+    val bs = counts.join(wms, Seq("sb"), "full_outer")
+      .select(col("sb"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("total_len"), lit(0L)).as("total_len"),
+        greatest(coalesce(col("wm"), lit(-1L)),
+          coalesce(col("doc_max"), lit(-1L))).as("max_doc_id"))
+    writePartitioned(bs, s"${next.getPath}/blockstats", dynamic = false)
+    Seq(newSuperBits.toLong).toDF("super_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"${next.getPath}/meta")
+    recoverTombstones(indexDir)
+    if (new java.io.File(s"$indexDir/tombstones").isDirectory)
+      s.read.parquet(s"$indexDir/tombstones").coalesce(1)
+        .write.parquet(s"${next.getPath}/tombstones")
+    IndexVersion.bump(next.getPath) // fresh stamp: serving refreshes
+    val newSb = s.read.parquet(s"${next.getPath}/blockstats").count()
+    // commit point — from here recovery only moves directories
+    new java.io.File(next, "_GRAFT_REBUCKET_READY").createNewFile()
+    val old = new java.io.File(s"$indexDir.old")
+    require(new java.io.File(indexDir).renameTo(old),
+      s"rebucket: could not park $indexDir")
+    require(next.renameTo(new java.io.File(indexDir)),
+      s"rebucket: could not install the new tree at $indexDir")
+    new java.io.File(s"$indexDir/_GRAFT_REBUCKET_READY").delete()
+    rmDirTree(old)
+    (oldSb, newSb)
+  }
+
+  /** Crash recovery for [[rebucket]]'s whole-tree swap; every branch is
+    * idempotent. With the index path present: a READY staged tree rolls
+    * FORWARD (complete the swap), a non-READY one is pre-commit scratch
+    * and is discarded, a stale parked tree is a superseded copy and is
+    * dropped. With the index path absent (a crash between the renames):
+    * a READY staged tree installs, else the parked tree restores. */
+  private[graft] def recoverRebucket(indexDir: String): Unit = {
+    val idx = new java.io.File(indexDir)
+    val next = new java.io.File(s"$indexDir.next")
+    val old = new java.io.File(s"$indexDir.old")
+    def ready = new java.io.File(next, "_GRAFT_REBUCKET_READY").exists()
+    if (idx.isDirectory) {
+      if (next.isDirectory && ready) {
+        rmDirTree(old)
+        require(idx.renameTo(old), s"rebucket recovery: could not park $indexDir")
+        require(next.renameTo(idx), s"rebucket recovery: could not install $indexDir")
+        new java.io.File(s"$indexDir/_GRAFT_REBUCKET_READY").delete()
+      } else rmDirTree(next)
+      rmDirTree(old)
+    } else if (next.isDirectory && ready) {
+      require(next.renameTo(idx), s"rebucket recovery: could not install $indexDir")
+      new java.io.File(s"$indexDir/_GRAFT_REBUCKET_READY").delete()
+      rmDirTree(old)
+    } else if (old.isDirectory) {
+      require(old.renameTo(idx), s"rebucket recovery: could not restore $indexDir")
+      rmDirTree(next)
+    }
+  }
+
   /** Dynamic partition overwrite never touches a partition the written
     * frame has NO rows for — so a superblock whose every row is deleted
     * would keep its stale files. Purge those explicitly. */
@@ -1057,10 +1185,13 @@ object PostingsIndex {
   private[graft] def ensureLifecycleIndex(s: SparkSession, dir: String): String = {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
-    // v4: layout version in the path — a layout change (v2 blockstats,
-    // v3 + termstats, v4 + positional payload) must never reuse an
-    // old-layout index behind the marker
-    val idx = s"/tmp/graft_postings_v4_${java.lang.Long.toHexString(tag)}"
+    // v5: layout version in the path — a layout change (v2 blockstats,
+    // v3 + termstats, v4 + positional payload, v5 + doclens norms: the
+    // doclens table arrived with the delete path and the cached v4
+    // lifecycle indexes were built WITHOUT it, so delete()/rebucket()
+    // against one crashed on the missing table — found by RebucketProbe
+    // round 12) must never reuse an old-layout index behind the marker
+    val idx = s"/tmp/graft_postings_v5_${java.lang.Long.toHexString(tag)}"
     if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2

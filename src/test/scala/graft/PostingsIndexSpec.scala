@@ -548,6 +548,65 @@ class PostingsIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(300L))
   }
 
+  test("rebucket re-layouts a fragmented index: identical answers, watermark and tombstones survive, crash windows recover") {
+    import spark.implicits._
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val idx = tmpDir("graft_pidx_rebucket") + "/index"
+    // doc ids spread so superBits=2 fragments into ~120 partitions —
+    // the measured sf1 inversion's shape
+    val ids = (0L until 120L).map(_ * 512L)
+    PostingsIndex.buildFrom(spark, synthDocs(ids), idx, superBits = 2)
+    // an above-watermark takedown (tombstone) and a below-watermark one
+    PostingsIndex.delete(spark, idx,
+      Seq(999999L, ids(5)).toDF("doc_id"))
+    def rows(): Seq[(Long, Double)] =
+      PostingsIndex.query(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = rows()
+    val wm = spark.read.parquet(s"$idx/blockstats")
+      .agg(max(col("max_doc_id"))).collect()(0).getLong(0)
+
+    val (before, after) = PostingsIndex.rebucket(spark, idx, newSuperBits = 8)
+    assert(before > 100L && after < 10L,
+      s"re-layout must collapse the partition count: $before -> $after")
+    assert(rows() === want, "rebucket must not change any answer")
+    // the global ingest watermark survives even though every blockstats
+    // row was re-derived
+    assert(spark.read.parquet(s"$idx/blockstats")
+      .agg(max(col("max_doc_id"))).collect()(0).getLong(0) === wm)
+    // both takedowns stand: the tombstone blocks the late batch, the
+    // watermark blocks the replayed one
+    PostingsIndex.append(spark, idx, synthDocs(Seq(ids(5), 999999L)))
+    val docIds = spark.read.parquet(s"$idx/doclens").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!docIds.contains(ids(5)) && !docIds.contains(999999L))
+    // same-bits rebucket is a no-op
+    assert(PostingsIndex.rebucket(spark, idx, newSuperBits = 8) ===
+      ((after, after)))
+
+    // crash windows. (a) between the renames: the parked tree restores
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      val sp = src.toPath
+      Files.walk(sp).forEach { p: Path =>
+        val t = dst.toPath.resolve(sp.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    assert(new java.io.File(idx).renameTo(new java.io.File(s"$idx.old")))
+    PostingsIndex.recoverRebucket(idx)
+    assert(rows() === want, "rollback recovery must restore the parked tree")
+    // (b) READY staged tree + standing index: recovery rolls FORWARD
+    copyTree(new java.io.File(idx), new java.io.File(s"$idx.next"))
+    assert(new java.io.File(s"$idx.next/_GRAFT_REBUCKET_READY").createNewFile())
+    PostingsIndex.recoverRebucket(idx)
+    assert(rows() === want)
+    assert(!new java.io.File(s"$idx.next").exists() &&
+      !new java.io.File(s"$idx.old").exists() &&
+      !new java.io.File(s"$idx/_GRAFT_REBUCKET_READY").exists(),
+      "recovery must leave no scratch trees behind")
+  }
+
   test("compact defragments termstats alongside the other tables") {
     val idx = tmpDir("graft_pidx_tscompact")
     PostingsIndex.buildFrom(spark, synthDocs(0L to 700L by 7L), idx, superBits = 2)

@@ -27,13 +27,27 @@ object IndexVersion {
   private def file(indexDir: String) = new java.io.File(s"$indexDir/_GRAFT_VERSION")
 
   /** Advance the index's version stamp (call at the END of a mutation).
-    * Unique per bump; atomic via tmp-write + rename. */
+    * Unique per bump; atomic via tmp-write + rename. The rename is
+    * require-checked: a silently-failed bump would leave a serving
+    * session pinned on files the mutation just deleted, failing later
+    * with a FileNotFound that points nowhere near the cause. */
   def bump(indexDir: String): Unit = {
     val tmp = new java.io.File(s"$indexDir/_GRAFT_VERSION.tmp")
     val w = new java.io.PrintWriter(tmp, "UTF-8")
     try w.print(s"${System.nanoTime()}-${java.util.UUID.randomUUID()}")
     finally w.close()
-    tmp.renameTo(file(indexDir)); ()
+    require(tmp.renameTo(file(indexDir)),
+      s"could not advance the version stamp at $indexDir")
+  }
+
+  /** Recursive delete for the index crash-protocol scratch dirs (a
+    * crashed Spark write can leave a `_temporary/` subtree a flat sweep
+    * would miss) — ONE copy for every protocol ([[IvfIndex]] staging,
+    * [[PostingsIndex]] tombstone/rebucket swaps). */
+  private[graft] def rmDirTree(d: java.io.File): Unit = {
+    if (d.isDirectory)
+      Option(d.listFiles()).foreach(_.foreach(rmDirTree))
+    d.delete(); ()
   }
 
   /** The current stamp, or "" for an index no mutation has bumped yet

@@ -583,16 +583,14 @@ object IvfIndex {
     inProgress.delete()
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
-    if (touched.nonEmpty) IndexVersion.bump(indexDir) // refresh signal
+    // bump UNCONDITIONALLY: centroids/codebook were rewritten above even
+    // when no member moved (same content, NEW files) — a serving session
+    // pinned on the old part files must re-open either way
+    IndexVersion.bump(indexDir)
     (touched.size.toLong, moved)
   }
 
-  /** Recursive delete for the retrain staging protocol's scratch (a
-    * crashed Spark write can leave a `_temporary/` subtree). */
-  private def rmDirTree(d: java.io.File): Unit = {
-    if (d.isDirectory) Option(d.listFiles()).foreach(_.foreach(rmDirTree))
-    d.delete(); ()
-  }
+  private def rmDirTree(d: java.io.File): Unit = IndexVersion.rmDirTree(d)
 
   /** The swap manifest: which staged cell dirs move into `members/` and
     * which touched cells emptied out entirely (a partitioned write emits

@@ -440,11 +440,20 @@ object PostingsIndex {
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(state)
     def sbOf(doc: org.apache.spark.sql.Column) =
       shiftright(doc, bb + newSuperBits).cast("int")
-    writePartitioned(
-      s.read.parquet(s"$indexDir/positions")
-        .select(col("doc_id"), col("term"), col("positions"),
-          sbOf(col("doc_id")).as("sb")),
-      s"${next.getPath}/positions", dynamic = false)
+    // positional payload is optional index state (Router.decidePhrase
+    // models its absence) — re-tag it only where it exists
+    if (new java.io.File(s"$indexDir/positions").isDirectory)
+      writePartitioned(
+        s.read.parquet(s"$indexDir/positions")
+          .select(col("doc_id"), col("term"), col("positions"),
+            sbOf(col("doc_id")).as("sb")),
+        s"${next.getPath}/positions", dynamic = false)
+    // doclens is NOT optional: blockstats re-derivation needs the
+    // doc-level source of truth (a pre-norms-layout index must be
+    // rebuilt by the current buildFrom before it can re-bucket)
+    require(new java.io.File(s"$indexDir/doclens").isDirectory,
+      s"$indexDir predates the doclens norms table: rebuild it with the " +
+        "current buildFrom before rebucket")
     val doclens = s.read.parquet(s"$indexDir/doclens")
       .select(col("doc_id"), col("dl"), sbOf(col("doc_id")).as("sb"))
     writePartitioned(doclens, s"${next.getPath}/doclens", dynamic = false)
@@ -523,13 +532,7 @@ object PostingsIndex {
       }
     }
 
-  /** Recursive delete for the vacuum swap's scratch dirs (a crashed
-    * Spark write can leave a `_temporary/` subtree a flat file sweep
-    * would miss). */
-  private def rmDirTree(d: java.io.File): Unit = {
-    if (d.isDirectory) Option(d.listFiles()).foreach(_.foreach(rmDirTree))
-    d.delete(); ()
-  }
+  private def rmDirTree(d: java.io.File): Unit = IndexVersion.rmDirTree(d)
 
   /** Crash repair for [[vacuumTombstones]]'s two-rename swap: if the
     * standing `tombstones/` is missing but the pre-vacuum set is parked
@@ -541,7 +544,11 @@ object PostingsIndex {
   private def recoverTombstones(indexDir: String): Unit = {
     val tomb = new java.io.File(s"$indexDir/tombstones")
     val old = new java.io.File(s"$indexDir/tombstones.old")
-    if (!tomb.isDirectory && old.isDirectory) { old.renameTo(tomb); () }
+    if (!tomb.isDirectory && old.isDirectory)
+      // require-checked: a silently-failed restore would make the caller
+      // read "no tombstones" and re-admit taken-down ids
+      require(old.renameTo(tomb),
+        s"could not restore the parked tombstone set at $indexDir")
   }
 
   /** Delete a set of doc ids from the standing index — the opt-out /
@@ -718,8 +725,12 @@ object PostingsIndex {
         val old = new java.io.File(s"$tombDir.old")
         rmDirTree(next); rmDirTree(old) // stale scratch from a prior crash
         kept.coalesce(1).write.mode("overwrite").parquet(next.getPath)
-        new java.io.File(tombDir).renameTo(old)
-        next.renameTo(new java.io.File(tombDir))
+        // require-checked swap: an unchecked second rename followed by
+        // the old-set delete could destroy the only surviving copy
+        require(new java.io.File(tombDir).renameTo(old),
+          s"vacuum: could not park the standing tombstones at $tombDir")
+        require(next.renameTo(new java.io.File(tombDir)),
+          s"vacuum: could not install the new tombstone set at $tombDir")
         rmDirTree(old)
       }
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(t)

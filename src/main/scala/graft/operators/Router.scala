@@ -163,10 +163,16 @@ object Router {
       .where(col("term").isin(terms: _*))
       .agg(coalesce(sum(col("df_sb")), lit(0L))).collect()(0).getLong(0)
 
-  /** Superblock count from blockstats (one row per sb — a parquet
-    * footer count, no data pages). */
-  private[graft] def nSbOf(s: SparkSession, pidx: String): Long =
-    s.read.parquet(s"$pidx/blockstats").count()
+  /** (total_len, superblock count) from blockstats in ONE bounded
+    * aggregate — the two stats every postings-side decision needs,
+    * probed together so the decision costs one job, not two. */
+  private[graft] def postingsMetaOf(
+      s: SparkSession, pidx: String): (Long, Long) = {
+    val r = s.read.parquet(s"$pidx/blockstats")
+      .agg(coalesce(sum(col("total_len")), lit(0L)), count(lit(1)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** (nVec, nCells) from the IVF index — parquet footer row counts, no
     * data pages read. */
@@ -183,8 +189,8 @@ object Router {
 
   private[graft] def bm25AutoOn(
       s: SparkSession, dir: String, pidx: String): DataFrame = {
-    val c = decideBm25(totalLenOf(s, pidx),
-      sumDfOf(s, pidx, Retrieval.queryTerms), nSbOf(s, pidx))
+    val (totalLen, nSb) = postingsMetaOf(s, pidx)
+    val c = decideBm25(totalLen, sumDfOf(s, pidx, Retrieval.queryTerms), nSb)
     if (c.leg == "indexed") PostingsIndex.query(s, pidx)
     else Retrieval.bm25Topk(s, dir)
   }
@@ -197,9 +203,10 @@ object Router {
   private[graft] def phraseAutoOn(
       s: SparkSession, dir: String, pidx: String): DataFrame = {
     val terms = Retrieval.gatePhrases.flatten.distinct
+    val (totalLen, nSb) = postingsMetaOf(s, pidx)
     val c = decidePhrase(
       new java.io.File(s"$pidx/positions").isDirectory,
-      totalLenOf(s, pidx), sumDfOf(s, pidx, terms), nSbOf(s, pidx))
+      totalLen, sumDfOf(s, pidx, terms), nSb)
     c.leg match {
       case "positional" => PostingsIndex.phrasePositionalOn(s, pidx)
       case "indexed"    => PostingsIndex.phraseIndexedOn(s, dir, pidx)

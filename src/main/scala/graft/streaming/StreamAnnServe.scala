@@ -45,30 +45,21 @@ object StreamAnnServe {
       k: Int = 5)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     // retrain quiesce: a session must not pin frames from an index whose
-    // quantizer and layout may disagree ([[IvfIndex.retrain]]'s contract)
+    // quantizer and layout may disagree ([[IvfIndex.retrain]]'s
+    // contract) — checked at session start AND before every refresh
     IvfIndex.requireNotRetraining(indexDir)
-    // one directory listing per index VERSION, not per trigger: the
-    // frames carry their resolved file index across triggers, and the
-    // per-trigger staleness check is ONE file stat on the mutation-
-    // bumped stamp ([[graft.operators.IndexVersion]]) — an append,
-    // delete, compact, or retrain becomes visible at the next trigger
-    // without restarting the query, and an unchanged index never pays a
-    // re-listing
-    var stamp = graft.operators.IndexVersion.stamp(indexDir)
-    var cents = s.read.parquet(s"$indexDir/centroids")
-    var members = s.read.parquet(s"$indexDir/members")
+    // [[PinnedIndex]]: one directory listing per index VERSION, a
+    // one-file-stat staleness check per trigger — mutations become
+    // visible at the next trigger without restarting the query
+    val idx = new PinnedIndex(s, indexDir, Seq("centroids", "members"),
+      onRefresh = () => IvfIndex.requireNotRetraining(indexDir))
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
-        val cur = graft.operators.IndexVersion.stamp(indexDir)
-        if (cur != stamp) {
-          IvfIndex.requireNotRetraining(indexDir) // never onto a torn layout
-          cents = s.read.parquet(s"$indexDir/centroids")
-          members = s.read.parquet(s"$indexDir/members")
-          stamp = cur
-        }
-        sink(IvfIndex.queryOn(cents, members, df.toDF(), nProbe, k), batchId)
+        idx.refreshIfStale()
+        sink(IvfIndex.queryOn(idx("centroids"), idx("members"),
+          df.toDF(), nProbe, k), batchId)
         ()
       }
       .start()

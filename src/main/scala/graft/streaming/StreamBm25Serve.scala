@@ -51,30 +51,22 @@ object StreamBm25Serve {
       checkpointDir: String,
       k: Int = 10)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    // one directory listing per index VERSION, not per trigger: the
-    // per-trigger staleness check is one file stat on the mutation-
-    // bumped stamp ([[graft.operators.IndexVersion]]) — appends become
+    // [[PinnedIndex]]: one directory listing per index VERSION, a
+    // one-file-stat staleness check per trigger — appends become
     // visible at the next trigger without restarting the query
-    var stamp = graft.operators.IndexVersion.stamp(indexDir)
-    var postings = s.read.parquet(s"$indexDir/postings")
-    var termstats = s.read.parquet(s"$indexDir/termstats")
-    var blockstats = s.read.parquet(s"$indexDir/blockstats")
+    val idx = new PinnedIndex(s, indexDir,
+      Seq("postings", "termstats", "blockstats"))
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
-        val cur = graft.operators.IndexVersion.stamp(indexDir)
-        if (cur != stamp) {
-          postings = s.read.parquet(s"$indexDir/postings")
-          termstats = s.read.parquet(s"$indexDir/termstats")
-          blockstats = s.read.parquet(s"$indexDir/blockstats")
-          stamp = cur
-        }
+        idx.refreshIfStale()
         val qt = df.toDF()
           .select(col("query_id"), explode(col("terms")).as("term"))
           .distinct()
         val (res, pinned) = PostingsIndex.bm25BatchPinned(
-          postings, termstats, blockstats, qt, k, excludeSelf = false)
+          idx("postings"), idx("termstats"), idx("blockstats"),
+          qt, k, excludeSelf = false)
         sink(res, batchId)
         // the sink has materialized the batch — release the per-trigger
         // profile checkpoint, or a long-running session pins one block

@@ -41,39 +41,24 @@ object StreamHybridServe {
       k: Int = 5,
       nProbe: Int = 2)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    // retrain quiesce for the semantic leg ([[IvfIndex.retrain]])
+    // retrain quiesce for the semantic leg ([[IvfIndex.retrain]]) —
+    // checked at session start AND before every IVF-side refresh
     IvfIndex.requireNotRetraining(ivfIndexDir)
-    // one directory listing per index VERSION, not per trigger — both
-    // indexes watched independently via the mutation-bumped stamp
-    // ([[graft.operators.IndexVersion]]); an append to either becomes
-    // visible at the next trigger without restarting the query
-    var pStamp = graft.operators.IndexVersion.stamp(postingsIndexDir)
-    var vStamp = graft.operators.IndexVersion.stamp(ivfIndexDir)
-    var postings = s.read.parquet(s"$postingsIndexDir/postings")
-    var termstats = s.read.parquet(s"$postingsIndexDir/termstats")
-    var blockstats = s.read.parquet(s"$postingsIndexDir/blockstats")
-    var cents = s.read.parquet(s"$ivfIndexDir/centroids")
-    var members = s.read.parquet(s"$ivfIndexDir/members")
+    // [[PinnedIndex]] × 2: both indexes watched independently; an
+    // append to either becomes visible at the next trigger
+    val pidx = new PinnedIndex(s, postingsIndexDir,
+      Seq("postings", "termstats", "blockstats"))
+    val vidx = new PinnedIndex(s, ivfIndexDir, Seq("centroids", "members"),
+      onRefresh = () => IvfIndex.requireNotRetraining(ivfIndexDir))
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], batchId: Long) =>
-        val pCur = graft.operators.IndexVersion.stamp(postingsIndexDir)
-        if (pCur != pStamp) {
-          postings = s.read.parquet(s"$postingsIndexDir/postings")
-          termstats = s.read.parquet(s"$postingsIndexDir/termstats")
-          blockstats = s.read.parquet(s"$postingsIndexDir/blockstats")
-          pStamp = pCur
-        }
-        val vCur = graft.operators.IndexVersion.stamp(ivfIndexDir)
-        if (vCur != vStamp) {
-          IvfIndex.requireNotRetraining(ivfIndexDir)
-          cents = s.read.parquet(s"$ivfIndexDir/centroids")
-          members = s.read.parquet(s"$ivfIndexDir/members")
-          vStamp = vCur
-        }
-        val (res, pinned) = fuseOn(postings, termstats, blockstats, cents,
-          members, df.toDF(), legK, k, nProbe)
+        pidx.refreshIfStale()
+        vidx.refreshIfStale()
+        val (res, pinned) = fuseOn(pidx("postings"), pidx("termstats"),
+          pidx("blockstats"), vidx("centroids"), vidx("members"),
+          df.toDF(), legK, k, nProbe)
         sink(res, batchId)
         // sink has materialized the fused batch — release the lexical
         // leg's per-trigger profile pin ([[StreamBm25Serve]]'s leak

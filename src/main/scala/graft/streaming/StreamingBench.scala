@@ -481,6 +481,34 @@ object StreamingBench {
             }
           }, batches, perBatch)
       }),
+      // fused serving at ingestion (r12): BOTH indexes answered per
+      // trigger through the single-sourced rrfFuse tail — term-pruned
+      // postings + DPP-pruned probed cells in one micro-batch plan; the
+      // leg prices the full hybrid answer path at the serving exchange
+      // rate (~1 query per 60 events of leg budget), over the two
+      // standing synthetic indexes (aligned 0..4095 id spaces, the
+      // doc_id ≙ vec_id convention)
+      Leg("hybridserve", twsOnly = false, qn => {
+        val pidx = bm25ServeIndex(spark)
+        val vidx = annServeIndex(spark)
+        throughputForeach[(Long, Seq[String], Seq[Double])](spark,
+          ds => StreamHybridServe.serve(spark, pidx, vidx,
+            ds.toDF("query_id", "terms", "qv"),
+            s"/tmp/graft_${qn}_ckpt_${System.nanoTime()}")(
+            (res, _) => { res.collect(); () }),
+          (b, per) => {
+            val qper = math.max(1, per / 60)
+            (0 until qper).map { i =>
+              val g = b.toLong * qper + i
+              (3000000000L + g,
+                (0 until 3).map(j =>
+                  s"w${(g * 37 + j * 311) % 997}"): Seq[String],
+                (0 until 16).map(j =>
+                  ((g * 2654435761L + j * 40503L) % 1000).toDouble / 1000.0
+                    + 0.001): Seq[Double])
+            }
+          }, batches, perBatch)
+      }),
       Leg("wsample", twsOnly = false, qn => throughputOf[(String, Long, Long)](spark,
         ds => StreamWeightedSample.picks(
           ds.toDF("source", "doc_id", "n_chars")),

@@ -550,7 +550,7 @@ class PostingsIndexSpec extends AnyFunSuite {
 
   test("rebucket re-layouts a fragmented index: identical answers, watermark and tombstones survive, crash windows recover") {
     import spark.implicits._
-    import java.nio.file.{Files, Path, StandardCopyOption}
+    import TestFs.copyTree
     val idx = tmpDir("graft_pidx_rebucket") + "/index"
     // doc ids spread so superBits=2 fragments into ~120 partitions —
     // the measured sf1 inversion's shape
@@ -585,14 +585,6 @@ class PostingsIndexSpec extends AnyFunSuite {
       ((after, after)))
 
     // crash windows. (a) between the renames: the parked tree restores
-    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-      val sp = src.toPath
-      Files.walk(sp).forEach { p: Path =>
-        val t = dst.toPath.resolve(sp.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
     assert(new java.io.File(idx).renameTo(new java.io.File(s"$idx.old")))
     PostingsIndex.recoverRebucket(idx)
     assert(rows() === want, "rollback recovery must restore the parked tree")

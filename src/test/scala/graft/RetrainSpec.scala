@@ -203,19 +203,8 @@ class RetrainSpec extends AnyFunSuite {
 
   test("a torn retrain converges on replay from every crash window; queries quiesce until then") {
     import java.io.File
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    def copyTree(src: File, dst: File): Unit = {
-      val sp = src.toPath
-      Files.walk(sp).forEach { p: Path =>
-        val t = dst.toPath.resolve(sp.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    import java.nio.file.Files
+    import TestFs.{copyTree, rmTree => rm}
     // three identical drifted indexes: R = reference (clean retrain),
     // X = crash mid-swap, Y = crash between the table writes and staging
     val dirs = Seq("ref", "midswap", "pretables").map(n => tmpDir(s"graft_torn_$n"))

@@ -158,11 +158,7 @@ class RouterSpec extends AnyFunSuite {
       .parquet(s"$idxDir/documents.parquet"), idx, superBits = 2)
     // positions lost/absent: the router must fall back to the candidate
     // path, which verifies against the corpus text
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(new java.io.File(s"$idx/positions"))
+    TestFs.rmTree(new java.io.File(s"$idx/positions"))
     val p2 = plan(Router.phraseAutoOn(spark, idxDir, idx))
     assert(p2.contains("postings") && p2.contains("documents.parquet"),
       s"no positions + index-favoring stats must route to candidates+verify:\n$p2")
@@ -174,7 +170,7 @@ class RouterSpec extends AnyFunSuite {
     val scanIdx = tmpDir("graft_router_phscan")
     PostingsIndex.buildFrom(spark, spark.read
       .parquet(s"$scanDir/documents.parquet"), scanIdx, superBits = 2)
-    rmTree(new java.io.File(s"$scanIdx/positions"))
+    TestFs.rmTree(new java.io.File(s"$scanIdx/positions"))
     val p3 = plan(Router.phraseAutoOn(spark, scanDir, scanIdx))
     assert(p3.contains("documents.parquet") && !p3.contains("postings"),
       s"scan-favoring stats must route to the full scan:\n$p3")

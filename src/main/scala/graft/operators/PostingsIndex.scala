@@ -490,6 +490,59 @@ object PostingsIndex {
     (oldSb, newSb)
   }
 
+  /** Stats-driven layout maintenance — ONE call that inspects the
+    * standing index and runs whichever repairs its own stats call for,
+    * in dependency order; the detection half of
+    * [[Router.decideBm25]]'s per-superblock cost term turned into
+    * action (the round-12 measured finding: a fragmented layout makes
+    * the index LOSE to a linear scan; the fix is layout, and this is
+    * where it gets scheduled):
+    *
+    *  1. REBUCKET when the superblock count is out of band — more than
+    *     4× `targetSbs` (hysteresis: the rewrite is a full-index pass,
+    *     not worth chasing small drift) — to the superBits that puts
+    *     the CURRENT watermark's id space at ≈ `targetSbs` partitions;
+    *  2. COMPACT superblocks fragmented past `maxFilesPerSb` (the
+    *     small-file tax of streaming ingest);
+    *  3. VACUUM watermark-covered tombstones.
+    *
+    * All three are idempotent and individually crash-safe (their own
+    * protocols), so the maintenance pass needs no transaction of its
+    * own; a re-run after any crash converges. Returns the action log —
+    * empty = the layout was already healthy. */
+  def maintain(
+      s: SparkSession, indexDir: String,
+      targetSbs: Int = 32, maxFilesPerSb: Int = 4): Seq[String] = {
+    recoverRebucket(indexDir)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val row = s.read.parquet(s"$indexDir/blockstats")
+      .agg(count(lit(1)), coalesce(max(col("max_doc_id")), lit(0L)))
+      .collect()(0)
+    val nSb = row.getLong(0)
+    val maxDoc = row.getLong(1)
+    if (nSb > 4L * targetSbs) {
+      val bits = readSuperBits(s, indexDir)
+      // smallest superBits with ceil(maxDoc / 2^(bb+superBits)) ≤ target:
+      // 64 − nlz(x) is floor(log2 x) + 1, the exact-integer ceil-log2 form
+      val span = math.max(1L, maxDoc / targetSbs + 1L)
+      val need = math.max(bits,
+        64 - java.lang.Long.numberOfLeadingZeros(span) -
+          Retrieval.postingsBlockBits)
+      if (need > bits) {
+        val (before, after) = rebucket(s, indexDir, need)
+        actions += s"rebucket: superBits $bits -> $need ($before -> $after sbs)"
+      }
+    }
+    val (compacted, filesBefore, filesAfter) =
+      compact(s, indexDir, maxFilesPerSb)
+    if (compacted > 0)
+      actions += s"compact: $compacted sbs, $filesBefore -> $filesAfter files"
+    val (dropped, kept) = vacuumTombstones(s, indexDir)
+    if (dropped > 0)
+      actions += s"vacuum: $dropped tombstones dropped, $kept in flight"
+    actions.toSeq
+  }
+
   /** Crash recovery for [[rebucket]]'s whole-tree swap; every branch is
     * idempotent. With the index path present: a READY staged tree rolls
     * FORWARD (complete the swap), a non-READY one is pre-commit scratch

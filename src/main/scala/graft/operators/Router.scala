@@ -227,6 +227,27 @@ object Router {
     else Similarity.annIvf(s, dir)
   }
 
+  /** The routing EXPLAIN: one (family, [[Choice]]) row per twin family
+    * with the decision the CURRENT stats make and both modeled costs —
+    * the operability surface (see why a leg gets picked without running
+    * anything). Bounded metadata probes only, same inputs as the
+    * `*_auto` entries. */
+  def explain(s: SparkSession, dir: String): Seq[(String, Choice)] = {
+    val pidx = PostingsIndex.ensureLifecycleIndex(s, dir)
+    val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
+    val (totalLen, nSb) = postingsMetaOf(s, pidx)
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    val ovh = jobOverheadTokens(s)
+    Seq(
+      "bm25" -> decideBm25(totalLen,
+        sumDfOf(s, pidx, Retrieval.queryTerms), nSb),
+      "phrase" -> decidePhrase(
+        new java.io.File(s"$pidx/positions").isDirectory, totalLen,
+        sumDfOf(s, pidx, Retrieval.gatePhrases.flatten.distinct), nSb),
+      "ann" -> decideAnn(nVec, nCells, nProbe = 2L, ovh),
+      "hybrid" -> decideHybrid(totalLen, nVec, nCells, nProbe = 2L, ovh))
+  }
+
   /** `hybrid_auto`: shares `hybrid_rrf_indexed`'s oracle — the scanned
     * twin computes the identical semantics with zero index reads. */
   def hybridAuto(s: SparkSession, dir: String): DataFrame =

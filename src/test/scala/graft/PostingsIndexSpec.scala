@@ -599,6 +599,35 @@ class PostingsIndexSpec extends AnyFunSuite {
       "recovery must leave no scratch trees behind")
   }
 
+  test("maintain runs the repairs the stats call for, then reports healthy") {
+    import spark.implicits._
+    val idx = tmpDir("graft_pidx_maintain") + "/index"
+    // fragmented (160 superblocks at superBits=2) + an in-flight and a
+    // coverable tombstone + multi-file partitions from two appends
+    val ids = (0L until 160L).map(_ * 512L)
+    PostingsIndex.buildFrom(spark, synthDocs(ids.take(150)), idx, superBits = 2)
+    PostingsIndex.delete(spark, idx, Seq(ids(155), 999999999L).toDF("doc_id"))
+    PostingsIndex.append(spark, idx, synthDocs(ids.slice(150, 160)))
+    def rows(): Seq[(Long, Double)] =
+      PostingsIndex.query(spark, idx).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = rows()
+
+    val actions = PostingsIndex.maintain(spark, idx, targetSbs = 32)
+    assert(actions.exists(_.startsWith("rebucket:")),
+      s"a 160-sb layout must trigger the re-layout: $actions")
+    assert(actions.exists(_.startsWith("vacuum:")),
+      s"the covered tombstone must be vacuumed: $actions")
+    val nSb = spark.read.parquet(s"$idx/blockstats").count()
+    assert(nSb <= 32L, s"post-maintenance superblock count: $nSb")
+    assert(rows() === want, "maintenance must not change any answer")
+    // in-flight takedown survives; covered one is gone
+    assert(spark.read.parquet(s"$idx/tombstones")
+      .collect().map(_.getLong(0)).toSet === Set(999999999L))
+    // idempotent: a healthy layout reports no actions
+    assert(PostingsIndex.maintain(spark, idx, targetSbs = 32) === Seq.empty)
+  }
+
   test("compact defragments termstats alongside the other tables") {
     val idx = tmpDir("graft_pidx_tscompact")
     PostingsIndex.buildFrom(spark, synthDocs(0L to 700L by 7L), idx, superBits = 2)

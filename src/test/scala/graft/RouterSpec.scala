@@ -176,6 +176,16 @@ class RouterSpec extends AnyFunSuite {
       s"scan-favoring stats must route to the full scan:\n$p3")
   }
 
+  test("explain reports one decision per family, consistent with what the auto entries run") {
+    val ex = Router.explain(spark, sf).toMap
+    assert(ex.keySet === Set("bm25", "phrase", "ann", "hybrid"))
+    // the gate corpus's documented choices (BASELINE round 12)
+    assert(ex("phrase").leg === "positional")
+    assert(ex("ann").leg === "indexed")
+    assert(ex("hybrid").leg === "indexed")
+    ex.values.foreach(c => assert(c.reason.contains(c.leg)))
+  }
+
   test("hybrid_auto: the gate corpus routes to the indexed fusion (measured winner at every probed SF)") {
     val p = plan(Router.hybridAuto(spark, sf))
     assert(p.contains("members"),

@@ -720,6 +720,62 @@ object IvfIndex {
     }.toSeq.toDF("cid", "cv", "cn")
   }
 
+  /** Stats-driven maintenance for the vector index —
+    * [[PostingsIndex.maintain]]'s discipline pointed at the cell layout,
+    * with the detector the vector side actually needs: DRIFT. Appends
+    * encode under the frozen build-time quantizer (correct for replay
+    * convergence), so a drifted ingest crowds into few cells and
+    * probed-cell recall decays (`RetrainSpec` constructs exactly this);
+    * the observable is the MEAN ASSIGNMENT COSINE — each member's
+    * similarity to its OWN cell's centroid, the coarse quantizer's fit
+    * to the live distribution (the vector-side analog of the PQ
+    * reconstruction error). Drifted members sit near-orthogonal to
+    * every build-time centroid, so their own-cell cosine collapses to
+    * jitter even when cell OCCUPANCY stays even — the cluster-scatter
+    * failure mode an occupancy detector cannot see. One bounded pass:
+    * members joined to the broadcast centroids on the own cell, never a
+    * cross join. Policy:
+    *
+    *  1. RETRAIN (adaptive Lloyd fit) when the mean fit drops below
+    *     `minFit` — a corpus-dependent floor (axis-cluster gates sit
+    *     ≈0.99 healthy; tune per embedding space), defaulted where the
+    *     drifted gate corpus lands far below and the re-fit far above;
+    *  2. COMPACT cells fragmented past `maxFilesPerCell` — after the
+    *     retrain, so the migration's fresh writes are compacted in the
+    *     same pass.
+    *
+    * Both steps carry their own crash protocols (staged swap / dynamic
+    * overwrite), so the pass needs no transaction; re-runs converge and
+    * a healthy index reports an empty action log. SERVING QUIESCE:
+    * step 1 is [[retrain]], whose in-progress window refuses queries —
+    * schedule like any retrain. Returns the action log. */
+  def maintain(
+      s: SparkSession, indexDir: String,
+      minFit: Double = 0.7,
+      lloydRounds: Int = 5,
+      maxFilesPerCell: Int = 4): Seq[String] = {
+    completeRetrainSwap(indexDir)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cents = broadcast(s.read.parquet(s"$indexDir/centroids")
+      .select(col("cid").cast("int").as("cell"), col("cv"), col("cn")))
+    val fit = s.read.parquet(s"$indexDir/members")
+      .join(cents, Seq("cell"))
+      .agg(avg(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .collect()(0).getDouble(0)
+    if (fit < minFit) {
+      val (cells, movedN) = retrain(s, indexDir,
+        nCells = s.read.parquet(s"$indexDir/centroids").count().toInt,
+        lloydRounds = lloydRounds)
+      actions += f"retrain: assignment fit $fit%.3f below $minFit%.2f " +
+        s"-> $cells cells rewritten, $movedN members moved"
+    }
+    val (compacted, filesBefore, filesAfter) =
+      compact(s, indexDir, maxFilesPerCell)
+    if (compacted > 0)
+      actions += s"compact: $compacted cells, $filesBefore -> $filesAfter files"
+    actions.toSeq
+  }
+
   /** Compact fragmented cell partitions — the missing maintenance leg of
     * the index lifecycle (build → append → appendStream → compact →
     * query). Every write that touches a cell rewrites it with as many

@@ -275,6 +275,33 @@ class RetrainSpec extends AnyFunSuite {
     assertConverged(x)
   }
 
+  test("maintain detects drift by assignment-fit decay, retrains, and then reports healthy") {
+    import spark.implicits._
+    val idx = tmpDir("graft_ivf_maintain")
+    // the proven drift-decay corpus (first test of this spec): region A
+    // builds the quantizer, drifted region B lands under it, region A
+    // expires — the standing members' own-cell cosine collapses to
+    // jitter (the fit detector's signal) and probed-cell recall decays
+    val regionA = vecs(0L until 80L, id => (id % 16).toInt)
+    IvfIndex.buildFrom(spark, regionA, idx, nCells = 16)
+    val regionB = vecs(1000L until 1100L, id => 32 + (id % 8).toInt)
+    IvfIndex.append(spark, idx, regionB)
+    IvfIndex.delete(spark, idx, regionA.select(col("vec_id")))
+    val queries = vecs(2000L until 2010L, id => 32 + (id % 8).toInt)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+    val before = recallOf(idx, queries, regionB, k = 5)
+    val actions = IvfIndex.maintain(spark, idx)
+    assert(actions.exists(_.startsWith("retrain:")),
+      s"a drift-degraded assignment fit must trigger the adaptive retrain: $actions")
+    val after = recallOf(idx, queries, regionB, k = 5)
+    info(s"recall before=$before after=$after; actions=$actions")
+    assert(before <= 0.6, s"drift scenario not degraded enough: $before")
+    assert(after >= 0.9, s"maintenance must recover recall: $before -> $after")
+    // the re-fit index reports healthy
+    assert(IvfIndex.maintain(spark, idx) === Seq.empty)
+  }
+
   test("build, query, and both retrain modes survive vec_ids above Int.MaxValue") {
     // the 100 TB posture: after heavy retention deletion the smallest
     // LIVE ids can be arbitrarily large — the dense-cid re-keying (not

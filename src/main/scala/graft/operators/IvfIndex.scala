@@ -758,9 +758,12 @@ object IvfIndex {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     val cents = broadcast(s.read.parquet(s"$indexDir/centroids")
       .select(col("cid").cast("int").as("cell"), col("cv"), col("cn")))
+    // coalesce: a fully-deleted index has no members — vacuously fit
+    // (nothing to re-train), not an NPE
     val fit = s.read.parquet(s"$indexDir/members")
       .join(cents, Seq("cell"))
-      .agg(avg(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))))
+      .agg(coalesce(avg(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))),
+        lit(1.0)))
       .collect()(0).getDouble(0)
     if (fit < minFit) {
       val (cells, movedN) = retrain(s, indexDir,

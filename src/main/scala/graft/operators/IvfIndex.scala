@@ -756,6 +756,24 @@ object IvfIndex {
       maxFilesPerCell: Int = 4): Seq[String] = {
     completeRetrainSwap(indexDir)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    // cell count from the partition directories — driver-side, and
+    // readable even when a crashed retrain left centroids/ torn
+    def nCells: Int = Option(new java.io.File(s"$indexDir/members").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cell=")))
+      .getOrElse(0)
+    // a standing in-progress marker means a retrain crashed mid-pass:
+    // the tables may be torn (new quantizer over the old layout — or a
+    // half-written centroids dir) and every query path refuses. The
+    // repair entry point REPLAYS it to convergence FIRST — computing
+    // the fit against that state would be garbage, and reporting a
+    // quiesced index "healthy" worse. Replay parameters need not match
+    // the crashed run's: any retrain converges to a consistent index
+    // and clears the marker.
+    if (new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS").exists()) {
+      val (cells, movedN) = retrain(s, indexDir, nCells, lloydRounds)
+      actions += "retrain-replay: crashed retrain rolled forward " +
+        s"($cells cells rewritten, $movedN members moved)"
+    }
     val cents = broadcast(s.read.parquet(s"$indexDir/centroids")
       .select(col("cid").cast("int").as("cell"), col("cv"), col("cn")))
     // coalesce: a fully-deleted index has no members — vacuously fit
@@ -766,9 +784,7 @@ object IvfIndex {
         lit(1.0)))
       .collect()(0).getDouble(0)
     if (fit < minFit) {
-      val (cells, movedN) = retrain(s, indexDir,
-        nCells = s.read.parquet(s"$indexDir/centroids").count().toInt,
-        lloydRounds = lloydRounds)
+      val (cells, movedN) = retrain(s, indexDir, nCells, lloydRounds)
       actions += f"retrain: assignment fit $fit%.3f below $minFit%.2f " +
         s"-> $cells cells rewritten, $movedN members moved"
     }

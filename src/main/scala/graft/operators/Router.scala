@@ -188,12 +188,9 @@ object Router {
     bm25AutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir))
 
   private[graft] def bm25AutoOn(
-      s: SparkSession, dir: String, pidx: String): DataFrame = {
-    val (totalLen, nSb) = postingsMetaOf(s, pidx)
-    val c = decideBm25(totalLen, sumDfOf(s, pidx, Retrieval.queryTerms), nSb)
-    if (c.leg == "indexed") PostingsIndex.query(s, pidx)
+      s: SparkSession, dir: String, pidx: String): DataFrame =
+    if (bm25ChoiceOf(s, pidx).leg == "indexed") PostingsIndex.query(s, pidx)
     else Retrieval.bm25Topk(s, dir)
-  }
 
   /** `phrase_auto`: shares `phrase_search`'s oracle (all three legs
     * do). */
@@ -201,51 +198,63 @@ object Router {
     phraseAutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir))
 
   private[graft] def phraseAutoOn(
-      s: SparkSession, dir: String, pidx: String): DataFrame = {
-    val terms = Retrieval.gatePhrases.flatten.distinct
-    val (totalLen, nSb) = postingsMetaOf(s, pidx)
-    val c = decidePhrase(
-      new java.io.File(s"$pidx/positions").isDirectory,
-      totalLen, sumDfOf(s, pidx, terms), nSb)
-    c.leg match {
+      s: SparkSession, dir: String, pidx: String): DataFrame =
+    phraseChoiceOf(s, pidx).leg match {
       case "positional" => PostingsIndex.phrasePositionalOn(s, pidx)
       case "indexed"    => PostingsIndex.phraseIndexedOn(s, dir, pidx)
       case _            => Retrieval.phraseSearch(s, dir)
     }
-  }
 
   /** `ann_auto`: shares `ann_ivf`'s oracle. */
   def annAuto(s: SparkSession, dir: String): DataFrame =
     annAutoOn(s, dir, IvfIndex.ensureLifecycleIndex(s, dir))
 
   private[graft] def annAutoOn(
-      s: SparkSession, dir: String, vidx: String): DataFrame = {
-    val (nVec, nCells) = ivfMetaOf(s, vidx)
-    val c = decideAnn(nVec, nCells, nProbe = 2L, jobOverheadTokens(s))
-    if (c.leg == "indexed")
+      s: SparkSession, dir: String, vidx: String): DataFrame =
+    if (annChoiceOf(s, vidx).leg == "indexed")
       IvfIndex.query(s, vidx, IvfIndex.queryBatch(s, dir), nProbe = 2, k = 5)
     else Similarity.annIvf(s, dir)
+
+  // ---- per-family decision builders: the ONE place each family's
+  // stats are gathered and fed to its decider — shared by the `*_auto`
+  // entries and [[explain]], so the operability surface can never
+  // drift from what the autos actually run ----
+
+  private def bm25ChoiceOf(s: SparkSession, pidx: String): Choice = {
+    val (totalLen, nSb) = postingsMetaOf(s, pidx)
+    decideBm25(totalLen, sumDfOf(s, pidx, Retrieval.queryTerms), nSb)
+  }
+
+  private def phraseChoiceOf(s: SparkSession, pidx: String): Choice = {
+    val (totalLen, nSb) = postingsMetaOf(s, pidx)
+    decidePhrase(new java.io.File(s"$pidx/positions").isDirectory, totalLen,
+      sumDfOf(s, pidx, Retrieval.gatePhrases.flatten.distinct), nSb)
+  }
+
+  private def annChoiceOf(s: SparkSession, vidx: String): Choice = {
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    decideAnn(nVec, nCells, nProbe = 2L, jobOverheadTokens(s))
+  }
+
+  private def hybridChoiceOf(
+      s: SparkSession, pidx: String, vidx: String): Choice = {
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    decideHybrid(postingsMetaOf(s, pidx)._1, nVec, nCells, nProbe = 2L,
+      jobOverheadTokens(s))
   }
 
   /** The routing EXPLAIN: one (family, [[Choice]]) row per twin family
     * with the decision the CURRENT stats make and both modeled costs —
     * the operability surface (see why a leg gets picked without running
-    * anything). Bounded metadata probes only, same inputs as the
-    * `*_auto` entries. */
+    * anything). The SAME choice builders the `*_auto` entries run. */
   def explain(s: SparkSession, dir: String): Seq[(String, Choice)] = {
     val pidx = PostingsIndex.ensureLifecycleIndex(s, dir)
     val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
-    val (totalLen, nSb) = postingsMetaOf(s, pidx)
-    val (nVec, nCells) = ivfMetaOf(s, vidx)
-    val ovh = jobOverheadTokens(s)
     Seq(
-      "bm25" -> decideBm25(totalLen,
-        sumDfOf(s, pidx, Retrieval.queryTerms), nSb),
-      "phrase" -> decidePhrase(
-        new java.io.File(s"$pidx/positions").isDirectory, totalLen,
-        sumDfOf(s, pidx, Retrieval.gatePhrases.flatten.distinct), nSb),
-      "ann" -> decideAnn(nVec, nCells, nProbe = 2L, ovh),
-      "hybrid" -> decideHybrid(totalLen, nVec, nCells, nProbe = 2L, ovh))
+      "bm25" -> bm25ChoiceOf(s, pidx),
+      "phrase" -> phraseChoiceOf(s, pidx),
+      "ann" -> annChoiceOf(s, vidx),
+      "hybrid" -> hybridChoiceOf(s, pidx, vidx))
   }
 
   /** `hybrid_auto`: shares `hybrid_rrf_indexed`'s oracle — the scanned
@@ -256,11 +265,8 @@ object Router {
       IvfIndex.ensureLifecycleIndex(s, dir))
 
   private[graft] def hybridAutoOn(
-      s: SparkSession, dir: String, pidx: String, vidx: String): DataFrame = {
-    val (nVec, nCells) = ivfMetaOf(s, vidx)
-    val c = decideHybrid(totalLenOf(s, pidx), nVec, nCells, nProbe = 2L,
-      jobOverheadTokens(s))
-    if (c.leg == "indexed") Retrieval.hybridRrfIndexed(s, dir)
+      s: SparkSession, dir: String, pidx: String, vidx: String): DataFrame =
+    if (hybridChoiceOf(s, pidx, vidx).leg == "indexed")
+      Retrieval.hybridRrfIndexed(s, dir)
     else Retrieval.hybridRrfScanned(s, dir)
-  }
 }

@@ -300,6 +300,19 @@ class RetrainSpec extends AnyFunSuite {
     assert(after >= 0.9, s"maintenance must recover recall: $before -> $after")
     // the re-fit index reports healthy
     assert(IvfIndex.maintain(spark, idx) === Seq.empty)
+
+    // a crashed retrain leaves the quiesce marker standing even when
+    // the tables happen to be consistent (fit healthy) — the repair
+    // entry point must REPLAY it, not report a permanently-quiesced
+    // index as healthy
+    assert(new java.io.File(s"$idx/_GRAFT_RETRAIN_INPROGRESS").createNewFile())
+    intercept[IllegalArgumentException] { IvfIndex.query(spark, idx, queries) }
+    val replay = IvfIndex.maintain(spark, idx)
+    assert(replay.exists(_.startsWith("retrain-replay:")),
+      s"maintain must roll a crashed retrain forward: $replay")
+    assert(!new java.io.File(s"$idx/_GRAFT_RETRAIN_INPROGRESS").exists())
+    assert(recallOf(idx, queries, regionB, k = 5) >= 0.9,
+      "the replayed index must serve correctly")
   }
 
   test("build, query, and both retrain modes survive vec_ids above Int.MaxValue") {

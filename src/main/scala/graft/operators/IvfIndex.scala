@@ -531,7 +531,14 @@ object IvfIndex {
     // marker makes every query path refuse, and a crash leaves it
     // standing so the replay requirement is enforced, not just documented
     val inProgress = new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS")
-    inProgress.createNewFile()
+    // require-checked like IndexVersion.bump's rename: a silently-failed
+    // create voids the serve-refusal guard for the whole incorrect-to-
+    // serve window (the marker exists precisely to make that window
+    // refuse). An ALREADY-standing marker is fine — it means a prior
+    // retrain crashed and this call is its replay, which the protocol
+    // converges.
+    require(inProgress.createNewFile() || inProgress.exists(),
+      s"retrain: could not raise the quiesce marker at $inProgress")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // adaptive codebook (lloydRounds > 0): its own pqK-means over the
     // same drift-following sample as the quantizer; the 0-round mode
@@ -580,7 +587,10 @@ object IvfIndex {
       new java.io.File(staging, "_GRAFT_STAGED").createNewFile()
       completeRetrainSwap(indexDir)
     }
-    inProgress.delete()
+    // a failed delete would leave the index permanently refusing queries
+    // while retrain reports success — the marker's failure dual
+    require(inProgress.delete(),
+      s"retrain: could not clear the quiesce marker at $inProgress")
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     // bump UNCONDITIONALLY: centroids/codebook were rewritten above even

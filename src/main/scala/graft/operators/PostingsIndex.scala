@@ -1135,9 +1135,12 @@ object PostingsIndex {
     phrasePositionalOn(s, ensureLifecycleIndex(s, dir))
 
   /** [[phraseSearchPositional]] against an explicit index — the seam
-    * [[Router.phraseAutoOn]] and the specs use. */
-  private[graft] def phrasePositionalOn(s: SparkSession, idx: String): DataFrame = {
-    val phrases = Retrieval.gatePhrases
+    * [[Router.phraseAutoOn]] and the specs use; `phrases` defaults to
+    * the gate set but the kernel always took a list
+    * ([[Retrieval.phraseHitsOf]]). */
+  private[graft] def phrasePositionalOn(
+      s: SparkSession, idx: String,
+      phrases: Seq[Seq[String]] = Retrieval.gatePhrases): DataFrame = {
     val toks = s.read.parquet(s"$idx/positions")
       .where(col("term").isin(phrases.flatten.distinct: _*))
       .select(col("doc_id"), lit(null).cast("int").as("pid"),
@@ -1192,10 +1195,11 @@ object PostingsIndex {
     phraseIndexedOn(s, dir, ensureLifecycleIndex(s, dir))
 
   /** [[phraseSearchIndexed]] against an explicit index — the seam
-    * [[Router.phraseAutoOn]] and the specs use. */
+    * [[Router.phraseAutoOn]] and the specs use; `phrases` defaults to
+    * the gate set but every stage below was already phrase-driven. */
   private[graft] def phraseIndexedOn(
-      s: SparkSession, dir: String, idx: String): DataFrame = {
-    val phrases = Retrieval.gatePhrases
+      s: SparkSession, dir: String, idx: String,
+      phrases: Seq[Seq[String]] = Retrieval.gatePhrases): DataFrame = {
     val cands = phrases.zipWithIndex.map { case (p, pid) =>
       val mult = p.groupBy(identity).map { case (t, o) => (t, o.size.toLong) }
       val needTf = p.distinct.foldLeft(lit(Long.MaxValue)) { (acc, t) =>

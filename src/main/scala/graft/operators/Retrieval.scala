@@ -193,6 +193,14 @@ object Retrieval {
     bm25Score(tf, stats)
   }
 
+  /** [[bm25Topk]] for a caller-supplied term set — the scan leg of
+    * [[Router.bm25Auto]]'s parameterized overload (the indexed leg,
+    * [[PostingsIndex.query]], always took its terms). */
+  def bm25TopkFor(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
+    val (tf, stats) = bm25TfStatsFor(s, dir, terms)
+    bm25Score(tf, stats)
+  }
+
   /** The full-scan path's (tf, stats) frames — shared by [[bm25Topk]] and
     * the [[bm25Rerank]] cascade so stage 1 of both is the same audited
     * plan. */
@@ -521,20 +529,39 @@ object Retrieval {
     * leg) + nProbe/nCells of the members table (vector leg); each leg
     * emits ≤ queries × legK rows, so fusion cost is independent of corpus
     * size — and both index builds are the amortized pre-paid pass. */
-  def hybridRrfIndexed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def hybridRrfIndexed(s: SparkSession, dir: String): DataFrame =
+    hybridRrfIndexedPred(s, dir, _ < rrfQueries)
+
+  /** [[hybridRrfIndexed]] for a caller-supplied query-entity id set —
+    * [[Router.hybridAuto]]'s parameterized overload (doc_id ≙ vec_id on
+    * this corpus, so one list drives both legs). */
+  def hybridRrfIndexedFor(
+      s: SparkSession, dir: String, queryIds: Seq[Long]): DataFrame =
+    hybridRrfIndexedPred(s, dir,
+      _.isin(queryIds.map(java.lang.Long.valueOf): _*))
+
+  /** `idPred` is applied to the entity id column of EACH leg's source
+    * (doc_id on documents, vec_id on embeddings — the corpus keys them
+    * identically), so one predicate selects the same query entities on
+    * both sides. */
+  private def hybridRrfIndexedPred(
+      s: SparkSession, dir: String,
+      idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val pidx = PostingsIndex.ensureLifecycleIndex(s, dir)
     val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
     val qt = Corpus.documents(s, dir)
-      .where(col("doc_id") < rrfQueries)
+      .where(idPred(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(TextAnalysis.tokensCol(col("text"))).as("term"))
       .where(length(col("term")) > 0)
       .distinct()
+    val qb = Corpus.embeddings(s, dir)
+      .where(idPred(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val lr = PostingsIndex.bm25MoreLikeThis(s, pidx, qt, rrfLegK)
       .withColumnRenamed("r", "lr")
     val vr = IvfIndex
-      .query(s, vidx, IvfIndex.queryBatch(s, dir), nProbe = 2, k = rrfLegK)
+      .query(s, vidx, qb, nProbe = 2, k = rrfLegK)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("vr"))
     rrfFuse(vr, lr, rrfOutK)
@@ -557,10 +584,24 @@ object Retrieval {
     * the vector leg is the inline IVF plan at legK
     * ([[Similarity.annIvfFromK]] — `ann_ivf`'s exact semantics, which is
     * also what the persisted index serves). */
-  def hybridRrfScanned(s: SparkSession, dir: String): DataFrame = {
+  def hybridRrfScanned(s: SparkSession, dir: String): DataFrame =
+    hybridRrfScannedPred(s, dir, None)
+
+  /** [[hybridRrfScanned]] for a caller-supplied query-entity id set —
+    * [[hybridRrfIndexedFor]]'s twin, so [[Router.hybridAuto]]'s
+    * parameterized overload stays route-invisible. */
+  def hybridRrfScannedFor(
+      s: SparkSession, dir: String, queryIds: Seq[Long]): DataFrame =
+    hybridRrfScannedPred(s, dir, Some(queryIds))
+
+  private def hybridRrfScannedPred(
+      s: SparkSession, dir: String, queryIds: Option[Seq[Long]]): DataFrame = {
     import s.implicits._
+    val idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      queryIds.fold[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _ < rrfQueries)(ids => _.isin(ids.map(java.lang.Long.valueOf): _*))
     val qt = Corpus.documents(s, dir)
-      .where(col("doc_id") < rrfQueries)
+      .where(idPred(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(TextAnalysis.tokensCol(col("text"))).as("term"))
       .where(length(col("term")) > 0)
@@ -581,7 +622,17 @@ object Retrieval {
       .bm25ProfileRank(tf, globals, dfT, prof, rrfLegK, excludeSelf = true)
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         col("r").as("lr"))
-    val vr = Similarity.annIvfFromK(Similarity.embFrame(s, dir), rrfLegK)
+    // gate path: the standing one-pass plan (probes reuse the cellScores
+    // frame); caller-ids path: the same inline IVF semantics probed for
+    // exactly those ids' embeddings
+    val vr = queryIds.fold(
+        Similarity.annIvfFromK(Similarity.embFrame(s, dir), rrfLegK)) { ids =>
+        Similarity.annIvfForQueries(s, dir,
+          Corpus.embeddings(s, dir)
+            .where(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          rrfLegK)
+      }
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("int").as("vr"))
     rrfFuse(vr, lr, rrfOutK)
@@ -691,21 +742,31 @@ object Retrieval {
     * matching two slots lands at two DIFFERENT starts, but at the same
     * start it must not double-count a single slot. */
   def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseSearchFor(s, dir, gatePhrases)
+
+  /** [[phraseSearch]] for caller-supplied phrases — the scan leg of
+    * [[Router.phraseAuto]]'s parameterized overload ([[phraseHitsOf]]
+    * always took its phrase list; only the scan-side term filter was
+    * gate-bound). */
+  def phraseSearchFor(
+      s: SparkSession, dir: String, phrases: Seq[Seq[String]]): DataFrame =
     phraseHitsOf(
-      slottedTokens(Corpus.documents(s, dir).select(col("doc_id"), col("text"))),
-      gatePhrases)
+      slottedTokens(
+        Corpus.documents(s, dir).select(col("doc_id"), col("text")), phrases),
+      phrases)
 
   /** The (doc_id, pid, pos, token) stream [[phraseHitsOf]] consumes:
     * pid = null means the row may serve ANY phrase (the full-scan path);
     * the indexed path joins a per-phrase candidate set first and pins
     * pid so a doc is verified only against the phrases it was a
     * candidate for. */
-  private def slottedTokens(docs: DataFrame): DataFrame =
+  private def slottedTokens(
+      docs: DataFrame, phrases: Seq[Seq[String]]): DataFrame =
     docs
       .select(col("doc_id"), lit(null).cast("int").as("pid"),
         posexplode(TextAnalysis.tokensCol(col("text"))))
       .toDF("doc_id", "pid", "pos", "token")
-      .where(col("token").isin(gatePhrases.flatten.distinct: _*))
+      .where(col("token").isin(phrases.flatten.distinct: _*))
 
   /** The slot-verification kernel shared by the full-scan and indexed
     * paths (identical output = shared oracle). */

@@ -78,6 +78,36 @@ object Router {
   private[graft] def jobOverheadTokens(s: SparkSession): Long =
     s.conf.getOption(overheadKey).map(_.toLong).getOrElse(12000L)
 
+  /** The bm25/phrase cost model's machine constants. The DEFAULTS are
+    * measurements from the round-12 crossover campaign on the build
+    * sandbox (Bm25CrossoverProbe + SbSizeProbe — they match the measured
+    * winner at all four probed points including the fragmentation flip);
+    * on different hardware the route near a crossover can flip wrong
+    * (spinning disks: per-partition open ≫ 9 ms), so every constant is
+    * conf-overridable under `spark.graft.router.*` — re-measure with the
+    * two probes and set the confs (BASELINE.md documents the procedure).
+    * The deciders only need cost ORDER, which is why coarse constants
+    * with an override beat a fragile auto-calibration pass. */
+  final case class Costs(
+      scanFixedMs: Long = 800L,   // corpus tokenize pass, fixed
+      indexFixedMs: Long = 450L,  // index probe session, fixed
+      tokenNanos: Long = 300L,    // per scanned+tokenized token
+      sbOpenMs: Long = 9L)        // per superblock partition opened
+
+  private[graft] val measuredCosts = Costs()
+
+  /** The session's effective cost constants: conf override per field,
+    * measured default otherwise. */
+  private[graft] def costsOf(s: SparkSession): Costs = {
+    def c(key: String, dflt: Long): Long =
+      s.conf.getOption(s"spark.graft.router.$key").map(_.toLong).getOrElse(dflt)
+    Costs(
+      scanFixedMs = c("scanFixedMs", measuredCosts.scanFixedMs),
+      indexFixedMs = c("indexFixedMs", measuredCosts.indexFixedMs),
+      tokenNanos = c("tokenNanos", measuredCosts.tokenNanos),
+      sbOpenMs = c("sbOpenMs", measuredCosts.sbOpenMs))
+  }
+
   /** A routing decision: the chosen leg plus both modeled costs (kept
     * for explainability — `reason` renders the comparison; the unit is
     * per-family: milliseconds for bm25/phrase, token-units for
@@ -100,17 +130,17 @@ object Router {
   // vs scan 1.7 s; rebuilt at superBits=8, 13 sbs: 0.5 s). The fix at
   // scale is layout (bigger superblocks / compaction), but the router
   // must be honest about the index that EXISTS.
-  private val scanFixedMs = 800L   // corpus tokenize pass, fixed
-  private val indexFixedMs = 450L  // index probe session, fixed
-  private val tokenNanos = 300L    // per scanned+tokenized token
-  private val sbOpenMs = 9L        // per superblock partition opened
-
   /** BM25: term-pruned postings read (Σ df rows + one file open per
-    * superblock) vs the full corpus tokenize (total_len tokens). */
+    * superblock) vs the full corpus tokenize (total_len tokens). The
+    * constants come in as a [[Costs]] (conf-overridable per session) so
+    * the decider stays a pure function — RouterSpec runs it under
+    * injected constants in both directions. */
   private[graft] def decideBm25(
-      totalLen: Long, sumDf: Long, nSb: Long): Choice = {
-    val scan = scanFixedMs + totalLen * tokenNanos / 1000000L
-    val idx = indexFixedMs + sumDf * tokenNanos / 1000000L + nSb * sbOpenMs
+      totalLen: Long, sumDf: Long, nSb: Long,
+      costs: Costs = measuredCosts): Choice = {
+    val scan = costs.scanFixedMs + totalLen * costs.tokenNanos / 1000000L
+    val idx = costs.indexFixedMs + sumDf * costs.tokenNanos / 1000000L +
+      nSb * costs.sbOpenMs
     Choice(if (idx < scan) "indexed" else "scan", scan, idx)
   }
 
@@ -120,9 +150,9 @@ object Router {
     * the candidate path vs the full scan is the BM25 comparison. */
   private[graft] def decidePhrase(
       hasPositions: Boolean, totalLen: Long, sumDf: Long,
-      nSb: Long): Choice =
+      nSb: Long, costs: Costs = measuredCosts): Choice =
     if (hasPositions) Choice("positional", totalLen, sumDf)
-    else decideBm25(totalLen, sumDf, nSb)
+    else decideBm25(totalLen, sumDf, nSb, costs)
 
   /** ANN: the inline leg re-pays `nVec · nCells` assignment dots every
     * run; the index reads `nProbe/nCells` of the members. */
@@ -180,34 +210,107 @@ object Router {
     (s.read.parquet(s"$vidx/members").count(),
       s.read.parquet(s"$vidx/centroids").count())
 
+  // ---- choice cache: one probe set per index version ----
+
+  /** Routing decisions cached per (family, index dirs + their
+    * [[IndexVersion]] stamps, probe-term set, cost constants). The
+    * probes are 2–4 bounded driver jobs — ~0.5–1.5 s of fixed latency
+    * per `*_auto` call at toy SF (the round-12 verdict's measured
+    * overhead) — and they are pure functions of STORED index stats, so
+    * the version stamp is exactly their invalidation key: every
+    * mutation that changes query-visible data bumps it (the same signal
+    * [[graft.streaming.PinnedIndex]] refreshes on). After the first
+    * call per index version, an auto entry costs its chosen leg alone.
+    * The cost constants ride in the key so a session that re-tunes
+    * `spark.graft.router.*` re-decides instead of serving the old
+    * tuning's choice. */
+  private val choiceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Choice]()
+
+  /** Probe-set executions (cache misses) — spec instrumentation only. */
+  private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicLong
+
+  private def cachedChoice(key: String)(compute: => Choice): Choice = {
+    val hit = choiceCache.get(key)
+    if (hit != null) hit
+    else {
+      // stamp churn bound: every mutation mints a new key; the map holds
+      // tiny Choice rows, but an unbounded ingest loop shouldn't grow it
+      // forever — dropping everything is safe (worst case: one re-probe)
+      if (choiceCache.size > 4096) choiceCache.clear()
+      probeRuns.incrementAndGet()
+      val c = compute
+      choiceCache.putIfAbsent(key, c)
+      c
+    }
+  }
+
+  private def keyOf(
+      s: SparkSession, family: String, params: String,
+      dirs: String*): String =
+    (family +: params +: s"${costsOf(s)}/${jobOverheadTokens(s)}" +:
+      dirs.map(d => s"$d@${IndexVersion.stamp(d)}")).mkString("|")
+
   // ---- routed entry points (oracle-gated as *_auto) ----
 
   /** `bm25_auto`: shares `bm25_topk`'s oracle — identical rows either
     * leg (the twins' standing contract). */
   def bm25Auto(s: SparkSession, dir: String): DataFrame =
-    bm25AutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir))
+    bm25Auto(s, dir, Retrieval.queryTerms)
+
+  /** [[bm25Auto]] for a CALLER-supplied term set — the kernels were
+    * always parameterized ([[PostingsIndex.query]] takes its terms;
+    * [[Retrieval.bm25TopkFor]] is the scan twin's seam); the router
+    * probes Σ df for exactly these terms, so a stopword-heavy query
+    * routes to the scan on the same stats evidence that routes a rare
+    * term set to the index. */
+  def bm25Auto(s: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    bm25AutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir), terms)
 
   private[graft] def bm25AutoOn(
-      s: SparkSession, dir: String, pidx: String): DataFrame =
-    if (bm25ChoiceOf(s, pidx).leg == "indexed") PostingsIndex.query(s, pidx)
-    else Retrieval.bm25Topk(s, dir)
+      s: SparkSession, dir: String, pidx: String,
+      terms: Seq[String] = Retrieval.queryTerms): DataFrame =
+    if (bm25ChoiceOf(s, pidx, terms).leg == "indexed")
+      PostingsIndex.query(s, pidx, terms)
+    else Retrieval.bm25TopkFor(s, dir, terms)
 
   /** `phrase_auto`: shares `phrase_search`'s oracle (all three legs
     * do). */
   def phraseAuto(s: SparkSession, dir: String): DataFrame =
-    phraseAutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir))
+    phraseAuto(s, dir, Retrieval.gatePhrases)
+
+  /** [[phraseAuto]] for CALLER-supplied phrases — Σ df probed over the
+    * phrases' own term set; all three legs take the phrase list. */
+  def phraseAuto(
+      s: SparkSession, dir: String, phrases: Seq[Seq[String]]): DataFrame =
+    phraseAutoOn(s, dir, PostingsIndex.ensureLifecycleIndex(s, dir), phrases)
 
   private[graft] def phraseAutoOn(
-      s: SparkSession, dir: String, pidx: String): DataFrame =
-    phraseChoiceOf(s, pidx).leg match {
-      case "positional" => PostingsIndex.phrasePositionalOn(s, pidx)
-      case "indexed"    => PostingsIndex.phraseIndexedOn(s, dir, pidx)
-      case _            => Retrieval.phraseSearch(s, dir)
+      s: SparkSession, dir: String, pidx: String,
+      phrases: Seq[Seq[String]] = Retrieval.gatePhrases): DataFrame =
+    phraseChoiceOf(s, pidx, phrases).leg match {
+      case "positional" => PostingsIndex.phrasePositionalOn(s, pidx, phrases)
+      case "indexed"    => PostingsIndex.phraseIndexedOn(s, dir, pidx, phrases)
+      case _            => Retrieval.phraseSearchFor(s, dir, phrases)
     }
 
   /** `ann_auto`: shares `ann_ivf`'s oracle. */
   def annAuto(s: SparkSession, dir: String): DataFrame =
     annAutoOn(s, dir, IvfIndex.ensureLifecycleIndex(s, dir))
+
+  /** [[annAuto]] for a CALLER-supplied (query_id, qv) batch: the
+    * indexed leg was always parameterized ([[IvfIndex.query]]); the
+    * scan leg is the inline IVF plan probed for the caller's queries
+    * ([[Similarity.annIvfForQueries]]) — SAME cell semantics either
+    * way, the twin contract that makes the route invisible. The choice
+    * doesn't depend on the batch (both legs' per-query work scales
+    * identically), so the cached decision is reused across batches. */
+  def annAuto(s: SparkSession, dir: String, queries: DataFrame): DataFrame = {
+    val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
+    if (annChoiceOf(s, vidx).leg == "indexed")
+      IvfIndex.query(s, vidx, queries, nProbe = 2, k = 5)
+    else Similarity.annIvfForQueries(s, dir, queries, k = 5)
+  }
 
   private[graft] def annAutoOn(
       s: SparkSession, dir: String, vidx: String): DataFrame =
@@ -220,28 +323,41 @@ object Router {
   // entries and [[explain]], so the operability surface can never
   // drift from what the autos actually run ----
 
-  private def bm25ChoiceOf(s: SparkSession, pidx: String): Choice = {
-    val (totalLen, nSb) = postingsMetaOf(s, pidx)
-    decideBm25(totalLen, sumDfOf(s, pidx, Retrieval.queryTerms), nSb)
+  private def bm25ChoiceOf(
+      s: SparkSession, pidx: String,
+      terms: Seq[String] = Retrieval.queryTerms): Choice =
+    cachedChoice(keyOf(s, "bm25", terms.sorted.mkString(","), pidx)) {
+      val (totalLen, nSb) = postingsMetaOf(s, pidx)
+      decideBm25(totalLen, sumDfOf(s, pidx, terms), nSb, costsOf(s))
+    }
+
+  private def phraseChoiceOf(
+      s: SparkSession, pidx: String,
+      phrases: Seq[Seq[String]] = Retrieval.gatePhrases): Choice = {
+    // the positional payload is filesystem state no stamp tracks (no
+    // operator removes it) — cheap to re-check, so it rides in the key
+    val hasPos = new java.io.File(s"$pidx/positions").isDirectory
+    val pkey = phrases.map(_.mkString(" ")).sorted.mkString(";") + s"#$hasPos"
+    cachedChoice(keyOf(s, "phrase", pkey, pidx)) {
+      val (totalLen, nSb) = postingsMetaOf(s, pidx)
+      decidePhrase(hasPos, totalLen,
+        sumDfOf(s, pidx, phrases.flatten.distinct), nSb, costsOf(s))
+    }
   }
 
-  private def phraseChoiceOf(s: SparkSession, pidx: String): Choice = {
-    val (totalLen, nSb) = postingsMetaOf(s, pidx)
-    decidePhrase(new java.io.File(s"$pidx/positions").isDirectory, totalLen,
-      sumDfOf(s, pidx, Retrieval.gatePhrases.flatten.distinct), nSb)
-  }
-
-  private def annChoiceOf(s: SparkSession, vidx: String): Choice = {
-    val (nVec, nCells) = ivfMetaOf(s, vidx)
-    decideAnn(nVec, nCells, nProbe = 2L, jobOverheadTokens(s))
-  }
+  private def annChoiceOf(s: SparkSession, vidx: String): Choice =
+    cachedChoice(keyOf(s, "ann", "p2", vidx)) {
+      val (nVec, nCells) = ivfMetaOf(s, vidx)
+      decideAnn(nVec, nCells, nProbe = 2L, jobOverheadTokens(s))
+    }
 
   private def hybridChoiceOf(
-      s: SparkSession, pidx: String, vidx: String): Choice = {
-    val (nVec, nCells) = ivfMetaOf(s, vidx)
-    decideHybrid(postingsMetaOf(s, pidx)._1, nVec, nCells, nProbe = 2L,
-      jobOverheadTokens(s))
-  }
+      s: SparkSession, pidx: String, vidx: String): Choice =
+    cachedChoice(keyOf(s, "hybrid", "p2", pidx, vidx)) {
+      val (nVec, nCells) = ivfMetaOf(s, vidx)
+      decideHybrid(postingsMetaOf(s, pidx)._1, nVec, nCells, nProbe = 2L,
+        jobOverheadTokens(s))
+    }
 
   /** The routing EXPLAIN: one (family, [[Choice]]) row per twin family
     * with the decision the CURRENT stats make and both modeled costs —
@@ -263,6 +379,20 @@ object Router {
     hybridAutoOn(s, dir,
       PostingsIndex.ensureLifecycleIndex(s, dir),
       IvfIndex.ensureLifecycleIndex(s, dir))
+
+  /** [[hybridAuto]] for a CALLER-supplied query-entity set (the corpus
+    * keys a document and its embedding identically, so one id list
+    * parameterizes both legs): the MLT profiles come from those docs'
+    * tokens and the vector leg probes those ids' embeddings — both twins
+    * take the same list ([[Retrieval.hybridRrfIndexedFor]] /
+    * [[Retrieval.hybridRrfScannedFor]]), so the route stays invisible. */
+  def hybridAuto(s: SparkSession, dir: String, queryIds: Seq[Long]): DataFrame = {
+    val pidx = PostingsIndex.ensureLifecycleIndex(s, dir)
+    val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
+    if (hybridChoiceOf(s, pidx, vidx).leg == "indexed")
+      Retrieval.hybridRrfIndexedFor(s, dir, queryIds)
+    else Retrieval.hybridRrfScannedFor(s, dir, queryIds)
+  }
 
   private[graft] def hybridAutoOn(
       s: SparkSession, dir: String, pidx: String, vidx: String): DataFrame =

@@ -249,6 +249,44 @@ object Similarity {
     rankBySim(scored, k)
   }
 
+  /** Inline IVF for a CALLER-supplied (query_id, qv) batch — the scan
+    * leg of [[Router.annAuto]]'s parameterized overload and of the
+    * parameterized scanned hybrid twin. Same frozen first-[[nCentroids]]
+    * quantizer, same (score, cid) argmax assignment, same probe ordering
+    * and top-k epilogue as [[annIvf]]; only the probe side changes —
+    * derived for the external queries instead of the first-nQueries
+    * corpus vectors — so this is [[IvfIndex.query]]'s inline counterpart
+    * and the routed pair keeps ONE semantics. */
+  def annIvfForQueries(
+      s: SparkSession, dir: String, queries: DataFrame,
+      k: Int = topK): DataFrame = {
+    val e = embFrame(s, dir)
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cellScores = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cscore"))
+    val assigned = cellScores.groupBy(col("vec_id"))
+      .agg(max(struct(col("cscore"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cell"))
+    val members = e.join(assigned, Seq("vec_id"))
+    val q = queries
+      .select(col("query_id"), vec(col("qv")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cscore"))
+      .withColumn("pr", row_number().over(wq)).where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell"))
+    val scored = members.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    rankBySim(scored, k)
+  }
+
   val annIvfSql: String = annIvfSqlFiltered("TRUE")
 
   /** [[annIvfSql]] with a member-side predicate — `ann_ivf_deleted`'s

@@ -66,6 +66,149 @@ class RouterSpec extends AnyFunSuite {
       nCells = 16L, nProbe = 2L, ovh).leg === "scan")
   }
 
+  test("deciders run under INJECTED cost constants (the conf-override contract)") {
+    // same stats, two machines: on fast disks (sbOpenMs=1) a 300-sb index
+    // still wins; on spinning disks (sbOpenMs=120) the same index loses
+    val stats = (10000000L, 2000L, 300L)
+    assert(Router.decideBm25(stats._1, stats._2, stats._3,
+      Router.Costs(sbOpenMs = 1L)).leg === "indexed")
+    assert(Router.decideBm25(stats._1, stats._2, stats._3,
+      Router.Costs(sbOpenMs = 120L)).leg === "scan")
+    // and the CPU price flips a fixed-cost-dominated comparison: at a
+    // cheap 10 ns/token the 100-sb index's open cost outweighs the
+    // tokenize; at an expensive 2 µs/token the Σ df pruning wins
+    assert(Router.decideBm25(10000000L, 5000000L, 100L,
+      Router.Costs(tokenNanos = 10L)).leg === "scan")
+    assert(Router.decideBm25(10000000L, 5000000L, 100L,
+      Router.Costs(tokenNanos = 2000L)).leg === "indexed")
+  }
+
+  test("cost constants are conf-overridable under spark.graft.router.*") {
+    assert(Router.costsOf(spark) === Router.measuredCosts)
+    spark.conf.set("spark.graft.router.sbOpenMs", "77")
+    spark.conf.set("spark.graft.router.tokenNanos", "11")
+    try {
+      val c = Router.costsOf(spark)
+      assert(c.sbOpenMs === 77L && c.tokenNanos === 11L)
+      // un-overridden fields keep the measured defaults
+      assert(c.scanFixedMs === Router.measuredCosts.scanFixedMs)
+    } finally {
+      spark.conf.unset("spark.graft.router.sbOpenMs")
+      spark.conf.unset("spark.graft.router.tokenNanos")
+    }
+  }
+
+  test("choices are cached per IndexVersion stamp: no re-probe until a mutation bumps it, then the route re-decides and can flip") {
+    import spark.implicits._
+    // index-favoring start: 2000 fat docs, probe terms a sliver
+    val pad = (0 until 39).map(j => s"pad$j").mkString(" ")
+    val dir = writeDocs((0L until 2000L).map(i => (i, s"spark $pad")))
+    val idx = tmpDir("graft_router_cache_idx")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$dir/documents.parquet"), idx, superBits = 2)
+
+    val r0 = Router.probeRuns.get()
+    val p1 = plan(Router.bm25AutoOn(spark, dir, idx))
+    assert(p1.contains("blockstats"), s"fresh stats must route indexed:\n$p1")
+    assert(Router.probeRuns.get() === r0 + 1, "first call probes")
+    plan(Router.bm25AutoOn(spark, dir, idx))
+    assert(Router.probeRuns.get() === r0 + 1,
+      "second call must serve the cached choice — zero probe jobs")
+
+    // stats-flipping mutation: append query-term-only docs at ids spread
+    // across ~200 fresh superblocks (superBits=2 → 1024-doc span each):
+    // Σ df grows toward total_len AND the per-superblock open cost stacks
+    // — the measured fragmentation regime. append() bumps the stamp.
+    val frag = (1L to 200L).map(i =>
+      (i * 1024L, "spark table scan window join"))
+    PostingsIndex.append(spark, idx, frag.toDF("doc_id", "text"))
+    val p2 = plan(Router.bm25AutoOn(spark, dir, idx))
+    assert(Router.probeRuns.get() === r0 + 2,
+      "a stamp bump must invalidate the cached choice")
+    assert(p2.contains("documents.parquet") && !p2.contains("blockstats"),
+      s"the re-probed stats must flip the route to the scan:\n$p2")
+  }
+
+  test("term-parameterized bm25_auto routes the CALLER's terms both ways, rows equal to the matching twin") {
+    // With the measured defaults, terms alone can never flip an
+    // UNFRAGMENTED index to the scan (indexFixed < scanFixed and
+    // Σ df ≤ total_len — honest: the index always wins there); the
+    // term-driven flip lives where fixed costs exceed the scan's, so
+    // this test runs under a conf'd machine profile (slow CPU, pricey
+    // index session) — which also exercises the conf overrides through
+    // the full auto path, cache key included.
+    val pad = (0 until 39).map(j => s"pad$j").mkString(" ")
+    val dir = writeDocs((0L until 2000L).map(i =>
+      (i, if (i % 50 == 0) s"needle $pad" else s"spark $pad")))
+    val idx = tmpDir("graft_router_terms_idx")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$dir/documents.parquet"), idx, superBits = 2)
+    spark.conf.set("spark.graft.router.tokenNanos", "30000")
+    spark.conf.set("spark.graft.router.indexFixedMs", "1500")
+    try {
+      // 'needle': Σ df = 40 → the 2.4 s tokenize dwarfs the index's
+      // 1.5 s fixed cost → indexed
+      val rare = Router.bm25AutoOn(spark, dir, idx, Seq("needle"))
+      val pRare = plan(rare)
+      assert(pRare.contains("blockstats") && !pRare.contains("documents.parquet"),
+        s"a rare term set must route to the index:\n$pRare")
+      val wantRare = Retrieval.bm25TopkFor(spark, dir, Seq("needle")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rare.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sameElements(wantRare), "routed rows must equal the scan twin's")
+
+      // the whole vocabulary: Σ df ≈ total_len — the index prunes
+      // nothing and its fixed cost loses → scan
+      val heavy = (0 until 39).map(j => s"pad$j") :+ "spark"
+      val pHeavy = plan(Router.bm25AutoOn(spark, dir, idx, heavy))
+      assert(pHeavy.contains("documents.parquet") && !pHeavy.contains("blockstats"),
+        s"a corpus-wide term set (Σ df ≈ total_len) must route to the scan:\n$pHeavy")
+    } finally {
+      spark.conf.unset("spark.graft.router.tokenNanos")
+      spark.conf.unset("spark.graft.router.indexFixedMs")
+    }
+  }
+
+  test("parameterized phrase/ann/hybrid autos: caller inputs, twin-equal rows") {
+    import spark.implicits._
+    // phrase: a non-gate phrase on the gate corpus routes positional and
+    // equals the full-scan kernel for the same phrase
+    val phrases = Seq(Seq("scan", "window"))
+    val routed = Router.phraseAuto(spark, sf, phrases)
+    val pPos = plan(routed)
+    assert(pPos.contains("positions") && !pPos.contains("documents.parquet"),
+      s"positions exist → positional leg for caller phrases too:\n$pPos")
+    val want = Retrieval.phraseSearchFor(spark, sf, phrases).collect()
+      .map(r => r.toSeq).sortBy(_.toString)
+    assert(routed.collect().map(_.toSeq).sortBy(_.toString) === want)
+    assert(want.nonEmpty, "the probe phrase must actually occur")
+
+    // ann: an external query batch (non-corpus ids) — routed result equals
+    // the persisted index's answer for the same batch (twin semantics)
+    val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") < 3)
+      .select((col("vec_id") + 1000L).as("query_id"), col("embedding").as("qv"))
+      .localCheckpoint()
+    val vidx = graft.operators.IvfIndex.ensureLifecycleIndex(spark, sf)
+    val got = Router.annAuto(spark, sf, qv).collect().map(_.toSeq).sortBy(_.toString)
+    val twin = IvfIndex.query(spark, vidx, qv, nProbe = 2, k = 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got === twin, "routed ANN must equal the indexed twin for the same batch")
+    assert(got.nonEmpty)
+
+    // hybrid: caller-chosen query entities — routed rows equal the
+    // SCANNED twin's for the same ids (route-invisibility)
+    val ids = Seq(3L, 7L)
+    val hr = Router.hybridAuto(spark, sf, ids).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val hw = Retrieval.hybridRrfScannedFor(spark, sf, ids).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(hr === hw, "parameterized hybrid must be route-invisible")
+    assert(hr.nonEmpty)
+    assert(hr.map(_.head).toSet === ids.map(x => x: Any).toSet,
+      "results must cover exactly the caller's query ids")
+  }
+
   test("the scanned hybrid twin equals the indexed twin row for row") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))

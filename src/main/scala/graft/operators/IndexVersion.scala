@@ -50,6 +50,45 @@ object IndexVersion {
     d.delete(); ()
   }
 
+  private def mutMarker(indexDir: String) =
+    new java.io.File(s"$indexDir/_GRAFT_MUTATION_INPROGRESS")
+
+  /** Raise the mutation-window marker — call BEFORE a mutation's first
+    * write to any query-visible table. Multi-table mutations (a postings
+    * append writes postings, termstats, positions, doclens, blockstats
+    * sequentially) bump the stamp only at the END, so between the first
+    * table write and the bump the index holds MIXED table versions: a
+    * reader that opened frames in that window would serve silently
+    * inconsistent results (new postings scored with old termstats).
+    * [[graft.streaming.PinnedIndex]] refuses to pin while the marker
+    * stands — the generic form of [[IvfIndex.retrain]]'s quiesce
+    * discipline, extended to every mutation.
+    *
+    * An ALREADY-standing marker is a crashed mutation's: this call is
+    * then its replay (every mutation here converges under replay), so
+    * it is accepted, and the marker clears when the replay completes.
+    * Require-checked like [[bump]]: a silently-failed create would void
+    * the torn-window guard. */
+  def beginMutation(indexDir: String): Unit = {
+    new java.io.File(indexDir).mkdirs()
+    val f = mutMarker(indexDir)
+    require(f.createNewFile() || f.exists(),
+      s"could not raise the mutation marker at $f")
+  }
+
+  /** Clear the mutation marker — call AFTER the closing [[bump]], so a
+    * reader that observes no marker also observes the final stamp. A
+    * failed delete would leave readers refusing a healthy index. */
+  def endMutation(indexDir: String): Unit = {
+    val f = mutMarker(indexDir)
+    require(!f.exists() || f.delete(),
+      s"could not clear the mutation marker at $f")
+  }
+
+  /** Is a mutation in flight (or crashed un-replayed)? One file stat. */
+  def mutationInProgress(indexDir: String): Boolean =
+    mutMarker(indexDir).exists()
+
   /** The current stamp, or "" for an index no mutation has bumped yet
     * (a pre-version index behaves exactly as before: pinned frames for
     * the whole session). */

@@ -80,6 +80,8 @@ object IvfIndex {
     // precondition [[retrain]]'s fresh-build-equality contract needs
     val cents = denseCids(e.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn")))
+    // torn-window guard: centroids/codebook/members land sequentially
+    IndexVersion.beginMutation(indexDir)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // PQ codebook, frozen at build exactly like the coarse quantizer:
     // the first pqK vectors' NORMALIZED directions (the deterministic
@@ -95,7 +97,10 @@ object IvfIndex {
       .parquet(s"$indexDir/members")
     val marker = new java.io.File(s"$indexDir/_GRAFT_PQ_OK")
     if (dimOk) marker.createNewFile() else marker.delete()
+    // healthy-reference fit for maintain's self-calibrating drift floor
+    writeFitStats(s, indexDir)
     IndexVersion.bump(indexDir)
+    IndexVersion.endMutation(indexDir)
     val m = s.read.parquet(s"$indexDir/members")
     (m.select(col("cell")).distinct().count(), m.count())
   }
@@ -225,12 +230,16 @@ object IvfIndex {
     val modeKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(modeKey)
     s.conf.set(modeKey, "dynamic")
+    // torn-window guard: the overwrite deletes files a pinned frame may
+    // still reference mid-rewrite
+    IndexVersion.beginMutation(indexDir)
     try merged.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/members")
     finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
     Seq(assigned, merged)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     IndexVersion.bump(indexDir) // refresh signal for serving sessions
+    IndexVersion.endMutation(indexDir)
     (touched.length.toLong, appended)
   }
 
@@ -300,6 +309,35 @@ object IvfIndex {
         e.where(pmod(col("vec_id"), lit(deleteEvery)) === 0)
           .select(col("vec_id")))
       new java.io.File(s"$idx/_GRAFT_DELETED").createNewFile()
+    }
+    query(s, idx, queryBatch(s, dir), nProbe = 2, k = 5)
+  }
+
+  /** Oracle-gated `ann_ivf_resized`: the cell-count adaptation leg
+    * proven end-to-end. The index is built deliberately UNDER-PARTITIONED
+    * (nCells = 4 — the pinned-count failure mode: every probed cell is a
+    * quarter of the corpus); [[maintain]] detects the out-of-band count
+    * against [[targetCells]] (⌈√n⌉ > 4×4 at every gate SF) and resizes
+    * via a [[retrain]] at the target. With `lloydRounds = 0` the resize
+    * uses the deterministic sample rule, so the resized index is
+    * BIT-EQUAL to a fresh build at ⌈√n⌉ cells — which is what lets one
+    * static SQL oracle ([[Similarity.annIvfResizedSql]]: the inline IVF
+    * chain with the cell count as a scalar subquery over the corpus)
+    * gate the result at any scale factor. Probed-cell rows per query
+    * drop from nProbe·n/4 to nProbe·n/⌈√n⌉ ≈ nProbe·√n — the √n growth
+    * law restored (sf0.1: 1000 → 89 rows/query). Cached per corpus
+    * fingerprint like the other lifecycle entries (the whole chain is
+    * deterministic). */
+  def annIvfResized(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong * 31 +
+      Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
+    val idx = s"/tmp/graft_ivfrsz_${java.lang.Long.toHexString(tag)}"
+    if (!new java.io.File(s"$idx/_GRAFT_RESIZED").exists()) {
+      buildFrom(s, Corpus.embeddings(s, dir), idx, nCells = 4)
+      val actions = maintain(s, idx, lloydRounds = 0)
+      require(actions.exists(_.startsWith("resize:")),
+        s"an under-partitioned build must be resized by maintain: $actions")
+      new java.io.File(s"$idx/_GRAFT_RESIZED").createNewFile()
     }
     query(s, idx, queryBatch(s, dir), nProbe = 2, k = 5)
   }
@@ -376,12 +414,15 @@ object IvfIndex {
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(modeKey)
       s.conf.set(modeKey, "dynamic")
+      // torn-window guard: overwrite + empty-cell purge are two steps
+      IndexVersion.beginMutation(indexDir)
       try kept.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/members")
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(kept)
       purgeEmptyCells(indexDir, touched.toSet, live)
       IndexVersion.bump(indexDir) // refresh signal for serving sessions
+      IndexVersion.endMutation(indexDir)
       (touched.length.toLong, removed)
     }
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
@@ -417,16 +458,32 @@ object IvfIndex {
     * nothing and the index converges to exactly the one-shot layout.
     * The stream's only state is the sink checkpoint; index growth is the
     * touched-cell rewrites, never a re-cluster. */
+  /** `maintainEvery` — AUTO-SCHEDULED MAINTENANCE (0 = off): after every
+    * N-th micro-batch's append, run [[maintain]] — resize (cell count vs
+    * ⌈√n⌉), drift re-fit (self-calibrated floor), compact — so a
+    * long-running vector ingest keeps its own index sized and fit with
+    * no operator in the loop ([[PostingsIndex.appendStream]]'s policy at
+    * the cell layout). NOTE the drift check is a full members pass (one
+    * bounded-output aggregate, but it reads every row), so pick a
+    * cadence that amortizes it — every micro-batch is the spec's choice,
+    * not production's. batchId-keyed: a replayed batch re-runs the same
+    * idempotent pass. A retrain triggered here quiesces queries for its
+    * window — serving sessions wait on the mutation marker and re-pin
+    * the re-fit layout at their next trigger. */
   def appendStream(
       s: SparkSession,
       indexDir: String,
       vecs: DataFrame,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      maintainEvery: Int = 0,
+      lloydRounds: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         append(s, indexDir, df.toDF())
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          maintain(s, indexDir, lloydRounds = lloydRounds)
         ()
       }
       .start()
@@ -539,6 +596,9 @@ object IvfIndex {
     // converges.
     require(inProgress.createNewFile() || inProgress.exists(),
       s"retrain: could not raise the quiesce marker at $inProgress")
+    // generic torn-window marker too, so a PinnedIndex session waits (or
+    // refuses with the replay instruction) instead of racing the pass
+    IndexVersion.beginMutation(indexDir)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // adaptive codebook (lloydRounds > 0): its own pqK-means over the
     // same drift-following sample as the quantizer; the 0-round mode
@@ -587,6 +647,9 @@ object IvfIndex {
       new java.io.File(staging, "_GRAFT_STAGED").createNewFile()
       completeRetrainSwap(indexDir)
     }
+    // the re-fit state becomes the new healthy reference (pure function
+    // of the final state — replay-exact like every other retrain write)
+    writeFitStats(s, indexDir)
     // a failed delete would leave the index permanently refusing queries
     // while retrain reports success — the marker's failure dual
     require(inProgress.delete(),
@@ -597,6 +660,7 @@ object IvfIndex {
     // when no member moved (same content, NEW files) — a serving session
     // pinned on the old part files must re-open either way
     IndexVersion.bump(indexDir)
+    IndexVersion.endMutation(indexDir)
     (touched.size.toLong, moved)
   }
 
@@ -655,6 +719,57 @@ object IvfIndex {
     }
     rmDirTree(staging)
   }
+
+  /** Standard IVF sizing: nCells ≈ ⌈√n⌉, so a probed cell holds ~√n
+    * members and per-query indexed I/O scales with √n instead of
+    * linearly — the growth law a PINNED cell count breaks (after a 100×
+    * ingest at 16 cells, every probed cell is 1/16 of a 100×-bigger
+    * table). [[maintain]] detects an out-of-band count against this
+    * target and resizes via [[retrain]] — the vector-side analog of
+    * [[PostingsIndex.rebucket]]. */
+  private[graft] def targetCells(nVec: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(nVec.toDouble)).toLong).toInt
+
+  /** Mean own-cell assignment cosine — the coarse quantizer's fit to the
+    * live member set ([[maintain]]'s drift observable, and the healthy
+    * reference [[buildFrom]]/[[retrain]] store in `fitstats/`). One
+    * bounded pass: members joined to the BROADCAST centroids on the own
+    * cell, never a cross join. A memberless index is vacuously fit
+    * (nothing to re-train), not an NPE. */
+  private[graft] def assignmentFit(s: SparkSession, indexDir: String): Double = {
+    val cents = broadcast(s.read.parquet(s"$indexDir/centroids")
+      .select(col("cid").cast("int").as("cell"), col("cv"), col("cn")))
+    s.read.parquet(s"$indexDir/members")
+      .join(cents, Seq("cell"))
+      .agg(coalesce(avg(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))),
+        lit(1.0)))
+      .collect()(0).getDouble(0)
+  }
+
+  /** Persist the CURRENT fit as the index's healthy reference — written
+    * at build and after every retrain, so [[maintain]]'s drift floor can
+    * self-calibrate per embedding space instead of assuming one absolute
+    * number fits all corpora (an axis-cluster space sits ≈0.99 healthy;
+    * a diffuse real-embedding space may sit at 0.6 — a fixed 0.7 floor
+    * would retrain the latter forever). */
+  private def writeFitStats(s: SparkSession, indexDir: String): Unit = {
+    import s.implicits._
+    Seq(assignmentFit(s, indexDir)).toDF("fit")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/fitstats")
+  }
+
+  /** The stored healthy-reference fit; None for a pre-fitstats index
+    * (falls back to the legacy absolute floor). */
+  private def storedFit(s: SparkSession, indexDir: String): Option[Double] =
+    if (!new java.io.File(s"$indexDir/fitstats").isDirectory) None
+    else s.read.parquet(s"$indexDir/fitstats").collect()
+      .headOption.map(_.getDouble(0))
+
+  /** The self-calibrating drift floor: this fraction of the stored
+    * healthy fit. 0.8 leaves jitter-sized decay alone and catches the
+    * collapse drift actually causes (the drifted gate corpus lands at a
+    * SMALL FRACTION of its build fit — `RetrainSpec`). */
+  private[graft] val relFitFloor = 0.8
 
   /** The quiesce guard [[retrain]]'s marker drives: refuse to serve an
     * index whose quantizer and member layout may disagree. One
@@ -744,24 +859,34 @@ object IvfIndex {
     * jitter even when cell OCCUPANCY stays even — the cluster-scatter
     * failure mode an occupancy detector cannot see. One bounded pass:
     * members joined to the broadcast centroids on the own cell, never a
-    * cross join. Policy:
+    * cross join ([[assignmentFit]]). Policy, in dependency order:
     *
-    *  1. RETRAIN (adaptive Lloyd fit) when the mean fit drops below
-    *     `minFit` — a corpus-dependent floor (axis-cluster gates sit
-    *     ≈0.99 healthy; tune per embedding space), defaulted where the
-    *     drifted gate corpus lands far below and the re-fit far above;
-    *  2. COMPACT cells fragmented past `maxFilesPerCell` — after the
-    *     retrain, so the migration's fresh writes are compacted in the
-    *     same pass.
+    *  1. RESIZE when the standing cell count is out of band against
+    *     [[targetCells]] (≈⌈√n⌉) with 4× hysteresis either way (the
+    *     [[PostingsIndex.maintain]] rebucket discipline pointed at the
+    *     cell layout: the migration is a full-index pass, not worth
+    *     chasing small drift) — one [[retrain]] at the target count
+    *     re-fits the quantizer AND re-partitions, so a resized pass
+    *     skips the separate drift check;
+    *  2. RETRAIN (adaptive Lloyd fit) when the mean fit drops below the
+    *     floor. `minFit = NaN` (default) self-calibrates: the floor is
+    *     [[relFitFloor]] × the `fitstats/` healthy reference stored at
+    *     build/retrain — per-embedding-space, no absolute constant to
+    *     mis-tune (an axis-cluster space sits ≈0.99 healthy, a diffuse
+    *     one may sit at 0.6; a pre-fitstats index falls back to the
+    *     legacy 0.7). Pass an explicit `minFit` to pin an absolute
+    *     floor;
+    *  3. COMPACT cells fragmented past `maxFilesPerCell` — after any
+    *     migration, so its fresh writes are compacted in the same pass.
     *
-    * Both steps carry their own crash protocols (staged swap / dynamic
+    * Every step carries its own crash protocol (staged swap / dynamic
     * overwrite), so the pass needs no transaction; re-runs converge and
     * a healthy index reports an empty action log. SERVING QUIESCE:
-    * step 1 is [[retrain]], whose in-progress window refuses queries —
-    * schedule like any retrain. Returns the action log. */
+    * steps 1–2 are [[retrain]], whose in-progress window refuses
+    * queries — schedule like any retrain. Returns the action log. */
   def maintain(
       s: SparkSession, indexDir: String,
-      minFit: Double = 0.7,
+      minFit: Double = Double.NaN,
       lloydRounds: Int = 5,
       maxFilesPerCell: Int = 4): Seq[String] = {
     completeRetrainSwap(indexDir)
@@ -784,19 +909,28 @@ object IvfIndex {
       actions += "retrain-replay: crashed retrain rolled forward " +
         s"($cells cells rewritten, $movedN members moved)"
     }
-    val cents = broadcast(s.read.parquet(s"$indexDir/centroids")
-      .select(col("cid").cast("int").as("cell"), col("cv"), col("cn")))
-    // coalesce: a fully-deleted index has no members — vacuously fit
-    // (nothing to re-train), not an NPE
-    val fit = s.read.parquet(s"$indexDir/members")
-      .join(cents, Seq("cell"))
-      .agg(coalesce(avg(dot(col("v"), col("cv")) / (col("nrm") * col("cn"))),
-        lit(1.0)))
-      .collect()(0).getDouble(0)
-    if (fit < minFit) {
-      val (cells, movedN) = retrain(s, indexDir, nCells, lloydRounds)
-      actions += f"retrain: assignment fit $fit%.3f below $minFit%.2f " +
-        s"-> $cells cells rewritten, $movedN members moved"
+    // parquet footer row count — no data pages read
+    val nVec = s.read.parquet(s"$indexDir/members").count()
+    val standing = nCells
+    val ideal = targetCells(nVec)
+    // nVec > 0: a fully-deleted index is vacuously healthy (nothing to
+    // partition or re-train — the r12 guard); never "resize" an empty
+    // member set
+    if (nVec > 0 && standing > 0 &&
+        (ideal > 4L * standing || ideal * 4L < standing)) {
+      val (cells, movedN) = retrain(s, indexDir, ideal, lloydRounds)
+      actions += s"resize: nCells $standing -> $ideal for $nVec vectors " +
+        s"($cells cells rewritten, $movedN members moved)"
+    } else {
+      val floor =
+        if (!minFit.isNaN) minFit
+        else storedFit(s, indexDir).map(_ * relFitFloor).getOrElse(0.7)
+      val fit = assignmentFit(s, indexDir)
+      if (fit < floor) {
+        val (cells, movedN) = retrain(s, indexDir, standing, lloydRounds)
+        actions += f"retrain: assignment fit $fit%.3f below $floor%.3f " +
+          s"-> $cells cells rewritten, $movedN members moved"
+      }
     }
     val (compacted, filesBefore, filesAfter) =
       compact(s, indexDir, maxFilesPerCell)
@@ -847,6 +981,8 @@ object IvfIndex {
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(modeKey)
       s.conf.set(modeKey, "dynamic")
+      // torn-window guard: the rewrite deletes pinned frames' files
+      IndexVersion.beginMutation(indexDir)
       try merged.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/members")
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
@@ -855,6 +991,7 @@ object IvfIndex {
       // refresh signal: a pinned serving frame would otherwise keep
       // referencing the very files the compaction just deleted
       IndexVersion.bump(indexDir)
+      IndexVersion.endMutation(indexDir)
       (frag.size.toLong, before, after)
     }
   }

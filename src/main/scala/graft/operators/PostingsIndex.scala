@@ -147,6 +147,9 @@ object PostingsIndex {
       superBits: Int = defaultSuperBits): (Long, Long) = {
     import s.implicits._
     val state = stateWithSb(docs, superBits).localCheckpoint()
+    // torn-window guard: tables land sequentially; a serving session must
+    // not pin between the first write and the closing bump
+    IndexVersion.beginMutation(indexDir)
     writePartitioned(state, s"$indexDir/postings", dynamic = false)
     writePartitioned(termStatsOf(state), s"$indexDir/termstats",
       dynamic = false)
@@ -160,6 +163,7 @@ object PostingsIndex {
     Seq(superBits.toLong).toDF("super_bits")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     IndexVersion.bump(indexDir)
+    IndexVersion.endMutation(indexDir)
     val p = s.read.parquet(s"$indexDir/postings")
     (p.select(col("sb")).distinct().count(), p.count())
   }
@@ -215,6 +219,9 @@ object PostingsIndex {
         // EAGER: three consumers (postings write, termstats re-derivation)
         // and the write replaces files the merge read
         .localCheckpoint()
+      // torn-window guard: five sequential table writes follow — a
+      // serving pin in between would mix postings/termstats versions
+      IndexVersion.beginMutation(indexDir)
       writePartitioned(merged, s"$indexDir/postings", dynamic = true)
       // touched superblocks' term bounds, re-derived from the postings
       // rows now standing — pure derivation, so a crash-and-retry
@@ -254,6 +261,7 @@ object PostingsIndex {
       writePartitioned(statsMerged, s"$indexDir/blockstats", dynamic = true)
       val nb = batchStats.agg(sum(col("n_docs"))).collect()(0).getLong(0)
       IndexVersion.bump(indexDir) // refresh signal for serving sessions
+      IndexVersion.endMutation(indexDir)
       (nb, touched.length.toLong)
     }
   }
@@ -266,16 +274,35 @@ object PostingsIndex {
     * stored watermark), so the index converges to exactly the one-shot
     * layout. The stream's only state is the sink checkpoint; index
     * growth is the touched-tail-partition rewrites. */
+  /** `maintainEvery` — AUTO-SCHEDULED MAINTENANCE (0 = off): after every
+    * N-th micro-batch's append, run [[maintain]] with the given policy
+    * knobs, so a long-running ingest keeps its own layout healthy — the
+    * fragmentation the stream itself causes (hot-tail small files every
+    * trigger; superblock count outgrowing a superBits sized for the
+    * bootstrap corpus) is detected and repaired by the stats the
+    * maintenance pass already reads, with no operator in the loop. The
+    * cadence is batchId-keyed, so a replayed micro-batch re-runs the
+    * same (idempotent, crash-protocol'd) pass and converges. A healthy
+    * index pays one bounded blockstats aggregate plus driver-side
+    * directory listings per scheduled pass. Serving sessions ride the
+    * mutation markers: a rebucket's whole-tree swap is waited out by
+    * [[graft.streaming.PinnedIndex]] and the new layout is picked up at
+    * the next trigger — no restart (`StreamAutoMaintainSpec`). */
   def appendStream(
       s: SparkSession,
       indexDir: String,
       docs: DataFrame,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      maintainEvery: Int = 0,
+      targetSbs: Int = 32,
+      maxFilesPerSb: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         append(s, indexDir, df.toDF())
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+          maintain(s, indexDir, targetSbs, maxFilesPerSb)
         ()
       }
       .start()
@@ -372,6 +399,9 @@ object PostingsIndex {
       s"$indexDir/doclens" -> Seq("doc_id"),
       s"$indexDir/termstats" -> Seq("term"))
       .filter { case (p, _) => new java.io.File(p).isDirectory }
+    // torn-window guard around the per-table rewrites; a no-op compact
+    // raises and clears the marker with no bump — readers see no change
+    IndexVersion.beginMutation(indexDir)
     val out = dirs.map { case (p, sc) => compactDir(p, sc) }
       .foldLeft((0L, 0L, 0L)) {
         case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
@@ -379,6 +409,7 @@ object PostingsIndex {
     // refresh signal: a pinned serving frame would otherwise keep
     // referencing the very files the compaction just deleted
     if (out._1 > 0) IndexVersion.bump(indexDir)
+    IndexVersion.endMutation(indexDir)
     out
   }
 
@@ -693,6 +724,8 @@ object PostingsIndex {
       val after = kept.select(explode(col("plist"))).count()
       val liveSbs = kept.select(col("sb")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // torn-window guard: four sequential table rewrites follow
+      IndexVersion.beginMutation(indexDir)
       writePartitioned(kept, s"$indexDir/postings", dynamic = true)
       writePartitioned(termStatsOf(kept), s"$indexDir/termstats",
         dynamic = true)
@@ -733,6 +766,7 @@ object PostingsIndex {
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(statsNew)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(del)
       IndexVersion.bump(indexDir) // refresh signal for serving sessions
+      IndexVersion.endMutation(indexDir)
       (touched.length.toLong, before - after)
     }
   }

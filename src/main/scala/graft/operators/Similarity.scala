@@ -298,13 +298,30 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= $topK""".stripMargin
 
+  /** `ann_ivf_resized`'s oracle: the SAME inline-IVF chain with the cell
+    * count computed from the corpus itself — ceil(√n), the standard IVF
+    * sizing [[IvfIndex.targetCells]] resizes to — so one static SQL
+    * string gates the resized index at every scale factor. */
+  val annIvfResizedSql: String =
+    s"""WITH ${annIvfCtesSqlAt(
+        "SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e", "TRUE")}
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= $topK""".stripMargin
+
   /** The IVF chain through `ranked` (ALL ranks) as a bare CTE list — the
     * seam `hybrid_rrf_indexed`'s oracle splices its own leg cut and
     * fusion onto, so the vector-leg semantics cannot drift from
     * `ann_ivf`'s. */
   private[graft] def annIvfCtesSql(memberPred: String): String =
+    annIvfCtesSqlAt(nCentroids.toString, memberPred)
+
+  /** [[annIvfCtesSql]] with the centroid COUNT as a SQL expression — the
+    * resized oracle's seam (the count becomes a scalar subquery over the
+    * corpus). */
+  private[graft] def annIvfCtesSqlAt(
+      centsCountSql: String, memberPred: String): String =
     s"""e AS ($sqlVecs),
-       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < $nCentroids),
+       |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < ($centsCountSql)),
        |cellscores AS (
        |  SELECT e.vec_id, e.v, e.nrm, c.cid,
        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * c.cv[i])) / (e.nrm * c.cn) AS cscore

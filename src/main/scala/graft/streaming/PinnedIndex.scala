@@ -9,36 +9,84 @@ import graft.operators.IndexVersion
   * [[StreamBm25Serve]], [[StreamHybridServe]]). A `DataFrame` carries
   * its resolved file index, so pinning the frames skips the per-trigger
   * directory re-listing (a metadata storm at production partition
-  * counts); [[refreshIfStale]] stats ONE file (the mutation-bumped
-  * [[IndexVersion]] stamp) per trigger and re-opens the frames only
-  * when it moved — an append/delete/compact/retrain becomes visible at
-  * the next trigger without restarting the query, and an unchanged
-  * index never pays a re-listing. `onRefresh` runs BEFORE the re-open
-  * (the seam the IVF loops use to re-check the retrain quiesce marker,
-  * so a refresh never lands on a torn layout).
+  * counts); [[refreshIfStale]] stats TWO files per trigger (the
+  * mutation-bumped [[IndexVersion]] stamp and the mutation-window
+  * marker) and re-opens the frames only when something moved — an
+  * append/delete/compact/retrain becomes visible at the next trigger
+  * without restarting the query, and an unchanged index never pays a
+  * re-listing. `onRefresh` runs BEFORE the re-open (the seam the IVF
+  * loops use to re-check the retrain quiesce marker, so a refresh never
+  * lands on a torn layout).
+  *
+  * TORN-SNAPSHOT GUARD: multi-table mutations write their tables
+  * sequentially and bump the stamp only at the end, so a pin that
+  * overlaps an in-flight mutation could open NEW postings with OLD
+  * termstats and serve silently inconsistent scores. Every mutation now
+  * brackets itself with [[IndexVersion.beginMutation]]/`endMutation`;
+  * the pin path (a) WAITS while the marker stands or the index path is
+  * briefly absent (a rebucket's whole-tree swap removes it between two
+  * renames), up to `spark.graft.serve.mutationWaitMs` (default 30 s —
+  * mutations at serving granularity are rename- or rewrite-speed;
+  * anything longer is a crashed mutation that must be REPLAYED, and the
+  * pin refuses loudly with that instruction rather than serving torn
+  * tables), and (b) VALIDATES after listing that neither the marker nor
+  * the stamp moved while it listed — a mutation racing the open forces
+  * a bounded re-pin instead of a mixed snapshot.
   *
   * Single-threaded by design: foreachBatch callbacks run sequentially
   * on the stream execution thread, the only caller. */
-private[streaming] final class PinnedIndex(
+private[graft] final class PinnedIndex(
     s: SparkSession, indexDir: String, tables: Seq[String],
     onRefresh: () => Unit = () => ()) {
 
-  private var stamp = IndexVersion.stamp(indexDir)
-  private var frames = open()
+  private def waitMs: Long =
+    s.conf.getOption("spark.graft.serve.mutationWaitMs")
+      .map(_.toLong).getOrElse(30000L)
 
-  private def open(): Map[String, DataFrame] =
-    tables.map(t => t -> s.read.parquet(s"$indexDir/$t")).toMap
+  /** Block until the index is consistent to open: path present and no
+    * mutation marker standing. */
+  private def awaitConsistent(): Unit = {
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    while (IndexVersion.mutationInProgress(indexDir) ||
+        !new java.io.File(indexDir).isDirectory) {
+      require(System.nanoTime() < deadline,
+        s"$indexDir is still mid-mutation (or its path absent) after " +
+          s"$waitMs ms: a mutation is in flight or crashed — replay it " +
+          "to completion; pinning now could mix table versions")
+      Thread.sleep(50L)
+    }
+  }
+
+  /** One consistent (stamp, frames) snapshot, validated against racing
+    * mutations. */
+  private def pin(runHook: Boolean): (String, Map[String, DataFrame]) = {
+    var attempts = 0
+    while (attempts < 100) {
+      awaitConsistent()
+      val cur = IndexVersion.stamp(indexDir)
+      if (runHook) onRefresh()
+      val fresh = tables.map(t => t -> s.read.parquet(s"$indexDir/$t")).toMap
+      if (!IndexVersion.mutationInProgress(indexDir) &&
+          IndexVersion.stamp(indexDir) == cur)
+        return (cur, fresh)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"$indexDir: mutations outpaced 100 pin attempts")
+  }
+
+  private var (stamp, frames) = pin(runHook = false)
 
   /** The pinned frame for `table`. */
   def apply(table: String): DataFrame = frames(table)
 
-  /** Per-trigger staleness check: one file stat; re-open on change. */
-  def refreshIfStale(): Unit = {
-    val cur = IndexVersion.stamp(indexDir)
-    if (cur != stamp) {
-      onRefresh()
-      frames = open()
-      stamp = cur
+  /** Per-trigger staleness check: two file stats on the fast path;
+    * re-pin (waiting out any mutation window) on change. */
+  def refreshIfStale(): Unit =
+    if (IndexVersion.mutationInProgress(indexDir) ||
+        IndexVersion.stamp(indexDir) != stamp) {
+      val (st, fr) = pin(runHook = true)
+      stamp = st
+      frames = fr
     }
-  }
 }

@@ -315,6 +315,80 @@ class RetrainSpec extends AnyFunSuite {
       "the replayed index must serve correctly")
   }
 
+  /** nProbe·nVec/nCells — the indexed path's per-query candidate I/O. */
+  private def probedRowsPerQuery(idx: String, nProbe: Int = 2): Double = {
+    val nVec = spark.read.parquet(s"$idx/members").count().toDouble
+    val nCells = spark.read.parquet(s"$idx/centroids").count().toDouble
+    nProbe * nVec / nCells
+  }
+
+  test("maintain resizes an under-partitioned index to ~sqrt(n) cells: recall recovers, probed rows/query drop ~4x") {
+    val idx = tmpDir("graft_ivf_resize")
+    // built when the corpus was small (45 vectors, 16 cells — in band),
+    // then grown 100× under the frozen quantizer and count. 64 true
+    // clusters; the 16 build-time centroids cover only clusters 0..15,
+    // so the growth's other 48 clusters scatter by jitter — AND every
+    // probed cell is 1/16 of a 100×-bigger members table.
+    IvfIndex.buildFrom(spark, vecs(0L until 45L, id => (id % 64).toInt),
+      idx, nCells = 16)
+    IvfIndex.append(spark, idx, vecs(45L until 4500L, id => (id % 64).toInt))
+    val corpus = vecs(0L until 4500L, id => (id % 64).toInt)
+    val queries = vecs(10000L until 10010L, id => (id % 64).toInt)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+    val before = recallOf(idx, queries, corpus, k = 5)
+    val rowsBefore = probedRowsPerQuery(idx)
+    val actions = IvfIndex.maintain(spark, idx)
+    assert(actions.exists(_.startsWith("resize:")),
+      s"an out-of-band cell count must trigger the resize: $actions")
+    val nCellsAfter = spark.read.parquet(s"$idx/centroids").count()
+    assert(nCellsAfter === IvfIndex.targetCells(4500L).toLong,
+      "the resize must land on the sqrt(n) target")
+    val after = recallOf(idx, queries, corpus, k = 5)
+    val rowsAfter = probedRowsPerQuery(idx)
+    info(f"recall $before%.2f -> $after%.2f; probed rows/query " +
+      f"$rowsBefore%.0f -> $rowsAfter%.0f")
+    assert(rowsAfter * 3 <= rowsBefore,
+      "per-query candidate I/O must drop ~nCellsNew/nCellsOld")
+    assert(after >= before - 0.05 && after >= 0.9,
+      s"recall must be preserved (and here recovered): $before -> $after")
+    // the resized index is in band and freshly fit: healthy
+    assert(IvfIndex.maintain(spark, idx) === Seq.empty)
+  }
+
+  test("the drift floor self-calibrates to the embedding space: a DIFFUSE healthy space below the old absolute 0.7 stays untouched") {
+    // every vector: its cluster axis + noise of comparable magnitude —
+    // a space whose HEALTHY own-cell cosine sits ~0.5-0.65. The legacy
+    // absolute floor (0.7) would re-train this index forever, each pass
+    // finding the same "bad" fit; the fitstats-calibrated floor
+    // (relFitFloor x fit-at-build) reports it healthy.
+    import spark.implicits._
+    val diffuse = (0L until 160L).map { id =>
+      val a = (id % 16).toInt
+      val v = Array.tabulate(64) { d =>
+        (if (d == a) 1.0 else 0.0) +
+          0.44 * ((((id + 3) * 131 + d * 17) % 13).toDouble / 13.0 - 0.5)
+      }
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val idx = tmpDir("graft_ivf_diffuse")
+    IvfIndex.buildFrom(spark, diffuse, idx, nCells = 16)
+    val fit = IvfIndex.assignmentFit(spark, idx)
+    assert(fit < 0.7 && fit > 0.3,
+      s"test corpus must sit below the legacy absolute floor: $fit")
+    // self-calibrating default: healthy — no retrain
+    val auto = IvfIndex.maintain(spark, idx)
+    assert(!auto.exists(_.startsWith("retrain")),
+      s"a healthy diffuse space must not re-train under the " +
+        s"self-calibrated floor: $auto")
+    // the documented footgun, still available explicitly: an absolute
+    // 0.7 floor re-trains it (and would again every pass)
+    val pinned = IvfIndex.maintain(spark, idx, minFit = 0.7)
+    assert(pinned.exists(_.startsWith("retrain")),
+      s"an explicit absolute floor above the space's healthy fit " +
+        s"re-trains: $pinned")
+  }
+
   test("build, query, and both retrain modes survive vec_ids above Int.MaxValue") {
     // the 100 TB posture: after heavy retention deletion the smallest
     // LIVE ids can be arbitrarily large — the dense-cid re-keying (not

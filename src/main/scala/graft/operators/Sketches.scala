@@ -679,6 +679,218 @@ object Sketches {
        |  min_num, max_num, min_str, max_str
        |FROM ($tableStatsSql) t""".stripMargin
 
+  // ------------------------------------------------------------------
+  // PERSISTED ANALYZE state (round 13 — the incremental family's
+  // production shape): a state DIRECTORY a warehouse keeps between
+  // nightly merges —
+  //   registers/  per-(col_name, bucket) running count + HLL register max
+  //   bounds/     per-column typed min/max
+  //   meta/       the pinned HASH MODE + the ingest watermark
+  //
+  // The hash mode is STATE metadata, not a session conf: registers from
+  // different hash spaces max-merge into silent garbage, so every merge
+  // hashes its batch under the mode stored in the state — whatever
+  // `spark.graft.analyze.hashMode` says that day. Moving a deployment to
+  // the fast hash is therefore a REBUILD ([[statsStateMigrate]]):
+  // registers are lossy projections of the hashed values and cannot be
+  // re-hashed, so the migration rescans the corpus once under the new
+  // mode — after which merges continue under the new pinned mode, fast.
+  //
+  // Replay safety: the meta watermark (max l_orderkey absorbed —
+  // lineitem ingest is append-only on the key, the [[statsCut]]
+  // discipline) drops already-absorbed rows from a redelivered batch,
+  // and every mutation commits through a WHOLE-DIRECTORY staged swap
+  // ([[PostingsIndex.rebucket]]'s protocol at state scope): the complete
+  // new state lands at `<dir>.next` + READY marker, then swaps by
+  // renames. A partial in-place overwrite could not be made convergent —
+  // a crash between the registers and watermark writes would double the
+  // batch's counts on replay.
+
+  private val stateReady = "_GRAFT_STATE_READY"
+
+  /** Roll a crashed state swap forward/back — [[PostingsIndex
+    * .recoverRebucket]]'s branches at state scope; every path
+    * idempotent. Runs at the head of every state read or mutation. */
+  private def recoverStateSwap(stateDir: String): Unit = {
+    val idx = new java.io.File(stateDir)
+    val next = new java.io.File(s"$stateDir.next")
+    val old = new java.io.File(s"$stateDir.old")
+    def ready = new java.io.File(next, stateReady).exists()
+    def rm(d: java.io.File): Unit = IndexVersion.rmDirTree(d)
+    if (idx.isDirectory) {
+      if (next.isDirectory && ready) {
+        rm(old)
+        require(idx.renameTo(old), s"state recovery: could not park $stateDir")
+        require(next.renameTo(idx), s"state recovery: could not install $stateDir")
+        new java.io.File(s"$stateDir/$stateReady").delete()
+      } else rm(next)
+      rm(old)
+    } else if (next.isDirectory && ready) {
+      require(next.renameTo(idx), s"state recovery: could not install $stateDir")
+      new java.io.File(s"$stateDir/$stateReady").delete()
+      rm(old)
+    } else if (old.isDirectory) {
+      require(old.renameTo(idx), s"state recovery: could not restore $stateDir")
+      rm(next)
+    }
+  }
+
+  /** The per-(col_name, bucket) register state of a lineitem slice under
+    * an EXPLICIT hash mode — [[statsStateOf]] generalized over the two
+    * register derivations. Bucket is a string in both modes (hex for
+    * md5, decimal for xxhash64) so one state schema carries either. */
+  private def stateRegistersOf(li: DataFrame, mode: String): DataFrame = {
+    val fast = mode == "xxhash64"
+    val h =
+      if (fast) when(col("v").isNotNull, xxhash64(col("v")))
+      else when(col("v").isNotNull, hllHash(col("v")))
+    val hashed = stackedOf(li).select(col("col_name"), h.as("h"))
+    val bucket =
+      if (fast) fastBucketOfHash(col("h")).cast("string")
+      else hllBucketOfHash(col("h"))
+    val rho = if (fast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
+    hashed.select(col("col_name"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("rho")).as("max_rho"))
+  }
+
+  private def writeStateTo(
+      s: SparkSession, li: DataFrame, dir: String, mode: String,
+      wm: Long): Unit = {
+    import s.implicits._
+    stateRegistersOf(li, mode).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/registers")
+    statsBoundsOf(li).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/bounds")
+    Seq((mode, wm)).toDF("hash_mode", "wm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def stateMeta(s: SparkSession, stateDir: String): (String, Long) = {
+    val r = s.read.parquet(s"$stateDir/meta").collect()(0)
+    (r.getString(0), r.getLong(1))
+  }
+
+  /** Create the persisted state from a lineitem slice. `mode` pins the
+    * hash space for the state's whole life (every future merge uses it);
+    * md5 is the oracle-exact default, `"xxhash64"` the production-fast
+    * one ([[hashModeKey]]'s values). */
+  def statsStateBuild(
+      s: SparkSession, li: DataFrame, stateDir: String,
+      mode: String = "md5"): Unit = {
+    require(mode == "md5" || mode == "xxhash64", s"unknown hash mode $mode")
+    recoverStateSwap(stateDir)
+    val wm = li.agg(coalesce(max(col("l_orderkey")), lit(-1L)))
+      .collect()(0).getLong(0)
+    val next = new java.io.File(s"$stateDir.next")
+    IndexVersion.rmDirTree(next)
+    writeStateTo(s, li, next.getPath, mode, wm)
+    require(new java.io.File(next, stateReady).createNewFile(),
+      s"could not commit the staged state at $next")
+    recoverStateSwap(stateDir) // the committed swap installs it
+  }
+
+  /** Absorb an ingest batch: registers max-merge, counts sum, bounds
+    * min/max — under the STATE's pinned mode, behind the watermark
+    * replay guard, through the staged swap. A redelivered batch merges
+    * nothing; a crashed merge is replayed by the next call (the swap
+    * either never committed — recomputed — or rolls forward). */
+  def statsStateMerge(
+      s: SparkSession, stateDir: String, batch: DataFrame): Long = {
+    recoverStateSwap(stateDir)
+    val (mode, wm) = stateMeta(s, stateDir)
+    val fresh = batch.where(col("l_orderkey") > wm).localCheckpoint()
+    val n = fresh.count()
+    if (n == 0L) {
+      org.apache.spark.sql.graft.Bridge.releaseCheckpoint(fresh)
+      return 0L
+    }
+    val newWm = fresh.agg(max(col("l_orderkey"))).collect()(0).getLong(0)
+    val regs = s.read.parquet(s"$stateDir/registers")
+      .unionByName(stateRegistersOf(fresh, mode))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("max_rho")).as("max_rho"))
+    val bounds = s.read.parquet(s"$stateDir/bounds")
+      .unionByName(statsBoundsOf(fresh))
+      .groupBy(col("col_name"))
+      .agg(min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+    val next = new java.io.File(s"$stateDir.next")
+    IndexVersion.rmDirTree(next)
+    regs.coalesce(1).write.parquet(s"${next.getPath}/registers")
+    bounds.coalesce(1).write.parquet(s"${next.getPath}/bounds")
+    import s.implicits._
+    Seq((mode, math.max(wm, newWm))).toDF("hash_mode", "wm")
+      .coalesce(1).write.parquet(s"${next.getPath}/meta")
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(fresh)
+    require(new java.io.File(next, stateReady).createNewFile(),
+      s"could not commit the staged state at $next")
+    recoverStateSwap(stateDir)
+    n
+  }
+
+  /** Finalize the state into the mergeable stats shape — the SAME
+    * estimator expression every ANALYZE path uses. */
+  def statsStateFinalize(s: SparkSession, stateDir: String): DataFrame = {
+    recoverStateSwap(stateDir)
+    val regs = s.read.parquet(s"$stateDir/registers")
+    val s0 = sum(when(col("bucket").isNotNull, pow(lit(2.0), -col("max_rho"))))
+    val nb = sum(when(col("bucket").isNotNull, 1L).otherwise(0L))
+    val base = regs.groupBy(col("col_name")).agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("bucket").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+      s0.as("s0"), nb.as("nb"))
+    finalizeStatsCols(
+      base.join(broadcast(s.read.parquet(s"$stateDir/bounds")), Seq("col_name")))
+  }
+
+  /** Move a standing state to a different hash mode: ONE corpus rescan
+    * under the new mode (registers cannot be re-hashed — they are lossy),
+    * committed through the same staged swap, watermark preserved. The
+    * non-sketch columns (n_rows, n_nulls, bounds) are exact either way
+    * and must come out bit-identical; ndv_est changes hash space and is
+    * gated on accuracy against the exact NDV (`StatsStateSpec`, the
+    * FastAnalyzeSpec discipline). After the swap, every future merge
+    * runs under the new pinned mode. */
+  def statsStateMigrate(
+      s: SparkSession, corpus: DataFrame, stateDir: String,
+      newMode: String): Unit = {
+    require(newMode == "md5" || newMode == "xxhash64",
+      s"unknown hash mode $newMode")
+    recoverStateSwap(stateDir)
+    val (_, wm) = stateMeta(s, stateDir)
+    // the rebuild absorbs exactly what the state had absorbed: the
+    // corpus AT the stored watermark (append-only key discipline)
+    val next = new java.io.File(s"$stateDir.next")
+    IndexVersion.rmDirTree(next)
+    writeStateTo(s, corpus.where(col("l_orderkey") <= wm), next.getPath,
+      newMode, wm)
+    require(new java.io.File(next, stateReady).createNewFile(),
+      s"could not commit the staged state at $next")
+    recoverStateSwap(stateDir)
+  }
+
+  /** Oracle-gated `stats_persisted`: the persisted-state lifecycle
+    * proven end-to-end against the SAME oracle as the in-query
+    * incremental — build the state from the snapshot slice, merge the
+    * ingest batch, REPLAY the merge (must absorb nothing — the
+    * watermark guard), finalize. Equality with [[statsIncrementalSql]]
+    * is exact because the default md5 mode's registers are bitwise the
+    * one-shot registers (max-merge exactness). */
+  def statsPersisted(s: SparkSession, dir: String): DataFrame = {
+    val li = Corpus.lineitem(s, dir)
+    val stateDir = s"/tmp/graft_statsstate_${
+      (dir.hashCode.toLong * 31 +
+        Corpus.fingerprint(s"$dir/lineitem.parquet")) & 0x7fffffffffffffffL}"
+    statsStateBuild(s, li.where(col("l_orderkey") < statsCut), stateDir)
+    val batch = li.where(col("l_orderkey") >= statsCut)
+    statsStateMerge(s, stateDir, batch)
+    val replayed = statsStateMerge(s, stateDir, batch)
+    require(replayed == 0L,
+      s"a redelivered batch must merge nothing, absorbed $replayed rows")
+    statsStateFinalize(s, stateDir)
+  }
+
   val tableStatsSql: String = {
     val stacked = (statsNumericCols ++ statsTsCols).map(c =>
         s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem") ++

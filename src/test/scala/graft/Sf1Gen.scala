@@ -80,12 +80,20 @@ object Sf1Gen {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
     write("embeddings", (0 until reps).map { k =>
+      // shift wraps at dims (reps can exceed the dimension count — the
+      // sf10 run is 100 replicas of 64-dim vectors); the second wrap
+      // negates the vector so replicas stay content-distinct (norms
+      // exact, cross-replica cosines flip sign instead of colliding)
+      val kk = k % dims
       val shifted =
-        if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, dims - k),
-          slice(col("embedding"), 1, k))
+        if (kk == 0) col("embedding")
+        else concat(slice(col("embedding"), kk + 1, dims - kk),
+          slice(col("embedding"), 1, kk))
+      val distinct =
+        if (k < dims) shifted
+        else transform(shifted, x => -x)
       emb.select((col("vec_id") + lit(k * off)).as("vec_id"),
-        shifted.as("embedding"), col("label"))
+        distinct.as("embedding"), col("label"))
     }.reduce(_ unionByName _), 8)
 
     spark.stop()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.PostingsIndex
+import graft.operators.{IvfIndex, PostingsIndex}
 import graft.streaming.StreamBm25Serve
 
 /** Auto-scheduled maintenance (round-12 verdict, Next #5): a streaming
@@ -86,5 +86,45 @@ class StreamAutoMaintainSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(perBatch(1) === want,
       "post-swap answers must equal the batch kernel on the new layout")
+  }
+
+  test("a drifting vector ingest is auto-retrained by the ingest stream (fit detector, no manual call)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idx = s"/tmp/graft_automnt_vidx_${System.nanoTime()}"
+    val ckpt = s"/tmp/graft_automnt_vin_${System.nanoTime()}"
+    def vecs(ids: Seq[Long], axisOf: Long => Int): Seq[(Long, Seq[Double])] =
+      ids.map { id =>
+        val a = axisOf(id)
+        (id, Array.tabulate(64)(d =>
+          (if (d == a) 1.0 else 0.0) +
+            0.02 * (((id * 31 + d * 7) % 11).toDouble / 11.0)).toSeq)
+      }
+    // RetrainSpec's proven drift corpus: quantizer fit to axes 0..15,
+    // region B (axes 32..39) lands under it by jitter, region A expires
+    // — the standing members' own-cell fit collapses
+    IvfIndex.buildFrom(spark,
+      vecs(0L until 80L, id => (id % 16).toInt).toDF("vec_id", "embedding"),
+      idx, nCells = 16)
+    IvfIndex.append(spark, idx,
+      vecs(1000L until 1100L, id => 32 + (id % 8).toInt)
+        .toDF("vec_id", "embedding"))
+    IvfIndex.delete(spark, idx, (0L until 80L).toDF("vec_id"))
+    assert(IvfIndex.assignmentFit(spark, idx) < 0.5,
+      "precondition: the standing fit must be drift-collapsed")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val ingest = IvfIndex.appendStream(spark, idx,
+      in.toDF().toDF("vec_id", "embedding"), ckpt, maintainEvery = 1)
+    try {
+      in.addData(vecs(1100L until 1120L, id => 32 + (id % 8).toInt))
+      ingest.processAllAvailable()
+    } finally ingest.stop()
+    // the scheduled maintain must have re-fit the quantizer: the live
+    // members' own-cell fit is healthy again with no manual call
+    val fit = IvfIndex.assignmentFit(spark, idx)
+    assert(fit >= 0.9,
+      f"the ingest-scheduled maintain must have re-trained: fit $fit%.3f")
+    assert(IvfIndex.maintain(spark, idx) === Seq.empty,
+      "and the repaired index reports healthy")
   }
 }

@@ -64,17 +64,58 @@ object IndexVersion {
     * stands — the generic form of [[IvfIndex.retrain]]'s quiesce
     * discipline, extended to every mutation.
     *
-    * An ALREADY-standing marker is a crashed mutation's: this call is
-    * then its replay (every mutation here converges under replay), so
-    * it is accepted, and the marker clears when the replay completes.
-    * Require-checked like [[bump]]: a silently-failed create would void
-    * the torn-window guard. */
-  def beginMutation(indexDir: String): Unit = {
+    * The marker carries the OPERATION NAME: an already-standing marker
+    * is a crashed mutation's, and only a replay of the SAME operation
+    * converges it (each op's writes are pure functions of its own
+    * inputs — a crashed delete's half-applied tables are not fixed by
+    * an append). A begin for a DIFFERENT op refuses loudly with the
+    * replay instruction; the at-least-once ingest replays the same op
+    * first by construction (the sink checkpoint never advanced), so the
+    * accept path is exactly the replay path. Require-checked like
+    * [[bump]]: a silently-failed create would void the torn-window
+    * guard. */
+  def beginMutation(indexDir: String, op: String): Unit = {
     new java.io.File(indexDir).mkdirs()
-    val f = mutMarker(indexDir)
-    require(f.createNewFile() || f.exists(),
-      s"could not raise the mutation marker at $f")
+    standingMutation(indexDir) match {
+      case Some(standing) =>
+        // "build" rewrites every table from its input — the universal
+        // repair, accepted over any crash; "" is a pre-op-name marker
+        require(standing.isEmpty || standing == op || op == "build",
+          s"$indexDir has a crashed '$standing' mutation standing — " +
+            s"replay it to completion before running '$op' (its tables " +
+            "may be mixed; a different operation would bake the tear in)")
+      case None =>
+        val f = mutMarker(indexDir)
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.print(op) finally w.close()
+        require(f.exists(), s"could not raise the mutation marker at $f")
+    }
   }
+
+  /** The standing marker's operation name, if a mutation is in flight
+    * or crashed un-replayed. */
+  def standingMutation(indexDir: String): Option[String] = {
+    val f = mutMarker(indexDir)
+    if (!f.exists()) None
+    else Some {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.mkString.trim finally src.close()
+    }
+  }
+
+  /** Refuse to start when ANY mutation marker stands — the entry check
+    * for maintenance passes that must not launder a crashed mutation's
+    * torn tables into a fresh layout ([[PostingsIndex.rebucket]] /
+    * `maintain`: deriving new stats from mixed tables, then swapping in
+    * a clean-stamped tree, would destroy the replay evidence). */
+  def requireNoMutation(indexDir: String, caller: String): Unit =
+    standingMutation(indexDir).foreach { standing =>
+      require(false,
+        s"$indexDir has a crashed '$standing' mutation standing — replay " +
+          s"it to completion before $caller (its tables may be mixed, " +
+          "and rebuilding from them would bake the tear into a " +
+          "clean-looking layout)")
+    }
 
   /** Clear the mutation marker — call AFTER the closing [[bump]], so a
     * reader that observes no marker also observes the final stamp. A

@@ -80,8 +80,14 @@ object IvfIndex {
     // precondition [[retrain]]'s fresh-build-equality contract needs
     val cents = denseCids(e.orderBy(col("vec_id").asc).limit(nCells)
       .select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn")))
-    // torn-window guard: centroids/codebook/members land sequentially
-    IndexVersion.beginMutation(indexDir)
+    // torn-window guard: centroids/codebook/members land sequentially.
+    // "build" is the universal repair (full rewrite from its input), so
+    // it also converges any crashed mutation: roll/clear a crashed
+    // retrain's staging first — a committed stale staging left in place
+    // would otherwise be swapped OVER the fresh build by the next
+    // completeRetrainSwap (the replay-over-leftover-staging hazard)
+    completeRetrainSwap(indexDir)
+    IndexVersion.beginMutation(indexDir, "build")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // PQ codebook, frozen at build exactly like the coarse quantizer:
     // the first pqK vectors' NORMALIZED directions (the deterministic
@@ -99,6 +105,9 @@ object IvfIndex {
     if (dimOk) marker.createNewFile() else marker.delete()
     // healthy-reference fit for maintain's self-calibrating drift floor
     writeFitStats(s, indexDir)
+    // build rewrote every table consistently — a crashed retrain's
+    // quiesce marker (if any) no longer describes this index
+    new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS").delete()
     IndexVersion.bump(indexDir)
     IndexVersion.endMutation(indexDir)
     val m = s.read.parquet(s"$indexDir/members")
@@ -232,7 +241,7 @@ object IvfIndex {
     s.conf.set(modeKey, "dynamic")
     // torn-window guard: the overwrite deletes files a pinned frame may
     // still reference mid-rewrite
-    IndexVersion.beginMutation(indexDir)
+    IndexVersion.beginMutation(indexDir, "append")
     try merged.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/members")
     finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
@@ -415,7 +424,7 @@ object IvfIndex {
       val prev = s.conf.getOption(modeKey)
       s.conf.set(modeKey, "dynamic")
       // torn-window guard: overwrite + empty-cell purge are two steps
-      IndexVersion.beginMutation(indexDir)
+      IndexVersion.beginMutation(indexDir, "delete")
       try kept.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/members")
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))
@@ -468,8 +477,11 @@ object IvfIndex {
     * cadence that amortizes it — every micro-batch is the spec's choice,
     * not production's. batchId-keyed: a replayed batch re-runs the same
     * idempotent pass. A retrain triggered here quiesces queries for its
-    * window — serving sessions wait on the mutation marker and re-pin
-    * the re-fit layout at their next trigger. */
+    * WHOLE migration window: a serving trigger waits out short windows
+    * (`spark.graft.serve.mutationWaitMs`) and refuses loudly past the
+    * deadline — at production scale a resize/retrain exceeds any sane
+    * wait, so schedule those off-peak or raise the conf for sessions
+    * that should ride them out. */
   def appendStream(
       s: SparkSession,
       indexDir: String,
@@ -598,7 +610,7 @@ object IvfIndex {
       s"retrain: could not raise the quiesce marker at $inProgress")
     // generic torn-window marker too, so a PinnedIndex session waits (or
     // refuses with the replay instruction) instead of racing the pass
-    IndexVersion.beginMutation(indexDir)
+    IndexVersion.beginMutation(indexDir, "retrain")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     // adaptive codebook (lloydRounds > 0): its own pqK-means over the
     // same drift-following sample as the quantizer; the 0-round mode
@@ -889,6 +901,15 @@ object IvfIndex {
       minFit: Double = Double.NaN,
       lloydRounds: Int = 5,
       maxFilesPerCell: Int = 4): Seq[String] = {
+    // a crashed RETRAIN is this pass's own replay path (below); any
+    // OTHER crashed mutation must be replayed by its own operation —
+    // re-deriving maintenance state from mixed tables would launder the
+    // tear into a clean-looking layout
+    IndexVersion.standingMutation(indexDir).foreach { standing =>
+      require(standing == "retrain",
+        s"$indexDir has a crashed '$standing' mutation standing — replay " +
+          "it to completion before maintain")
+    }
     completeRetrainSwap(indexDir)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     // cell count from the partition directories — driver-side, and
@@ -982,7 +1003,7 @@ object IvfIndex {
       val prev = s.conf.getOption(modeKey)
       s.conf.set(modeKey, "dynamic")
       // torn-window guard: the rewrite deletes pinned frames' files
-      IndexVersion.beginMutation(indexDir)
+      IndexVersion.beginMutation(indexDir, "compact")
       try merged.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/members")
       finally prev.fold(s.conf.unset(modeKey))(s.conf.set(modeKey, _))

@@ -149,7 +149,7 @@ object PostingsIndex {
     val state = stateWithSb(docs, superBits).localCheckpoint()
     // torn-window guard: tables land sequentially; a serving session must
     // not pin between the first write and the closing bump
-    IndexVersion.beginMutation(indexDir)
+    IndexVersion.beginMutation(indexDir, "build")
     writePartitioned(state, s"$indexDir/postings", dynamic = false)
     writePartitioned(termStatsOf(state), s"$indexDir/termstats",
       dynamic = false)
@@ -221,7 +221,7 @@ object PostingsIndex {
         .localCheckpoint()
       // torn-window guard: five sequential table writes follow — a
       // serving pin in between would mix postings/termstats versions
-      IndexVersion.beginMutation(indexDir)
+      IndexVersion.beginMutation(indexDir, "append")
       writePartitioned(merged, s"$indexDir/postings", dynamic = true)
       // touched superblocks' term bounds, re-derived from the postings
       // rows now standing — pure derivation, so a crash-and-retry
@@ -401,7 +401,7 @@ object PostingsIndex {
       .filter { case (p, _) => new java.io.File(p).isDirectory }
     // torn-window guard around the per-table rewrites; a no-op compact
     // raises and clears the marker with no bump — readers see no change
-    IndexVersion.beginMutation(indexDir)
+    IndexVersion.beginMutation(indexDir, "compact")
     val out = dirs.map { case (p, sc) => compactDir(p, sc) }
       .foldLeft((0L, 0L, 0L)) {
         case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
@@ -452,6 +452,12 @@ object PostingsIndex {
     * before, superblocks after). */
   def rebucket(
       s: SparkSession, indexDir: String, newSuperBits: Int): (Long, Long) = {
+    // a crashed append/delete leaves MIXED tables behind its mutation
+    // marker; re-deriving stats from them and swapping in a fresh-
+    // stamped tree would bake the tear in AND destroy the replay
+    // evidence (the marker parks away with the old tree) — refuse until
+    // the crashed op is replayed
+    IndexVersion.requireNoMutation(indexDir, "rebucket")
     recoverRebucket(indexDir)
     val oldBits = readSuperBits(s, indexDir)
     val oldSb = s.read.parquet(s"$indexDir/blockstats").count()
@@ -544,6 +550,7 @@ object PostingsIndex {
   def maintain(
       s: SparkSession, indexDir: String,
       targetSbs: Int = 32, maxFilesPerSb: Int = 4): Seq[String] = {
+    IndexVersion.requireNoMutation(indexDir, "maintain")
     recoverRebucket(indexDir)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     val row = s.read.parquet(s"$indexDir/blockstats")
@@ -725,7 +732,7 @@ object PostingsIndex {
       val liveSbs = kept.select(col("sb")).distinct()
         .collect().map(_.getInt(0)).toSet
       // torn-window guard: four sequential table rewrites follow
-      IndexVersion.beginMutation(indexDir)
+      IndexVersion.beginMutation(indexDir, "delete")
       writePartitioned(kept, s"$indexDir/postings", dynamic = true)
       writePartitioned(termStatsOf(kept), s"$indexDir/termstats",
         dynamic = true)

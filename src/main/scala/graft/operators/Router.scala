@@ -245,11 +245,17 @@ object Router {
     }
   }
 
+  /** Collision-free join: every element is length-prefixed, so probe
+    * sets that merely CONTAIN a separator character cannot alias
+    * another set's key (Seq("a,b") vs Seq("a","b")). */
+  private[graft] def lenKey(parts: Seq[String]): String =
+    parts.map(p => s"${p.length}:$p").mkString("|")
+
   private def keyOf(
       s: SparkSession, family: String, params: String,
       dirs: String*): String =
-    (family +: params +: s"${costsOf(s)}/${jobOverheadTokens(s)}" +:
-      dirs.map(d => s"$d@${IndexVersion.stamp(d)}")).mkString("|")
+    lenKey(family +: params +: s"${costsOf(s)}/${jobOverheadTokens(s)}" +:
+      dirs.map(d => s"$d@${IndexVersion.stamp(d)}"))
 
   // ---- routed entry points (oracle-gated as *_auto) ----
 
@@ -326,7 +332,7 @@ object Router {
   private def bm25ChoiceOf(
       s: SparkSession, pidx: String,
       terms: Seq[String] = Retrieval.queryTerms): Choice =
-    cachedChoice(keyOf(s, "bm25", terms.sorted.mkString(","), pidx)) {
+    cachedChoice(keyOf(s, "bm25", lenKey(terms.sorted), pidx)) {
       val (totalLen, nSb) = postingsMetaOf(s, pidx)
       decideBm25(totalLen, sumDfOf(s, pidx, terms), nSb, costsOf(s))
     }
@@ -337,7 +343,7 @@ object Router {
     // the positional payload is filesystem state no stamp tracks (no
     // operator removes it) — cheap to re-check, so it rides in the key
     val hasPos = new java.io.File(s"$pidx/positions").isDirectory
-    val pkey = phrases.map(_.mkString(" ")).sorted.mkString(";") + s"#$hasPos"
+    val pkey = lenKey(phrases.map(p => lenKey(p)).sorted :+ s"#$hasPos")
     cachedChoice(keyOf(s, "phrase", pkey, pidx)) {
       val (totalLen, nSb) = postingsMetaOf(s, pidx)
       decidePhrase(hasPos, totalLen,

@@ -44,32 +44,54 @@ private[graft] final class PinnedIndex(
       .map(_.toLong).getOrElse(30000L)
 
   /** Block until the index is consistent to open: path present and no
-    * mutation marker standing. */
+    * mutation marker standing. The deadline cannot DISTINGUISH a
+    * long-running healthy mutation from a crashed one — it bounds how
+    * long a trigger stalls either way, and refusing loudly beats
+    * serving a torn snapshot. Appends/deletes/compactions at serving
+    * granularity finish well inside the default; a production-scale
+    * retrain/resize holds the marker for its whole migration, so
+    * schedule those off-peak or raise the conf for sessions that should
+    * ride them out (the error says both). */
   private def awaitConsistent(): Unit = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     while (IndexVersion.mutationInProgress(indexDir) ||
         !new java.io.File(indexDir).isDirectory) {
       require(System.nanoTime() < deadline,
-        s"$indexDir is still mid-mutation (or its path absent) after " +
-          s"$waitMs ms: a mutation is in flight or crashed — replay it " +
-          "to completion; pinning now could mix table versions")
+        s"$indexDir still mid-mutation (or its path absent) after " +
+          s"$waitMs ms — pinning now could mix table versions. If a " +
+          "long maintenance pass (retrain/resize) is RUNNING, raise " +
+          "spark.graft.serve.mutationWaitMs or schedule it off-peak; " +
+          "if nothing is running, a mutation CRASHED — replay it to " +
+          "completion")
       Thread.sleep(50L)
     }
   }
 
   /** One consistent (stamp, frames) snapshot, validated against racing
-    * mutations. */
+    * mutations. The open itself can race a whole-tree swap's park
+    * window (the path vanishes between two renames, with no marker up),
+    * so a failed listing retries through the same wait instead of
+    * killing the stream. */
   private def pin(runHook: Boolean): (String, Map[String, DataFrame]) = {
     var attempts = 0
     while (attempts < 100) {
       awaitConsistent()
       val cur = IndexVersion.stamp(indexDir)
       if (runHook) onRefresh()
-      val fresh = tables.map(t => t -> s.read.parquet(s"$indexDir/$t")).toMap
-      if (!IndexVersion.mutationInProgress(indexDir) &&
-          IndexVersion.stamp(indexDir) == cur)
-        return (cur, fresh)
-      attempts += 1
+      val fresh =
+        try Some(tables.map(t => t -> s.read.parquet(s"$indexDir/$t")).toMap)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None // mid-swap
+        }
+      fresh match {
+        case Some(fr)
+          if !IndexVersion.mutationInProgress(indexDir) &&
+            IndexVersion.stamp(indexDir) == cur =>
+          return (cur, fr)
+        case _ =>
+          Thread.sleep(50L)
+          attempts += 1
+      }
     }
     throw new IllegalStateException(
       s"$indexDir: mutations outpaced 100 pin attempts")

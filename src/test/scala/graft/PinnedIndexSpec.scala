@@ -55,7 +55,7 @@ class PinnedIndexSpec extends AnyFunSuite {
   test("a mutation window is WAITED out: the pin lands on the post-mutation state, never mid-write") {
     val dir = freshIndex(1L)
     val p = new PinnedIndex(spark, dir, Seq("t"))
-    IndexVersion.beginMutation(dir)
+    IndexVersion.beginMutation(dir, "append")
     val t = new Thread(() => {
       Thread.sleep(400L)
       writeTable(dir, 5L)
@@ -72,7 +72,7 @@ class PinnedIndexSpec extends AnyFunSuite {
   test("a crashed mutation (marker never cleared) refuses loudly with the replay instruction") {
     val dir = freshIndex(1L)
     val p = new PinnedIndex(spark, dir, Seq("t"))
-    IndexVersion.beginMutation(dir)
+    IndexVersion.beginMutation(dir, "append")
     spark.conf.set("spark.graft.serve.mutationWaitMs", "300")
     try {
       val e = intercept[IllegalArgumentException] {
@@ -107,9 +107,33 @@ class PinnedIndexSpec extends AnyFunSuite {
     assert(value(p) === 3L)
   }
 
+  test("op-typed markers: a foreign operation refuses a crashed mutation's marker; same-op replay and build accept it") {
+    val dir = freshIndex(1L)
+    IndexVersion.beginMutation(dir, "append") // "crashes" here
+    val e = intercept[IllegalArgumentException] {
+      IndexVersion.beginMutation(dir, "compact")
+    }
+    assert(e.getMessage.contains("append") && e.getMessage.contains("replay"),
+      s"a foreign op must refuse and name the crashed one: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      IndexVersion.requireNoMutation(dir, "rebucket")
+    }
+    assert(e2.getMessage.contains("append"),
+      "the maintenance entry check must refuse too, naming the crashed op")
+  }
+
+  test("op-typed markers: replay and build paths accept a standing marker") {
+    val dir = freshIndex(1L)
+    IndexVersion.beginMutation(dir, "append")
+    IndexVersion.beginMutation(dir, "append") // the replay — accepted
+    IndexVersion.beginMutation(dir, "build")  // the universal repair
+    IndexVersion.endMutation(dir)
+    assert(IndexVersion.standingMutation(dir).isEmpty)
+  }
+
   test("session START inside a mutation window also waits (no torn initial pin)") {
     val dir = freshIndex(1L)
-    IndexVersion.beginMutation(dir)
+    IndexVersion.beginMutation(dir, "append")
     val t = new Thread(() => {
       Thread.sleep(400L)
       writeTable(dir, 7L)

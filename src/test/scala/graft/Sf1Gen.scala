@@ -79,6 +79,12 @@ object Sf1Gen {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    // shift + one sign flip give 2·dims distinct transforms; a third
+    // wrap would repeat the first (k and k+2·dims bitwise-identical),
+    // silently planting cross-replica exact twins in ANN ground truth
+    require(reps <= 2 * dims,
+      s"reps=$reps exceeds the $dims-dim corpus's 2*dims=${2 * dims} " +
+        "content-distinct replica transforms")
     write("embeddings", (0 until reps).map { k =>
       // shift wraps at dims (reps can exceed the dimension count — the
       // sf10 run is 100 replicas of 64-dim vectors); the second wrap

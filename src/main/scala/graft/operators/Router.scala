@@ -63,11 +63,6 @@ object Router {
     * text-scan work: a 64-dim dot is ~64 FMAs vs a token's split+hash. */
   private[graft] val vecUnitCost = 16L
 
-  /** Extra sequential bounded driver jobs the indexed hybrid stack pays
-    * per run (profile collect, df probe, probe-list builds — the
-    * HybridProbe attribution, BASELINE.md). */
-  private[graft] val hybridDriverJobs = 6L
-
   private val overheadKey = "spark.graft.router.jobOverheadTokens"
 
   /** Token-units charged per extra sequential driver job of an indexed
@@ -144,15 +139,25 @@ object Router {
     Choice(if (idx < scan) "indexed" else "scan", scan, idx)
   }
 
-  /** Phrase: positions-only wins whenever the positional payload exists
-    * (its read is the same Σ df order as the candidate path MINUS any
-    * corpus access — measured fastest at every SF, BASELINE.md); else
-    * the candidate path vs the full scan is the BM25 comparison. */
+  /** Phrase: the positional read costs exactly the bm25 indexed model —
+    * Σ df term-pruned rows PLUS one file open per superblock — so all
+    * three legs price in the same ms model and the positional path is
+    * chosen only while it actually beats the scan. Round 13's sf10 run
+    * measured why the old "positional whenever positions exist" rule
+    * was wrong: on the fragmented gate index (superBits=2 at 500 K docs
+    * → ~2000 superblocks) the positional path costs 25.4 s against a
+    * 0.95 s full scan — the same partition tax that flips bm25, and the
+    * same fix (`rebucket`) that restores the index. When positions are
+    * absent the indexed leg is the candidate path (same model), so the
+    * bm25 decision carries over unchanged. */
   private[graft] def decidePhrase(
       hasPositions: Boolean, totalLen: Long, sumDf: Long,
-      nSb: Long, costs: Costs = measuredCosts): Choice =
-    if (hasPositions) Choice("positional", totalLen, sumDf)
-    else decideBm25(totalLen, sumDf, nSb, costs)
+      nSb: Long, costs: Costs = measuredCosts): Choice = {
+    val c = decideBm25(totalLen, sumDf, nSb, costs)
+    if (hasPositions && c.leg == "indexed")
+      Choice("positional", c.scanCost, c.indexedCost)
+    else c
+  }
 
   /** ANN: the inline leg re-pays `nVec · nCells` assignment dots every
     * run; the index reads `nProbe/nCells` of the members. */
@@ -163,19 +168,24 @@ object Router {
     Choice(if (idx < scan) "indexed" else "scan", scan, idx)
   }
 
-  /** Hybrid: scan = corpus tokenize (lexical leg) + inline assignment
-    * (vector leg); indexed = probed-cell read + [[hybridDriverJobs]]
-    * job overheads (the lexical leg's Σ df is profile-bounded by
-    * construction — 25 lowest-df terms × 10 queries — and charged as
-    * negligible next to the job term). */
+  /** Hybrid: the twins differ MATERIALLY on the lexical side only — the
+    * indexed fusion's MLT-BM25 leg pays the index's fixed probe cost
+    * plus the per-superblock partition tax (its Σ df is profile-bounded
+    * by construction: 25 lowest-df terms × |queries|, charged as ~0),
+    * while the scanned twin re-pays the corpus tokenize; the vector
+    * legs (probed cells vs inline assignment over the same candidates)
+    * track the same winner at every measured point. So the decision IS
+    * the bm25 ms model at Σ df ≈ 0 — which matches the measured winner
+    * at all four probed scales (BASELINE r12–r13: indexed at
+    * sf0.01/sf0.1, the sf1 noise-band tie, and the sf10 fragmentation
+    * flip where the scanned twin wins 7.5× — the point the previous
+    * token-unit model missed because it priced no partition tax). The
+    * replaced token-unit model's job-overhead term is subsumed by the
+    * fixed-cost asymmetry (indexFixedMs < scanFixedMs keeps tiny
+    * corpora honest in both directions). */
   private[graft] def decideHybrid(
-      totalLen: Long, nVec: Long, nCells: Long, nProbe: Long,
-      ovh: Long): Choice = {
-    val scan = totalLen + nVec * nCells * vecUnitCost
-    val idx = nVec * nProbe * vecUnitCost / math.max(nCells, 1L) +
-      hybridDriverJobs * ovh
-    Choice(if (idx < scan) "indexed" else "scan", scan, idx)
-  }
+      totalLen: Long, nSb: Long, costs: Costs = measuredCosts): Choice =
+    decideBm25(totalLen, 0L, nSb, costs)
 
   // ---- stored-stats probes (driver-bounded metadata reads) ----
 
@@ -360,9 +370,8 @@ object Router {
   private def hybridChoiceOf(
       s: SparkSession, pidx: String, vidx: String): Choice =
     cachedChoice(keyOf(s, "hybrid", "p2", pidx, vidx)) {
-      val (nVec, nCells) = ivfMetaOf(s, vidx)
-      decideHybrid(postingsMetaOf(s, pidx)._1, nVec, nCells, nProbe = 2L,
-        jobOverheadTokens(s))
+      val (totalLen, nSb) = postingsMetaOf(s, pidx)
+      decideHybrid(totalLen, nSb, costsOf(s))
     }
 
   /** The routing EXPLAIN: one (family, [[Choice]]) row per twin family

@@ -805,9 +805,24 @@ object Similarity {
     * measured b-lever existed but the committed entry always ran b = 2).
     * The count is one cheap aggregate job; callers that already know
     * their corpus size can pass b explicitly via the private overload. */
-  def embeddingNearDups(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDups(s, dir,
-      bitsPerBand = bitsForCount(Corpus.embeddings(s, dir).count()))
+  /** Past [[bigNCut]] vectors the 8-bit/8-band parameterization is out
+    * of lever: [[bitsForCount]] saturates (the 64-bit signature budget)
+    * and candidate volume grows ~n²/2⁸ per band — the round-13 sf10 run
+    * measured the consequence (200 K vectors → a candidate sort that
+    * filled 70 GB of spill and killed the task). The remaining trade
+    * INSIDE the budget is bands-for-bits: 16-bit bands × 4 bands keeps
+    * the same 64 sign bits, cuts per-band collision probability 256×,
+    * and holds recall for high-cosine near-dups (p≈0.97/bit at 0.99
+    * cosine → ~0.98 over 4 bands); recall at mid-cosine thresholds
+    * needs MORE total bits — a second signature column, the documented
+    * widening path, not a silent default. */
+  private[graft] val bigNCut = 100000L
+
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val n = Corpus.embeddings(s, dir).count()
+    if (n > bigNCut) embeddingNearDups(s, dir, bitsPerBand = 16, nBands = 4)
+    else embeddingNearDups(s, dir, bitsForCount(n))
+  }
 
   /** `bitsPerBand` scales bucket sparsity with corpus size — the (b, L)
     * scaling lever the class comment documents: on uncorrelated vectors
@@ -818,10 +833,14 @@ object Similarity {
     * sparsity). The default b = 2 is what the DuckDB oracle mirrors; the
     * scale-trajectory runs exercise b = 4 at 10× (see BASELINE.md). */
   private[graft] def embeddingNearDups(
-      s: SparkSession, dir: String, bitsPerBand: Int): DataFrame = {
+      s: SparkSession, dir: String, bitsPerBand: Int,
+      nBands: Int = ndBands): DataFrame = {
     val bb = bitsPerBand
+    require(bb * nBands <= 64, s"$bb bits x $nBands bands exceeds the " +
+      "64-bit signature budget — widen via a second signature column")
     val mask = (1L << bb) - 1L
-    val planes = if (bb == 2) ndPlanes else planesFor(bb * ndBands)
+    val planes = if (bb == 2 && nBands == ndBands) ndPlanes
+      else planesFor(bb * nBands)
     val e = embFrame(s, dir)
     def bandKey(sig: Column, b: Int): Column =
       shiftright(sig, bb * b).bitwiseAND(lit(mask))
@@ -829,7 +848,7 @@ object Similarity {
       .select(col("vec_id"),
         VectorFunctions.hyperplaneSig(col("v"), planes).as("sig"))
       .select(col("vec_id"), col("sig"),
-        posexplode(array((0 until ndBands).map(b => bandKey(col("sig"), b)): _*))
+        posexplode(array((0 until nBands).map(b => bandKey(col("sig"), b)): _*))
           .as(Seq("band", "key")))
     // band b collides ⟺ all its sign bits agree ⟺ ((sigX ^ sigY) >> bb·b) & mask == 0;
     // keep a pair only in its first colliding band — exactly-once without distinct()
@@ -837,7 +856,21 @@ object Similarity {
     val firstBand = coalesce(
       (0 until ndBands).map(b =>
         when(shiftright(xorSig, bb * b).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
-    val cand = bands.as("x").join(bands.as("y"),
+    // partition count scales with the exploded band volume, not the
+    // session default: at the 8-bit band cap (the 64-bit signature
+    // budget) candidate volume grows ~n²/2^b per band, and a big corpus
+    // squeezed into shuffle.partitions-sized join partitions OOMs the
+    // build side (measured: sf10's 200 K vectors → 1.6 M band rows per
+    // side through 32 partitions killed a task; at n-scaled partitions
+    // the same join streams). Small corpora keep the session default —
+    // the gate plans are unchanged.
+    val nBandRows = ndBands.toLong *
+      (mask + 1) // keys per band — proxy that avoids a count() job
+    val parts = math.max(
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      math.min(2048L, nBandRows).toInt)
+    val keyed = bands.repartition(parts, col("band"), col("key"))
+    val cand = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.vec_id") < col("y.vec_id"))
       .where(col("x.band") === firstBand)

@@ -36,9 +36,8 @@ object HybridCrossoverProbe {
       }
       val scanned = time(Retrieval.hybridRrfScanned(spark, dir).collect().length)
       val indexed = time(Retrieval.hybridRrfIndexed(spark, dir).collect().length)
-      val (nVec, nCells) = Router.ivfMetaOf(spark, vidx)
-      val choice = Router.decideHybrid(Router.totalLenOf(spark, pidx),
-        nVec, nCells, nProbe = 2L, Router.jobOverheadTokens(spark))
+      val (totalLen, nSb) = Router.postingsMetaOf(spark, pidx)
+      val choice = Router.decideHybrid(totalLen, nSb)
       val winner = if (indexed < scanned) "indexed" else "scanned"
       println(f"[xover] $dir%-34s scanned=$scanned%6.2f s  indexed=$indexed%6.2f s" +
         f"  measured-winner=$winner%-7s router=${choice.leg}%-7s" +

@@ -55,15 +55,23 @@ class RouterSpec extends AnyFunSuite {
       .leg === "indexed")
     assert(Router.decidePhrase(hasPositions = false, 50000L, 40000L, 300L)
       .leg === "scan")
+    // the round-13 sf10 measurement: positions EXIST but the index is
+    // fragmented — the per-superblock tax beats the scan (25.4 s
+    // positional vs 0.95 s scan on the 2000-sb gate index), so the
+    // positional leg must NOT be unconditional
+    assert(Router.decidePhrase(hasPositions = true, 10000000L, 2000L, 2000L)
+      .leg === "scan")
 
     val ovh = 50000L
     assert(Router.decideAnn(nVec = 100000L, nCells = 16L, nProbe = 2L, ovh).leg === "indexed")
     assert(Router.decideAnn(nVec = 100L, nCells = 16L, nProbe = 2L, ovh).leg === "scan")
 
-    assert(Router.decideHybrid(totalLen = 10000000L, nVec = 100000L,
-      nCells = 16L, nProbe = 2L, ovh).leg === "indexed")
-    assert(Router.decideHybrid(totalLen = 10000L, nVec = 400L,
-      nCells = 16L, nProbe = 2L, ovh).leg === "scan")
+    // hybrid = the bm25 ms model at profile-bounded Σ df ≈ 0: indexed
+    // on an in-band index, SCAN once fragmentation's partition tax
+    // dominates the MLT leg (the measured sf10 flip: scanned twin 4.5 s
+    // vs indexed fusion 33.7 s)
+    assert(Router.decideHybrid(totalLen = 10000000L, nSb = 20L).leg === "indexed")
+    assert(Router.decideHybrid(totalLen = 20000000L, nSb = 2000L).leg === "scan")
   }
 
   test("deciders run under INJECTED cost constants (the conf-override contract)") {
@@ -333,10 +341,9 @@ class RouterSpec extends AnyFunSuite {
     val p = plan(Router.hybridAuto(spark, sf))
     assert(p.contains("members"),
       s"the indexed fusion reads the IVF members table:\n$p")
-    // the scanned twin remains reachable: starve the vector index to a
-    // sliver of its corpus and the stats flip the choice
-    val c = Router.decideHybrid(totalLen = 10000L, nVec = 100L,
-      nCells = 16L, nProbe = 2L, Router.jobOverheadTokens(spark))
+    // the scanned twin remains reachable: fragment the postings index
+    // past the partition-tax crossover and the stats flip the choice
+    val c = Router.decideHybrid(totalLen = 10000L, nSb = 500L)
     assert(c.leg === "scan")
   }
 }

@@ -49,6 +49,8 @@ object Verify {
           "embedding_near_dups" ->
             graft.operators.Similarity.embeddingNearDupsSqlFor(
               graft.operators.Similarity.bitsForCount(n)),
+          "embedding_near_dups_wide" ->
+            graft.operators.Similarity.embeddingNearDupsWideSqlFor(n),
           "kmeans_assign" -> graft.operators.Similarity.kmeansAssignSqlFor(k),
           "semdedup" -> graft.operators.Similarity.semDedupSqlFor(k))
       } catch { case _: Throwable => Map.empty }

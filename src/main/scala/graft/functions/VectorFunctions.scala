@@ -323,14 +323,26 @@ object VectorFunctions {
     * and Java's `1L << p` silently wraps mod 64 past that. */
   def planesFor(n: Int, dims: Int = 64): Seq[Seq[Double]] = {
     require(n >= 1 && n <= 64, s"plane count must be in [1, 64], got $n")
-    planesForUnchecked(n, dims)
+    planesRange(0, n, dims)
   }
 
-  private def planesForUnchecked(n: Int, dims: Int): Seq[Seq[Double]] = (0 until n).map { p =>
-    (0 until dims).map { d =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p|$d".getBytes("UTF-8"))
-      if ((hex.last & 1) == 1) 1.0 else -1.0
+  /** Plane indices [from, until) of the SAME deterministic matrix —
+    * the widening seam past the one-long 64-plane budget: a second
+    * signature column packs planes 64..127 (`planesRange(64, 128)`),
+    * and because the matrix is indexed globally, plane `p` is identical
+    * whether it lands in word 0 or word 1 (so a wide signature's first
+    * word IS the narrow signature, and wide candidate sets are
+    * supersets by construction). At most 64 planes per call — one
+    * packed long's worth. */
+  def planesRange(from: Int, until: Int, dims: Int = 64): Seq[Seq[Double]] = {
+    require(from >= 0 && until > from && until - from <= 64,
+      s"a signature word packs at most 64 planes, got [$from, $until)")
+    (from until until).map { p =>
+      (0 until dims).map { d =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$d".getBytes("UTF-8"))
+        if ((hex.last & 1) == 1) 1.0 else -1.0
+      }
     }
   }
 

@@ -742,6 +742,20 @@ object IvfIndex {
   private[graft] def targetCells(nVec: Long): Int =
     math.max(1L, math.ceil(math.sqrt(nVec.toDouble)).toLong).toInt
 
+  /** [[maintain]]'s resize plan as a pure function of (member count,
+    * standing cell count) — shared with [[Router.advise]] so the
+    * advisory can never predict a resize the maintenance pass wouldn't
+    * run. Returns the target cell count when the standing count is out
+    * of band against [[targetCells]] (4× hysteresis either way), None
+    * when in band or the index is empty (a fully-deleted index is
+    * vacuously healthy — the r12 guard). */
+  private[graft] def plannedResize(nVec: Long, standing: Long): Option[Int] =
+    if (nVec > 0 && standing > 0 && {
+          val ideal = targetCells(nVec)
+          ideal > 4L * standing || ideal * 4L < standing
+        }) Some(targetCells(nVec))
+    else None
+
   /** Mean own-cell assignment cosine — the coarse quantizer's fit to the
     * live member set ([[maintain]]'s drift observable, and the healthy
     * reference [[buildFrom]]/[[retrain]] store in `fitstats/`). One
@@ -933,12 +947,9 @@ object IvfIndex {
     // parquet footer row count — no data pages read
     val nVec = s.read.parquet(s"$indexDir/members").count()
     val standing = nCells
-    val ideal = targetCells(nVec)
-    // nVec > 0: a fully-deleted index is vacuously healthy (nothing to
-    // partition or re-train — the r12 guard); never "resize" an empty
-    // member set
-    if (nVec > 0 && standing > 0 &&
-        (ideal > 4L * standing || ideal * 4L < standing)) {
+    val resize = plannedResize(nVec, standing)
+    if (resize.isDefined) {
+      val ideal = resize.get
       val (cells, movedN) = retrain(s, indexDir, ideal, lloydRounds)
       actions += s"resize: nCells $standing -> $ideal for $nVec vectors " +
         s"($cells cells rewritten, $movedN members moved)"

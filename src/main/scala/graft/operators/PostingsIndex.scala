@@ -122,8 +122,37 @@ object PostingsIndex {
     }
   }
 
-  private def readSuperBits(s: SparkSession, indexDir: String): Int =
+  private[graft] def readSuperBits(s: SparkSession, indexDir: String): Int =
     s.read.parquet(s"$indexDir/meta").collect()(0).getAs[Long]("super_bits").toInt
+
+  /** [[maintain]]'s rebucket plan as a pure function of the standing
+    * layout — shared with [[Router.advise]] so the advisory surface can
+    * never predict a repair the maintenance pass wouldn't run (the
+    * explain/auto shared-builder discipline applied to maintenance).
+    * Given (superblock count, id watermark, standing superBits), returns
+    * the (newSuperBits, predicted superblock count) a `maintain` at
+    * `targetSbs` would rebucket to, or None when the layout is in band
+    * (≤ 4× target hysteresis) or no higher bits would help. The
+    * prediction is the DENSE-id upper bound ⌈(maxDoc+1) / span⌉ — actual
+    * post-rebucket counts can only be lower (empty spans produce no
+    * superblock), so an advisory computed from it never overstates the
+    * repair's benefit. */
+  private[graft] def plannedRebucket(
+      nSb: Long, maxDoc: Long, bits: Int,
+      targetSbs: Int = 32): Option[(Int, Long)] = {
+    if (nSb <= 4L * targetSbs) None
+    else {
+      // smallest superBits with ceil(maxDoc / 2^(bb+superBits)) ≤ target:
+      // 64 − nlz(x) is floor(log2 x) + 1, the exact-integer ceil-log2 form
+      val span = math.max(1L, maxDoc / targetSbs + 1L)
+      val need = math.max(bits,
+        64 - java.lang.Long.numberOfLeadingZeros(span) -
+          Retrieval.postingsBlockBits)
+      if (need > bits)
+        Some((need, (maxDoc >> (Retrieval.postingsBlockBits + need)) + 1L))
+      else None
+    }
+  }
 
   /** Per-(term, superblock) impact bounds — the block-max table of the
     * WAND family (Broder et al. CIKM'03; block-max variant Ding & Suel
@@ -558,15 +587,9 @@ object PostingsIndex {
       .collect()(0)
     val nSb = row.getLong(0)
     val maxDoc = row.getLong(1)
-    if (nSb > 4L * targetSbs) {
+    if (nSb > 4L * targetSbs) { // meta read only when possibly out of band
       val bits = readSuperBits(s, indexDir)
-      // smallest superBits with ceil(maxDoc / 2^(bb+superBits)) ≤ target:
-      // 64 − nlz(x) is floor(log2 x) + 1, the exact-integer ceil-log2 form
-      val span = math.max(1L, maxDoc / targetSbs + 1L)
-      val need = math.max(bits,
-        64 - java.lang.Long.numberOfLeadingZeros(span) -
-          Retrieval.postingsBlockBits)
-      if (need > bits) {
+      plannedRebucket(nSb, maxDoc, bits, targetSbs).foreach { case (need, _) =>
         val (before, after) = rebucket(s, indexDir, need)
         actions += s"rebucket: superBits $bits -> $need ($before -> $after sbs)"
       }

@@ -388,6 +388,85 @@ object Router {
       "hybrid" -> hybridChoiceOf(s, pidx, vidx))
   }
 
+  // ---- maintenance advisory: the cost model pointed at the repair ----
+
+  /** One family's maintenance advisory: the route the CURRENT stats
+    * pick, and — when the index's own maintenance policy has a repair
+    * planned — the route the post-repair stats would pick, with the
+    * action that gets there. `wouldFlip` is the headline: the router is
+    * honest about the index that EXISTS (it routes around a degraded
+    * layout), and this is the surface that says a bounded `maintain`
+    * call would put the index back ahead — BEFORE paying for the
+    * rewrite. The round-13 sf10 campaign is the motivating measurement:
+    * `bm25_auto` routed a 2000-superblock index to the 2.35 s scan;
+    * `advise` prices the post-rebucket index at ~30 superblocks and
+    * predicts the flip back to indexed (then `maintain` delivers it). */
+  final case class Advice(
+      family: String, current: Choice,
+      predicted: Option[Choice], action: Option[String]) {
+    /** True when running the planned maintenance would change the route. */
+    def wouldFlip: Boolean = predicted.exists(_.leg != current.leg)
+    def render: String = {
+      val tail = (predicted, action) match {
+        case (Some(p), Some(a)) =>
+          val flip = if (wouldFlip) s"; route flips to ${p.leg}" else ""
+          s" | $a -> predicted ${p.reason}$flip"
+        case _ => " | layout healthy, no action planned"
+      }
+      s"$family: now ${current.reason}$tail"
+    }
+  }
+
+  /** Maintenance advisories for all four twin families: which repairs
+    * the indexes' OWN maintenance policies have planned
+    * ([[PostingsIndex.plannedRebucket]] / [[IvfIndex.plannedResize]] —
+    * the exact planners `maintain` runs, shared so advice cannot drift
+    * from action), and whether each repair would flip the route.
+    * `targetSbs` is the postings policy knob, defaulted like
+    * [[PostingsIndex.maintain]]'s. All probes are bounded metadata
+    * reads (one blockstats aggregate, one termstats prune, two footer
+    * counts, one meta row); `current` re-runs the same pure deciders
+    * the `*_auto` entries cache, on the same stored stats. */
+  def advise(s: SparkSession, dir: String, targetSbs: Int = 32): Seq[Advice] =
+    adviseOn(s, PostingsIndex.ensureLifecycleIndex(s, dir),
+      IvfIndex.ensureLifecycleIndex(s, dir), targetSbs)
+
+  private[graft] def adviseOn(
+      s: SparkSession, pidx: String, vidx: String,
+      targetSbs: Int = 32): Seq[Advice] = {
+    val costs = costsOf(s)
+    val r = s.read.parquet(s"$pidx/blockstats")
+      .agg(coalesce(sum(col("total_len")), lit(0L)), count(lit(1)),
+        coalesce(max(col("max_doc_id")), lit(0L))).collect()(0)
+    val (totalLen, nSb, maxDoc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val bits = PostingsIndex.readSuperBits(s, pidx)
+    val rebucket = PostingsIndex.plannedRebucket(nSb, maxDoc, bits, targetSbs)
+    val rebucketAction = rebucket.map { case (need, sbs) =>
+      s"maintain: rebucket superBits $bits -> $need (~$nSb -> ~$sbs sbs)"
+    }
+    val bmDf = sumDfOf(s, pidx, Retrieval.queryTerms)
+    val phDf = sumDfOf(s, pidx, Retrieval.gatePhrases.flatten.distinct)
+    val hasPos = new java.io.File(s"$pidx/positions").isDirectory
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    val ovh = jobOverheadTokens(s)
+    val resize = IvfIndex.plannedResize(nVec, nCells)
+    Seq(
+      Advice("bm25", decideBm25(totalLen, bmDf, nSb, costs),
+        rebucket.map { case (_, sbs) => decideBm25(totalLen, bmDf, sbs, costs) },
+        rebucketAction),
+      Advice("phrase", decidePhrase(hasPos, totalLen, phDf, nSb, costs),
+        rebucket.map { case (_, sbs) =>
+          decidePhrase(hasPos, totalLen, phDf, sbs, costs)
+        },
+        rebucketAction),
+      Advice("ann", decideAnn(nVec, nCells, nProbe = 2L, ovh),
+        resize.map(ideal => decideAnn(nVec, ideal, nProbe = 2L, ovh)),
+        resize.map(ideal => s"maintain: resize nCells $nCells -> $ideal")),
+      Advice("hybrid", decideHybrid(totalLen, nSb, costs),
+        rebucket.map { case (_, sbs) => decideHybrid(totalLen, sbs, costs) },
+        rebucketAction))
+  }
+
   /** `hybrid_auto`: shares `hybrid_rrf_indexed`'s oracle — the scanned
     * twin computes the identical semantics with zero index reads. */
   def hybridAuto(s: SparkSession, dir: String): DataFrame =

@@ -854,7 +854,7 @@ object Similarity {
     // keep a pair only in its first colliding band — exactly-once without distinct()
     val xorSig = col("x.sig").bitwiseXOR(col("y.sig"))
     val firstBand = coalesce(
-      (0 until ndBands).map(b =>
+      (0 until nBands).map(b =>
         when(shiftright(xorSig, bb * b).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
     // partition count scales with the exploded band volume, not the
     // session default: at the 8-bit band cap (the 64-bit signature
@@ -864,8 +864,105 @@ object Similarity {
     // side through 32 partitions killed a task; at n-scaled partitions
     // the same join streams). Small corpora keep the session default —
     // the gate plans are unchanged.
-    val nBandRows = ndBands.toLong *
+    val nBandRows = nBands.toLong *
       (mask + 1) // keys per band — proxy that avoids a count() job
+    val parts = math.max(
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      math.min(2048L, nBandRows).toInt)
+    val keyed = bands.repartition(parts, col("band"), col("key"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .where(col("x.band") === firstBand)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .where(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Wide-signature near-dup pairs: total sign bits = `bb · nBands` past
+    * the one-long 64-bit budget, packed into TWO signature words — the
+    * widening path the (b, L) trade points at and the round-13 sf10
+    * finding documented: trading bands for bits inside 64 bits
+    * (16-bit × 4) keeps candidates near-linear but thins the OR
+    * amplification to 4 bands, so MID-COSINE near-dups (≈0.8 — per-bit
+    * agreement p ≈ 0.8, per-16-bit-band collision p¹⁶ ≈ 0.03) slip
+    * through; 16-bit × 8 bands = 128 bits doubles the OR legs at the
+    * SAME per-band sparsity, roughly doubling mid-cosine recall while
+    * candidate volume stays ~n²·L/2^(2b)-shaped.
+    *
+    * The global plane matrix makes word 0 IDENTICAL to the narrow
+    * signature ([[VectorFunctions.planesRange]]), so the wide candidate
+    * set is a SUPERSET of the narrow one by construction — widening can
+    * only add recall (spec-pinned, along with the measured mid-cosine
+    * recall gain). Bands never straddle words (`64 % bb == 0`
+    * required), so a band key is one shift+mask on its word, exactly
+    * the narrow path's extraction; first-colliding-band dedup tests the
+    * xor of the band's OWN word. The DuckDB oracle construction carries
+    * over unchanged — it computes band bits from plane signs directly,
+    * never through the packed longs ([[embeddingNearDupsWideSql]]).
+    *
+    * 100 TB shape: identical to [[embeddingNearDups]] — scan → one
+    * fused two-word signature pass → explode (L rows/vec) →
+    * band-key equi-join scaled to band-key volume → exact verify on
+    * candidates only; never all-pairs. */
+  /** The 128-bit (b, L) split by corpus size — the [[bitsForCount]]
+    * discipline on the two-word budget: small corpora spend the bits on
+    * OR legs (8-bit × 16 bands — per-band collision 2⁻⁸ keeps
+    * candidates ≈ n²/32, near-linear through sf1, while 16 legs hold
+    * recall even at this synthetic corpus's ≤0.48 cosines); past
+    * [[bigNCut]] the bands widen to 16 bits (candidates ≈ n²/16384 —
+    * the sf10-safe regime) and the 8 remaining legs still DOUBLE the
+    * one-word (16, 4) trade's mid-cosine recall. */
+  private[graft] def wideParams(n: Long): (Int, Int) =
+    if (n > bigNCut) (16, 8) else (8, 16)
+
+  /** [[embeddingNearDupsWide]] self-sized for the corpus — one cheap
+    * count picks the (b, L) split ([[wideParams]]); the Verify main
+    * re-sizes the oracle the same way (the [[bitsForCount]] plumbing). */
+  def embeddingNearDupsWide(s: SparkSession, dir: String): DataFrame = {
+    val (bb, nb) = wideParams(Corpus.embeddings(s, dir).count())
+    embeddingNearDupsWide(s, dir, bb, nb)
+  }
+
+  def embeddingNearDupsWide(
+      s: SparkSession, dir: String, bitsPerBand: Int,
+      nBands: Int): DataFrame = {
+    val bb = bitsPerBand
+    require(bb * nBands > 64,
+      s"$bb bits x $nBands bands fits one signature word — use " +
+        "embeddingNearDups")
+    require(bb * nBands <= 128, s"$bb bits x $nBands bands exceeds the " +
+      "two-word 128-bit signature budget")
+    require(64 % bb == 0, s"$bb-bit bands would straddle a signature word")
+    val mask = (1L << bb) - 1L
+    val perWord = 64 / bb
+    val planes0 = VectorFunctions.planesRange(0, 64)
+    val planes1 = VectorFunctions.planesRange(64, bb * nBands)
+    val e = embFrame(s, dir)
+    def keyOn(sig0: Column, sig1: Column, b: Int): Column =
+      shiftright(if (b < perWord) sig0 else sig1, bb * (b % perWord))
+        .bitwiseAND(lit(mask))
+    val bands = e
+      .select(col("vec_id"),
+        VectorFunctions.hyperplaneSig(col("v"), planes0).as("sig0"),
+        VectorFunctions.hyperplaneSig(col("v"), planes1).as("sig1"))
+      .select(col("vec_id"), col("sig0"), col("sig1"),
+        posexplode(array((0 until nBands)
+          .map(b => keyOn(col("sig0"), col("sig1"), b)): _*))
+          .as(Seq("band", "key")))
+    val xor0 = col("x.sig0").bitwiseXOR(col("y.sig0"))
+    val xor1 = col("x.sig1").bitwiseXOR(col("y.sig1"))
+    val firstBand = coalesce((0 until nBands).map { b =>
+      when(shiftright(if (b < perWord) xor0 else xor1, bb * (b % perWord))
+        .bitwiseAND(lit(mask)) === 0, lit(b))
+    }: _*)
+    // same band-volume-scaled partitioning as the narrow path
+    val nBandRows = nBands.toLong * (mask + 1)
     val parts = math.max(
       e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
       math.min(2048L, nBandRows).toInt)
@@ -909,9 +1006,32 @@ object Similarity {
   private[graft] def embeddingNearDupsSqlFor(bitsPerBand: Int): String = {
     val bb = bitsPerBand
     val planes = if (bb == 2) ndPlanes else planesFor(bb * ndBands)
-    val keys = (0 until ndBands)
+    embeddingNearDupsSqlGen(bb, ndBands, planes)
+  }
+
+  /** The wide oracle needs no new construction: [[bandKeySql]] computes
+    * band bits from PLANE SIGNS directly (never through the packed
+    * longs), so a >64-bit signature is just more planes — band b still
+    * reads planes bb·b .. bb·b+bb−1, exactly the planes the Spark
+    * side's two-word extraction groups into band b. Sized per corpus
+    * like [[embeddingNearDupsSqlFor]] (the Verify main swaps it in). */
+  private[graft] def embeddingNearDupsWideSqlFor(n: Long): String = {
+    val (bb, nb) = wideParams(n)
+    embeddingNearDupsSqlGen(bb, nb,
+      graft.functions.VectorFunctions.planesRange(0, 64) ++
+        graft.functions.VectorFunctions.planesRange(64, 128))
+  }
+
+  /** The committed oracle mirrors [[wideParams]]'s choice at the
+    * driver's verification corpus (sf0.01, 500 vectors → 8-bit × 16). */
+  private[graft] val embeddingNearDupsWideSql: String =
+    embeddingNearDupsWideSqlFor(500L)
+
+  private def embeddingNearDupsSqlGen(
+      bb: Int, nBands: Int, planes: Seq[Seq[Double]]): String = {
+    val keys = (0 until nBands)
       .map(b => s"${bandKeySql("e", b, bb, planes)} AS k$b").mkString(",\n  ")
-    val branches = (0 until ndBands).map { b =>
+    val branches = (0 until nBands).map { b =>
       val cond = (s"a.k$b = b.k$b" +: (0 until b).map(j => s"a.k$j <> b.k$j"))
         .mkString(" AND ")
       s"  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n" +

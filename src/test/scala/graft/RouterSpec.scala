@@ -337,6 +337,94 @@ class RouterSpec extends AnyFunSuite {
     ex.values.foreach(c => assert(c.reason.contains(c.leg)))
   }
 
+  test("maintenance planners are pure and shared: plannedRebucket / plannedResize") {
+    // postings: in band (≤ 4× target) → no plan
+    assert(PostingsIndex.plannedRebucket(nSb = 100L, maxDoc = 204800L,
+      bits = 2, targetSbs = 32).isEmpty)
+    // out of band → the exact superBits maintain would rebucket to, and
+    // a dense-id predicted count at or under the target
+    val Some((need, predicted)) = PostingsIndex.plannedRebucket(
+      nSb = 205L, maxDoc = 204800L, bits = 2, targetSbs = 32)
+    assert(need === 7, "ceil-log2 sizing: 204800 ids / 32 sbs → 2^13 span")
+    assert(predicted === 26L && predicted <= 32L)
+    // fragmented but no higher bits exist that help → no plan (never a
+    // no-op rewrite)
+    assert(PostingsIndex.plannedRebucket(nSb = 205L, maxDoc = 100L,
+      bits = 7, targetSbs = 32).isEmpty)
+
+    // ivf: under-partitioned (100× ingest at a pinned count) and
+    // over-partitioned both plan a resize to ⌈√n⌉; in band and empty
+    // plan nothing
+    assert(IvfIndex.plannedResize(nVec = 2000L, standing = 1L) === Some(45))
+    assert(IvfIndex.plannedResize(nVec = 100L, standing = 256L) === Some(10))
+    assert(IvfIndex.plannedResize(nVec = 2000L, standing = 45L).isEmpty)
+    assert(IvfIndex.plannedResize(nVec = 0L, standing = 16L).isEmpty)
+  }
+
+  test("advise predicts the post-maintain route, and maintain delivers exactly it") {
+    import spark.implicits._
+    // the cache test's fragmentation scenario: 2000 fat docs (indexed
+    // regime), then 200 query-term appends spread across ~200 fresh
+    // superblocks — the measured regime where the router routes AROUND
+    // the index that exists
+    val pad = (0 until 39).map(j => s"pad$j").mkString(" ")
+    val dir = writeDocs((0L until 2000L).map(i => (i, s"spark $pad")))
+    val idx = tmpDir("graft_router_advise_idx")
+    PostingsIndex.buildFrom(spark, spark.read
+      .parquet(s"$dir/documents.parquet"), idx, superBits = 2)
+    PostingsIndex.append(spark, idx, (1L to 200L).map(i =>
+      (i * 1024L, "spark table scan window join")).toDF("doc_id", "text"))
+    // vector side: 2000 vectors indexed at ONE cell — the pinned-count
+    // shape where per-query indexed I/O degenerates to a full scan plus
+    // the probe session overhead, so the router picks the inline plan
+    (0 until 2000).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        if (d == i % 16) 1.0 else 0.01 * ((i * 7 + d) % 5)).toSeq)
+    }.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val vidx = tmpDir("graft_router_advise_vidx")
+    IvfIndex.buildFrom(spark,
+      spark.read.parquet(s"$dir/embeddings.parquet"), vidx, nCells = 1)
+
+    val before = Router.adviseOn(spark, idx, vidx).map(a => a.family -> a).toMap
+    assert(before.keySet === Set("bm25", "phrase", "ann", "hybrid"))
+    // both degraded layouts are detected, priced, and predicted to FLIP
+    val bm = before("bm25")
+    assert(bm.current.leg === "scan", bm.render)
+    assert(bm.action.exists(_.contains("rebucket")), bm.render)
+    assert(bm.wouldFlip && bm.predicted.get.leg === "indexed", bm.render)
+    val ann = before("ann")
+    assert(ann.current.leg === "scan", ann.render)
+    assert(ann.action.exists(_.contains("resize")), ann.render)
+    assert(ann.wouldFlip && ann.predicted.get.leg === "indexed", ann.render)
+    // the postings families share one planned repair
+    assert(before("phrase").action === bm.action)
+    assert(before("hybrid").action === bm.action)
+    assert(bm.render.contains("rebucket") && bm.render.contains("indexed"))
+
+    // run exactly what the advisories point at
+    val pLog = PostingsIndex.maintain(spark, idx)
+    assert(pLog.exists(_.contains("rebucket")), pLog.mkString("; "))
+    val vLog = IvfIndex.maintain(spark, vidx)
+    assert(vLog.exists(_.contains("resize")), vLog.mkString("; "))
+
+    // the prediction is DELIVERED: fresh advisories report the predicted
+    // legs as current, with no further action planned
+    val after = Router.adviseOn(spark, idx, vidx).map(a => a.family -> a).toMap
+    assert(after("bm25").current.leg === bm.predicted.get.leg)
+    assert(after("ann").current.leg === ann.predicted.get.leg)
+    after.values.foreach { a =>
+      assert(a.predicted.isEmpty && a.action.isEmpty,
+        s"post-maintain layout must be in band: ${a.render}")
+      assert(a.render.contains("healthy"))
+    }
+    // and the AUTO entry actually takes the restored index (the stamp
+    // bump from the rebucket invalidates the cached scan choice)
+    val p = plan(Router.bm25AutoOn(spark, dir, idx))
+    assert(p.contains("blockstats") && !p.contains("documents.parquet"),
+      s"post-maintain stats must route back to the index:\n$p")
+  }
+
   test("hybrid_auto: the gate corpus routes to the indexed fusion (measured winner at every probed SF)") {
     val p = plan(Router.hybridAuto(spark, sf))
     assert(p.contains("members"),

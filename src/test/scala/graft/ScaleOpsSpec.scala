@@ -94,6 +94,74 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(p.where(col("sim") < 0.4).count() == 0)
   }
 
+  test("wide-signature near-dups: superset of the narrow banding, recall gain at mid cosine, never all-pairs") {
+    import spark.implicits._
+    // the global plane matrix makes the wide signature's word 0 the
+    // narrow signature, so 16×8 candidates ⊇ 16×4 candidates — on the
+    // gate corpus the RESULT sets must nest accordingly
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowGate = pairSet(Similarity.embeddingNearDups(spark, sf, 16, 4))
+    val wideGate = pairSet(Similarity.embeddingNearDupsWide(spark, sf))
+    assert(narrowGate.subsetOf(wideGate),
+      "widening must only ADD candidates — word 0 is the narrow signature")
+
+    // mid-cosine recall: plant 150 pairs at cosine ≈ 0.78 (per-16-bit
+    // band collision ~2.6% — the regime the narrow 4-band trade
+    // documented as its loss) and measure both against the EXACT truth
+    val dims = 64
+    def unit(seed: Int): Array[Double] = {
+      val v = Array.tabulate(dims) { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"w$seed|$d".getBytes("UTF-8"))
+        (java.nio.ByteBuffer.wrap(h.take(8)).getLong.toDouble /
+          Long.MaxValue)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cosT = 0.78
+    val sinT = math.sqrt(1 - cosT * cosT)
+    val rows = (0 until 150).flatMap { i =>
+      val a = unit(i)
+      // orthogonalize a deterministic direction against a, then tilt
+      val r = unit(10000 + i)
+      val d = (0 until dims).map(j => a(j) * r(j)).sum
+      val o = Array.tabulate(dims)(j => r(j) - d * a(j))
+      val on = math.sqrt(o.map(x => x * x).sum)
+      val b = Array.tabulate(dims)(j => cosT * a(j) + sinT * o(j) / on)
+      Seq((i.toLong, a.toSeq), (1000L + i, b.toSeq))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wide_nd").toFile
+    dir.deleteOnExit()
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    // exact truth at the operator threshold, computed in-process
+    val vecs = rows.map { case (id, v) => id -> v.toArray }.toMap
+    val ids = vecs.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      va = vecs(ids(i)); vb = vecs(ids(j))
+      if (0 until dims).map(k => va(k) * vb(k)).sum >= 0.4
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.size >= 150, "every planted pair sits above threshold")
+    val narrow = Similarity.embeddingNearDups(
+      spark, dir.getAbsolutePath, 16, 4)
+    val wide = Similarity.embeddingNearDupsWide(spark, dir.getAbsolutePath)
+    // banded LSH, never all-pairs — same contract as the narrow plan
+    wide.collect()
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"all-pairs plan:\n$plan")
+    val nR = (pairSet(narrow) & truth).size.toDouble / truth.size
+    val wR = (pairSet(wide) & truth).size.toDouble / truth.size
+    assert(pairSet(narrow).subsetOf(pairSet(wide)))
+    assert(wR > nR,
+      f"widening must buy mid-cosine recall: narrow $nR%.3f vs wide $wR%.3f")
+    assert(wR >= 0.15, f"wide recall collapsed: $wR%.3f")
+  }
+
   test("text stats: ratios well-formed") {
     val t = TextAnalysis.textStats(spark, sf)
     assert(t.where(col("punct_ratio") < 0.0 || col("punct_ratio") > 1.0).count() == 0)

@@ -358,12 +358,19 @@ object IvfIndex {
     // index must not serve queryPq (done-marker discipline: any layout
     // change bumps the cache path)
     val idx = s"/tmp/graft_ivf2_${java.lang.Long.toHexString(tag)}"
-    if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
+    // memo BESIDE the tree ([[PostingsIndex.ensureLifecycleIndex]]'s
+    // lesson): retrain's swap is per-cell (an in-tree memo survives it
+    // today), but keeping the memo outside the tree makes the fixture
+    // robust to ANY re-layout op regardless of swap scope
+    val done = new java.io.File(s"$idx.appended")
+    if (!done.exists() && new java.io.File(s"$idx/_GRAFT_APPENDED").exists())
+      done.createNewFile()
+    if (!done.exists()) {
       val e = Corpus.embeddings(s, dir)
       val increment = col("vec_id") >= 16 && col("vec_id") % 4 === 3
       buildFrom(s, e.where(!increment), idx, nCells = 16)
       append(s, idx, e.where(increment))
-      new java.io.File(s"$idx/_GRAFT_APPENDED").createNewFile()
+      require(done.createNewFile(), s"could not stamp $done")
     }
     idx
   }

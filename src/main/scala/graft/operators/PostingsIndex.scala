@@ -477,8 +477,13 @@ object PostingsIndex {
     * crash can leave the index path briefly ABSENT, which fails queries
     * loudly (never wrongly) until the recovery runs. The new tree
     * carries a fresh [[IndexVersion]] stamp, so running serving
-    * sessions re-open it at their next trigger. Returns (superblocks
-    * before, superblocks after). */
+    * sessions re-open it at their next trigger. CONTRACT: the new tree
+    * carries ONLY the index's own tables (postings, termstats,
+    * positions, doclens, blockstats, meta, tombstones, version stamp) —
+    * application files stored inside the index directory do not survive
+    * a re-layout; keep memos beside the tree, not in it
+    * ([[ensureLifecycleIndex]] learned this the measured way). Returns
+    * (superblocks before, superblocks after). */
   def rebucket(
       s: SparkSession, indexDir: String, newSuperBits: Int): (Long, Long) = {
     // a crashed append/delete leaves MIXED tables behind its mutation
@@ -1324,12 +1329,22 @@ object PostingsIndex {
     // against one crashed on the missing table — found by RebucketProbe
     // round 12) must never reuse an old-layout index behind the marker
     val idx = s"/tmp/graft_postings_v5_${java.lang.Long.toHexString(tag)}"
-    if (!new java.io.File(s"$idx/_GRAFT_APPENDED").exists()) {
+    // the built-once memo lives BESIDE the tree, not inside it: rebucket's
+    // whole-tree swap carries only the index's own tables, so an in-tree
+    // memo silently vanished with the old tree and the next ensure call
+    // REBUILT the index from scratch — at the fragmentation superBits the
+    // repair had just fixed (measured at sf10: a maintain'd 30-sb index
+    // reverted to 2050 sbs behind a 6-minute rebuild). Honor a standing
+    // in-tree marker from pre-fix caches by migrating it out.
+    val done = new java.io.File(s"$idx.appended")
+    if (!done.exists() && new java.io.File(s"$idx/_GRAFT_APPENDED").exists())
+      done.createNewFile()
+    if (!done.exists()) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
       buildFrom(s, docs.where(col("doc_id") < cut), idx, superBits = 2)
       append(s, idx, docs.where(col("doc_id") >= cut))
-      new java.io.File(s"$idx/_GRAFT_APPENDED").createNewFile()
+      require(done.createNewFile(), s"could not stamp $done")
     }
     idx
   }

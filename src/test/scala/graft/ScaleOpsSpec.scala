@@ -156,6 +156,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"), s"all-pairs plan:\n$plan")
     val nR = (pairSet(narrow) & truth).size.toDouble / truth.size
     val wR = (pairSet(wide) & truth).size.toDouble / truth.size
+    info(f"mid-cosine (0.78) recall: narrow(16,4) $nR%.3f -> wide $wR%.3f " +
+      s"over ${truth.size} true pairs")
     assert(pairSet(narrow).subsetOf(pairSet(wide)))
     assert(wR > nR,
       f"widening must buy mid-cosine recall: narrow $nR%.3f vs wide $wR%.3f")

@@ -820,8 +820,29 @@ object Similarity {
 
   def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
     val n = Corpus.embeddings(s, dir).count()
-    if (n > bigNCut) embeddingNearDups(s, dir, bitsPerBand = 16, nBands = 4)
-    else embeddingNearDups(s, dir, bitsForCount(n))
+    if (n > bigNCut)
+      embeddingNearDups(s, dir, bitsPerBand = 16, nBands = 4, nVec = n)
+    else embeddingNearDups(s, dir, bitsForCount(n), nVec = n)
+  }
+
+  /** Band-join partition count. The join must not squeeze a big
+    * corpus's exploded band frame into the session's 32 shuffle
+    * partitions (measured at sf10: 1.6 M band rows per side through 32
+    * partitions OOM'd the build side) — but the OLD proxy (keys per
+    * band) ignored the corpus entirely and over-partitioned small
+    * frames into thousands of near-empty tasks (measured: the wide
+    * entry at sf0.1 spent 3.8 s scheduling 2048 partitions for a
+    * 32 K-row frame). When the caller knows the corpus size — both
+    * self-sizing default entries count it anyway — partitions scale
+    * with the ACTUAL band-row volume (nVec · L, ~2000 rows per side per
+    * partition); the key proxy remains the conservative fallback for
+    * explicit-parameter callers. Clamped to [session, 2048]. */
+  private def bandJoinParts(
+      s: SparkSession, nBands: Int, mask: Long, nVec: Long): Int = {
+    val vol = if (nVec >= 0L) nVec * nBands / 2000L
+              else nBands.toLong * (mask + 1L)
+    math.max(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      math.min(2048L, vol).toInt)
   }
 
   /** `bitsPerBand` scales bucket sparsity with corpus size — the (b, L)
@@ -834,7 +855,7 @@ object Similarity {
     * scale-trajectory runs exercise b = 4 at 10× (see BASELINE.md). */
   private[graft] def embeddingNearDups(
       s: SparkSession, dir: String, bitsPerBand: Int,
-      nBands: Int = ndBands): DataFrame = {
+      nBands: Int = ndBands, nVec: Long = -1L): DataFrame = {
     val bb = bitsPerBand
     require(bb * nBands <= 64, s"$bb bits x $nBands bands exceeds the " +
       "64-bit signature budget — widen via a second signature column")
@@ -856,20 +877,9 @@ object Similarity {
     val firstBand = coalesce(
       (0 until nBands).map(b =>
         when(shiftright(xorSig, bb * b).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
-    // partition count scales with the exploded band volume, not the
-    // session default: at the 8-bit band cap (the 64-bit signature
-    // budget) candidate volume grows ~n²/2^b per band, and a big corpus
-    // squeezed into shuffle.partitions-sized join partitions OOMs the
-    // build side (measured: sf10's 200 K vectors → 1.6 M band rows per
-    // side through 32 partitions killed a task; at n-scaled partitions
-    // the same join streams). Small corpora keep the session default —
-    // the gate plans are unchanged.
-    val nBandRows = nBands.toLong *
-      (mask + 1) // keys per band — proxy that avoids a count() job
-    val parts = math.max(
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      math.min(2048L, nBandRows).toInt)
-    val keyed = bands.repartition(parts, col("band"), col("key"))
+    val keyed = bands.repartition(
+      bandJoinParts(e.sparkSession, nBands, mask, nVec),
+      col("band"), col("key"))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.vec_id") < col("y.vec_id"))
@@ -925,13 +935,14 @@ object Similarity {
     * count picks the (b, L) split ([[wideParams]]); the Verify main
     * re-sizes the oracle the same way (the [[bitsForCount]] plumbing). */
   def embeddingNearDupsWide(s: SparkSession, dir: String): DataFrame = {
-    val (bb, nb) = wideParams(Corpus.embeddings(s, dir).count())
-    embeddingNearDupsWide(s, dir, bb, nb)
+    val n = Corpus.embeddings(s, dir).count()
+    val (bb, nb) = wideParams(n)
+    embeddingNearDupsWide(s, dir, bb, nb, nVec = n)
   }
 
   def embeddingNearDupsWide(
       s: SparkSession, dir: String, bitsPerBand: Int,
-      nBands: Int): DataFrame = {
+      nBands: Int, nVec: Long = -1L): DataFrame = {
     val bb = bitsPerBand
     require(bb * nBands > 64,
       s"$bb bits x $nBands bands fits one signature word — use " +
@@ -961,12 +972,9 @@ object Similarity {
       when(shiftright(if (b < perWord) xor0 else xor1, bb * (b % perWord))
         .bitwiseAND(lit(mask)) === 0, lit(b))
     }: _*)
-    // same band-volume-scaled partitioning as the narrow path
-    val nBandRows = nBands.toLong * (mask + 1)
-    val parts = math.max(
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      math.min(2048L, nBandRows).toInt)
-    val keyed = bands.repartition(parts, col("band"), col("key"))
+    val keyed = bands.repartition(
+      bandJoinParts(e.sparkSession, nBands, mask, nVec),
+      col("band"), col("key"))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.vec_id") < col("y.vec_id"))

@@ -365,12 +365,14 @@ object IvfIndex {
     val done = new java.io.File(s"$idx.appended")
     if (!done.exists() && new java.io.File(s"$idx/_GRAFT_APPENDED").exists())
       done.createNewFile()
-    if (!done.exists()) {
+    // memo AND tree — a surviving memo over a cleaned tree must rebuild
+    if (!done.exists() || !new java.io.File(s"$idx/members").isDirectory) {
       val e = Corpus.embeddings(s, dir)
       val increment = col("vec_id") >= 16 && col("vec_id") % 4 === 3
       buildFrom(s, e.where(!increment), idx, nCells = 16)
       append(s, idx, e.where(increment))
-      require(done.createNewFile(), s"could not stamp $done")
+      // false = a racing process stamped the deterministic build first
+      done.createNewFile()
     }
     idx
   }
@@ -749,13 +751,25 @@ object IvfIndex {
   private[graft] def targetCells(nVec: Long): Int =
     math.max(1L, math.ceil(math.sqrt(nVec.toDouble)).toLong).toInt
 
+  /** The standing cell count [[maintain]] plans against: the members
+    * PARTITION DIRECTORIES — driver-side, readable even when a crashed
+    * retrain left centroids/ torn, and the count that reflects emptied
+    * cells (a centroids row count does not; [[Router.adviseOn]] must use
+    * THIS count or its resize advisory drifts from what maintain runs —
+    * the second-pass review's finding #1). */
+  private[graft] def standingCells(indexDir: String): Int =
+    Option(new java.io.File(s"$indexDir/members").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cell=")))
+      .getOrElse(0)
+
   /** [[maintain]]'s resize plan as a pure function of (member count,
     * standing cell count) — shared with [[Router.advise]] so the
     * advisory can never predict a resize the maintenance pass wouldn't
-    * run. Returns the target cell count when the standing count is out
-    * of band against [[targetCells]] (4× hysteresis either way), None
-    * when in band or the index is empty (a fully-deleted index is
-    * vacuously healthy — the r12 guard). */
+    * run. The standing count must be [[standingCells]]'s directory
+    * count, not a centroids row count. Returns the target cell count
+    * when the standing count is out of band against [[targetCells]] (4×
+    * hysteresis either way), None when in band or the index is empty (a
+    * fully-deleted index is vacuously healthy — the r12 guard). */
   private[graft] def plannedResize(nVec: Long, standing: Long): Option[Int] =
     if (nVec > 0 && standing > 0 && {
           val ideal = targetCells(nVec)
@@ -933,11 +947,7 @@ object IvfIndex {
     }
     completeRetrainSwap(indexDir)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    // cell count from the partition directories — driver-side, and
-    // readable even when a crashed retrain left centroids/ torn
-    def nCells: Int = Option(new java.io.File(s"$indexDir/members").listFiles())
-      .map(_.count(f => f.isDirectory && f.getName.startsWith("cell=")))
-      .getOrElse(0)
+    def nCells: Int = standingCells(indexDir)
     // a standing in-progress marker means a retrain crashed mid-pass:
     // the tables may be torn (new quantizer over the old layout — or a
     // half-written centroids dir) and every query path refuses. The

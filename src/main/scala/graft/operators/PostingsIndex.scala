@@ -142,14 +142,15 @@ object PostingsIndex {
       targetSbs: Int = 32): Option[(Int, Long)] = {
     if (nSb <= 4L * targetSbs) None
     else {
-      // smallest superBits with ceil(maxDoc / 2^(bb+superBits)) ≤ target:
-      // 64 − nlz(x) is floor(log2 x) + 1, the exact-integer ceil-log2 form
-      val span = math.max(1L, maxDoc / targetSbs + 1L)
-      val need = math.max(bits,
-        64 - java.lang.Long.numberOfLeadingZeros(span) -
-          Retrieval.postingsBlockBits)
-      if (need > bits)
-        Some((need, (maxDoc >> (Retrieval.postingsBlockBits + need)) + 1L))
+      // smallest superBits whose DENSE superblock count fits the target
+      // — searched exactly (the previous ceil-log2 closed form overshot
+      // by one bit when maxDoc/target+1 landed on a power of two,
+      // halving the rebucketed index's scan parallelism)
+      val bb = Retrieval.postingsBlockBits
+      val need = (bits to 63 - bb)
+        .find(s => (maxDoc >> (bb + s)) + 1L <= targetSbs)
+        .getOrElse(63 - bb)
+      if (need > bits) Some((need, (maxDoc >> (bb + need)) + 1L))
       else None
     }
   }
@@ -1339,12 +1340,18 @@ object PostingsIndex {
     val done = new java.io.File(s"$idx.appended")
     if (!done.exists() && new java.io.File(s"$idx/_GRAFT_APPENDED").exists())
       done.createNewFile()
-    if (!done.exists()) {
+    // memo AND tree: the beside-tree memo no longer co-deletes with the
+    // index (the in-tree marker's one virtue), so a cleaned /tmp or a
+    // manually removed tree with a surviving memo must rebuild, not
+    // return a path with no index in it
+    if (!done.exists() || !new java.io.File(s"$idx/postings").isDirectory) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
       buildFrom(s, docs.where(col("doc_id") < cut), idx, superBits = 2)
       append(s, idx, docs.where(col("doc_id") >= cut))
-      require(done.createNewFile(), s"could not stamp $done")
+      // false = another process racing this fixture stamped first — its
+      // build is equivalent (the chain is deterministic), not an error
+      done.createNewFile()
     }
     idx
   }

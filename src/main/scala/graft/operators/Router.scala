@@ -203,15 +203,18 @@ object Router {
       .where(col("term").isin(terms: _*))
       .agg(coalesce(sum(col("df_sb")), lit(0L))).collect()(0).getLong(0)
 
-  /** (total_len, superblock count) from blockstats in ONE bounded
-    * aggregate — the two stats every postings-side decision needs,
-    * probed together so the decision costs one job, not two. */
+  /** (total_len, superblock count, max doc id) from blockstats in ONE
+    * bounded aggregate — every postings-side stat a decision OR an
+    * advisory needs, probed together so either costs one job (the
+    * choice builders ignore the watermark; [[adviseOn]] feeds it to
+    * [[PostingsIndex.plannedRebucket]]). */
   private[graft] def postingsMetaOf(
-      s: SparkSession, pidx: String): (Long, Long) = {
+      s: SparkSession, pidx: String): (Long, Long, Long) = {
     val r = s.read.parquet(s"$pidx/blockstats")
-      .agg(coalesce(sum(col("total_len")), lit(0L)), count(lit(1)))
+      .agg(coalesce(sum(col("total_len")), lit(0L)), count(lit(1)),
+        coalesce(max(col("max_doc_id")), lit(0L)))
       .collect()(0)
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** (nVec, nCells) from the IVF index — parquet footer row counts, no
@@ -343,7 +346,7 @@ object Router {
       s: SparkSession, pidx: String,
       terms: Seq[String] = Retrieval.queryTerms): Choice =
     cachedChoice(keyOf(s, "bm25", lenKey(terms.sorted), pidx)) {
-      val (totalLen, nSb) = postingsMetaOf(s, pidx)
+      val (totalLen, nSb, _) = postingsMetaOf(s, pidx)
       decideBm25(totalLen, sumDfOf(s, pidx, terms), nSb, costsOf(s))
     }
 
@@ -355,7 +358,7 @@ object Router {
     val hasPos = new java.io.File(s"$pidx/positions").isDirectory
     val pkey = lenKey(phrases.map(p => lenKey(p)).sorted :+ s"#$hasPos")
     cachedChoice(keyOf(s, "phrase", pkey, pidx)) {
-      val (totalLen, nSb) = postingsMetaOf(s, pidx)
+      val (totalLen, nSb, _) = postingsMetaOf(s, pidx)
       decidePhrase(hasPos, totalLen,
         sumDfOf(s, pidx, phrases.flatten.distinct), nSb, costsOf(s))
     }
@@ -370,7 +373,7 @@ object Router {
   private def hybridChoiceOf(
       s: SparkSession, pidx: String, vidx: String): Choice =
     cachedChoice(keyOf(s, "hybrid", "p2", pidx, vidx)) {
-      val (totalLen, nSb) = postingsMetaOf(s, pidx)
+      val (totalLen, nSb, _) = postingsMetaOf(s, pidx)
       decideHybrid(totalLen, nSb, costsOf(s))
     }
 
@@ -435,10 +438,7 @@ object Router {
       s: SparkSession, pidx: String, vidx: String,
       targetSbs: Int = 32): Seq[Advice] = {
     val costs = costsOf(s)
-    val r = s.read.parquet(s"$pidx/blockstats")
-      .agg(coalesce(sum(col("total_len")), lit(0L)), count(lit(1)),
-        coalesce(max(col("max_doc_id")), lit(0L))).collect()(0)
-    val (totalLen, nSb, maxDoc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (totalLen, nSb, maxDoc) = postingsMetaOf(s, pidx)
     val bits = PostingsIndex.readSuperBits(s, pidx)
     val rebucket = PostingsIndex.plannedRebucket(nSb, maxDoc, bits, targetSbs)
     val rebucketAction = rebucket.map { case (need, sbs) =>
@@ -449,7 +449,11 @@ object Router {
     val hasPos = new java.io.File(s"$pidx/positions").isDirectory
     val (nVec, nCells) = ivfMetaOf(s, vidx)
     val ovh = jobOverheadTokens(s)
-    val resize = IvfIndex.plannedResize(nVec, nCells)
+    // the resize plan runs on maintain's OWN standing count (members
+    // partition directories — reflects emptied cells), not the
+    // centroids row count the deciders price with: feeding the decider
+    // count here could predict a resize maintain would not run
+    val resize = IvfIndex.plannedResize(nVec, IvfIndex.standingCells(vidx))
     Seq(
       Advice("bm25", decideBm25(totalLen, bmDf, nSb, costs),
         rebucket.map { case (_, sbs) => decideBm25(totalLen, bmDf, sbs, costs) },

@@ -825,6 +825,32 @@ object Similarity {
     else embeddingNearDups(s, dir, bitsForCount(n), nVec = n)
   }
 
+  /** The shared tail of both near-dup operators: band-key self-join for
+    * candidates (volume-scaled partitioning), first-colliding-band
+    * dedup, exact cosine verify at the 0.4 threshold. ONE copy so the
+    * threshold/dedup/join shape cannot diverge between the narrow and
+    * wide paths (the spec-pinned superset property depends on them
+    * verifying identically). */
+  private def bandedVerifiedPairs(
+      e: DataFrame, bands: DataFrame, firstBand: Column,
+      nBands: Int, mask: Long, nVec: Long): DataFrame = {
+    val keyed = bands.repartition(
+      bandJoinParts(e.sparkSession, nBands, mask, nVec),
+      col("band"), col("key"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .where(col("x.band") === firstBand)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .where(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Band-join partition count. The join must not squeeze a big
     * corpus's exploded band frame into the session's 32 shuffle
     * partitions (measured at sf10: 1.6 M band rows per side through 32
@@ -877,21 +903,7 @@ object Similarity {
     val firstBand = coalesce(
       (0 until nBands).map(b =>
         when(shiftright(xorSig, bb * b).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
-    val keyed = bands.repartition(
-      bandJoinParts(e.sparkSession, nBands, mask, nVec),
-      col("band"), col("key"))
-    val cand = keyed.as("x").join(keyed.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .where(col("x.band") === firstBand)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-    val va = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
-    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
-    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
-      .where(col("sim") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+    bandedVerifiedPairs(e, bands, firstBand, nBands, mask, nVec)
   }
 
   /** Wide-signature near-dup pairs: total sign bits = `bb · nBands` past
@@ -972,21 +984,7 @@ object Similarity {
       when(shiftright(if (b < perWord) xor0 else xor1, bb * (b % perWord))
         .bitwiseAND(lit(mask)) === 0, lit(b))
     }: _*)
-    val keyed = bands.repartition(
-      bandJoinParts(e.sparkSession, nBands, mask, nVec),
-      col("band"), col("key"))
-    val cand = keyed.as("x").join(keyed.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .where(col("x.band") === firstBand)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-    val va = e.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
-    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
-    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
-      .where(col("sim") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+    bandedVerifiedPairs(e, bands, firstBand, nBands, mask, nVec)
   }
 
   /** SQL for one `bb`-bit band key on alias `a`. The bit order differs

@@ -36,7 +36,7 @@ object HybridCrossoverProbe {
       }
       val scanned = time(Retrieval.hybridRrfScanned(spark, dir).collect().length)
       val indexed = time(Retrieval.hybridRrfIndexed(spark, dir).collect().length)
-      val (totalLen, nSb) = Router.postingsMetaOf(spark, pidx)
+      val (totalLen, nSb, _) = Router.postingsMetaOf(spark, pidx)
       val choice = Router.decideHybrid(totalLen, nSb)
       val winner = if (indexed < scanned) "indexed" else "scanned"
       println(f"[xover] $dir%-34s scanned=$scanned%6.2f s  indexed=$indexed%6.2f s" +

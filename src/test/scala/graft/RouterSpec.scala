@@ -351,6 +351,11 @@ class RouterSpec extends AnyFunSuite {
     // no-op rewrite)
     assert(PostingsIndex.plannedRebucket(nSb = 205L, maxDoc = 100L,
       bits = 7, targetSbs = 32).isEmpty)
+    // exact smallest-bits contract at the power-of-two edge: 262143 ids
+    // fit the 32-sb target at superBits 7 EXACTLY (32 dense sbs) — the
+    // old ceil-log2 closed form overshot to 8 here, halving parallelism
+    assert(PostingsIndex.plannedRebucket(nSb = 205L, maxDoc = 262143L,
+      bits = 2, targetSbs = 32) === Some((7, 32L)))
 
     // ivf: under-partitioned (100× ingest at a pinned count) and
     // over-partitioned both plan a resize to ⌈√n⌉; in band and empty

@@ -225,7 +225,7 @@ object PostingsIndex {
     recoverTombstones(indexDir)
     val batch0 = incoming.where(col("doc_id") > wm)
     val batch =
-      (if (new java.io.File(tombDir).isDirectory)
+      (if (IndexFs.isDirectory(tombDir))
         batch0.join(s.read.parquet(tombDir), Seq("doc_id"), "left_anti")
       else batch0).localCheckpoint()
     val batchStats = blockStatsOf(batch, superBits).localCheckpoint()
@@ -325,14 +325,21 @@ object PostingsIndex {
       checkpointDir: String,
       maintainEvery: Int = 0,
       targetSbs: Int = 32,
-      maxFilesPerSb: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFilesPerSb: Int = 4,
+      adviseGated: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         append(s, indexDir, df.toDF())
-        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-          maintain(s, indexDir, targetSbs, maxFilesPerSb)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          // adviseGated: the layout repair fires only when Router's
+          // shared planners predict it flips a route — the stronger
+          // policy condition (verdict r13 Next #6); hygiene always runs
+          if (adviseGated) Router.maintainPostingsIfAdvised(s, indexDir,
+            targetSbs, maxFilesPerSb)
+          else maintain(s, indexDir, targetSbs, maxFilesPerSb)
+        }
         ()
       }
       .start()
@@ -388,21 +395,20 @@ object PostingsIndex {
       s: SparkSession,
       indexDir: String,
       maxFilesPerSb: Int = 4): (Long, Long, Long) = {
-    def dataFiles(d: java.io.File): Int =
-      Option(d.listFiles()).map(_.count(f =>
-        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
-        .getOrElse(0)
+    def dataFiles(d: String): Int =
+      IndexFs.listStatus(d).count(c =>
+        !c.isDir && !c.name.startsWith(".") && !c.name.startsWith("_"))
     // both row tables fragment the same way under streaming ingest (the
     // positions table rewrites the hot tail each micro-batch too);
     // blockstats never fragments (one row per sb)
     def compactDir(path: String, sortCols: Seq[String]): (Long, Long, Long) = {
-      val root = new java.io.File(path)
-      val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith("sb="))
+      val frag = IndexFs.listStatus(path)
+        .filter(c => c.isDir && c.name.startsWith("sb="))
+        .map(c => s"$path/${c.name}")
         .filter(dataFiles(_) > maxFilesPerSb)
       if (frag.isEmpty) (0L, 0L, 0L)
       else {
-        val ids = frag.map(_.getName.stripPrefix("sb=").toInt)
+        val ids = frag.map(_.split('/').last.stripPrefix("sb=").toInt)
         val before = frag.map(dataFiles).sum.toLong
         val merged = s.read.parquet(path)
           .where(col("sb").isin(ids.map(Integer.valueOf): _*))
@@ -428,7 +434,7 @@ object PostingsIndex {
       s"$indexDir/positions" -> Seq("term", "doc_id"),
       s"$indexDir/doclens" -> Seq("doc_id"),
       s"$indexDir/termstats" -> Seq("term"))
-      .filter { case (p, _) => new java.io.File(p).isDirectory }
+      .filter { case (p, _) => IndexFs.isDirectory(p) }
     // torn-window guard around the per-table rewrites; a no-op compact
     // raises and clears the marker with no bump — readers see no change
     IndexVersion.beginMutation(indexDir, "compact")
@@ -499,36 +505,36 @@ object PostingsIndex {
     if (oldBits == newSuperBits) return (oldSb, oldSb)
     import s.implicits._
     val bb = Retrieval.postingsBlockBits
-    val next = new java.io.File(s"$indexDir.next")
+    val next = s"$indexDir.next"
     rmDirTree(next)
     val state = s.read.parquet(s"$indexDir/postings")
       .select(col("term"), col("block"), col("plist"),
         shiftright(col("block"), newSuperBits).cast("int").as("sb"))
       // EAGER + two consumers (postings write, termstats re-derivation)
       .localCheckpoint()
-    writePartitioned(state, s"${next.getPath}/postings", dynamic = false)
-    writePartitioned(termStatsOf(state), s"${next.getPath}/termstats",
+    writePartitioned(state, s"$next/postings", dynamic = false)
+    writePartitioned(termStatsOf(state), s"$next/termstats",
       dynamic = false)
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(state)
     def sbOf(doc: org.apache.spark.sql.Column) =
       shiftright(doc, bb + newSuperBits).cast("int")
     // positional payload is optional index state (Router.decidePhrase
     // models its absence) — re-tag it only where it exists
-    if (new java.io.File(s"$indexDir/positions").isDirectory)
+    if (IndexFs.isDirectory(s"$indexDir/positions"))
       writePartitioned(
         s.read.parquet(s"$indexDir/positions")
           .select(col("doc_id"), col("term"), col("positions"),
             sbOf(col("doc_id")).as("sb")),
-        s"${next.getPath}/positions", dynamic = false)
+        s"$next/positions", dynamic = false)
     // doclens is NOT optional: blockstats re-derivation needs the
     // doc-level source of truth (a pre-norms-layout index must be
     // rebuilt by the current buildFrom before it can re-bucket)
-    require(new java.io.File(s"$indexDir/doclens").isDirectory,
+    require(IndexFs.isDirectory(s"$indexDir/doclens"),
       s"$indexDir predates the doclens norms table: rebuild it with the " +
         "current buildFrom before rebucket")
     val doclens = s.read.parquet(s"$indexDir/doclens")
       .select(col("doc_id"), col("dl"), sbOf(col("doc_id")).as("sb"))
-    writePartitioned(doclens, s"${next.getPath}/doclens", dynamic = false)
+    writePartitioned(doclens, s"$next/doclens", dynamic = false)
     val counts = doclens.groupBy(col("sb"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"),
         max(col("doc_id")).as("doc_max"))
@@ -541,23 +547,25 @@ object PostingsIndex {
         coalesce(col("total_len"), lit(0L)).as("total_len"),
         greatest(coalesce(col("wm"), lit(-1L)),
           coalesce(col("doc_max"), lit(-1L))).as("max_doc_id"))
-    writePartitioned(bs, s"${next.getPath}/blockstats", dynamic = false)
+    writePartitioned(bs, s"$next/blockstats", dynamic = false)
     Seq(newSuperBits.toLong).toDF("super_bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"${next.getPath}/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/meta")
     recoverTombstones(indexDir)
-    if (new java.io.File(s"$indexDir/tombstones").isDirectory)
+    if (IndexFs.isDirectory(s"$indexDir/tombstones"))
       s.read.parquet(s"$indexDir/tombstones").coalesce(1)
-        .write.parquet(s"${next.getPath}/tombstones")
-    IndexVersion.bump(next.getPath) // fresh stamp: serving refreshes
-    val newSb = s.read.parquet(s"${next.getPath}/blockstats").count()
-    // commit point — from here recovery only moves directories
-    new java.io.File(next, "_GRAFT_REBUCKET_READY").createNewFile()
-    val old = new java.io.File(s"$indexDir.old")
-    require(new java.io.File(indexDir).renameTo(old),
+        .write.parquet(s"$next/tombstones")
+    IndexVersion.bump(next) // fresh stamp: serving refreshes
+    val newSb = s.read.parquet(s"$next/blockstats").count()
+    // commit point — from here recovery only moves directories. The two
+    // renames REQUIRE IndexFs.rename's atomic whole-tree contract; an
+    // object-store binding must manifest-commit instead (IndexFs scaladoc)
+    IndexFs.createMarker(s"$next/_GRAFT_REBUCKET_READY")
+    val old = s"$indexDir.old"
+    require(IndexFs.rename(indexDir, old),
       s"rebucket: could not park $indexDir")
-    require(next.renameTo(new java.io.File(indexDir)),
+    require(IndexFs.rename(next, indexDir),
       s"rebucket: could not install the new tree at $indexDir")
-    new java.io.File(s"$indexDir/_GRAFT_REBUCKET_READY").delete()
+    IndexFs.delete(s"$indexDir/_GRAFT_REBUCKET_READY")
     rmDirTree(old)
     (oldSb, newSb)
   }
@@ -582,9 +590,14 @@ object PostingsIndex {
     * protocols), so the maintenance pass needs no transaction of its
     * own; a re-run after any crash converges. Returns the action log —
     * empty = the layout was already healthy. */
+  /** `rebucketOk = false` defers the whole-tree re-layout while keeping
+    * the bounded hygiene legs (compact, vacuum) — the seam
+    * [[Router.maintainPostingsIfAdvised]] gates on a predicted route
+    * flip. */
   def maintain(
       s: SparkSession, indexDir: String,
-      targetSbs: Int = 32, maxFilesPerSb: Int = 4): Seq[String] = {
+      targetSbs: Int = 32, maxFilesPerSb: Int = 4,
+      rebucketOk: Boolean = true): Seq[String] = {
     IndexVersion.requireNoMutation(indexDir, "maintain")
     recoverRebucket(indexDir)
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -593,7 +606,7 @@ object PostingsIndex {
       .collect()(0)
     val nSb = row.getLong(0)
     val maxDoc = row.getLong(1)
-    if (nSb > 4L * targetSbs) { // meta read only when possibly out of band
+    if (rebucketOk && nSb > 4L * targetSbs) { // meta read only when possibly out of band
       val bits = readSuperBits(s, indexDir)
       plannedRebucket(nSb, maxDoc, bits, targetSbs).foreach { case (need, _) =>
         val (before, after) = rebucket(s, indexDir, need)
@@ -617,24 +630,27 @@ object PostingsIndex {
     * dropped. With the index path absent (a crash between the renames):
     * a READY staged tree installs, else the parked tree restores. */
   private[graft] def recoverRebucket(indexDir: String): Unit = {
-    val idx = new java.io.File(indexDir)
-    val next = new java.io.File(s"$indexDir.next")
-    val old = new java.io.File(s"$indexDir.old")
-    def ready = new java.io.File(next, "_GRAFT_REBUCKET_READY").exists()
-    if (idx.isDirectory) {
-      if (next.isDirectory && ready) {
+    val next = s"$indexDir.next"
+    val old = s"$indexDir.old"
+    def ready = IndexFs.exists(s"$next/_GRAFT_REBUCKET_READY")
+    if (IndexFs.isDirectory(indexDir)) {
+      if (IndexFs.isDirectory(next) && ready) {
         rmDirTree(old)
-        require(idx.renameTo(old), s"rebucket recovery: could not park $indexDir")
-        require(next.renameTo(idx), s"rebucket recovery: could not install $indexDir")
-        new java.io.File(s"$indexDir/_GRAFT_REBUCKET_READY").delete()
+        require(IndexFs.rename(indexDir, old),
+          s"rebucket recovery: could not park $indexDir")
+        require(IndexFs.rename(next, indexDir),
+          s"rebucket recovery: could not install $indexDir")
+        IndexFs.delete(s"$indexDir/_GRAFT_REBUCKET_READY")
       } else rmDirTree(next)
       rmDirTree(old)
-    } else if (next.isDirectory && ready) {
-      require(next.renameTo(idx), s"rebucket recovery: could not install $indexDir")
-      new java.io.File(s"$indexDir/_GRAFT_REBUCKET_READY").delete()
+    } else if (IndexFs.isDirectory(next) && ready) {
+      require(IndexFs.rename(next, indexDir),
+        s"rebucket recovery: could not install $indexDir")
+      IndexFs.delete(s"$indexDir/_GRAFT_REBUCKET_READY")
       rmDirTree(old)
-    } else if (old.isDirectory) {
-      require(old.renameTo(idx), s"rebucket recovery: could not restore $indexDir")
+    } else if (IndexFs.isDirectory(old)) {
+      require(IndexFs.rename(old, indexDir),
+        s"rebucket recovery: could not restore $indexDir")
       rmDirTree(next)
     }
   }
@@ -645,14 +661,10 @@ object PostingsIndex {
   private def purgeEmptyPartitions(
       path: String, touched: Seq[Int], live: Set[Int]): Unit =
     (touched.toSet -- live).foreach { sb =>
-      val d = new java.io.File(s"$path/sb=$sb")
-      if (d.isDirectory) {
-        Option(d.listFiles()).foreach(_.foreach(_.delete()))
-        d.delete()
-      }
+      IndexFs.deleteTree(s"$path/sb=$sb")
     }
 
-  private def rmDirTree(d: java.io.File): Unit = IndexVersion.rmDirTree(d)
+  private def rmDirTree(d: String): Unit = IndexVersion.rmDirTree(d)
 
   /** Crash repair for [[vacuumTombstones]]'s two-rename swap: if the
     * standing `tombstones/` is missing but the pre-vacuum set is parked
@@ -662,12 +674,12 @@ object PostingsIndex {
     * already blocks). Called before every tombstone read or write, so no
     * reader ever observes the mid-swap window. */
   private def recoverTombstones(indexDir: String): Unit = {
-    val tomb = new java.io.File(s"$indexDir/tombstones")
-    val old = new java.io.File(s"$indexDir/tombstones.old")
-    if (!tomb.isDirectory && old.isDirectory)
+    val tomb = s"$indexDir/tombstones"
+    val old = s"$indexDir/tombstones.old"
+    if (!IndexFs.isDirectory(tomb) && IndexFs.isDirectory(old))
       // require-checked: a silently-failed restore would make the caller
       // read "no tombstones" and re-admit taken-down ids
-      require(old.renameTo(tomb),
+      require(IndexFs.rename(old, tomb),
         s"could not restore the parked tombstone set at $indexDir")
   }
 
@@ -722,7 +734,7 @@ object PostingsIndex {
       // delete a no-op by the anti-join. Shrinking the set is
       // [[vacuumTombstones]]'s job, via a staged swap.
       val fresh =
-        if (new java.io.File(tombDir).isDirectory)
+        if (IndexFs.isDirectory(tombDir))
           above.join(s.read.parquet(tombDir), Seq("doc_id"), "left_anti")
         else above
       if (fresh.limit(1).count() > 0)
@@ -833,7 +845,7 @@ object PostingsIndex {
   def vacuumTombstones(s: SparkSession, indexDir: String): (Long, Long) = {
     recoverTombstones(indexDir)
     val tombDir = s"$indexDir/tombstones"
-    if (!new java.io.File(tombDir).isDirectory) (0L, 0L)
+    if (!IndexFs.isDirectory(tombDir)) (0L, 0L)
     else {
       val wm = s.read.parquet(s"$indexDir/blockstats")
         .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
@@ -844,15 +856,16 @@ object PostingsIndex {
       val total = t.count()
       val keptN = kept.count()
       if (keptN < total) {
-        val next = new java.io.File(s"$tombDir.next")
-        val old = new java.io.File(s"$tombDir.old")
+        val next = s"$tombDir.next"
+        val old = s"$tombDir.old"
         rmDirTree(next); rmDirTree(old) // stale scratch from a prior crash
-        kept.coalesce(1).write.mode("overwrite").parquet(next.getPath)
+        kept.coalesce(1).write.mode("overwrite").parquet(next)
         // require-checked swap: an unchecked second rename followed by
         // the old-set delete could destroy the only surviving copy
-        require(new java.io.File(tombDir).renameTo(old),
+        // (atomic whole-tree renames — IndexFs contract)
+        require(IndexFs.rename(tombDir, old),
           s"vacuum: could not park the standing tombstones at $tombDir")
-        require(next.renameTo(new java.io.File(tombDir)),
+        require(IndexFs.rename(next, tombDir),
           s"vacuum: could not install the new tombstone set at $tombDir")
         rmDirTree(old)
       }
@@ -1035,9 +1048,14 @@ object PostingsIndex {
     val profRows = qt.select(col("query_id"), col("term"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val allTerms = profRows.map(_._2).distinct.toSeq
+    // df summed over superblocks ON THE DRIVER: the term-pruned scan
+    // returns ≤ profile-terms × superblocks rows (both query-bounded —
+    // hundreds), so a groupBy here bought exactness nothing and cost a
+    // full shuffle round-trip on the serving path (measured ~0.4 s of
+    // hybrid_rrf_indexed's latency at sf0.1)
     val dfByTerm = termstats.where(col("term").isin(allTerms: _*))
-      .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .select(col("term"), col("df_sb"))
+      .collect().groupMapReduce(_.getString(0))(_.getLong(1))(_ + _)
     val selected = mltSelect(profRows, dfByTerm, maxTerms)
     val prof = selected.toDF("query_id", "term")
     // the selected terms' df is already on the driver — hand it down as
@@ -1308,13 +1326,13 @@ object PostingsIndex {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/documents.parquet")) & 0x7fffffffffffffffL
     val idx = s"/tmp/graft_postings_v4d_${java.lang.Long.toHexString(tag)}"
-    if (!new java.io.File(s"$idx/_GRAFT_DELETED").exists()) {
+    if (!IndexFs.exists(s"$idx/_GRAFT_DELETED")) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       buildFrom(s, docs, idx, superBits = 2)
       delete(s, idx,
         docs.where(pmod(col("doc_id"), lit(deleteEvery)) === 0)
           .select(col("doc_id")))
-      new java.io.File(s"$idx/_GRAFT_DELETED").createNewFile()
+      IndexFs.createMarker(s"$idx/_GRAFT_DELETED")
     }
     Retrieval.serializePostings(
       s.read.parquet(s"$idx/postings").select(col("term"), col("block"), col("plist")))
@@ -1337,21 +1355,21 @@ object PostingsIndex {
     // repair had just fixed (measured at sf10: a maintain'd 30-sb index
     // reverted to 2050 sbs behind a 6-minute rebuild). Honor a standing
     // in-tree marker from pre-fix caches by migrating it out.
-    val done = new java.io.File(s"$idx.appended")
-    if (!done.exists() && new java.io.File(s"$idx/_GRAFT_APPENDED").exists())
-      done.createNewFile()
+    val done = s"$idx.appended"
+    if (!IndexFs.exists(done) && IndexFs.exists(s"$idx/_GRAFT_APPENDED"))
+      IndexFs.createMarker(done)
     // memo AND tree: the beside-tree memo no longer co-deletes with the
     // index (the in-tree marker's one virtue), so a cleaned /tmp or a
     // manually removed tree with a surviving memo must rebuild, not
     // return a path with no index in it
-    if (!done.exists() || !new java.io.File(s"$idx/postings").isDirectory) {
+    if (!IndexFs.exists(done) || !IndexFs.isDirectory(s"$idx/postings")) {
       val docs = Corpus.documents(s, dir).select(col("doc_id"), col("text"))
       val cut = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 2
       buildFrom(s, docs.where(col("doc_id") < cut), idx, superBits = 2)
       append(s, idx, docs.where(col("doc_id") >= cut))
       // false = another process racing this fixture stamped first — its
       // build is equivalent (the chain is deterministic), not an error
-      done.createNewFile()
+      IndexFs.createMarker(done)
     }
     idx
   }

@@ -549,12 +549,16 @@ object Retrieval {
       idPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val pidx = PostingsIndex.ensureLifecycleIndex(s, dir)
     val vidx = IvfIndex.ensureLifecycleIndex(s, dir)
+    // no .distinct(): [[PostingsIndex.mltSelect]] dedupes terms per query
+    // on the driver anyway, so the exchange here only added a shuffle
+    // stage to the serving path's profile-collect job (the scanned twin
+    // keeps its distinct — its profile frame feeds a corpus-side join,
+    // not a driver collect)
     val qt = Corpus.documents(s, dir)
       .where(idPred(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(TextAnalysis.tokensCol(col("text"))).as("term"))
       .where(length(col("term")) > 0)
-      .distinct()
     val qb = Corpus.embeddings(s, dir)
       .where(idPred(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

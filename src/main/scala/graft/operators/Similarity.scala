@@ -102,7 +102,7 @@ object Similarity {
     cosineScoredFrom(embFrame(s, dir), nQ)
 
   val annBruteForceSql: String =
-    s"""WITH e AS ($sqlVecs),
+    s"""WITH e AS MATERIALIZED ($sqlVecs),
        |scored AS (
        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
        |    $sqlDot / (qa.nrm * ca.nrm) AS sim
@@ -183,8 +183,8 @@ object Similarity {
   val annLshBucketedSql: String = {
     val keys = (0 until lshTables).map(t => s"${tableKeySql("e", t)} AS k$t").mkString(",\n  ")
     val collide = (0 until lshTables).map(t => s"qa.k$t = ca.k$t").mkString(" OR ")
-    s"""WITH e AS ($sqlVecs),
-       |sig AS (SELECT vec_id, v, nrm,
+    s"""WITH e AS MATERIALIZED ($sqlVecs),
+       |sig AS MATERIALIZED (SELECT vec_id, v, nrm,
        |  $keys
        |FROM e),
        |scored AS (
@@ -320,7 +320,7 @@ object Similarity {
     * corpus). */
   private[graft] def annIvfCtesSqlAt(
       centsCountSql: String, memberPred: String): String =
-    s"""e AS ($sqlVecs),
+    s"""e AS MATERIALIZED ($sqlVecs),
        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < ($centsCountSql)),
        |cellscores AS (
        |  SELECT e.vec_id, e.v, e.nrm, c.cid,
@@ -443,7 +443,7 @@ object Similarity {
   val annPqSql: String = {
     def sliceDot(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${pqSubDims + 1}), i -> $a[m.m*$pqSubDims+i] * $b[m.m*$pqSubDims+i]))"
-    s"""WITH e0 AS ($sqlVecs),
+    s"""WITH e0 AS MATERIALIZED ($sqlVecs),
        |e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e0),
        |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $pqK),
        |cells AS (
@@ -555,7 +555,7 @@ object Similarity {
   val annIvfPqSql: String = {
     def sliceDot(a: String, b: String): String =
       s"list_sum(list_transform(range(1, ${pqSubDims + 1}), i -> $a[m.m*$pqSubDims+i] * $b[m.m*$pqSubDims+i]))"
-    s"""WITH e AS ($sqlVecs),
+    s"""WITH e AS MATERIALIZED ($sqlVecs),
        |cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < $nCentroids),
        |cellscores AS (
        |  SELECT e.vec_id, c.cid,
@@ -597,7 +597,7 @@ object Similarity {
        |  JOIN qtab qt ON qt.query_id = p.query_id AND qt.m = c.m AND qt.cid = c.cid
        |  WHERE a.vec_id <> p.query_id
        |  GROUP BY 1, 2),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sq ASC, neighbor_id ASC) AS cr
@@ -833,9 +833,9 @@ object Similarity {
     * verifying identically). */
   private def bandedVerifiedPairs(
       e: DataFrame, bands: DataFrame, firstBand: Column,
-      nBands: Int, mask: Long, nVec: Long): DataFrame = {
+      nBands: Int, nVec: Long): DataFrame = {
     val keyed = bands.repartition(
-      bandJoinParts(e.sparkSession, nBands, mask, nVec),
+      bandJoinParts(e.sparkSession, nBands, nVec),
       col("band"), col("key"))
     val cand = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -861,15 +861,23 @@ object Similarity {
     * 32 K-row frame). When the caller knows the corpus size — both
     * self-sizing default entries count it anyway — partitions scale
     * with the ACTUAL band-row volume (nVec · L, ~2000 rows per side per
-    * partition); the key proxy remains the conservative fallback for
-    * explicit-parameter callers. Clamped to [session, 2048]. */
-  private def bandJoinParts(
-      s: SparkSession, nBands: Int, mask: Long, nVec: Long): Int = {
-    val vol = if (nVec >= 0L) nVec * nBands / 2000L
-              else nBands.toLong * (mask + 1L)
+    * partition). Every entry point now counts the corpus when the
+    * caller did not (one cheap parquet-footer aggregate), so the OLD
+    * keys-per-band proxy — which re-created the measured 3.8 s
+    * over-partitioning for any explicit-parameter caller — is gone.
+    * Clamped to [session, 2048]. */
+  private def bandJoinParts(s: SparkSession, nBands: Int, nVec: Long): Int = {
+    require(nVec >= 0L, "band-join sizing needs the corpus vector count")
+    val vol = nVec * nBands / 2000L
     math.max(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
       math.min(2048L, vol).toInt)
   }
+
+  /** All-ones mask of the low `bb` bits. `(1L << bb) - 1L` wraps to 0
+    * at bb = 64 (Java shifts mod 64), which would zero every band key
+    * and silently degenerate the band self-join to all-pairs n²; the
+    * unsigned-shift form is total on 1..64. */
+  private def bandMask(bb: Int): Long = -1L >>> (64 - bb)
 
   /** `bitsPerBand` scales bucket sparsity with corpus size — the (b, L)
     * scaling lever the class comment documents: on uncorrelated vectors
@@ -885,7 +893,8 @@ object Similarity {
     val bb = bitsPerBand
     require(bb * nBands <= 64, s"$bb bits x $nBands bands exceeds the " +
       "64-bit signature budget — widen via a second signature column")
-    val mask = (1L << bb) - 1L
+    val mask = bandMask(bb)
+    val n = if (nVec >= 0L) nVec else Corpus.embeddings(s, dir).count()
     val planes = if (bb == 2 && nBands == ndBands) ndPlanes
       else planesFor(bb * nBands)
     val e = embFrame(s, dir)
@@ -903,7 +912,7 @@ object Similarity {
     val firstBand = coalesce(
       (0 until nBands).map(b =>
         when(shiftright(xorSig, bb * b).bitwiseAND(lit(mask)) === 0, lit(b))): _*)
-    bandedVerifiedPairs(e, bands, firstBand, nBands, mask, nVec)
+    bandedVerifiedPairs(e, bands, firstBand, nBands, n)
   }
 
   /** Wide-signature near-dup pairs: total sign bits = `bb · nBands` past
@@ -932,23 +941,53 @@ object Similarity {
     * fused two-word signature pass → explode (L rows/vec) →
     * band-key equi-join scaled to band-key volume → exact verify on
     * candidates only; never all-pairs. */
-  /** The 128-bit (b, L) split by corpus size — the [[bitsForCount]]
-    * discipline on the two-word budget: small corpora spend the bits on
-    * OR legs (8-bit × 16 bands — per-band collision 2⁻⁸ keeps
-    * candidates ≈ n²/32, near-linear through sf1, while 16 legs hold
-    * recall even at this synthetic corpus's ≤0.48 cosines); past
-    * [[bigNCut]] the bands widen to 16 bits (candidates ≈ n²/16384 —
-    * the sf10-safe regime) and the 8 remaining legs still DOUBLE the
-    * one-word (16, 4) trade's mid-cosine recall. */
-  private[graft] def wideParams(n: Long): (Int, Int) =
-    if (n > bigNCut) (16, 8) else (8, 16)
+  /** MEASURED mid-cosine (0.78-plant) recall floors per 128-bit split —
+    * the WideRecallProbe sweep, stable across both probed scales (1 K
+    * and 10 K vectors; BASELINE r14 table): (8, 16) holds 0.92, (16, 8)
+    * 0.13–0.15 at ~25× fewer candidates; (32, 4) measured ~0 at every
+    * cosine and is not offered. The floors are what the recall-target
+    * selection compares against — measured numbers, NOT the iid-LSH
+    * closed form 1−(1−p^b)^L, which underestimates recall badly on the
+    * structured corpora the probe plants. */
+  private[graft] val wideRecallFloor: Map[(Int, Int), Double] =
+    Map((8, 16) -> 0.90, (16, 8) -> 0.13)
+
+  private val recallTargetKey = "spark.graft.neardup.midRecallTarget"
+
+  /** The session's stated mid-cosine recall target for the self-sized
+    * wide entry. Default 0.9 reproduces the corpus-count-only rule
+    * ((8, 16) under [[bigNCut]], (16, 8) past it); a caller content
+    * with lower mid-cosine recall states it and gets the ~25×-cheaper
+    * candidate volume everywhere. */
+  private[graft] def midRecallTarget(s: SparkSession): Double =
+    s.conf.getOption(recallTargetKey).map(_.toDouble).getOrElse(0.9)
+
+  /** The 128-bit (b, L) split by corpus size AND recall target:
+    * admissible splits are (16, 8) always and (8, 16) only under
+    * [[bigNCut]] (its candidate volume is ~n²·16/2¹⁶ — the measured
+    * 70 GB-spill regime past ~100 K vectors); among the admissible, the
+    * CHEAPEST whose measured floor ([[wideRecallFloor]]) meets the
+    * target wins, else the highest-floor one (a >0.13 target past the
+    * cut degrades to (16, 8) — scale survival outranks the target, and
+    * the floor table documents exactly what recall that buys). */
+  private[graft] def wideParams(n: Long, target: Double): (Int, Int) = {
+    // cheapest candidate volume first
+    val admissible = Seq((16, 8)) ++ (if (n <= bigNCut) Seq((8, 16)) else Nil)
+    admissible.find(wideRecallFloor(_) >= target)
+      .getOrElse(admissible.maxBy(wideRecallFloor))
+  }
+
+  private[graft] def wideParams(n: Long): (Int, Int) = wideParams(n, 0.9)
 
   /** [[embeddingNearDupsWide]] self-sized for the corpus — one cheap
-    * count picks the (b, L) split ([[wideParams]]); the Verify main
-    * re-sizes the oracle the same way (the [[bitsForCount]] plumbing). */
+    * count plus the session's recall target pick the (b, L) split
+    * ([[wideParams]]); the Verify main re-sizes the oracle the same way
+    * at the DEFAULT target (the committed oracle documents default
+    * behavior — a session that lowers the target knowingly departs from
+    * it). */
   def embeddingNearDupsWide(s: SparkSession, dir: String): DataFrame = {
     val n = Corpus.embeddings(s, dir).count()
-    val (bb, nb) = wideParams(n)
+    val (bb, nb) = wideParams(n, midRecallTarget(s))
     embeddingNearDupsWide(s, dir, bb, nb, nVec = n)
   }
 
@@ -962,7 +1001,8 @@ object Similarity {
     require(bb * nBands <= 128, s"$bb bits x $nBands bands exceeds the " +
       "two-word 128-bit signature budget")
     require(64 % bb == 0, s"$bb-bit bands would straddle a signature word")
-    val mask = (1L << bb) - 1L
+    val mask = bandMask(bb)
+    val n = if (nVec >= 0L) nVec else Corpus.embeddings(s, dir).count()
     val perWord = 64 / bb
     val planes0 = VectorFunctions.planesRange(0, 64)
     val planes1 = VectorFunctions.planesRange(64, bb * nBands)
@@ -984,7 +1024,7 @@ object Similarity {
       when(shiftright(if (b < perWord) xor0 else xor1, bb * (b % perWord))
         .bitwiseAND(lit(mask)) === 0, lit(b))
     }: _*)
-    bandedVerifiedPairs(e, bands, firstBand, nBands, mask, nVec)
+    bandedVerifiedPairs(e, bands, firstBand, nBands, n)
   }
 
   /** SQL for one `bb`-bit band key on alias `a`. The bit order differs
@@ -1033,21 +1073,57 @@ object Similarity {
   private[graft] val embeddingNearDupsWideSql: String =
     embeddingNearDupsWideSqlFor(500L)
 
+  /** Near-dup oracle in the ROW-ORIENTED form DuckDB evaluates
+    * vectorized: vectors and hyperplanes unnest to (id, dim, value)
+    * rows, the n·P sign dots become ONE hash-join aggregate, band keys
+    * one more group-by, candidates a DISTINCT band-key self-join, exact
+    * verify only on candidates. The previous form — per-vector lambda
+    * dots inside an UNION-ALL branch per band over a re-inlined CTE —
+    * re-evaluated the whole signature stage once per branch per side
+    * and cost 584 s at sf0.01 for the 128-plane wide oracle (the
+    * round-13 verdict's oracle-budget blowup); this form runs the same
+    * compare in ~2 s and is corpus-LINEAR up to the candidate join.
+    * Plane signs ride in as 64-char '1'/'0' strings (one VALUES row per
+    * plane), so the SQL text stays small at any plane count.
+    *
+    * Band grouping matches the Spark side exactly (band b = planes
+    * bb·b .. bb·b+bb−1 — [[embeddingNearDupsWide]] reads the
+    * concatenated two-word plane list the same way); bit order within a
+    * band's key differs from the packed-long slice, but a per-band
+    * bijection of key values leaves the collision sets — and so the
+    * result — identical ([[bandKeySql]]'s argument). DISTINCT replaces
+    * the first-colliding-band branch dedup: "collides in ≥1 band" is
+    * the same pair set emitted exactly once. */
   private def embeddingNearDupsSqlGen(
       bb: Int, nBands: Int, planes: Seq[Seq[Double]]): String = {
-    val keys = (0 until nBands)
-      .map(b => s"${bandKeySql("e", b, bb, planes)} AS k$b").mkString(",\n  ")
-    val branches = (0 until nBands).map { b =>
-      val cond = (s"a.k$b = b.k$b" +: (0 until b).map(j => s"a.k$j <> b.k$j"))
-        .mkString(" AND ")
-      s"  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n" +
-        s"    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim\n" +
-        s"  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND $cond"
-    }.mkString("\n  UNION ALL\n")
-    s"WITH e AS ($sqlVecs),\n" +
-      s"sig AS (SELECT vec_id, v, nrm,\n  $keys\nFROM e),\n" +
-      s"cand AS (\n$branches)\n" +
-      "SELECT vec_a, vec_b, round(sim, 4) AS sim\nFROM cand WHERE sim >= 0.4"
+    val planeRows = planes.take(bb * nBands).zipWithIndex.map {
+      case (w, p) =>
+        val sgn = w.map(x => if (x > 0) "1" else "0").mkString
+        s"($p, '$sgn')"
+    }.mkString(",\n  ")
+    s"""WITH e AS MATERIALIZED ($sqlVecs),
+planes(p, sgn) AS (VALUES
+  $planeRows),
+pw AS (SELECT p, CAST(i AS INT) AS i,
+    CASE WHEN substr(sgn, CAST(i AS INT), 1) = '1' THEN 1.0 ELSE -1.0 END AS w
+  FROM planes, range(1, 65) t(i)),
+ve AS (SELECT vec_id, CAST(i AS INT) AS i, v[i] AS x FROM e, range(1, 65) t(i)),
+dots AS (SELECT ve.vec_id, pw.p, SUM(ve.x * pw.w) AS d
+  FROM ve JOIN pw USING (i) GROUP BY ve.vec_id, pw.p),
+keys AS MATERIALIZED (
+  SELECT vec_id, p // $bb AS band,
+    SUM(CASE WHEN d >= 0.0 THEN CAST(1 AS BIGINT) << (p % $bb)
+        ELSE CAST(0 AS BIGINT) END) AS key
+  FROM dots GROUP BY vec_id, p // $bb),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+  round(list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+    / (ea.nrm * eb.nrm), 4) AS sim
+FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
+    / (ea.nrm * eb.nrm) >= 0.4"""
   }
 
   /** The committed oracle mirrors [[bitsForCount]]'s choice at the

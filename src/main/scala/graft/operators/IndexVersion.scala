@@ -24,7 +24,7 @@ package graft.operators
   * read-only serving path already has. */
 object IndexVersion {
 
-  private def file(indexDir: String) = new java.io.File(s"$indexDir/_GRAFT_VERSION")
+  private def file(indexDir: String) = s"$indexDir/_GRAFT_VERSION"
 
   /** Advance the index's version stamp (call at the END of a mutation).
     * Unique per bump; atomic via tmp-write + rename. The rename is
@@ -32,26 +32,23 @@ object IndexVersion {
     * session pinned on files the mutation just deleted, failing later
     * with a FileNotFound that points nowhere near the cause. */
   def bump(indexDir: String): Unit = {
-    val tmp = new java.io.File(s"$indexDir/_GRAFT_VERSION.tmp")
-    val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try w.print(s"${System.nanoTime()}-${java.util.UUID.randomUUID()}")
-    finally w.close()
-    require(tmp.renameTo(file(indexDir)),
-      s"could not advance the version stamp at $indexDir")
+    val fs = IndexFs.of(indexDir)
+    val tmp = s"$indexDir/_GRAFT_VERSION.tmp"
+    fs.writeUtf8(tmp, s"${System.nanoTime()}-${java.util.UUID.randomUUID()}")
+    // replaceFile's atomic-replace contract is what makes the stamp
+    // readable mid-bump (IndexFs scaladoc) — a torn stamp would make a
+    // serving refresh re-open frames against a half-swapped layout
+    fs.replaceFile(tmp, file(indexDir))
   }
 
   /** Recursive delete for the index crash-protocol scratch dirs (a
     * crashed Spark write can leave a `_temporary/` subtree a flat sweep
     * would miss) — ONE copy for every protocol ([[IvfIndex]] staging,
     * [[PostingsIndex]] tombstone/rebucket swaps). */
-  private[graft] def rmDirTree(d: java.io.File): Unit = {
-    if (d.isDirectory)
-      Option(d.listFiles()).foreach(_.foreach(rmDirTree))
-    d.delete(); ()
-  }
+  private[graft] def rmDirTree(d: String): Unit = IndexFs.deleteTree(d)
 
   private def mutMarker(indexDir: String) =
-    new java.io.File(s"$indexDir/_GRAFT_MUTATION_INPROGRESS")
+    s"$indexDir/_GRAFT_MUTATION_INPROGRESS"
 
   /** Raise the mutation-window marker — call BEFORE a mutation's first
     * write to any query-visible table. Multi-table mutations (a postings
@@ -75,7 +72,7 @@ object IndexVersion {
     * [[bump]]: a silently-failed create would void the torn-window
     * guard. */
   def beginMutation(indexDir: String, op: String): Unit = {
-    new java.io.File(indexDir).mkdirs()
+    IndexFs.mkdirs(indexDir)
     standingMutation(indexDir) match {
       case Some(standing) =>
         // "build" rewrites every table from its input — the universal
@@ -86,9 +83,8 @@ object IndexVersion {
             "may be mixed; a different operation would bake the tear in)")
       case None =>
         val f = mutMarker(indexDir)
-        val w = new java.io.PrintWriter(f, "UTF-8")
-        try w.print(op) finally w.close()
-        require(f.exists(), s"could not raise the mutation marker at $f")
+        IndexFs.writeUtf8(f, op)
+        require(IndexFs.exists(f), s"could not raise the mutation marker at $f")
     }
   }
 
@@ -96,11 +92,8 @@ object IndexVersion {
     * or crashed un-replayed. */
   def standingMutation(indexDir: String): Option[String] = {
     val f = mutMarker(indexDir)
-    if (!f.exists()) None
-    else Some {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.mkString.trim finally src.close()
-    }
+    if (!IndexFs.exists(f)) None
+    else Some(IndexFs.readUtf8(f).trim)
   }
 
   /** Refuse to start when ANY mutation marker stands — the entry check
@@ -122,23 +115,19 @@ object IndexVersion {
     * failed delete would leave readers refusing a healthy index. */
   def endMutation(indexDir: String): Unit = {
     val f = mutMarker(indexDir)
-    require(!f.exists() || f.delete(),
+    require(!IndexFs.exists(f) || IndexFs.delete(f),
       s"could not clear the mutation marker at $f")
   }
 
   /** Is a mutation in flight (or crashed un-replayed)? One file stat. */
   def mutationInProgress(indexDir: String): Boolean =
-    mutMarker(indexDir).exists()
+    IndexFs.exists(mutMarker(indexDir))
 
   /** The current stamp, or "" for an index no mutation has bumped yet
     * (a pre-version index behaves exactly as before: pinned frames for
     * the whole session). */
   def stamp(indexDir: String): String = {
     val f = file(indexDir)
-    if (!f.isFile) ""
-    else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.mkString finally src.close()
-    }
+    if (!IndexFs.isFile(f)) "" else IndexFs.readUtf8(f)
   }
 }

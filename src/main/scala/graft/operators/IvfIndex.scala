@@ -101,13 +101,13 @@ object IvfIndex {
     val assigned = withCodes(assignCells(e, bc), bcb)
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/members")
-    val marker = new java.io.File(s"$indexDir/_GRAFT_PQ_OK")
-    if (dimOk) marker.createNewFile() else marker.delete()
+    val marker = s"$indexDir/_GRAFT_PQ_OK"
+    if (dimOk) IndexFs.createMarker(marker) else IndexFs.delete(marker)
     // healthy-reference fit for maintain's self-calibrating drift floor
     writeFitStats(s, indexDir)
     // build rewrote every table consistently — a crashed retrain's
     // quiesce marker (if any) no longer describes this index
-    new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS").delete()
+    IndexFs.delete(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS")
     IndexVersion.bump(indexDir)
     IndexVersion.endMutation(indexDir)
     val m = s.read.parquet(s"$indexDir/members")
@@ -147,11 +147,7 @@ object IvfIndex {
   private def purgeEmptyCells(
       indexDir: String, touched: Set[Int], live: Set[Int]): Unit =
     (touched -- live).foreach { c =>
-      val d = new java.io.File(s"$indexDir/members/cell=$c")
-      if (d.isDirectory) {
-        Option(d.listFiles()).foreach(_.foreach(_.delete()))
-        d.delete()
-      }
+      IndexFs.deleteTree(s"$indexDir/members/cell=$c")
     }
 
   /** Re-key a (vec_id, cv, cn…) sample to DENSE centroid ids 0..k-1 in
@@ -216,7 +212,7 @@ object IvfIndex {
     // snapshot precedence below can no longer see the removed row
     val tombDir = s"$indexDir/deleted"
     val e =
-      if (new java.io.File(tombDir).isDirectory)
+      if (IndexFs.isDirectory(tombDir))
         e0.join(s.read.parquet(tombDir), Seq("vec_id"), "left_anti")
       else e0
     // frozen quantizer AND frozen codebook: an appended vector gets the
@@ -311,13 +307,13 @@ object IvfIndex {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
     val idx = s"/tmp/graft_ivfdel_${java.lang.Long.toHexString(tag)}"
-    if (!new java.io.File(s"$idx/_GRAFT_DELETED").exists()) {
+    if (!IndexFs.exists(s"$idx/_GRAFT_DELETED")) {
       val e = Corpus.embeddings(s, dir)
       buildFrom(s, e, idx, nCells = 16)
       delete(s, idx,
         e.where(pmod(col("vec_id"), lit(deleteEvery)) === 0)
           .select(col("vec_id")))
-      new java.io.File(s"$idx/_GRAFT_DELETED").createNewFile()
+      IndexFs.createMarker(s"$idx/_GRAFT_DELETED")
     }
     query(s, idx, queryBatch(s, dir), nProbe = 2, k = 5)
   }
@@ -341,12 +337,12 @@ object IvfIndex {
     val tag = (dir.hashCode.toLong * 31 +
       Corpus.fingerprint(s"$dir/embeddings.parquet")) & 0x7fffffffffffffffL
     val idx = s"/tmp/graft_ivfrsz_${java.lang.Long.toHexString(tag)}"
-    if (!new java.io.File(s"$idx/_GRAFT_RESIZED").exists()) {
+    if (!IndexFs.exists(s"$idx/_GRAFT_RESIZED")) {
       buildFrom(s, Corpus.embeddings(s, dir), idx, nCells = 4)
       val actions = maintain(s, idx, lloydRounds = 0)
       require(actions.exists(_.startsWith("resize:")),
         s"an under-partitioned build must be resized by maintain: $actions")
-      new java.io.File(s"$idx/_GRAFT_RESIZED").createNewFile()
+      IndexFs.createMarker(s"$idx/_GRAFT_RESIZED")
     }
     query(s, idx, queryBatch(s, dir), nProbe = 2, k = 5)
   }
@@ -362,17 +358,17 @@ object IvfIndex {
     // lesson): retrain's swap is per-cell (an in-tree memo survives it
     // today), but keeping the memo outside the tree makes the fixture
     // robust to ANY re-layout op regardless of swap scope
-    val done = new java.io.File(s"$idx.appended")
-    if (!done.exists() && new java.io.File(s"$idx/_GRAFT_APPENDED").exists())
-      done.createNewFile()
+    val done = s"$idx.appended"
+    if (!IndexFs.exists(done) && IndexFs.exists(s"$idx/_GRAFT_APPENDED"))
+      IndexFs.createMarker(done)
     // memo AND tree — a surviving memo over a cleaned tree must rebuild
-    if (!done.exists() || !new java.io.File(s"$idx/members").isDirectory) {
+    if (!IndexFs.exists(done) || !IndexFs.isDirectory(s"$idx/members")) {
       val e = Corpus.embeddings(s, dir)
       val increment = col("vec_id") >= 16 && col("vec_id") % 4 === 3
       buildFrom(s, e.where(!increment), idx, nCells = 16)
       append(s, idx, e.where(increment))
       // false = a racing process stamped the deterministic build first
-      done.createNewFile()
+      IndexFs.createMarker(done)
     }
     idx
   }
@@ -407,7 +403,7 @@ object IvfIndex {
     // makes a replayed delete write nothing.
     val tombDir = s"$indexDir/deleted"
     val fresh =
-      if (new java.io.File(tombDir).isDirectory)
+      if (IndexFs.isDirectory(tombDir))
         del.join(s.read.parquet(tombDir), Seq("vec_id"), "left_anti")
       else del
     if (fresh.limit(1).count() > 0)
@@ -497,14 +493,18 @@ object IvfIndex {
       vecs: DataFrame,
       checkpointDir: String,
       maintainEvery: Int = 0,
-      lloydRounds: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+      lloydRounds: Int = 5,
+      adviseGated: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         append(s, indexDir, df.toDF())
-        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
-          maintain(s, indexDir, lloydRounds = lloydRounds)
+        if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1) {
+          if (adviseGated) Router.maintainIvfIfAdvised(s, indexDir,
+            lloydRounds = lloydRounds)
+          else maintain(s, indexDir, lloydRounds = lloydRounds)
+        }
         ()
       }
       .start()
@@ -608,14 +608,14 @@ object IvfIndex {
     // index is incorrect to serve (new quantizer, old layout) — the
     // marker makes every query path refuse, and a crash leaves it
     // standing so the replay requirement is enforced, not just documented
-    val inProgress = new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS")
+    val inProgress = s"$indexDir/_GRAFT_RETRAIN_INPROGRESS"
     // require-checked like IndexVersion.bump's rename: a silently-failed
     // create voids the serve-refusal guard for the whole incorrect-to-
     // serve window (the marker exists precisely to make that window
     // refuse). An ALREADY-standing marker is fine — it means a prior
     // retrain crashed and this call is its replay, which the protocol
     // converges.
-    require(inProgress.createNewFile() || inProgress.exists(),
+    require(IndexFs.createMarker(inProgress) || IndexFs.exists(inProgress),
       s"retrain: could not raise the quiesce marker at $inProgress")
     // generic torn-window marker too, so a PinnedIndex session waits (or
     // refuses with the replay instruction) instead of racing the pass
@@ -658,14 +658,14 @@ object IvfIndex {
         .collect().map(_.getInt(0)).toSet
       // staged swap: standing members stays whole until the complete new
       // content of every touched cell is committed under members.retrain
-      val staging = new java.io.File(s"$indexDir/members.retrain")
+      val staging = s"$indexDir/members.retrain"
       rmDirTree(staging) // stale un-staged scratch from a prior crash
       out.write.mode("overwrite").partitionBy("cell")
-        .parquet(staging.getPath)
+        .parquet(staging)
       writeSwapManifest(staging, staged = live, emptied = touched -- live)
       // commit point: from here the swap (and any crash replay of it)
       // only moves directories — no recomputation can change the target
-      new java.io.File(staging, "_GRAFT_STAGED").createNewFile()
+      IndexFs.createMarker(s"$staging/_GRAFT_STAGED")
       completeRetrainSwap(indexDir)
     }
     // the re-fit state becomes the new healthy reference (pure function
@@ -673,7 +673,7 @@ object IvfIndex {
     writeFitStats(s, indexDir)
     // a failed delete would leave the index permanently refusing queries
     // while retrain reports success — the marker's failure dual
-    require(inProgress.delete(),
+    require(IndexFs.delete(inProgress),
       s"retrain: could not clear the quiesce marker at $inProgress")
     Seq(members, reassigned)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
@@ -685,21 +685,17 @@ object IvfIndex {
     (touched.size.toLong, moved)
   }
 
-  private def rmDirTree(d: java.io.File): Unit = IndexVersion.rmDirTree(d)
+  private def rmDirTree(d: String): Unit = IndexVersion.rmDirTree(d)
 
   /** The swap manifest: which staged cell dirs move into `members/` and
     * which touched cells emptied out entirely (a partitioned write emits
     * no directory for zero rows, so absence alone cannot distinguish
     * "emptied" from "already swapped" on replay — the manifest can). */
   private def writeSwapManifest(
-      staging: java.io.File, staged: Set[Int], emptied: Set[Int]): Unit = {
-    val f = new java.io.File(staging, "_GRAFT_SWAP")
-    val w = new java.io.PrintWriter(f, "UTF-8")
-    try {
-      w.println(staged.toSeq.sorted.mkString(","))
-      w.println(emptied.toSeq.sorted.mkString(","))
-    } finally w.close()
-  }
+      staging: String, staged: Set[Int], emptied: Set[Int]): Unit =
+    IndexFs.writeUtf8(s"$staging/_GRAFT_SWAP",
+      staged.toSeq.sorted.mkString(",") + "\n" +
+        emptied.toSeq.sorted.mkString(",") + "\n")
 
   /** Roll a committed staged swap forward ([[retrain]]'s migration
     * protocol; also its crash recovery — called at the head of every
@@ -712,30 +708,29 @@ object IvfIndex {
     * committed — the standing members set is untouched, so it is
     * discarded and the caller recomputes from scratch. */
   private def completeRetrainSwap(indexDir: String): Unit = {
-    val staging = new java.io.File(s"$indexDir/members.retrain")
-    if (!staging.isDirectory) return
-    if (!new java.io.File(staging, "_GRAFT_STAGED").exists()) {
+    val staging = s"$indexDir/members.retrain"
+    if (!IndexFs.isDirectory(staging)) return
+    if (!IndexFs.exists(s"$staging/_GRAFT_STAGED")) {
       rmDirTree(staging)
       return
     }
-    val lines = {
-      val src = scala.io.Source.fromFile(
-        new java.io.File(staging, "_GRAFT_SWAP"), "UTF-8")
-      try src.getLines().toList finally src.close()
-    }
+    val lines = IndexFs.readUtf8(s"$staging/_GRAFT_SWAP").linesIterator.toList
     def cellsOf(line: Option[String]): Seq[Int] =
       line.toSeq.flatMap(_.split(",")).filter(_.nonEmpty).map(_.toInt)
     val staged = cellsOf(lines.headOption)
     val emptied = cellsOf(lines.drop(1).headOption)
     emptied.foreach { c =>
-      rmDirTree(new java.io.File(s"$indexDir/members/cell=$c"))
+      rmDirTree(s"$indexDir/members/cell=$c")
     }
     staged.foreach { c =>
-      val src = new java.io.File(staging, s"cell=$c")
-      val dst = new java.io.File(s"$indexDir/members/cell=$c")
-      if (src.isDirectory) { // absent = already swapped on a prior replay
+      val src = s"$staging/cell=$c"
+      val dst = s"$indexDir/members/cell=$c"
+      if (IndexFs.isDirectory(src)) { // absent = already swapped on a prior replay
         rmDirTree(dst)
-        require(src.renameTo(dst), s"retrain swap: rename failed for cell=$c")
+        // per-cell atomic rename (IndexFs contract); an object-store
+        // binding must manifest-commit the cell set instead
+        require(IndexFs.rename(src, dst),
+          s"retrain swap: rename failed for cell=$c")
       }
     }
     rmDirTree(staging)
@@ -758,9 +753,8 @@ object IvfIndex {
     * THIS count or its resize advisory drifts from what maintain runs —
     * the second-pass review's finding #1). */
   private[graft] def standingCells(indexDir: String): Int =
-    Option(new java.io.File(s"$indexDir/members").listFiles())
-      .map(_.count(f => f.isDirectory && f.getName.startsWith("cell=")))
-      .getOrElse(0)
+    IndexFs.listStatus(s"$indexDir/members")
+      .count(c => c.isDir && c.name.startsWith("cell="))
 
   /** [[maintain]]'s resize plan as a pure function of (member count,
     * standing cell count) — shared with [[Router.advise]] so the
@@ -808,7 +802,7 @@ object IvfIndex {
   /** The stored healthy-reference fit; None for a pre-fitstats index
     * (falls back to the legacy absolute floor). */
   private def storedFit(s: SparkSession, indexDir: String): Option[Double] =
-    if (!new java.io.File(s"$indexDir/fitstats").isDirectory) None
+    if (!IndexFs.isDirectory(s"$indexDir/fitstats")) None
     else s.read.parquet(s"$indexDir/fitstats").collect()
       .headOption.map(_.getDouble(0))
 
@@ -822,7 +816,7 @@ object IvfIndex {
     * index whose quantizer and member layout may disagree. One
     * `File.exists` per query batch / serving session — negligible. */
   private[graft] def requireNotRetraining(indexDir: String): Unit =
-    require(!new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS").exists(),
+    require(!IndexFs.exists(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS"),
       s"$indexDir has a retrain in progress (or a crashed one): its " +
         "centroids/codebook and member layout may disagree and results " +
         "would be silently wrong — replay retrain() to completion first")
@@ -931,11 +925,17 @@ object IvfIndex {
     * a healthy index reports an empty action log. SERVING QUIESCE:
     * steps 1–2 are [[retrain]], whose in-progress window refuses
     * queries — schedule like any retrain. Returns the action log. */
+  /** `resizeOk = false` defers the resize re-layout (and, while one is
+    * planned, the drift retrain — re-fitting at a cell count the
+    * planner already rejected would churn the index twice); crash
+    * replay and compaction always run. The seam
+    * [[Router.maintainIvfIfAdvised]] gates on a predicted route flip. */
   def maintain(
       s: SparkSession, indexDir: String,
       minFit: Double = Double.NaN,
       lloydRounds: Int = 5,
-      maxFilesPerCell: Int = 4): Seq[String] = {
+      maxFilesPerCell: Int = 4,
+      resizeOk: Boolean = true): Seq[String] = {
     // a crashed RETRAIN is this pass's own replay path (below); any
     // OTHER crashed mutation must be replayed by its own operation —
     // re-deriving maintenance state from mixed tables would launder the
@@ -956,7 +956,7 @@ object IvfIndex {
     // quiesced index "healthy" worse. Replay parameters need not match
     // the crashed run's: any retrain converges to a consistent index
     // and clears the marker.
-    if (new java.io.File(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS").exists()) {
+    if (IndexFs.exists(s"$indexDir/_GRAFT_RETRAIN_INPROGRESS")) {
       val (cells, movedN) = retrain(s, indexDir, nCells, lloydRounds)
       actions += "retrain-replay: crashed retrain rolled forward " +
         s"($cells cells rewritten, $movedN members moved)"
@@ -966,10 +966,13 @@ object IvfIndex {
     val standing = nCells
     val resize = plannedResize(nVec, standing)
     if (resize.isDefined) {
-      val ideal = resize.get
-      val (cells, movedN) = retrain(s, indexDir, ideal, lloydRounds)
-      actions += s"resize: nCells $standing -> $ideal for $nVec vectors " +
-        s"($cells cells rewritten, $movedN members moved)"
+      if (resizeOk) {
+        val ideal = resize.get
+        val (cells, movedN) = retrain(s, indexDir, ideal, lloydRounds)
+        actions += s"resize: nCells $standing -> $ideal for $nVec vectors " +
+          s"($cells cells rewritten, $movedN members moved)"
+      } else actions += s"resize-deferred: nCells $standing out of band " +
+        s"for $nVec vectors, gated off by the caller's advice policy"
     } else {
       val floor =
         if (!minFit.isNaN) minFit
@@ -1009,17 +1012,17 @@ object IvfIndex {
       s: SparkSession,
       indexDir: String,
       maxFilesPerCell: Int = 4): (Long, Long, Long) = {
-    val root = new java.io.File(s"$indexDir/members")
-    def dataFiles(d: java.io.File): Int =
-      Option(d.listFiles()).map(_.count(f =>
-        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")))
-        .getOrElse(0)
-    val frag = Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    val root = s"$indexDir/members"
+    def dataFiles(d: String): Int =
+      IndexFs.listStatus(d).count(c =>
+        !c.isDir && !c.name.startsWith(".") && !c.name.startsWith("_"))
+    val frag = IndexFs.listStatus(root)
+      .filter(c => c.isDir && c.name.startsWith("cell="))
+      .map(c => s"$root/${c.name}")
       .filter(dataFiles(_) > maxFilesPerCell)
     if (frag.isEmpty) (0L, 0L, 0L)
     else {
-      val ids = frag.map(_.getName.stripPrefix("cell=").toInt)
+      val ids = frag.map(_.split('/').last.stripPrefix("cell=").toInt)
       val before = frag.map(dataFiles).sum.toLong
       val merged = s.read.parquet(s"$indexDir/members")
         .where(col("cell").isin(ids.map(Integer.valueOf): _*))
@@ -1132,7 +1135,7 @@ object IvfIndex {
       nCand: Int = 20): DataFrame = {
     requireNotRetraining(indexDir)
     val pqDim = Similarity.pqM * Similarity.pqSubDims
-    if (!new java.io.File(s"$indexDir/_GRAFT_PQ_OK").exists()) {
+    if (!IndexFs.exists(s"$indexDir/_GRAFT_PQ_OK")) {
       // migration path: an index persisted before the marker existed has
       // perfectly valid codes iff its stored dimension matches — probe
       // ONE bounded centroids row and stamp the marker so the probe
@@ -1144,7 +1147,7 @@ object IvfIndex {
         s"$indexDir was built with a vector dimension " +
           s"${d.fold("<empty>")(_.toString)} != $pqDim: its PQ codes are " +
           "degenerate; use query() or rebuild at the PQ dimension")
-      new java.io.File(s"$indexDir/_GRAFT_PQ_OK").createNewFile()
+      IndexFs.createMarker(s"$indexDir/_GRAFT_PQ_OK")
     }
     val q = queries
       .select(col("query_id"), vec(col("qv")).as("qv"))

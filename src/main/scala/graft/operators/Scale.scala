@@ -35,14 +35,8 @@ object Scale {
   private def resetTable(s: SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val root = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
-               else new java.io.File(wh)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    val loc = new java.io.File(root, name)
-    if (loc.exists()) rm(loc)
+    val loc = s"$wh/$name"
+    if (IndexFs.exists(loc)) IndexFs.deleteTree(loc)
   }
 
   def bucketTables(s: SparkSession, dir: String, buckets: Int, prefix: String): Unit = {

@@ -712,25 +712,30 @@ object Sketches {
     * .recoverRebucket]]'s branches at state scope; every path
     * idempotent. Runs at the head of every state read or mutation. */
   private def recoverStateSwap(stateDir: String): Unit = {
-    val idx = new java.io.File(stateDir)
-    val next = new java.io.File(s"$stateDir.next")
-    val old = new java.io.File(s"$stateDir.old")
-    def ready = new java.io.File(next, stateReady).exists()
-    def rm(d: java.io.File): Unit = IndexVersion.rmDirTree(d)
-    if (idx.isDirectory) {
-      if (next.isDirectory && ready) {
+    val next = s"$stateDir.next"
+    val old = s"$stateDir.old"
+    def ready = IndexFs.exists(s"$next/$stateReady")
+    def rm(d: String): Unit = IndexVersion.rmDirTree(d)
+    // whole-tree swap: the renames require IndexFs.rename's atomic
+    // directory-move contract (object stores: manifest-commit instead)
+    if (IndexFs.isDirectory(stateDir)) {
+      if (IndexFs.isDirectory(next) && ready) {
         rm(old)
-        require(idx.renameTo(old), s"state recovery: could not park $stateDir")
-        require(next.renameTo(idx), s"state recovery: could not install $stateDir")
-        new java.io.File(s"$stateDir/$stateReady").delete()
+        require(IndexFs.rename(stateDir, old),
+          s"state recovery: could not park $stateDir")
+        require(IndexFs.rename(next, stateDir),
+          s"state recovery: could not install $stateDir")
+        IndexFs.delete(s"$stateDir/$stateReady")
       } else rm(next)
       rm(old)
-    } else if (next.isDirectory && ready) {
-      require(next.renameTo(idx), s"state recovery: could not install $stateDir")
-      new java.io.File(s"$stateDir/$stateReady").delete()
+    } else if (IndexFs.isDirectory(next) && ready) {
+      require(IndexFs.rename(next, stateDir),
+        s"state recovery: could not install $stateDir")
+      IndexFs.delete(s"$stateDir/$stateReady")
       rm(old)
-    } else if (old.isDirectory) {
-      require(old.renameTo(idx), s"state recovery: could not restore $stateDir")
+    } else if (IndexFs.isDirectory(old)) {
+      require(IndexFs.rename(old, stateDir),
+        s"state recovery: could not restore $stateDir")
       rm(next)
     }
   }
@@ -782,10 +787,10 @@ object Sketches {
     recoverStateSwap(stateDir)
     val wm = li.agg(coalesce(max(col("l_orderkey")), lit(-1L)))
       .collect()(0).getLong(0)
-    val next = new java.io.File(s"$stateDir.next")
+    val next = s"$stateDir.next"
     IndexVersion.rmDirTree(next)
-    writeStateTo(s, li, next.getPath, mode, wm)
-    require(new java.io.File(next, stateReady).createNewFile(),
+    writeStateTo(s, li, next, mode, wm)
+    require(IndexFs.createMarker(s"$next/$stateReady"),
       s"could not commit the staged state at $next")
     recoverStateSwap(stateDir) // the committed swap installs it
   }
@@ -815,15 +820,15 @@ object Sketches {
       .groupBy(col("col_name"))
       .agg(min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
         min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
-    val next = new java.io.File(s"$stateDir.next")
+    val next = s"$stateDir.next"
     IndexVersion.rmDirTree(next)
-    regs.coalesce(1).write.parquet(s"${next.getPath}/registers")
-    bounds.coalesce(1).write.parquet(s"${next.getPath}/bounds")
+    regs.coalesce(1).write.parquet(s"$next/registers")
+    bounds.coalesce(1).write.parquet(s"$next/bounds")
     import s.implicits._
     Seq((mode, math.max(wm, newWm))).toDF("hash_mode", "wm")
-      .coalesce(1).write.parquet(s"${next.getPath}/meta")
+      .coalesce(1).write.parquet(s"$next/meta")
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(fresh)
-    require(new java.io.File(next, stateReady).createNewFile(),
+    require(IndexFs.createMarker(s"$next/$stateReady"),
       s"could not commit the staged state at $next")
     recoverStateSwap(stateDir)
     n
@@ -861,11 +866,11 @@ object Sketches {
     val (_, wm) = stateMeta(s, stateDir)
     // the rebuild absorbs exactly what the state had absorbed: the
     // corpus AT the stored watermark (append-only key discipline)
-    val next = new java.io.File(s"$stateDir.next")
+    val next = s"$stateDir.next"
     IndexVersion.rmDirTree(next)
-    writeStateTo(s, corpus.where(col("l_orderkey") <= wm), next.getPath,
+    writeStateTo(s, corpus.where(col("l_orderkey") <= wm), next,
       newMode, wm)
-    require(new java.io.File(next, stateReady).createNewFile(),
+    require(IndexFs.createMarker(s"$next/$stateReady"),
       s"could not commit the staged state at $next")
     recoverStateSwap(stateDir)
   }
@@ -886,14 +891,14 @@ object Sketches {
     // discipline): the build/merge/replay chain runs once; steady-state
     // calls pay finalize alone — which is also what keeps two sessions
     // on the same corpus from racing the state swap
-    if (!new java.io.File(s"$stateDir/_GRAFT_STATS_DONE").exists()) {
+    if (!IndexFs.exists(s"$stateDir/_GRAFT_STATS_DONE")) {
       statsStateBuild(s, li.where(col("l_orderkey") < statsCut), stateDir)
       val batch = li.where(col("l_orderkey") >= statsCut)
       statsStateMerge(s, stateDir, batch)
       val replayed = statsStateMerge(s, stateDir, batch)
       require(replayed == 0L,
         s"a redelivered batch must merge nothing, absorbed $replayed rows")
-      new java.io.File(s"$stateDir/_GRAFT_STATS_DONE").createNewFile()
+      IndexFs.createMarker(s"$stateDir/_GRAFT_STATS_DONE")
     }
     statsStateFinalize(s, stateDir)
   }

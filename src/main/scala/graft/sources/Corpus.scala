@@ -28,20 +28,27 @@ object Corpus {
     * fingerprint correctly. Shared by every derived-artifact cache keyed
     * on a corpus table (the trained quality weights, the IVF index tag). */
   def fingerprint(path: String): Long = {
-    def leaves(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).sortBy(_.getName)
-          .filterNot(c => c.getName.startsWith(".") || c.getName.startsWith("_"))
-          .flatMap(leaves)
-      else Seq(f)
-    val root = new java.io.File(path)
-    val base = root.getPath
+    import graft.operators.IndexFs
+    // one listStatus per directory (the IndexFs contract: name, length,
+    // mtime in a single listing call), so the walk costs one RPC per
+    // directory on a remote filesystem, not one per file
+    def leaves(p: String): Seq[(String, Long, Long)] =
+      if (IndexFs.isDirectory(p))
+        IndexFs.listStatus(p).sortBy(_.name)
+          .filterNot(c => c.name.startsWith(".") || c.name.startsWith("_"))
+          .flatMap { c =>
+            if (c.isDir) leaves(s"$p/${c.name}")
+            else Seq((s"$p/${c.name}", c.len, c.mtimeMs))
+          }
+      else
+        IndexFs.stat(p).filterNot(_.isDir)
+          .map(c => Seq((p, c.len, c.mtimeMs))).getOrElse(Seq.empty)
     var h = 1125899906842597L // large prime seed
-    leaves(root).foreach { f =>
-      val rel = f.getPath.stripPrefix(base)
+    leaves(path).foreach { case (full, len, mtime) =>
+      val rel = full.stripPrefix(path)
       h = h * 31 + rel.hashCode
-      h = h * 31 + f.length()
-      h = h * 31 + f.lastModified()
+      h = h * 31 + len
+      h = h * 31 + mtime
     }
     h & 0x7fffffffffffffffL
   }

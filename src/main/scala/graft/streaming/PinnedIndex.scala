@@ -55,7 +55,7 @@ private[graft] final class PinnedIndex(
   private def awaitConsistent(): Unit = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     while (IndexVersion.mutationInProgress(indexDir) ||
-        !new java.io.File(indexDir).isDirectory) {
+        !graft.operators.IndexFs.isDirectory(indexDir)) {
       require(System.nanoTime() < deadline,
         s"$indexDir still mid-mutation (or its path absent) after " +
           s"$waitMs ms — pinning now could mix table versions. If a " +

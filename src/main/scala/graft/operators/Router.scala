@@ -187,6 +187,90 @@ object Router {
       totalLen: Long, nSb: Long, costs: Costs = measuredCosts): Choice =
     decideBm25(totalLen, 0L, nSb, costs)
 
+  // ---- machine calibration (the one-command replacement for the
+  //      two-probe manual procedure BASELINE.md documented) ----
+
+  /** Fit the four [[Costs]] constants from two measured scan points and
+    * two measured index-probe points — the pure half of [[calibrate]],
+    * spec-drivable on synthetic timings. Each side is a line: scan ms =
+    * scanFixedMs + tokens·tokenNanos/1e6, probe ms = indexFixedMs +
+    * nSb·sbOpenMs; two points determine slope and intercept. Noise
+    * floors: a loaded machine can measure a negative slope or
+    * intercept, and a negative constant would flip every decision near
+    * a crossover — clamp to the smallest physically-meaningful values
+    * instead. */
+  private[graft] def costsFromPoints(
+      scanA: (Long, Double), scanB: (Long, Double),
+      idxA: (Long, Double), idxB: (Long, Double)): Costs = {
+    require(scanB._1 > scanA._1 && idxB._1 > idxA._1,
+      "calibration points must be measured at two distinct sizes, " +
+        "smaller first")
+    val tokNs = (scanB._2 - scanA._2) * 1e6 / (scanB._1 - scanA._1)
+    val tokenNanos = math.max(1L, math.round(tokNs))
+    val scanFixed = math.max(0L,
+      math.round(scanA._2 - scanA._1 * tokNs / 1e6))
+    val sbMs = (idxB._2 - idxA._2) / (idxB._1 - idxA._1)
+    val sbOpenMs = math.max(1L, math.round(sbMs))
+    val idxFixed = math.max(0L, math.round(idxA._2 - idxA._1 * sbMs))
+    Costs(scanFixedMs = scanFixed, indexFixedMs = idxFixed,
+      tokenNanos = tokenNanos, sbOpenMs = sbOpenMs)
+  }
+
+  /** Measure this machine's [[Costs]] and (by default) set the four
+    * `spark.graft.router.*` confs on the session — the whole
+    * re-calibration procedure as one call. Self-contained: generates
+    * its own micro-workloads (a synthetic tokenize at two sizes for the
+    * scan line; a partitioned-parquet probe at two partition counts for
+    * the index line) in `java.io.tmpdir`, warm-up pass then min-of-2
+    * per point, ~10 s total. Because the conf rides in the router's
+    * choice-cache key, a re-tune re-decides every standing auto route.
+    * Returns the measured constants so callers can persist them for
+    * sessions that skip the probe. */
+  def calibrate(s: SparkSession, apply: Boolean = true): Costs = {
+    import org.apache.spark.sql.functions.{explode => fExplode}
+    def timeMs(f: => Unit): Double = {
+      f // warm: JIT, codegen, parquet footer caches
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }.min
+    }
+    // scan line: tokenize-and-count over generated text with a KNOWN
+    // token count — the same tokensCol kernel the real scan legs pay
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    def scanPoint(rows: Long): (Long, Double) = {
+      val df = s.range(rows).selectExpr(s"'$phrase' as text")
+      val ms = timeMs {
+        df.select(fExplode(TextAnalysis.tokensCol(col("text"))).as("t"))
+          .where(length(col("t")) > 0).agg(count(lit(1))).collect(); ()
+      }
+      (rows * 8, ms)
+    }
+    // index line: a filtered read over a parquet table partitioned into
+    // nSb directories of one row each — all partition-open cost, the
+    // term the fragmented-index decisions hinge on
+    def idxPoint(nSb: Int): (Long, Double) = {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_calib_sb_$nSb"
+      if (!IndexFs.isDirectory(dir))
+        s.range(nSb).selectExpr("cast(id as int) as sb", "'t' as term",
+            "cast(id as bigint) as df")
+          .write.mode("overwrite").partitionBy("sb").parquet(dir)
+      val ms = timeMs {
+        s.read.parquet(dir).where(col("term") === "t")
+          .agg(sum(col("df"))).collect(); ()
+      }
+      (nSb.toLong, ms)
+    }
+    val c = costsFromPoints(
+      scanPoint(200000L), scanPoint(1600000L), idxPoint(16), idxPoint(128))
+    if (apply) {
+      s.conf.set("spark.graft.router.scanFixedMs", c.scanFixedMs.toString)
+      s.conf.set("spark.graft.router.indexFixedMs", c.indexFixedMs.toString)
+      s.conf.set("spark.graft.router.tokenNanos", c.tokenNanos.toString)
+      s.conf.set("spark.graft.router.sbOpenMs", c.sbOpenMs.toString)
+    }
+    c
+  }
+
   // ---- stored-stats probes (driver-bounded metadata reads) ----
 
   /** Corpus token count from the postings index's blockstats — the
@@ -355,7 +439,7 @@ object Router {
       phrases: Seq[Seq[String]] = Retrieval.gatePhrases): Choice = {
     // the positional payload is filesystem state no stamp tracks (no
     // operator removes it) — cheap to re-check, so it rides in the key
-    val hasPos = new java.io.File(s"$pidx/positions").isDirectory
+    val hasPos = IndexFs.isDirectory(s"$pidx/positions")
     val pkey = lenKey(phrases.map(p => lenKey(p)).sorted :+ s"#$hasPos")
     cachedChoice(keyOf(s, "phrase", pkey, pidx)) {
       val (totalLen, nSb, _) = postingsMetaOf(s, pidx)
@@ -436,7 +520,14 @@ object Router {
 
   private[graft] def adviseOn(
       s: SparkSession, pidx: String, vidx: String,
-      targetSbs: Int = 32): Seq[Advice] = {
+      targetSbs: Int = 32): Seq[Advice] =
+    advisePostingsOn(s, pidx, targetSbs) ++ adviseAnnOn(s, vidx)
+
+  /** The postings-family advisories (bm25/phrase/hybrid) alone — the
+    * probe the postings ingest policy consults per maintenance check
+    * ([[maintainPostingsIfAdvised]]); it needs no vector index. */
+  private[graft] def advisePostingsOn(
+      s: SparkSession, pidx: String, targetSbs: Int = 32): Seq[Advice] = {
     val costs = costsOf(s)
     val (totalLen, nSb, maxDoc) = postingsMetaOf(s, pidx)
     val bits = PostingsIndex.readSuperBits(s, pidx)
@@ -446,14 +537,7 @@ object Router {
     }
     val bmDf = sumDfOf(s, pidx, Retrieval.queryTerms)
     val phDf = sumDfOf(s, pidx, Retrieval.gatePhrases.flatten.distinct)
-    val hasPos = new java.io.File(s"$pidx/positions").isDirectory
-    val (nVec, nCells) = ivfMetaOf(s, vidx)
-    val ovh = jobOverheadTokens(s)
-    // the resize plan runs on maintain's OWN standing count (members
-    // partition directories — reflects emptied cells), not the
-    // centroids row count the deciders price with: feeding the decider
-    // count here could predict a resize maintain would not run
-    val resize = IvfIndex.plannedResize(nVec, IvfIndex.standingCells(vidx))
+    val hasPos = IndexFs.isDirectory(s"$pidx/positions")
     Seq(
       Advice("bm25", decideBm25(totalLen, bmDf, nSb, costs),
         rebucket.map { case (_, sbs) => decideBm25(totalLen, bmDf, sbs, costs) },
@@ -463,12 +547,67 @@ object Router {
           decidePhrase(hasPos, totalLen, phDf, sbs, costs)
         },
         rebucketAction),
-      Advice("ann", decideAnn(nVec, nCells, nProbe = 2L, ovh),
-        resize.map(ideal => decideAnn(nVec, ideal, nProbe = 2L, ovh)),
-        resize.map(ideal => s"maintain: resize nCells $nCells -> $ideal")),
       Advice("hybrid", decideHybrid(totalLen, nSb, costs),
         rebucket.map { case (_, sbs) => decideHybrid(totalLen, sbs, costs) },
         rebucketAction))
+  }
+
+  /** The ann advisory alone — [[maintainIvfIfAdvised]]'s probe. */
+  private[graft] def adviseAnnOn(s: SparkSession, vidx: String): Seq[Advice] = {
+    val (nVec, nCells) = ivfMetaOf(s, vidx)
+    val ovh = jobOverheadTokens(s)
+    // the resize plan runs on maintain's OWN standing count (members
+    // partition directories — reflects emptied cells), not the
+    // centroids row count the deciders price with: feeding the decider
+    // count here could predict a resize maintain would not run
+    val standing = IvfIndex.standingCells(vidx)
+    val resize = IvfIndex.plannedResize(nVec, standing)
+    Seq(
+      Advice("ann", decideAnn(nVec, nCells, nProbe = 2L, ovh),
+        resize.map(ideal => decideAnn(nVec, ideal, nProbe = 2L, ovh)),
+        // render the plan from the standing count the planner priced,
+        // so the advisory text cannot disagree with maintain's own log
+        // after a crashed retrain or emptied cells skew the meta count
+        resize.map(ideal => s"maintain: resize nCells $standing -> $ideal")))
+  }
+
+  /** Advise-GATED maintenance (the policy upgrade over the bare
+    * threshold trigger): the ingest-scheduled policy used to run the
+    * layout repair whenever the 4× band tripped; this variant runs the
+    * EXPENSIVE re-layout (rebucket) only when the shared planners
+    * predict it FLIPS a route — a repair that changes no decision is
+    * deferred, because a layout that still routes the same way is, by
+    * the router's own cost model, not yet worth a whole-tree rewrite.
+    * Bounded hygiene (file compaction, tombstone vacuum) still runs
+    * every time: it never flips routes and never stops paying. Returns
+    * maintain's action log (prefixed with the advisory verdict). */
+  def maintainPostingsIfAdvised(
+      s: SparkSession, pidx: String,
+      targetSbs: Int = 32, maxFilesPerSb: Int = 4): Seq[String] = {
+    val flips = advisePostingsOn(s, pidx, targetSbs).exists(_.wouldFlip)
+    val note =
+      if (flips) "advise: planned rebucket flips a route - repairing"
+      else "advise: no predicted route flip - layout repair deferred"
+    note +: PostingsIndex.maintain(s, pidx, targetSbs, maxFilesPerSb,
+      rebucketOk = flips)
+  }
+
+  /** [[maintainPostingsIfAdvised]] for the vector index: the resize
+    * re-layout runs only on a predicted ann route flip; compaction and
+    * crash-replay (a crashed retrain MUST roll forward — it is
+    * correctness repair, not layout tuning) run regardless. The
+    * drift-retrain leg is also held back while an out-of-band resize is
+    * deferred: re-fitting at a cell count the planner already rejected
+    * would churn the whole index twice. */
+  def maintainIvfIfAdvised(
+      s: SparkSession, vidx: String,
+      lloydRounds: Int = 5, maxFilesPerCell: Int = 4): Seq[String] = {
+    val flips = adviseAnnOn(s, vidx).exists(_.wouldFlip)
+    val note =
+      if (flips) "advise: planned resize flips the ann route - repairing"
+      else "advise: no predicted route flip - layout repair deferred"
+    note +: IvfIndex.maintain(s, vidx, lloydRounds = lloydRounds,
+      maxFilesPerCell = maxFilesPerCell, resizeOk = flips)
   }
 
   /** `hybrid_auto`: shares `hybrid_rrf_indexed`'s oracle — the scanned

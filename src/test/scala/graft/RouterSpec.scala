@@ -430,6 +430,46 @@ class RouterSpec extends AnyFunSuite {
       s"post-maintain stats must route back to the index:\n$p")
   }
 
+  test("calibrate: costsFromPoints fits the four constants exactly from synthetic timings") {
+    // scan: 10 ms at 1M tokens, 15 ms at 2M -> 5 ns/token, 5 ms fixed
+    // index: 20 ms at 10 sbs, 30 ms at 20 -> 1 ms/sb, 10 ms fixed
+    val c = Router.costsFromPoints(
+      (1000000L, 10.0), (2000000L, 15.0), (10L, 20.0), (20L, 30.0))
+    assert(c.tokenNanos === 5L)
+    assert(c.scanFixedMs === 5L)
+    assert(c.sbOpenMs === 1L)
+    assert(c.indexFixedMs === 10L)
+    // a load spike measuring the BIGGER workload faster would fit a
+    // negative slope/intercept and flip decisions near crossovers —
+    // the floors keep every constant physically meaningful
+    val noisy = Router.costsFromPoints(
+      (1000000L, 20.0), (2000000L, 18.0), (10L, 30.0), (20L, 25.0))
+    assert(noisy.tokenNanos >= 1L && noisy.sbOpenMs >= 1L)
+    assert(noisy.scanFixedMs >= 0L && noisy.indexFixedMs >= 0L)
+    // two points at the same size cannot determine a slope
+    intercept[IllegalArgumentException] {
+      Router.costsFromPoints((5L, 1.0), (5L, 2.0), (1L, 1.0), (2L, 2.0))
+    }
+  }
+
+  test("calibrate(spark) measures this machine and installs the confs the deciders read") {
+    val before = Router.costsOf(spark)
+    val measured =
+      try Router.calibrate(spark)
+      finally () // confs restored below either way
+    try {
+      assert(measured.tokenNanos >= 1L && measured.sbOpenMs >= 1L)
+      assert(measured.scanFixedMs >= 0L && measured.indexFixedMs >= 0L)
+      // the session now decides under the measured machine profile
+      assert(Router.costsOf(spark) === measured)
+    } finally {
+      spark.conf.set("spark.graft.router.scanFixedMs", before.scanFixedMs.toString)
+      spark.conf.set("spark.graft.router.indexFixedMs", before.indexFixedMs.toString)
+      spark.conf.set("spark.graft.router.tokenNanos", before.tokenNanos.toString)
+      spark.conf.set("spark.graft.router.sbOpenMs", before.sbOpenMs.toString)
+    }
+  }
+
   test("hybrid_auto: the gate corpus routes to the indexed fusion (measured winner at every probed SF)") {
     val p = plan(Router.hybridAuto(spark, sf))
     assert(p.contains("members"),

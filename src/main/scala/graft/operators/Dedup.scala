@@ -356,8 +356,8 @@ object Dedup {
 
   val minhashSignaturesSql: String = {
     val cols = (0 until numMinhash).map(i => s"mh$i").mkString(" || ',' || ")
-    s"""WITH sh AS ($shingledSql),
-       |sig AS (SELECT doc_id, $mhMinsSql FROM sh GROUP BY doc_id)
+    s"""WITH sh AS MATERIALIZED ($shingledSql),
+       |sig AS MATERIALIZED (SELECT doc_id, $mhMinsSql FROM sh GROUP BY doc_id)
        |SELECT doc_id, $cols AS signature FROM sig""".stripMargin
   }
 
@@ -451,10 +451,10 @@ object Dedup {
       val parts = (0 until bandSize).map(j => s"mh${b * bandSize + j}").mkString(" || '|' || ")
       s"md5($parts)"
     }.mkString(", ")
-    s"""WITH sh AS ($shingledSql),
-       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |bands AS (SELECT doc_id, UNNEST([$bandExprs]) AS band_key FROM sig),
-       |cand AS (
+    s"""WITH sh AS MATERIALIZED ($shingledSql),
+       |sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS MATERIALIZED (SELECT doc_id, UNNEST([$bandExprs]) AS band_key FROM sig),
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
@@ -581,7 +581,7 @@ object Dedup {
   }
 
   val simhashPairsSql: String =
-    s"""WITH sig AS ($simhashSignaturesSql),
+    s"""WITH sig AS MATERIALIZED ($simhashSignaturesSql),
        |bands AS (
        |  SELECT doc_id, simhash, b.band AS band,
        |    (simhash >> (b.band * 16)) & 65535 AS nib
@@ -961,7 +961,7 @@ object Dedup {
   }
 
   val ngramJaccardTopkSql: String =
-    s"""WITH sh AS ($shingledSql),
+    s"""WITH sh AS MATERIALIZED ($shingledSql),
        |probes AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id < 20),
        |inter AS (
        |  SELECT p.probe_id, s.doc_id, COUNT(*) AS n_inter
@@ -1056,12 +1056,16 @@ object Dedup {
           .as("recall"))
   }
 
+  // the truth-side shingle CTE is named shT, NOT sh: the embedded
+  // $minhashLshPairsSql defines its own MATERIALIZED sh, and DuckDB
+  // hoists materialized CTEs to one namespace — same-name shadowing
+  // that plain CTEs allowed is a binder error under MATERIALIZED
   val minhashRecallSql: String =
-    s"""WITH sh AS ($shingledSql),
+    s"""WITH shT AS MATERIALIZED ($shingledSql),
        |shc AS (
        |  SELECT doc_id, shingle FROM (
        |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-       |    FROM sh)
+       |    FROM shT)
        |  WHERE df <= $recallTruthMaxDf),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter

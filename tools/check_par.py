@@ -5,6 +5,15 @@ a capped DuckDB thread count and its wall time is logged, so a handful of
 heavy text oracles can't serialize the whole pass. Dev tool only.
 
   python3 tools/check_par.py <sf_dir> <out_dir> [workers] [threads] [names]
+
+The per-oracle time budget (BASELINE.md "Oracle budget": 60 s at the sf1
+gate) is ENFORCED, not just logged: any oracle whose wall time exceeds
+GRAFT_ORACLE_BUDGET_SEC (default 60) fails the pass with a SLOW line, so
+a 500-second oracle is caught at ship time instead of at the next
+round's rewrite campaign (round-14 verdict, Missing #3 — the 776.8 s
+set this gate would have caught at first commit). Set
+GRAFT_ORACLE_BUDGET_SEC=0 to disable (e.g. probing an sf10 corpus the
+budget was never stated for).
 """
 import json, sys, math, os, time
 from concurrent.futures import ProcessPoolExecutor
@@ -14,6 +23,7 @@ out_dir = sys.argv[2]
 workers = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 threads = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+budget = float(os.environ.get("GRAFT_ORACLE_BUDGET_SEC", "60"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -67,8 +77,11 @@ def main():
     fails = 0
     with ProcessPoolExecutor(max_workers=workers) as ex:
         for name, line, sec in ex.map(run_one, items):
-            print(f"{line}  [{sec:.1f}s]", flush=True)
-            if line.startswith("FAIL"):
+            over = budget > 0 and sec > budget
+            print(f"{line}  [{sec:.1f}s]"
+                  + (f"  SLOW oracle exceeds {budget:.0f}s budget" if over else ""),
+                  flush=True)
+            if line.startswith("FAIL") or over:
                 fails += 1
     sys.exit(1 if fails else 0)
 

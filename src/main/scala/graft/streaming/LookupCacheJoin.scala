@@ -57,6 +57,9 @@ object LookupCacheJoin {
       stateEnc: Encoder[CacheState[K, V, L]],
       outEnc: Encoder[Enriched[K, V, L]]): Dataset[Enriched[K, V, L]] = {
 
+    // one TTL cache entry per live key = state ∝ corpus key cardinality
+    // (sf1->sf10 heap-store ratios 0.56-0.66, BASELINE matrix)
+    StoreAdvisory.corpusCoupled(values.sparkSession, "lookup-cache join")
     val taggedValues = values.map { case (k, v, ts) => Tagged[K, V, L](k, Some(v), None, ts) }
     val taggedLookups = lookups.map { case (k, l, ts) => Tagged[K, V, L](k, None, Some(l), ts) }
     val union = observeArrivals(

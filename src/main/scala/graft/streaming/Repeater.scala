@@ -43,6 +43,9 @@ object Repeater {
       stateEnc: Encoder[RepeatState[K, V]],
       outEnc: Encoder[Repeated[K, V]]): Dataset[Repeated[K, V]] = {
 
+    // one timer + cached value per live key = state ∝ corpus key
+    // cardinality (sf1->sf10 heap-store ratio 0.45, BASELINE matrix)
+    StoreAdvisory.corpusCoupled(input.sparkSession, "repeat")
     input
       .groupByKey(_._1)
       .flatMapGroupsWithState[RepeatState[K, V], Repeated[K, V]](

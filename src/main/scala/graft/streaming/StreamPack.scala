@@ -49,6 +49,9 @@ object StreamPack {
   /** Per-writer running offsets in append mode. */
   def offsets(docs: Dataset[DocEvent]): DataFrame = {
     import docs.sparkSession.implicits._
+    // per-writer open-bin state tracks the key universe (sf1->sf10
+    // heap-store ratio 0.25 — the worst collapse in the BASELINE matrix)
+    StoreAdvisory.corpusCoupled(docs.sparkSession, "pack")
     docs.groupByKey(_.source)
       .flatMapGroupsWithState[PackState, PackedDoc](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -33,6 +33,10 @@ object StreamWeightedSample {
     * n_chars: long` columns. Returns the touched sources' current picks
     * as `(source, doc_id, rk)` rows per micro-batch (update output
     * mode), rk 1..k by (priority desc, doc_id). */
-  def picks(docs: DataFrame): DataFrame =
+  def picks(docs: DataFrame): DataFrame = {
+    // per-stratum reservoirs whose stratum count grows with the corpus
+    // (sf1->sf10 heap-store ratio 0.68, BASELINE matrix)
+    StoreAdvisory.corpusCoupled(docs.sparkSession, "weighted-sample")
     graft.operators.Curation.weightedSampleFrom(docs)
+  }
 }

@@ -470,6 +470,38 @@ class RouterSpec extends AnyFunSuite {
     }
   }
 
+  test("calibrateOrLoad: a persisted profile is inherited by a non-probing session (save/load roundtrip, atomic stamp)") {
+    val stamp = s"/tmp/graft_calib_stamp_${System.nanoTime()}/machine.profile"
+    graft.operators.IndexFs.mkdirs(
+      stamp.substring(0, stamp.lastIndexOf('/')))
+    val saved = Router.Costs(
+      scanFixedMs = 123L, indexFixedMs = 45L, tokenNanos = 678L, sbOpenMs = 9L)
+    Router.saveCosts(saved, stamp)
+    assert(Router.loadCosts(stamp) === Some(saved))
+    // overwrite goes through the atomic replaceFile protocol
+    val saved2 = saved.copy(tokenNanos = 679L)
+    Router.saveCosts(saved2, stamp)
+    assert(Router.loadCosts(stamp) === Some(saved2))
+
+    // "new session": the four confs unset — calibrateOrLoad must apply
+    // the STAMP's profile without probing (probing would overwrite the
+    // distinctive values with this machine's real ones)
+    val keys = Seq("scanFixedMs", "indexFixedMs", "tokenNanos", "sbOpenMs")
+      .map(k => s"spark.graft.router.$k")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.unset)
+      val got = Router.calibrateOrLoad(spark, stamp)
+      assert(got === saved2)
+      assert(Router.costsOf(spark) === saved2,
+        "the loaded profile must be live in the session's deciders")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    assert(Router.loadCosts(s"$stamp.absent") === None)
+  }
+
   test("hybrid_auto: the gate corpus routes to the indexed fusion (measured winner at every probed SF)") {
     val p = plan(Router.hybridAuto(spark, sf))
     assert(p.contains("members"),

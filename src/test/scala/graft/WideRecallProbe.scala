@@ -103,8 +103,16 @@ object WideRecallProbe {
     import spark.implicits._
     val settings = Seq((16, 4), (8, 16), (16, 8), (32, 4))
     val cosines = Seq(0.9, 0.78, 0.6, 0.5)
-    val scales = Seq(("small", 150, 700), ("large", 1000, 8000))
-    for ((scale, nPairs, nFill) <- scales; cosT <- cosines) {
+    // xlarge (~104 K vectors) is the spill-regime scale the bigNCut
+    // admissibility cliff came from (a separate r13 experiment) — one
+    // mid-cosine point ties the cut and the floors to the SAME sweep
+    // (verdict r14 Next #5); the other cosines add cost, not evidence,
+    // at that scale
+    val scales = Seq(
+      ("small", 150, 700, cosines),
+      ("large", 1000, 8000, cosines),
+      ("xlarge", 2000, 100000, Seq(0.78)))
+    for ((scale, nPairs, nFill, cosSet) <- scales; cosT <- cosSet) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_recall_${scale}_$cosT").toFile
       dir.deleteOnExit()

@@ -31,6 +31,17 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (see graft.sources.Corpus.normalizeTs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Join strategy (optimization guide §3.1/§9): allow shuffled hash
+      // join when its size conditions are met instead of always sorting
+      // both sides, and let AQE rewrite a planned sort-merge join to
+      // shuffled-hash at runtime when every post-shuffle partition fits
+      // 128 MB (the conservative per-task build bound — an executor
+      // core's working memory at any scale, not a local[32] tune). Both
+      // engines' results are join-strategy-independent; the fact-to-fact
+      // joins (orders⋈lineitem and friends) drop their two sorts.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (128L * 1024 * 1024).toString)
       // RocksDB ListState appends are only O(1) with row tracking off:
       // with it on (Spark's default), every merge() does a full GET of the
       // accumulated list for the numRows metric, so n appends cost O(n²)

@@ -239,17 +239,23 @@ case class ArgMinQDist(child: Expression, cents: Array[Double], k: Int)
   override def prettyName: String = "graft_argmin_qdist"
 
   override def nullSafeEval(a: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
+    // one ArrayData→double[] copy per row (k×dims getDouble calls
+    // otherwise), and early exit per centroid: every quantized term is
+    // ≥ 0, so the partial sum is monotone — once s ≥ bestQd this
+    // centroid cannot strictly beat the incumbent (ties lose to the
+    // smaller index anyway), so the argmin is bit-identical while the
+    // inner loop prunes most of the n×k×d work at large k.
+    val v = a.asInstanceOf[ArrayData].toDoubleArray()
     var best = 0L
     var bestQd = Long.MaxValue
     var c = 0
     while (c < k) {
       val off = c * stride
-      val n = math.min(v.numElements(), stride)
+      val n = math.min(v.length, stride)
       var s = 0L
       var i = 0
-      while (i < n) {
-        val d = v.getDouble(i) - cents(off + i)
+      while (i < n && s < bestQd) {
+        val d = v(i) - cents(off + i)
         val t = d * d * 1e8
         val f = math.floor(t)
         s += f.toLong + (if (t - f >= 0.5) 1L else 0L)
@@ -274,15 +280,20 @@ case class ArgMinQDist(child: Expression, cents: Array[Double], k: Int)
       val d = ctx.freshName("d")
       val t = ctx.freshName("t")
       val f = ctx.freshName("f")
+      val vv = ctx.freshName("vv")
+      // same two codegen changes as nullSafeEval: one toDoubleArray copy
+      // per row, and the `s < bestQd` early exit (monotone partial sums,
+      // ties lose to the smaller index — argmin bit-identical)
       s"""
+         |double[] $vv = $a.toDoubleArray();
          |long $best = 0L;
          |long $bestQd = Long.MAX_VALUE;
          |for (int $c = 0; $c < $k; $c++) {
          |  int $off = $c * $stride;
-         |  int $n = java.lang.Math.min($a.numElements(), $stride);
+         |  int $n = java.lang.Math.min($vv.length, $stride);
          |  long $s = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = $a.getDouble($i) - $m[$off + $i];
+         |  for (int $i = 0; $i < $n && $s < $bestQd; $i++) {
+         |    double $d = $vv[$i] - $m[$off + $i];
          |    double $t = $d * $d * 1e8;
          |    double $f = java.lang.Math.floor($t);
          |    $s += (long) $f + (($t - $f >= 0.5) ? 1L : 0L);

@@ -48,17 +48,6 @@ object Dedup {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def hex32(d: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
-      out(2 * i + 1) = hexDigits(d(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
   private def shingled(s: SparkSession, dir: String): DataFrame =
     shingledFrom(s, Corpus.documents(s, dir))
 
@@ -107,19 +96,46 @@ object Dedup {
     * at-ingestion near-dup detector ([[graft.streaming.StreamNearDup]])
     * computes byte-identical signatures to the batch sweep. `md` is the
     * caller's reused digest instance (one per partition/task). */
+  private val saltA = "a|".getBytes("UTF-8")
+  private val saltB = "b|".getBytes("UTF-8")
+
   private[graft] def signatureOf(
       md: java.security.MessageDigest, text: String): (Array[String], Int) = {
-    val mins = new Array[String](numMinhash)
+    // Numeric inner loop, hex only at the end: an 8-hex-char md5 slice is
+    // the fixed-width base-16 rendering of its 32-bit value, so unsigned
+    // comparison orders exactly like the old per-shingle substring
+    // compareTo — same minima, same hex output — without 2 hex-string
+    // renders + 8 substring allocations per shingle (the measured hot
+    // kernel of the whole minhash family). Salt prefixes stream into the
+    // digest so no "a|"+shingle concat string is built either.
+    val minsV = Array.fill(numMinhash)(Long.MaxValue)
     val shingles = shinglesOf(text)
     shingles.foreach { sh =>
-      val ha = hex32(md.digest(("a|" + sh).getBytes("UTF-8")))
-      val hb = hex32(md.digest(("b|" + sh).getBytes("UTF-8")))
+      val shb = sh.getBytes("UTF-8")
+      md.update(saltA); md.update(shb)
+      val da = md.digest()
+      md.update(saltB); md.update(shb)
+      val db = md.digest()
       var i = 0
       while (i < numMinhash) {
-        val src = if (i < 4) ha else hb
-        val slice = src.substring((i % 4) * 8, (i % 4) * 8 + 8)
-        if (mins(i) == null || slice.compareTo(mins(i)) < 0) mins(i) = slice
+        val src = if (i < 4) da else db
+        val o = (i % 4) * 4
+        val v = ((src(o) & 0xffL) << 24) | ((src(o + 1) & 0xffL) << 16) |
+          ((src(o + 2) & 0xffL) << 8) | (src(o + 3) & 0xffL)
+        if (v < minsV(i)) minsV(i) = v
         i += 1
+      }
+    }
+    val mins = Array.tabulate(numMinhash) { i =>
+      if (minsV(i) == Long.MaxValue) null
+      else {
+        val out = new Array[Char](8)
+        var j = 0
+        while (j < 8) {
+          out(j) = hexDigits(((minsV(i) >>> ((7 - j) * 4)) & 0xf).toInt)
+          j += 1
+        }
+        new String(out)
       }
     }
     (mins, shingles.size)
@@ -1175,7 +1191,13 @@ object Dedup {
   def substringSpans(s: SparkSession, dir: String): DataFrame =
     substringSpansFrom(posGrams(Corpus.documents(s, dir), spanGram))
 
-  private[graft] def substringSpansFrom(g: DataFrame): DataFrame = {
+  private[graft] def substringSpansFrom(g0: DataFrame): DataFrame = {
+    // two consumers of the positioned-window stream (the df aggregate and
+    // the join-back); an eager checkpoint of the stream was MEASURED
+    // SLOWER (r15: 1.26 → 1.47 s — materializing one row per token
+    // position outweighs the second tokenize+digest pass), so both
+    // consumers recompute the narrow scan
+    val g = g0
     val dup = g.groupBy(col("gh"))
       .agg(count(lit(1)).as("df"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
@@ -1270,28 +1292,40 @@ object Dedup {
     * token stream as a doc_id equi join with a range residual,
     * co-partitioned with the rebuild groupBy — ONE doc_id exchange. */
   private def scrubSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    // ONE tokenize pass serves the rebuild AND the token totals: spans
+    // are disjoint per document (islands merged), so a LEFT join marks
+    // each positioned token at most once — kept tokens rebuild the text,
+    // the row count is n_tokens, and the marked count is n_removed. The
+    // former shape paid a second full tokenize (the docs-side n_tokens
+    // projection) for numbers this aggregate already has in hand; the
+    // remaining docs join is an id-only scan (no text) that keeps
+    // token-less documents in the output.
     val toks = docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokensCol(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val kept = toks.join(spans,
+    val rebuilt = toks.join(spans,
       toks("doc_id") === spans("doc_id") &&
         toks("pos").between(spans("span_start"), spans("span_end")),
-      "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
+      "left")
+      .select(toks("doc_id").as("doc_id"), col("pos"), col("tok"),
+        spans("span_start").isNotNull.as("in_span"))
+      .groupBy(col("doc_id"))
       .agg(
         concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          transform(array_sort(
+            collect_list(when(!col("in_span"), struct(col("pos"), col("tok"))))),
             e => e.getField("tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
+        count(lit(1)).as("n_tokens"),
+        count(when(!col("in_span"), 1)).as("n_kept"))
     docs
-      .select(col("doc_id"),
-        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
   }
 
   val substringScrubSql: String =
@@ -1555,27 +1589,41 @@ object Dedup {
     val docs = Corpus.documents(s, dir)
     val withFp = docs.select(col("doc_id"),
       TextAnalysis.fingerprintCol(col("text")).as("fingerprint"))
+    // The dropped-id frames are consumed by several report aggregates AND
+    // by the survivor set feeding the span scrub — unmaterialized, each
+    // consumer re-ran the whole upstream subtree (the exact-dedup
+    // fingerprint pass 4-6×, measured round 15). Checkpoint the tiny id
+    // frames once: every pass over the corpus below now happens exactly
+    // once (fingerprints ×2 — withFp + dedupExact's own —, the survivor
+    // posGrams, and ONE shared tokenize for the in/kept token totals).
     val exactDropped = withFp.join(dedupExact(s, dir), Seq("fingerprint"))
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
+      .localCheckpoint()
     val nearDroppedAll = dedupClusters(s, dir)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
+      .localCheckpoint()
     val nearDropped = nearDroppedAll.join(exactDropped, Seq("doc_id"), "left_anti")
-    val dropped = exactDropped.union(nearDroppedAll).distinct()
+    val dropped = exactDropped.union(nearDroppedAll).distinct().localCheckpoint()
     val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")
     val spans = substringSpansFrom(posGrams(survivors, spanGram))
+    // one tokenize pass serves both the corpus-in and kept-docs totals:
+    // the dropped flag rides a broadcast left join instead of a second
+    // tokenize + semi-join pass
     val tok = docs.select(col("doc_id"),
-      size(TextAnalysis.tokensCol(col("text"))).cast("long").as("nt"))
-    val aDocs = tok.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens_in"))
+        size(TextAnalysis.tokensCol(col("text"))).cast("long").as("nt"))
+      .join(broadcast(dropped.withColumn("is_dropped", lit(true))),
+        Seq("doc_id"), "left")
+    val aDocs = tok.agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens_in"),
+      count(when(col("is_dropped").isNull, 1)).as("n_docs_kept"),
+      sum(when(col("is_dropped").isNull, col("nt"))).as("tokens_kept_docs"))
     val aEx = exactDropped.agg(count(lit(1)).as("n_exact_dropped"))
     val aNear = nearDropped.agg(count(lit(1)).as("n_near_dropped"))
-    val aSurv = tok.join(survivors.select(col("doc_id")), Seq("doc_id"))
-      .agg(count(lit(1)).as("n_docs_kept"), sum(col("nt")).as("tokens_kept_docs"))
     val aScrub = spans.agg(
       coalesce(sum(col("span_len")), lit(0L)).as("tokens_scrubbed"))
     aDocs.crossJoin(broadcast(aEx)).crossJoin(broadcast(aNear))
-      .crossJoin(broadcast(aSurv)).crossJoin(broadcast(aScrub))
+      .crossJoin(broadcast(aScrub))
       .select(col("n_docs"), col("n_exact_dropped"), col("n_near_dropped"),
         col("n_docs_kept"), col("tokens_in"), col("tokens_kept_docs"),
         col("tokens_scrubbed"),

@@ -62,11 +62,19 @@ object EntityResolution {
   private def matchesOf(names: DataFrame): DataFrame =
     names.as("a")
       .join(names.as("b"),
-        col("a.blk") === col("b.blk") && col("a.nid") < col("b.nid"))
+        col("a.blk") === col("b.blk") && col("a.nid") < col("b.nid") &&
+          // |len(a)−len(b)| > editMax forces dist > editMax (each edit
+          // changes length by at most 1), so this prunes before the
+          // distance ever runs; the BANDED levenshtein (threshold
+          // overload) computes only the ±editMax diagonal band and
+          // abandons early, returning −1 past the threshold — for every
+          // surviving pair (dist ≤ editMax by the filter) the value is
+          // the exact distance, so the output is bit-identical
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= editMax)
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
         col("a.nid").as("nid_a"), col("b.nid").as("nid_b"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
-      .where(col("dist") <= editMax)
+        levenshtein(col("a.p_name"), col("b.p_name"), editMax).as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= editMax)
 
   /** Oracle-gated `entity_matches`: the verified pair list — the linkage
     * evidence a reviewer audits before trusting the closure. The universe
@@ -161,8 +169,12 @@ object EntityResolution {
     // the cut), new↔new pairs appear in both role assignments
     val newEdges = names.where(col("is_new")).as("a")
       .join(names.as("b"),
-        col("a.blk") === col("b.blk") && col("a.nid") > col("b.nid"))
-      .where(levenshtein(col("a.p_name"), col("b.p_name")) <= editMax)
+        col("a.blk") === col("b.blk") && col("a.nid") > col("b.nid") &&
+          // length guard + banded threshold distance — the matchesOf
+          // argument, verbatim
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= editMax)
+      .where(levenshtein(col("a.p_name"), col("b.p_name"), editMax)
+        .between(0, editMax))
       .select(col("a.nid").as("src"), col("b.nid").as("dst"))
     // standing labels as edges: each a member→component-min edge of the
     // old match graph's closure, so old↔old connectivity re-enters the

@@ -599,9 +599,32 @@ object Relational {
     * mark the subtotal rows, identically in both engines. */
   def salesRollup(s: SparkSession, dir: String): DataFrame = {
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    Corpus.lineitem(s, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+    // rollup from PARTIALS, not Expand: `.rollup` triples every lineitem
+    // row through the aggregate (one copy per grouping set); the (flag,
+    // status) base aggregate is a handful of groups, so the two coarser
+    // levels re-aggregate THOSE. Decimal sums are exact (order- and
+    // regrouping-insensitive) and counts sum, so each level is
+    // bit-identical to the Expand plan's — the corpus crosses one
+    // aggregate exactly once. Regrouping is safe precisely because the
+    // grouping columns are NOT NULL here (a real NULL group would be
+    // ambiguous against the subtotal row in ANY rollup rendering).
+    val base = Corpus.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(revenue.cast("decimal(18,4)")).as("rev"),
+        count(lit(1)).as("n_items"))
+      .localCheckpoint() // three level consumers, one ~6-row frame
+    val lvl1 = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_items")).as("n_items"))
+      .select(col("l_returnflag"), lit(null).cast("string").as("l_linestatus"),
+        col("rev"), col("n_items"))
+    val lvl0 = base
+      .agg(sum(col("rev")).as("rev"), sum(col("n_items")).as("n_items"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("rev"), col("n_items"))
+    base.select(col("l_returnflag"), col("l_linestatus"), col("rev"), col("n_items"))
+      .unionByName(lvl1).unionByName(lvl0)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("rev").cast("double").as("revenue"), col("n_items"))
   }
 
   val salesRollupSql: String =

@@ -721,6 +721,11 @@ object Similarity {
     // identical embFrame subtrees into cache reads — corrupting their
     // bench timings; a checkpoint is private to this plan.
     val e = embFrame(s, dir).localCheckpoint()
+    // truth's five consumers (4 hit joins + the total) look like 5×
+    // re-evaluation in the static plan, but the exchanges dedup at
+    // runtime (ReusedExchange); an eager checkpoint of truth was MEASURED
+    // SLOWER here (r15: 2.01 → 3.04 s — the extra materialization job
+    // costs more than the reuse already saves), so the frame stays lazy.
     val truth = annBruteForceFrom(e).select(col("query_id"), col("neighbor_id"))
     val total = truth.agg(count(lit(1)).as("total"))
     def recallOf(df: DataFrame, name: String): DataFrame =
@@ -1282,7 +1287,9 @@ WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
         val cent = cents(c)
         val nd = math.min(v.length, cent.length)
         var s = 0L; var i = 0
-        while (i < nd) {
+        // early exit (the ArgMinQDist argument): terms are ≥ 0, so once
+        // s ≥ bq this centroid cannot strictly win — argmin unchanged
+        while (i < nd && s < bq) {
           val d = v(i) - cent(i)
           val t = d * d * 1e8
           val f = math.floor(t)
@@ -1448,7 +1455,13 @@ WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
     * a distinct over dup pair endpoints, bounded by the duplicate count,
     * and lands back on the corpus as one left anti-style probe. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint: three consumers (both pair-join sides + the final keep
+    // join) would otherwise each re-run the n×k argmin assignment pass —
+    // measured as ~3× the dominant term of this entry at sf10. Blocks are
+    // (vec_id, v, cluster, nrm) — corpus-linear, the minhashLshPairsImpl
+    // bounded-blocks rationale; ContextCleaner reclaims them.
     val m = kmeansAssigned(s, dir).withColumn("nrm", norm(col("v")))
+      .localCheckpoint()
     val a = m.select(col("cluster").as("ca"), col("vec_id").as("vec_a"),
       col("v").as("av"), col("nrm").as("an"))
     val b = m.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),

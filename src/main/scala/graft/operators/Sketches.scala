@@ -161,10 +161,18 @@ object Sketches {
     * column; a production pipeline would drop it and keep only the sketch
     * (mergeable, constant memory). */
   def hllDistinctUsers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    hllEstimate(hllRegisters(ev))
+    // ONE distinct pass serves both columns: the exact count and the
+    // registers are both functions of the distinct (event_type, user_id)
+    // universe, so collapsing to it first (map-side-combinable) means the
+    // corpus is scanned once, the md5 runs once per distinct pair instead
+    // of once per event, and the former second full scan (the
+    // countDistinct expansion) disappears. checkpointed: two consumers,
+    // one tiny frame (the minhashLshPairsImpl discipline).
+    val du = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
+      .distinct().localCheckpoint()
+    val exact = du.groupBy(col("event_type"))
+      .agg(count(col("user_id")).as("exact_users"))
+    hllEstimate(hllRegisters(du))
       .join(exact, Seq("event_type"))
       .select(col("event_type"), col("approx_users"), col("exact_users"))
   }
@@ -492,19 +500,30 @@ object Sketches {
 
   def tableStats(s: SparkSession, dir: String): DataFrame = {
     val li = Corpus.lineitem(s, dir)
-    val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
-    val stk = stackedOf(li)
-    // ONE aggregation tree for rows/nulls/NDV-exact/NDV-sketch: the
-    // (col_name, bucket) partial carries a running count, a per-bucket
-    // distinct count (buckets partition the value space by hash, so the
-    // per-bucket distincts SUM to the exact NDV — no second distinct
-    // aggregate over the stream), and the HLL register max. NULLs ride
-    // the NULL bucket. Bucket/rank/estimator are the SAME
+    // ONE scan, and the expensive digest runs over the DISTINCT-value
+    // universe, not the row stream: bucket and rho are pure functions of
+    // the value, so collapsing the stacked stream to (col_name, v, cnt)
+    // FIRST (a plain hash aggregate — map-side partials do the heavy
+    // lifting, and the exchange carries one row per distinct value
+    // instead of one per row occurrence) leaves every register, count
+    // and bound bit-identical while the md5 count drops from
+    // rows × columns to Σ per-column NDV (~10× on lineitem; round-15
+    // measurement in OPTIMIZATION_r15.md). ndv_exact needs no
+    // countDistinct anymore — the frame IS the distinct universe, so
+    // the per-bucket distinct count is a plain count(v). NULLs ride the
+    // NULL bucket exactly as before (one (col, NULL) group carrying the
+    // null count). Bucket/rank/estimator are the SAME
     // [[hllBucketCol]]/[[hllRhoCol]]/[[hllEstExpr]] the
     // `hll_distinct_users` sketch uses — one derivation, two operators.
     // hash mode: md5 (oracle-exact, default) or xxhash64 (production-
     // fast — see the fast-mode block above). Only the value→(bucket,
     // rho) projection differs; every aggregate below is shared.
+    //
+    // Bounds fold into the same tree (the former second scan + broadcast
+    // join are gone): min/max over the distinct values equals min/max
+    // over all rows, numeric casts are monotone on the integer key
+    // columns, and ISO timestamp strings order like their instants —
+    // the [[streamStackedOf]] bounds argument, applied here.
     val useFast = fastMode(s)
     val hCol =
       if (useFast) when(col("v").isNotNull, xxhash64(col("v")))
@@ -513,42 +532,39 @@ object Sketches {
       if (useFast) fastBucketOfHash(col("h")) else hllBucketOfHash(col("h"))
     val rhoCol =
       if (useFast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
-    val perBucket = stk
-      .select(col("col_name"), col("v"), hCol.as("h"))
-      .select(col("col_name"), col("v"),
-        bucketCol.as("bucket"),
-        rhoCol.as("rho"))
+    val numV = when(
+      col("col_name").isin(statsNumericCols.map(x => x: Any): _*),
+      col("v").cast("double"))
+    val strV = when(
+      col("col_name").isin((statsStringCols ++ statsTsCols).map(x => x: Any): _*),
+      col("v"))
+    val perVal = stackedOf(li)
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val perBucket = perVal
+      .select(col("col_name"), col("v"), col("cnt"), hCol.as("h"),
+        numV.as("num_v"), strV.as("str_v"))
+      .select(col("col_name"), col("v"), col("cnt"),
+        bucketCol.as("bucket"), rhoCol.as("rho"),
+        col("num_v"), col("str_v"))
       .groupBy(col("col_name"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"), countDistinct(col("v")).as("nd"),
-        max(col("rho")).as("max_rho"))
+      .agg(sum(col("cnt")).as("cnt"), count(col("v")).as("nd"),
+        max(col("rho")).as("max_rho"),
+        min(col("num_v")).as("min_num"), max(col("num_v")).as("max_num"),
+        min(col("str_v")).as("min_str"), max(col("str_v")).as("max_str"))
     val s0 = sum(when(col("bucket").isNotNull, pow(lit(2.0), -col("max_rho"))))
     val nb = sum(when(col("bucket").isNotNull, 1L).otherwise(0L))
-    val rolled = perBucket.groupBy(col("col_name")).agg(
+    perBucket.groupBy(col("col_name")).agg(
       sum(col("cnt")).as("n_rows"),
       coalesce(sum(when(col("bucket").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
       sum(col("nd")).as("ndv_exact"),
-      s0.as("s0"), nb.as("nb"))
-    val base = rolled.select(col("col_name"), col("n_rows"), col("n_nulls"),
-      col("ndv_exact"),
-      round(hllEstExpr(col("s0"), col("nb")), 4).as("ndv_est"))
-    val boundAggs = allCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val nullD = lit(null).cast("double")
-    val nullS = lit(null).cast("string")
-    val boundStructs =
-      statsNumericCols.map(c => struct(lit(c).as("col_name"),
-        col(s"min_$c").cast("double").as("min_num"),
-        col(s"max_$c").cast("double").as("max_num"),
-        nullS.as("min_str"), nullS.as("max_str"))) ++
-      (statsStringCols ++ statsTsCols).map(c => struct(lit(c).as("col_name"),
-        nullD.as("min_num"), nullD.as("max_num"),
-        col(s"min_$c").cast("string").as("min_str"),
-        col(s"max_$c").cast("string").as("max_str")))
-    val bounds = li.agg(boundAggs.head, boundAggs.tail: _*)
-      .select(explode(array(boundStructs: _*)).as("b"))
-      .select(col("b.col_name"), col("b.min_num"), col("b.max_num"),
-        col("b.min_str"), col("b.max_str"))
-    base.join(broadcast(bounds), Seq("col_name"))
+      s0.as("s0"), nb.as("nb"),
+      min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+      min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("ndv_exact"),
+        round(hllEstExpr(col("s0"), col("nb")), 4).as("ndv_est"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
   private def stackedOf(li: DataFrame): DataFrame = {
@@ -608,14 +624,20 @@ object Sketches {
     * unknowable from counts), which is exactly why production ANALYZE
     * maintenance keeps sketch registers, not distinct counts. */
   private def statsStateOf(li: DataFrame): DataFrame =
+    // distinct-value collapse first (the [[tableStats]] argument): counts
+    // sum through the (col_name, v) pre-aggregate and registers are
+    // value-functional, so the state is bit-identical with one md5 per
+    // DISTINCT value instead of one per row occurrence
     stackedOf(li)
-      .select(col("col_name"),
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("col_name"), col("cnt"),
         when(col("v").isNotNull, hllHash(col("v"))).as("h"))
-      .select(col("col_name"),
+      .select(col("col_name"), col("cnt"),
         hllBucketOfHash(col("h")).as("bucket"),
         hllRhoOfHash(col("h")).as("rho"))
       .groupBy(col("col_name"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"), max(col("rho")).as("max_rho"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("rho")).as("max_rho"))
 
   /** Typed per-column bounds of a lineitem slice (min/max merge). */
   private def statsBoundsOf(li: DataFrame): DataFrame = {
@@ -749,14 +771,19 @@ object Sketches {
     val h =
       if (fast) when(col("v").isNotNull, xxhash64(col("v")))
       else when(col("v").isNotNull, hllHash(col("v")))
-    val hashed = stackedOf(li).select(col("col_name"), h.as("h"))
+    // distinct-value collapse first — the [[statsStateOf]] shape, so the
+    // persisted registers stay bitwise those of the in-query state
+    val hashed = stackedOf(li)
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("col_name"), col("cnt"), h.as("h"))
     val bucket =
       if (fast) fastBucketOfHash(col("h")).cast("string")
       else hllBucketOfHash(col("h"))
     val rho = if (fast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
-    hashed.select(col("col_name"), bucket.as("bucket"), rho.as("rho"))
+    hashed.select(col("col_name"), col("cnt"), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("col_name"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"), max(col("rho")).as("max_rho"))
+      .agg(sum(col("cnt")).as("cnt"), max(col("rho")).as("max_rho"))
   }
 
   private def writeStateTo(

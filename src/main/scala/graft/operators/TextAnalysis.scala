@@ -365,6 +365,10 @@ object TextAnalysis {
   }
 
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    // the token stream feeds the vocabulary aggregate and the scoring
+    // join; materializing it (localCheckpoint) was MEASURED a wash at
+    // best (r15) — writing the exploded token stream costs what the
+    // second tokenize saves — so both consumers recompute the narrow scan
     val (toks, freq, total) = unigramStats(s, dir)
     val q = toks.join(broadcast(freq), Seq("token"))
       .crossJoin(broadcast(total))
@@ -420,6 +424,11 @@ object TextAnalysis {
         (1 until toks.length).iterator.map(i => (id, toks(i - 1), toks(i)))
       }
       .toDF("doc_id", "prev", "cur")
+    // two consumers (the bigram-count aggregate and the scoring join) of
+    // an opaque flatMap subtree — but materializing it (localCheckpoint)
+    // was MEASURED SLOWER (r15: 1.36 → 2.07 s): serializing the
+    // (doc_id, prev, cur) stream to block storage costs more than the
+    // second tokenize+zip pass, so both consumers recompute
     val cbt = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bt"))
     val cprev = cbt.groupBy(col("prev")).agg(sum(col("c_bt")).as("c_prev"))
     val (_, freq, total) = unigramStats(s, dir)
@@ -748,14 +757,32 @@ object TextAnalysis {
     bpeVocab(s, dir, bpeVocabRounds)
 
   private[graft] def bpeVocab(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val (ms, wordFreq) = bpeVocabAndWords(s, dir, rounds)
+    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(wordFreq)
     import s.implicits._
+    ms.toDF("rnd", "lhs", "rhs", "cnt")
+  }
+
+  /** [[bpeVocab]]'s induction loop, ALSO returning the checkpointed raw
+    * word-frequency table (t, cnt) the loop was seeded from — the encode
+    * path ([[bpeEncode]]) derives per-distinct-word symbol counts from
+    * it, so the corpus is tokenized once for induction + once for the
+    * per-doc rollup and the merge chain never runs per token OCCURRENCE.
+    * Callers that don't consume the frame must release its checkpoint
+    * blocks ([[bpeVocab]]); consumers leave them to the ContextCleaner
+    * (vocab-sized — the minhashLshPairsImpl bounded-blocks rationale). */
+  private[graft] def bpeVocabAndWords(
+      s: SparkSession, dir: String,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     val bridge = org.apache.spark.sql.graft.Bridge
-    var words = Corpus.documents(s, dir)
+    val wordFreq = Corpus.documents(s, dir)
       .select(explode(tokensCol(col("text"))).as("t"))
       .where(length(col("t")) >= 2 && col("t").rlike("^[a-z0-9]+$"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("t"), "(.)", "($1)").as("enc"), col("cnt"))
       .localCheckpoint() // eager: the corpus scan + aggregate run exactly once
+    var words = wordFreq
+      .select(regexp_replace(col("t"), "(.)", "($1)").as("enc"), col("cnt"))
+      .localCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -786,7 +813,7 @@ object TextAnalysis {
     val ms = merges.result()
     println(s"[bpe_vocab] ${ms.size} merge rounds: " +
       ms.map(m => s"${m._2}+${m._3}=${m._2}${m._3}(${m._4})").mkString(", "))
-    ms.toDF("rnd", "lhs", "rhs", "cnt")
+    (ms, wordFreq)
   }
 
   /** Shared CTE prefix for the BPE oracles: w0 is the encoded
@@ -842,8 +869,15 @@ object TextAnalysis {
     * '(', ''))` on the "(sym)(sym)" encoding, the same trick both engines
     * share. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val ms = bpeVocab(s, dir).orderBy(col("rnd")).select("lhs", "rhs").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+    // The merge chain (regexp-encode + k replaces + 2 lengths) is a pure
+    // function of the WORD, so it runs once per distinct vocabulary word
+    // — the word-frequency table the induction loop already built — and
+    // per-doc totals come from a broadcast lookup + one map-side-
+    // combinable doc_id rollup, instead of re-running the chain per token
+    // OCCURRENCE inside per-row array lambdas (rows × mean-tokens
+    // evaluations; the round-15 measured hot spot of this entry).
+    val (ms0, wordFreq) = bpeVocabAndWords(s, dir, bpeVocabRounds)
+    val ms = ms0.sortBy(_._1).map(m => (m._2, m._3))
     def encFinal(t: Column): Column =
       ms.foldLeft(regexp_replace(t, "(.)", "($1)")) { case (c, (l, r)) =>
         replace(c, lit(s"($l)($r)"), lit(s"($l$r)"))
@@ -852,16 +886,17 @@ object TextAnalysis {
       val e = encFinal(t)
       (length(e) - length(replace(e, lit("(")))).cast("long")
     }
+    val wstats = wordFreq.select(col("t"),
+      length(col("t")).cast("long").as("len"), symCount(col("t")).as("sc"))
     Corpus.documents(s, dir)
       .select(col("doc_id"),
-        filter(tokensCol(col("text")),
-          t => length(t) >= 2 && t.rlike("^[a-z0-9]+$")).as("ws"))
-      .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
-        aggregate(transform(col("ws"), t => length(t).cast("long")),
-          lit(0L), _ + _).as("n_chars"),
-        aggregate(transform(col("ws"), symCount(_)), lit(0L), _ + _)
-          .as("n_bpe_symbols"))
+        explode_outer(filter(tokensCol(col("text")),
+          t => length(t) >= 2 && t.rlike("^[a-z0-9]+$"))).as("t"))
+      .join(broadcast(wstats), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("t")).as("n_words"),
+        coalesce(sum(col("len")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("sc")), lit(0L)).as("n_bpe_symbols"))
       .withColumn("compression",
         when(col("n_bpe_symbols") === 0L, lit(0.0))
           .otherwise(col("n_chars").cast("double") /

@@ -509,12 +509,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       "more tokens must never get a smaller weight")
   }
 
-  test("bpe_encode compresses with the induced merges in a shuffle-free pass") {
+  test("bpe_encode runs the merge chain per DISTINCT word, broadcast back") {
     val enc = graft.operators.TextAnalysis.bpeEncode(spark, sf)
-    // the encode pass itself must be a narrow map: merges are plan
-    // literals, so the final frame has no Exchange at all
-    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
-      "encode must not shuffle — merges are baked in as literals")
+    // r15 shape: the regexp-encode + k-replace merge chain is a pure
+    // function of the word, so it runs over the vocabulary frame and
+    // rides a BroadcastExchange back onto the token stream; the only
+    // shuffle is the doc_id rollup, which moves partial-aggregated
+    // (doc_id, 3 longs) rows — never a second corpus tokenize, never the
+    // chain per token occurrence (the pre-r15 plan evaluated it inside
+    // per-row array lambdas: shuffle-free but rows × mean-tokens chain
+    // evaluations, the measured hot spot)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "per-word symbol counts must broadcast back onto the token stream")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"exactly one exchange (the doc_id rollup), got $shuffles:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the doc_id rollup must partial-aggregate before the exchange")
     val rows = enc.collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(rows.nonEmpty)

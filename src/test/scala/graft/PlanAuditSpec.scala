@@ -361,11 +361,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("rollup expands grouping sets before one exchange, not one scan per level") {
-    val plan = physicalPlan(graft.operators.Relational.salesRollup(spark, sf))
-    assert("FileScan parquet".r.findAllIn(plan).length == 1,
-      s"rollup must read lineitem exactly once:\n$plan")
-    assert(plan.contains("Expand"), s"expected grouping-set Expand:\n$plan")
+  test("rollup derives coarser levels from base-group PARTIALS, one scan, no Expand") {
+    // r15 shape: the (flag, status) base aggregate materializes (~6 rows)
+    // and the two coarser rollup levels re-aggregate THOSE — the corpus
+    // crosses one aggregate exactly once, instead of Expand tripling every
+    // row through the grouping sets (decimal sums regroup exactly, so the
+    // levels are bit-identical)
+    val df = graft.operators.Relational.salesRollup(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Expand"),
+      s"rollup must regroup from partials, not Expand the corpus:\n$plan")
+    // the corpus scan happens once, inside the checkpointed base aggregate
+    // (the final frame reads the checkpoint, so it carries no parquet scan)
+    assert(!plan.contains("FileScan parquet"),
+      s"levels must derive from the materialized base groups:\n$plan")
   }
 
   test("contamination_bloom probes the filter without a ScalaUDF") {
@@ -566,13 +575,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("table_stats: two lineitem scans total, bounds broadcast back, no cartesian") {
+  test("table_stats: ONE lineitem scan, digest over the distinct-value frame") {
     val plan = physicalPlan(graft.operators.Sketches.tableStats(spark, sf))
     val scans = "FileScan parquet".r.findAllIn(plan).length
-    assert(scans == 2,
-      s"expected one stacked NDV scan + one 1-row bounds scan, got $scans:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"per-column bounds not broadcast onto the stats rows:\n$plan")
+    // r15 shape: rows/nulls/NDV/registers AND per-column bounds all fold
+    // into one aggregation tree over the (col_name, v, cnt) distinct-value
+    // collapse — the former separate 1-row bounds scan + broadcast join
+    // are gone, and md5 runs once per DISTINCT value, after the first
+    // (col_name, v) hash aggregate
+    assert(scans == 1,
+      s"expected ONE stacked scan (bounds fold into the same tree), got $scans:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"the (col_name, v) distinct collapse must be a hash aggregate:\n$plan")
+    // md5 must sit ABOVE the distinct collapse, not on the row stream:
+    // the scan side of the plan (below the first aggregate) carries no md5
+    val belowFirstAgg = plan.substring(plan.lastIndexOf("HashAggregate"))
+    assert(!belowFirstAgg.contains("md5("),
+      s"digest must run on distinct values, not per row occurrence:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

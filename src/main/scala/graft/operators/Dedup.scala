@@ -34,16 +34,19 @@ object Dedup {
     TextAnalysis.normTokens(text)
 
   /** Distinct 3-token shingles of one normalized document. Compiled
-    * `sliding(3)` rather than the column-DSL `transform(sequence(...))`
-    * form: Spark's higher-order array functions are CodegenFallback —
-    * interpreted row-at-a-time — which made this, the largest intermediate
-    * of the dedup family, the hottest code in the whole bench. */
-  private[graft] def shinglesOf(text: String): Set[String] = {
-    val toks = normTokens(text)
-    val it =
-      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
-      else Iterator(toks.mkString(" "))
-    it.toSet
+    * rather than the column-DSL `transform(sequence(...))` form: Spark's
+    * higher-order array functions are CodegenFallback — interpreted
+    * row-at-a-time — which made this, the largest intermediate of the
+    * dedup family, the hottest code in the whole bench. Grams come from
+    * [[TextAnalysis.distinctGrams]] (token-aligned substrings of the
+    * normalized text — one arraycopy per shingle, no per-window Seq or
+    * mkString; set-equal to the old `sliding(3)` form by
+    * `GramSubstringProps`). */
+  private[graft] def shinglesOf(text: String): collection.Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val fast = TextAnalysis.distinctGrams(text, 3)
+    if (fast != null) fast.asScala
+    else Set(normTokens(text).mkString(" ")) // <3 tokens: whole doc, one shingle
   }
 
   private val hexDigits = "0123456789abcdef".toCharArray
@@ -622,17 +625,18 @@ object Dedup {
   private val contamN = 13
   private val contamBench = 10
 
-  /** Distinct 13-token grams of a documents frame, one row per (doc, gram). */
+  /** Distinct 13-token grams of a documents frame, one row per (doc, gram).
+    * Substring-built like [[shinglesOf]] (one arraycopy per gram vs a
+    * 13-token mkString chain; set-equal by `GramSubstringProps`). */
   private[graft] def grams13(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    import scala.jdk.CollectionConverters._
     val n = contamN
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = normTokens(text)
-        val it =
-          if (toks.length >= n) toks.sliding(n).map(_.mkString(" "))
-          else Iterator.empty
-        it.toSet[String].iterator.map((g: String) => (id, g))
+        val set = TextAnalysis.distinctGrams(text, n)
+        if (set == null) Iterator.empty
+        else set.iterator.asScala.map((g: String) => (id, g))
       }
       .toDF("doc_id", "gram")
   }
@@ -1155,17 +1159,52 @@ object Dedup {
     * repeats are real duplication here (the paper dedups them too).
     * Hashes computed in the scan pass with a reused digest, 16-byte
     * binary keys so the exchange never carries window text. */
+  /** UTF-8 bytes of the normalized text plus token-start byte offsets and
+    * the token count — `split(' ')` boundary semantics over the byte
+    * image (trailing empty tokens dropped; `starts(count)` is a sentinel
+    * one past a virtual separator, so token j spans
+    * `[starts(j), starts(j+1) - 1)`). Factored out of [[posGrams]] so the
+    * window/hash-input equivalence is directly property-testable. */
+  private[graft] def normByteBounds(text: String): (Array[Byte], Array[Int], Int) = {
+    val bytes = TextAnalysis.normText(text)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val len = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) spaces += 1; i += 1 }
+    var count = spaces + 1
+    val starts = new Array[Int](count + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(count) = len + 1
+    // split(' ') drops trailing empty tokens (see TextAnalysis.distinctGrams)
+    while (count > 0 && starts(count - 1) == starts(count) - 1) count -= 1
+    (bytes, starts, count)
+  }
+
   private[graft] def posGrams(docs: DataFrame, n: Int): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val toks = normTokens(text)
-          if (toks.length < n) Iterator.empty
-          else (0 to toks.length - n).iterator.map { p =>
-            val g = toks.slice(p, p + n).mkString(" ")
-            (id, p.toLong, md.digest(g.getBytes("UTF-8")))
+          // The window's md5 input is a byte RANGE of the UTF-8-encoded
+          // normalized text: the gram "tok_p .. tok_{p+n-1}" joined by
+          // single spaces IS that slice (whitespace already collapsed),
+          // and 0x20 never occurs as a UTF-8 continuation byte, so token
+          // boundaries are byte positions. No token array, no per-window
+          // slice/mkString/getBytes — one encode per document, one digest
+          // update per window (`GramSubstringProps` pins hash-input
+          // equality against the slice/mkString reference).
+          val (bytes, starts, count) = normByteBounds(text)
+          if (count < n) Iterator.empty
+          else (0 to count - n).iterator.map { p =>
+            md.update(bytes, starts(p), starts(p + n) - 1 - starts(p))
+            (id, p.toLong, md.digest())
           }
         }
       }
@@ -1433,12 +1472,13 @@ object Dedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (src, text) =>
-          val toks = normTokens(text)
-          val grams =
-            if (toks.length >= contamN)
-              toks.sliding(contamN).map(_.mkString(" ")).toSet
-            else Set.empty[String]
-          grams.iterator.map(g => (src, md.digest(g.getBytes("UTF-8"))))
+          // substring-built distinct grams (the [[grams13]] kernel)
+          val set = TextAnalysis.distinctGrams(text, contamN)
+          if (set == null) Iterator.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            set.iterator.asScala.map(g => (src, md.digest(g.getBytes("UTF-8"))))
+          }
         }
       }
       .toDF("source", "gh")

@@ -71,8 +71,49 @@ object TextAnalysis {
     var b = 0; var e = text.length
     while (b < e && text.charAt(b) == ' ') b += 1
     while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    text.substring(b, e).toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ")
+    collapseWs(text.substring(b, e).toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** `replaceAll("\\s+", " ")`, hand-compiled: `String.replaceAll`
+    * re-compiles its pattern on EVERY call, and this normalization runs
+    * once per document under every typed kernel (shingling, minhash,
+    * n-grams, winnowing, spans) — the single hottest scalar call in the
+    * bench. Java's default `\s` is exactly the six ASCII chars below (no
+    * UNICODE_CHARACTER_CLASS), so the loop is bit-equal to the regex;
+    * `PropertySpec` pins the equivalence on adversarial inputs. The
+    * no-change fast path returns the input without allocating. */
+  private[graft] def collapseWs(s: String): String = {
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r')
+        return collapseWsFrom(s, i)
+      if (c == ' ' && i + 1 < n) {
+        val d = s.charAt(i + 1)
+        if (d == ' ' || d == '\t' || d == '\n' || d == '\u000B' || d == '\f' || d == '\r')
+          return collapseWsFrom(s, i)
+      }
+      i += 1
+    }
+    s
+  }
+
+  private def collapseWsFrom(s: String, from: Int): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, from)
+    var i = from
+    var inRun = false
+    while (i < n) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (!inRun) sb.append(' '); inRun = true }
+      else { sb.append(c); inRun = false }
+      i += 1
+    }
+    sb.toString
   }
 
   /** [[tokensCol]]'s compiled twin — THE one scala-side tokenizer, shared
@@ -81,6 +122,46 @@ object TextAnalysis {
     * normalization to keep in sync. */
   private[graft] def normTokens(text: String): Array[String] =
     normText(text).split(' ')
+
+  /** Distinct n-token grams of [[normText]]-normalized `text`, each gram
+    * materialized as ONE `substring` arraycopy instead of an n-token
+    * `sliding(n).map(_.mkString(" "))` append chain: the normalized text
+    * is EXACTLY its tokens joined by single spaces (whitespace collapsed),
+    * so every token-aligned substring IS the gram — same characters, same
+    * distinct set (`GramSubstringProps` pins the equivalence against the
+    * sliding/mkString reference on adversarial inputs). Token boundaries
+    * reproduce `split(' ')`'s Java semantics: a split at every space,
+    * trailing empty tokens dropped, leading ones kept.
+    *
+    * Returns null when the text has fewer than n tokens — callers keep
+    * their own short-document semantics (empty for the contamination
+    * grams, whole-text shingle for the dedup shingler). */
+  private[graft] def distinctGrams(text: String, n: Int): java.util.HashSet[String] = {
+    val norm = normText(text)
+    val len = norm.length
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (norm.charAt(i) == ' ') spaces += 1; i += 1 }
+    var count = spaces + 1
+    // starts(j) = first char of token j; sentinel starts(count) = len + 1
+    // makes end(j) = starts(j + 1) - 1 uniform (last token ends at len)
+    val starts = new Array[Int](count + 1)
+    var t = 1
+    i = 0
+    while (i < len) { if (norm.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
+    starts(count) = len + 1
+    // drop trailing empty tokens (split(' ')'s contract); interior empties
+    // are impossible after the whitespace collapse
+    while (count > 0 && starts(count - 1) == starts(count) - 1) count -= 1
+    if (count < n) return null
+    val out = new java.util.HashSet[String](math.max(4, (count - n + 1) * 2))
+    var p = 0
+    while (p + n <= count) {
+      out.add(norm.substring(starts(p), starts(p + n) - 1))
+      p += 1
+    }
+    out
+  }
 
   val tokensSql: String =
     "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
@@ -564,7 +645,9 @@ object TextAnalysis {
     Corpus.documents(s, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val norm = text.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+        // NOTE: Java trim (all controls ≤ 0x20) — winnowing's own oracle
+        // normalizes this way; only the \s+ collapse shares [[collapseWs]]
+        val norm = collapseWs(text.trim.toLowerCase(java.util.Locale.ROOT))
         val n = norm.length
         val hashes: Array[Long] =
           if (n < k) {

@@ -166,3 +166,88 @@ object SpaceSavingProps extends Properties("space-saving") {
           out.forall(e => truth.get(e.token).contains(e.cnt) && e.err == 0L)
     }
 }
+
+
+/** [[graft.operators.TextAnalysis.collapseWs]] must be bit-equal to the
+  * `replaceAll("\\s+", " ")` it hand-compiles (the per-document regex
+  * compile was the hottest scalar call under every typed text kernel --
+  * round-15 optimization). The generator leans on adversarial shapes:
+  * runs of mixed whitespace, edges, lone spaces, empty strings. */
+object CollapseWsProps extends Properties("collapse-ws") {
+  import graft.operators.TextAnalysis
+
+  private val wsChar = Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')
+  private val piece: Gen[String] = Gen.frequency(
+    (4, Gen.alphaNumStr.map(_.take(6))),
+    (3, wsChar.map(_.toString)),
+    (2, Gen.listOfN(3, wsChar).map(_.mkString)),
+    (1, Gen.const("")),
+    (1, Gen.oneOf("\u00a0", "\u2009", "\u00e9"))) // unicode ws-lookalikes: NOT \s
+  private val textGen: Gen[String] =
+    Gen.listOf(piece).map(_.mkString)
+
+  property("bit-equal to replaceAll(\\s+, space)") = forAll(textGen) { s =>
+    TextAnalysis.collapseWs(s) == s.replaceAll("\\s+", " ")
+  }
+}
+
+
+/** The substring/byte-slice gram kernels (round-15 optimization) must be
+  * set- and byte-equal to the `sliding(n).map(_.mkString(" "))` reference
+  * they replaced: [[graft.operators.TextAnalysis.distinctGrams]] against
+  * the sliding form over `normTokens`, [[graft.operators.Dedup.shinglesOf]]
+  * including its whole-doc short-text fallback, and
+  * [[graft.operators.Dedup.normByteBounds]]'s window byte ranges against
+  * `slice(p, p+n).mkString(" ").getBytes(UTF_8)`. */
+object GramSubstringProps extends Properties("gram-substrings") {
+  import scala.jdk.CollectionConverters._
+  import graft.operators.{Dedup, TextAnalysis}
+
+  private val wsChar = Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')
+  private val piece: Gen[String] = Gen.frequency(
+    (5, Gen.oneOf("a", "bb", "ccc", "Dd", "e1", "\u00e9\u4e2d")),
+    (4, Gen.const(" ")),
+    (2, wsChar.map(_.toString)),
+    (1, Gen.listOfN(2, wsChar).map(_.mkString)))
+  private val textGen: Gen[String] = Gen.listOf(piece).map(_.mkString)
+  private val nGen: Gen[Int] = Gen.oneOf(2, 3, 5, 13)
+
+  private def refGrams(text: String, n: Int): Set[String] = {
+    val toks = TextAnalysis.normTokens(text)
+    if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet
+    else null
+  }
+
+  property("distinctGrams == sliding/mkString/toSet") =
+    forAll(textGen, nGen) { (s, n) =>
+      val fast = TextAnalysis.distinctGrams(s, n)
+      val ref = refGrams(s, n)
+      if (ref == null) fast == null
+      else fast != null && fast.asScala == ref
+    }
+
+  property("shinglesOf keeps the whole-doc fallback") = forAll(textGen) { s =>
+    val toks = TextAnalysis.normTokens(s)
+    val ref =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    Dedup.shinglesOf(s) == ref
+  }
+
+  property("normByteBounds windows == slice/mkString/getBytes") =
+    forAll(textGen, nGen) { (s, n) =>
+      val (bytes, starts, count) = Dedup.normByteBounds(s)
+      val toks = TextAnalysis.normTokens(s)
+      val refCount = if (toks.length == 1 && toks(0).isEmpty) 0 else toks.length
+      // counts agree except the Java ""-split special case (both < n)
+      (count == refCount || (count < n && toks.length < n)) && {
+        if (toks.length < n || count < n) true
+        else (0 to count - n).forall { p =>
+          val ref = toks.slice(p, p + n).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          java.util.Arrays.equals(ref,
+            java.util.Arrays.copyOfRange(bytes, starts(p), starts(p + n) - 1))
+        }
+      }
+    }
+}

@@ -521,10 +521,15 @@ object Dedup {
           val votes = new Array[Int](64)
           val toks = normTokens(text)
           toks.foreach { tok =>
+            // one UTF-8 encode per token, salts streamed into the digest
+            // (the minhash signatureOf discipline): no "a|"+tok concat
+            // string or second getBytes per token
+            val tb = tok.getBytes("UTF-8")
             var half = 0
             while (half < 2) {
-              val salt = if (half == 0) "a|" else "b|"
-              val d = md.digest((salt + tok).getBytes("UTF-8"))
+              md.update(if (half == 0) saltA else saltB)
+              md.update(tb)
+              val d = md.digest()
               var j = 0
               while (j < 32) {
                 val b = d(j >> 1) & 0xff

@@ -532,15 +532,12 @@ object Sketches {
       if (useFast) fastBucketOfHash(col("h")) else hllBucketOfHash(col("h"))
     val rhoCol =
       if (useFast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
-    val numV = when(
-      col("col_name").isin(statsNumericCols.map(x => x: Any): _*),
-      col("v").cast("double"))
-    val strV = when(
-      col("col_name").isin((statsStringCols ++ statsTsCols).map(x => x: Any): _*),
-      col("v"))
-    val perVal = stackedOf(li)
-      .groupBy(col("col_name"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    // typed bounds straight from the slots: lv→double is exact for the
+    // bigint key columns (≪ 2^53), and sv/cast(tv) are exactly the v
+    // strings of the string/timestamp columns
+    val numV = col("lv").cast("double")
+    val strV = coalesce(col("sv"), col("tv").cast("string"))
+    val perVal = perDistinctValue(li)
     val perBucket = perVal
       .select(col("col_name"), col("v"), col("cnt"), hCol.as("h"),
         numV.as("num_v"), strV.as("str_v"))
@@ -567,12 +564,36 @@ object Sketches {
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
-  private def stackedOf(li: DataFrame): DataFrame = {
-    val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
-    li.select(explode(array(allCols.map(c =>
-        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
-        .as("kv"))
-      .select(col("kv.col_name"), col("kv.v"))
+  /** (col_name, v, cnt) per DISTINCT value, plus the typed slots the
+    * bounds fold reads (lv/sv/tv). The distinct collapse groups on the
+    * TYPED column values — the per-row explode ships raw longs/timestamps
+    * instead of their string renderings, and the hot partial aggregate
+    * hashes narrow typed keys; the string form `v` (the digest input) is
+    * derived once per DISTINCT value above the exchange. Equivalence:
+    * cast-to-string is injective per column (bigint trivially; canonical
+    * timestamp rendering), so the distinct sets, counts and NULL group
+    * are exactly those of grouping on the stringified stream (r15's
+    * measured shape, second step). */
+  private def perDistinctValue(li: DataFrame): DataFrame = {
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val nullT = lit(null).cast(li.schema(statsTsCols.head).dataType)
+    val structs =
+      statsNumericCols.map(c => struct(lit(c).as("col_name"),
+        col(c).as("lv"), nullS.as("sv"), nullT.as("tv"))) ++
+      statsStringCols.map(c => struct(lit(c).as("col_name"),
+        nullL.as("lv"), col(c).as("sv"), nullT.as("tv"))) ++
+      statsTsCols.map(c => struct(lit(c).as("col_name"),
+        nullL.as("lv"), nullS.as("sv"), col(c).as("tv")))
+    li.select(explode(array(structs: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.lv").as("lv"),
+        col("kv.sv").as("sv"), col("kv.tv").as("tv"))
+      .groupBy(col("col_name"), col("lv"), col("sv"), col("tv"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("col_name"),
+        coalesce(col("lv").cast("string"), col("sv"),
+          col("tv").cast("string")).as("v"),
+        col("cnt"), col("lv"), col("sv"), col("tv"))
   }
 
   /** Ingest cut for `stats_incremental` (l_orderkey — append-only). */
@@ -625,12 +646,10 @@ object Sketches {
     * maintenance keeps sketch registers, not distinct counts. */
   private def statsStateOf(li: DataFrame): DataFrame =
     // distinct-value collapse first (the [[tableStats]] argument): counts
-    // sum through the (col_name, v) pre-aggregate and registers are
+    // sum through the typed-key pre-aggregate and registers are
     // value-functional, so the state is bit-identical with one md5 per
     // DISTINCT value instead of one per row occurrence
-    stackedOf(li)
-      .groupBy(col("col_name"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    perDistinctValue(li)
       .select(col("col_name"), col("cnt"),
         when(col("v").isNotNull, hllHash(col("v"))).as("h"))
       .select(col("col_name"), col("cnt"),
@@ -773,9 +792,7 @@ object Sketches {
       else when(col("v").isNotNull, hllHash(col("v")))
     // distinct-value collapse first — the [[statsStateOf]] shape, so the
     // persisted registers stay bitwise those of the in-query state
-    val hashed = stackedOf(li)
-      .groupBy(col("col_name"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val hashed = perDistinctValue(li)
       .select(col("col_name"), col("cnt"), h.as("h"))
     val bucket =
       if (fast) fastBucketOfHash(col("h")).cast("string")

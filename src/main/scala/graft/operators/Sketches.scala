@@ -578,19 +578,30 @@ object Sketches {
     val nullL = lit(null).cast("long")
     val nullS = lit(null).cast("string")
     val nullT = lit(null).cast(li.schema(statsTsCols.head).dataType)
+    // the column NAME rides through the hot aggregate as a tiny int id
+    // (guide §2.3 "narrower types"): the 3M-row partial aggregate hashes
+    // and compares (int, long, string, ts) keys instead of a 12-char
+    // string per row; the name is reconstructed above the exchange, once
+    // per DISTINCT value. cid ↔ col_name is a bijection by construction,
+    // so groups, counts and the NULL group are untouched.
+    val allCols = statsNumericCols ++ statsStringCols ++ statsTsCols
+    def cid(c: String) = lit(allCols.indexOf(c)).as("cid")
     val structs =
-      statsNumericCols.map(c => struct(lit(c).as("col_name"),
+      statsNumericCols.map(c => struct(cid(c),
         col(c).as("lv"), nullS.as("sv"), nullT.as("tv"))) ++
-      statsStringCols.map(c => struct(lit(c).as("col_name"),
+      statsStringCols.map(c => struct(cid(c),
         nullL.as("lv"), col(c).as("sv"), nullT.as("tv"))) ++
-      statsTsCols.map(c => struct(lit(c).as("col_name"),
+      statsTsCols.map(c => struct(cid(c),
         nullL.as("lv"), nullS.as("sv"), col(c).as("tv")))
+    val nameOfCid = allCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, i)) => when(col("cid") === i, lit(c)).otherwise(acc)
+    }
     li.select(explode(array(structs: _*)).as("kv"))
-      .select(col("kv.col_name").as("col_name"), col("kv.lv").as("lv"),
+      .select(col("kv.cid").as("cid"), col("kv.lv").as("lv"),
         col("kv.sv").as("sv"), col("kv.tv").as("tv"))
-      .groupBy(col("col_name"), col("lv"), col("sv"), col("tv"))
+      .groupBy(col("cid"), col("lv"), col("sv"), col("tv"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("col_name"),
+      .select(nameOfCid.as("col_name"),
         coalesce(col("lv").cast("string"), col("sv"),
           col("tv").cast("string")).as("v"),
         col("cnt"), col("lv"), col("sv"), col("tv"))

@@ -1641,14 +1641,29 @@ object Dedup {
     // frames once: every pass over the corpus below now happens exactly
     // once (fingerprints ×2 — withFp + dedupExact's own —, the survivor
     // posGrams, and ONE shared tokenize for the in/kept token totals).
-    val exactDropped = withFp.join(dedupExact(s, dir), Seq("fingerprint"))
-      .where(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"))
-      .localCheckpoint()
-    val nearDroppedAll = dedupClusters(s, dir)
-      .where(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id"))
-      .localCheckpoint()
+    // The exact-dedup and LSH-cluster pipelines are independent until
+    // `dropped`, and each materializes eagerly (localCheckpoint): overlap
+    // the two job chains (guide §2.6 — actions are only sequential
+    // because the driver calls them sequentially) so the LSH pipeline's
+    // straggler tails back-fill with fingerprint-pass tasks. Results are
+    // unchanged — only the submission order is concurrent.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactF = Future {
+      withFp.join(dedupExact(s, dir), Seq("fingerprint"))
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+    }
+    val nearF = Future {
+      dedupClusters(s, dir)
+        .where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+        .localCheckpoint()
+    }
+    val exactDropped = Await.result(exactF, Duration.Inf)
+    val nearDroppedAll = Await.result(nearF, Duration.Inf)
     val nearDropped = nearDroppedAll.join(exactDropped, Seq("doc_id"), "left_anti")
     val dropped = exactDropped.union(nearDroppedAll).distinct().localCheckpoint()
     val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")

@@ -1051,25 +1051,38 @@ object Dedup {
   }
 
   def minhashRecall(s: SparkSession, dir: String): DataFrame = {
-    // checkpoint the capped stream: read 2× (inter + sizes), and private
-    // to this plan — see winnowPairs for the cache()-vs-checkpoint
-    // rationale
-    val shc = recallCappedShingles(s, dir).localCheckpoint()
-    val inter = shc.as("a")
-      .join(shc.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-      .where(col("n_inter").cast("double") /
-        (col("za.n") + col("zb.n") - col("n_inter")).cast("double") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // read 2×: count + hit join
-    val pairs = minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // read 2×: count + hit join
+    // The brute-force truth chain and the LSH pairs chain are independent
+    // until the hit join: overlap their eager materializations from two
+    // driver threads (guide §2.6) so one chain's straggler tail back-fills
+    // with the other's tasks. Results unchanged — submission order only.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val truthF = Future {
+      // checkpoint the capped stream: read 2× (inter + sizes), and private
+      // to this plan — see winnowPairs for the cache()-vs-checkpoint
+      // rationale
+      val shc = recallCappedShingles(s, dir).localCheckpoint()
+      val inter = shc.as("a")
+        .join(shc.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val sizes = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .where(col("n_inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("n_inter")).cast("double") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // read 2×: count + hit join
+    }
+    val pairsF = Future {
+      minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // read 2×: count + hit join
+    }
+    val truth = Await.result(truthF, Duration.Inf)
+    val pairs = Await.result(pairsF, Duration.Inf)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
     val nHit = pairs.join(truth, Seq("doc_a", "doc_b"))
@@ -1965,6 +1978,12 @@ object Dedup {
   private[graft] def neardupIncrementalFrom(
       s: SparkSession, snapshot: DataFrame, incoming: DataFrame): DataFrame = {
     val nBands = numMinhash / bandSize
+    // NOT overlapped (guide §2.6 measured as a wash here, r15): unlike
+    // dedupFunnel/minhashRecall's shuffle-heavy chains, the two signature
+    // passes are CPU-bound codegen scans that each saturate the cores on
+    // their own — concurrent submission measured +2.68/−0.42/+0.15/+0.02 s
+    // across four same-window A/B pairs (median: a small loss from
+    // contention), so they stay sequential.
     val sigS = minhashPerDocFrom(s, snapshot).toDF("doc_id", "mh", "n_shingles")
       .localCheckpoint()
     val sigI = minhashPerDocFrom(s, incoming).toDF("doc_id", "mh", "n_shingles")

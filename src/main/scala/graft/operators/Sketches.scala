@@ -135,10 +135,14 @@ object Sketches {
     * which is what makes the operator shuffle ≤ 256 rows per key at any
     * volume (and what `PipelineOpsSpec` asserts directly). */
   private[graft] def hllRegisters(ev: DataFrame): DataFrame =
-    ev.select(col("event_type"), hllHash(col("user_id")).as("h"))
+    // packed bytes form (bit-equivalent to the hex chain, FunctionsSpec):
+    // bucket is internal — a group key the estimator only counts — so the
+    // int spelling is free and the hex rendering never happens
+    ev.select(col("event_type"),
+        graft.functions.HashFunctions.hllPackCol(col("user_id")).as("h"))
       .select(col("event_type"),
-        hllBucketOfHash(col("h")).as("bucket"),
-        hllRhoOfHash(col("h")).as("rho"))
+        shiftright(col("h"), 7).as("bucket"),
+        col("h").bitwiseAND(lit(127)).as("rho"))
       .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("max_rho"))
 
   /** Estimate from a register frame ((event_type, bucket, max_rho)). */
@@ -524,14 +528,20 @@ object Sketches {
     // over all rows, numeric casts are monotone on the integer key
     // columns, and ISO timestamp strings order like their instants —
     // the [[streamStackedOf]] bounds argument, applied here.
+    // md5 mode digests through [[graft.functions.HashFunctions.hllPackCol]]
+    // — (bucket << 7) | rho straight from the digest bytes, no hex
+    // rendering — bit-equivalent to the hex chain (FunctionsSpec pins it);
+    // bucket is int in both modes (it is internal here: a group key and a
+    // null marker, never rendered into the result)
     val useFast = fastMode(s)
     val hCol =
       if (useFast) when(col("v").isNotNull, xxhash64(col("v")))
-      else when(col("v").isNotNull, hllHash(col("v")))
+      else when(col("v").isNotNull,
+        graft.functions.HashFunctions.hllPackCol(col("v")))
     val bucketCol =
-      if (useFast) fastBucketOfHash(col("h")) else hllBucketOfHash(col("h"))
+      if (useFast) fastBucketOfHash(col("h")) else shiftright(col("h"), 7)
     val rhoCol =
-      if (useFast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
+      if (useFast) fastRhoOfHash(col("h")) else col("h").bitwiseAND(lit(127))
     // typed bounds straight from the slots: lv→double is exact for the
     // bigint key columns (≪ 2^53), and sv/cast(tv) are exactly the v
     // strings of the string/timestamp columns
@@ -628,13 +638,17 @@ object Sketches {
         col(c).cast("string").as("str_v")))
     li.select(explode(array(structs: _*)).as("kv"))
       .select(col("kv.col_name"),
-        when(col("kv.v").isNotNull, hllHash(col("kv.v"))).as("h"),
+        when(col("kv.v").isNotNull,
+          graft.functions.HashFunctions.hllPackCol(col("kv.v"))).as("h"),
         col("kv.num_v"), col("kv.str_v"))
       .select(col("col_name"),
-        // register INDEX for the state fold: the same hex bucket the
-        // batch groups by, as its integer value
-        conv(hllBucketOfHash(col("h")), 16, 10).cast("int").as("bucket"),
-        hllRhoOfHash(col("h")).as("rho"),
+        // register INDEX for the state fold: the packed byte IS the hex
+        // bucket's integer value (== the old conv(hex, 16, 10) spelling,
+        // FunctionsSpec pins the equivalence) — and this path runs per
+        // ROW, not per distinct value, so skipping the hex render here
+        // is the packed form's biggest per-byte win
+        shiftright(col("h"), 7).as("bucket"),
+        col("h").bitwiseAND(lit(127)).as("rho"),
         col("num_v"), col("str_v"))
   }
 
@@ -659,13 +673,16 @@ object Sketches {
     // distinct-value collapse first (the [[tableStats]] argument): counts
     // sum through the typed-key pre-aggregate and registers are
     // value-functional, so the state is bit-identical with one md5 per
-    // DISTINCT value instead of one per row occurrence
+    // DISTINCT value instead of one per row occurrence. Registers derive
+    // through the packed bytes form (the [[tableStats]] hCol argument —
+    // bucket stays internal to the merge, so the int spelling is free).
     perDistinctValue(li)
       .select(col("col_name"), col("cnt"),
-        when(col("v").isNotNull, hllHash(col("v"))).as("h"))
+        when(col("v").isNotNull,
+          graft.functions.HashFunctions.hllPackCol(col("v"))).as("h"))
       .select(col("col_name"), col("cnt"),
-        hllBucketOfHash(col("h")).as("bucket"),
-        hllRhoOfHash(col("h")).as("rho"))
+        shiftright(col("h"), 7).as("bucket"),
+        col("h").bitwiseAND(lit(127)).as("rho"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"), max(col("rho")).as("max_rho"))
 
@@ -800,15 +817,22 @@ object Sketches {
     val fast = mode == "xxhash64"
     val h =
       if (fast) when(col("v").isNotNull, xxhash64(col("v")))
-      else when(col("v").isNotNull, hllHash(col("v")))
+      else when(col("v").isNotNull,
+        graft.functions.HashFunctions.hllPackCol(col("v")))
     // distinct-value collapse first — the [[statsStateOf]] shape, so the
     // persisted registers stay bitwise those of the in-query state
     val hashed = perDistinctValue(li)
       .select(col("col_name"), col("cnt"), h.as("h"))
+    // the PERSISTED bucket is a string (hex for md5 — a standing state
+    // written by any prior version merges cleanly), so md5 mode renders
+    // the hex spelling back from the packed byte: lower(lpad(hex(b))) is
+    // exactly substring(md5_hex, 1, 2) (FunctionsSpec pins it) — once per
+    // DISTINCT value, not per row
     val bucket =
       if (fast) fastBucketOfHash(col("h")).cast("string")
-      else hllBucketOfHash(col("h"))
-    val rho = if (fast) fastRhoOfHash(col("h")) else hllRhoOfHash(col("h"))
+      else lower(lpad(hex(shiftright(col("h"), 7)), 2, "0"))
+    val rho =
+      if (fast) fastRhoOfHash(col("h")) else col("h").bitwiseAND(lit(127))
     hashed.select(col("col_name"), col("cnt"), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"), max(col("rho")).as("max_rho"))

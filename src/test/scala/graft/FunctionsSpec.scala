@@ -131,6 +131,34 @@ class FunctionsSpec extends AnyFunSuite {
       "null value must keep a null rank")
   }
 
+  test("hll packed bytes form == the hex-chain definition, null-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the hex chain (the reference derivation the oracles replicate) vs
+    // the packed md5-bytes expression: bucket int, rho, AND the persisted
+    // state's hex spelling must all agree on every value
+    val vals = (0L until 20000L).map(i => Some(s"v$i")) :+ None
+    val pk = graft.functions.HashFunctions.hllPackCol(col("v"))
+    val df = vals.toDF("v").select(
+      col("v"),
+      graft.operators.Sketches.hllBucketCol(col("v")).as("hex_bucket"),
+      graft.operators.Sketches.hllRhoCol(col("v")).as("hex_rho"),
+      conv(graft.operators.Sketches.hllBucketCol(col("v")), 16, 10)
+        .cast("int").as("hex_bucket_int"),
+      shiftright(pk, 7).as("pk_bucket"),
+      pk.bitwiseAND(lit(127)).as("pk_rho"),
+      lower(lpad(hex(shiftright(pk, 7)), 2, "0")).as("pk_bucket_hex"))
+    assert(df.where(!(col("hex_rho") <=> col("pk_rho"))).count() === 0L,
+      "packed rho diverged from the hex-chain definition")
+    assert(df.where(!(col("hex_bucket_int") <=> col("pk_bucket"))).count() === 0L,
+      "packed bucket diverged from the hex bucket's integer value")
+    assert(df.where(!(col("hex_bucket") <=> col("pk_bucket_hex"))).count() === 0L,
+      "re-rendered hex bucket diverged from the persisted-state spelling")
+    assert(df.where(col("v").isNull && col("pk_bucket").isNull
+      && col("pk_rho").isNull && col("pk_bucket_hex").isNull).count() === 1L,
+      "null value must stay null through the packed form")
+  }
+
   test("aggregators are usable from AdEvent streams via fromAdEvent") {
     import spark.implicits._
     val es = Seq(

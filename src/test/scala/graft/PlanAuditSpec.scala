@@ -590,8 +590,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // md5 must sit ABOVE the distinct collapse, not on the row stream:
     // the scan side of the plan (below the first aggregate) carries no md5
     val belowFirstAgg = plan.substring(plan.lastIndexOf("HashAggregate"))
-    assert(!belowFirstAgg.contains("md5("),
+    assert(!belowFirstAgg.contains("md5(")
+      && !belowFirstAgg.contains("graft_hll_pack("),
       s"digest must run on distinct values, not per row occurrence:\n$plan")
+    // and the digest IS the packed-bytes form somewhere above it
+    assert(plan.contains("graft_hll_pack("),
+      s"md5-mode registers must derive through the packed bytes form:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

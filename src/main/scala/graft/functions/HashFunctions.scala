@@ -66,6 +66,34 @@ object HashFunctions {
     * NULL out — the null-bucket group rides through unchanged). */
   def hllPackCol(value: Column): Column =
     Bridge.column(HllPack(Bridge.expression(value.cast("string"))))
+
+  /** Raw 16-byte md5 digest — bit-identical to `unhex(md5(v))`, minus
+    * the 32-char hex rendering and its re-parse. The gram-hash join
+    * keys (contamination family, dup_gram_fraction, exact-dedup
+    * fingerprints) pay this per gram/document occurrence. */
+  def md5Bin(v: UTF8String): Array[Byte] = {
+    val md = tlMd5.get()
+    md.reset()
+    md.update(v.getBytes)
+    md.digest()
+  }
+
+  def md5BinCol(value: Column): Column =
+    Bridge.column(Md5Bin(Bridge.expression(value.cast("string"))))
+
+  /** First digest byte as 0..255 — bit-equivalent to
+    * `conv(substring(md5(v), 1, 2), 16, 10)` (and partitions values
+    * exactly like `substring(md5(v), 1, 2)`): the DSIR hashed-feature
+    * bucket, paid per token occurrence. */
+  def md5Byte0(v: UTF8String): Int = {
+    val md = tlMd5.get()
+    md.reset()
+    md.update(v.getBytes)
+    md.digest()(0) & 0xff
+  }
+
+  def md5Byte0Col(value: Column): Column =
+    Bridge.column(Md5Byte0(Bridge.expression(value.cast("string"))))
 }
 
 case class HllPack(child: Expression) extends UnaryExpression {
@@ -81,6 +109,42 @@ case class HllPack(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashFunctions.hllPack($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Md5Bin(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_md5_bin"
+
+  override def nullSafeEval(a: Any): Any =
+    HashFunctions.md5Bin(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFunctions.md5Bin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class Md5Byte0(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_md5_byte0"
+
+  override def nullSafeEval(a: Any): Any =
+    HashFunctions.md5Byte0(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFunctions.md5Byte0($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -214,7 +214,11 @@ object Curation {
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
       .select(col("doc_id"), col("source"),
-        substring(md5(col("token")), 1, 2).as("b"))
+        // first-digest-byte bucket — partitions tokens exactly like
+        // substring(md5(token), 1, 2) (FunctionsSpec pins it), minus the
+        // hex rendering per token occurrence; b is internal (the output
+        // is per-doc logw), so the int spelling is free
+        graft.functions.HashFunctions.md5Byte0Col(col("token")).as("b"))
       .localCheckpoint()
     val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = tok.where(col("source") === dsirTarget)
@@ -680,8 +684,10 @@ object Curation {
   /** The operator surface: verdict per doc_id across two snapshot frames
     * of (doc_id, text). */
   private[graft] def corpusDiffFrom(base: DataFrame, next: DataFrame): DataFrame = {
-    val b = base.select(col("doc_id"), unhex(md5(col("text"))).as("b_fp"))
-    val n = next.select(col("doc_id"), unhex(md5(col("text"))).as("n_fp"))
+    val b = base.select(col("doc_id"),
+      graft.functions.HashFunctions.md5BinCol(col("text")).as("b_fp"))
+    val n = next.select(col("doc_id"),
+      graft.functions.HashFunctions.md5BinCol(col("text")).as("n_fp"))
     b.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("n_fp").isNull, lit("removed"))

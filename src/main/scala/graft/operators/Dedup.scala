@@ -668,10 +668,10 @@ object Dedup {
     // unhex: the broadcast must carry the 16 RAW bytes, not md5's 32-char
     // hex rendering — hex would halve the claimed payload win
     val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
-      .select(unhex(md5(col("gram"))).as("gh")).distinct()
+      .select(graft.functions.HashFunctions.md5BinCol(col("gram")).as("gh")).distinct()
     val corpus = Corpus.documents(s, dir).where(col("doc_id") >= contamBench)
     grams13(corpus)
-      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
+      .select(col("doc_id"), graft.functions.HashFunctions.md5BinCol(col("gram")).as("gh"))
       .join(broadcast(bench), Seq("gh"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
@@ -764,7 +764,7 @@ object Dedup {
     * the oracle hashes identically. */
   def dupGramFraction(s: SparkSession, dir: String): DataFrame = {
     val g = grams13(Corpus.documents(s, dir))
-      .select(col("doc_id"), unhex(md5(col("gram"))).as("gh"))
+      .select(col("doc_id"), graft.functions.HashFunctions.md5BinCol(col("gram")).as("gh"))
     val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
     g.withColumn("df", count(lit(1)).over(byGram))
       .groupBy(col("doc_id"))
@@ -1481,7 +1481,7 @@ object Dedup {
     import s.implicits._
     val docs = Corpus.documents(s, dir)
     val bench = grams13(docs.where(col("doc_id") < contamBench))
-      .select(unhex(md5(col("gram"))).as("gh")).distinct()
+      .select(graft.functions.HashFunctions.md5BinCol(col("gram")).as("gh")).distinct()
       .localCheckpoint() // two consumers: the count and the semi-join
     val nBench = bench.agg(count(lit(1)).as("n_bench"))
     val corpus = docs.where(col("doc_id") >= contamBench)
@@ -1591,10 +1591,12 @@ object Dedup {
       snapshot: DataFrame, incoming: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val snap = snapshot
-      .select(unhex(md5(TextAnalysis.normTextCol(col("text")))).as("fp"))
+      .select(graft.functions.HashFunctions
+        .md5BinCol(TextAnalysis.normTextCol(col("text"))).as("fp"))
       .distinct()
     val inc = incoming.select(col("doc_id"),
-      unhex(md5(TextAnalysis.normTextCol(col("text")))).as("fp"))
+      graft.functions.HashFunctions
+        .md5BinCol(TextAnalysis.normTextCol(col("text"))).as("fp"))
     val byFp = Window.partitionBy(col("fp"))
     inc.join(snap.withColumn("in_snapshot", lit(true)), Seq("fp"), "left")
       .withColumn("first_id", min(col("doc_id")).over(byFp))

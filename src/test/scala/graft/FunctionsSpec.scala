@@ -159,6 +159,25 @@ class FunctionsSpec extends AnyFunSuite {
       "null value must stay null through the packed form")
   }
 
+  test("md5 bytes forms == the hex-roundtrip definitions, null-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vals = (0L until 20000L).map(i => Some(s"gram $i body")) :+ None
+    val df = vals.toDF("v").select(
+      col("v"),
+      unhex(md5(col("v"))).as("hex_bin"),
+      graft.functions.HashFunctions.md5BinCol(col("v")).as("raw_bin"),
+      conv(substring(md5(col("v")), 1, 2), 16, 10).cast("int").as("hex_b0"),
+      graft.functions.HashFunctions.md5Byte0Col(col("v")).as("raw_b0"))
+    assert(df.where(!(col("hex_bin") <=> col("raw_bin"))).count() === 0L,
+      "graft_md5_bin diverged from unhex(md5(v))")
+    assert(df.where(!(col("hex_b0") <=> col("raw_b0"))).count() === 0L,
+      "graft_md5_byte0 diverged from the first two hex chars' value")
+    assert(df.where(col("v").isNull && col("raw_bin").isNull
+      && col("raw_b0").isNull).count() === 1L,
+      "null value must stay null through the bytes forms")
+  }
+
   test("aggregators are usable from AdEvent streams via fromAdEvent") {
     import spark.implicits._
     val es = Seq(

@@ -230,6 +230,23 @@ object Bench {
     // driver artifact through r7 — moved behind the map too; it fits
     // the tail alongside q/loadavg/value.)
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"queries":$qs$streaming$bucketed$relayout$errJson,"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
+    // COMPACT ECHO LINE (round-16 verdict, Next #2): every BENCH_r*.json
+    // the driver has archived carries `parsed: null`, because the driver
+    // parses only a 2000-char TAIL slice of stdout and the full contract
+    // line above is ~6 KB — its start (and therefore any parseable JSON)
+    // never survives the slice. This second line repeats the headline
+    // fields VERBATIM (same q vector, same value, same calib) in ~1.2 KB,
+    // so the complete line sits inside the tail window and a line-wise
+    // JSON parse succeeds. Additions-only: the contract line is untouched
+    // byte for byte, and `q`/`value` here are the identical values, so no
+    // ledger comparison can drift. The full per-query NAME map cannot
+    // fit any 2000-char archive at 160 queries (~3.8 KB of names alone);
+    // q is positional over sorted(SparkEntry.queries.keys) — the
+    // CORRECTNESS artifact's key set (README "Bench artifact").
+    // error MESSAGES stay on the contract line only — a many-error run
+    // would push this line past the tail window; the count is enough to
+    // say "go read the full line"
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","ts_ms":$tsMs,"echo":true,"n_queries":${results.size},"error_count":${errors.size},"calib_sec":${r3(calibSec)},"loadavg_start":$loadStart,"loadavg_end":${loadavg()},"q":$qArr,"value":$total}""")
     spark.stop()
   }
 }

@@ -18,7 +18,15 @@ import scala.util.{Failure, Success, Try}
   * Note: queries whose CONSTRUCTION runs driver-side jobs (index
   * ensure/build, profile collects) execute those while planning here —
   * that is the real cost a caller pays before the returned frame's plan
-  * exists, and the dump reflects the frame a consumer would execute. */
+  * exists, and the dump reflects the frame a consumer would execute.
+  *
+  * Checkpoint opacity (round-15 verdict, Wrong #3): an eager
+  * materialization truncates the dumped plan to `Scan ExistingRDD`,
+  * hiding every operator below it. [[Materialize]]'s recorder captures
+  * each checkpointed frame's PRE-materialization formatted plan during
+  * construction, and this dump appends them after the executed plan —
+  * so e.g. the entity family's banded-levenshtein join is visible in
+  * its own evidence file. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,9 +41,19 @@ object PlanDump {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        Try {
+        Materialize.startRecording()
+        val attempt = Try {
           val df = fn(spark, sfDir)
           df.queryExecution.explainString(mode)
+        }
+        // drained unconditionally so a failed query can't leak its
+        // records into the next query's evidence file
+        val pre = Materialize.drainRecording()
+        attempt.map { executed =>
+          if (pre.isEmpty) executed
+          else executed + pre.zipWithIndex.map { case ((label, plan), i) =>
+            s"\n=== pre-materialization plan ${i + 1}/${pre.size} [$label] ===\n$plan"
+          }.mkString
         } match {
           case Success(txt) =>
             Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),

@@ -3,10 +3,11 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native HLL register derivation from md5 BYTES (the round-15 "Not yet
@@ -96,7 +97,20 @@ object HashFunctions {
     Bridge.column(Md5Byte0(Bridge.expression(value.cast("string"))))
 }
 
-case class HllPack(child: Expression) extends UnaryExpression {
+/** Input-type contract for the md5-digest expressions: the eval/codegen
+  * bodies consume UTF8String, so a non-string child must fail at ANALYSIS
+  * time, not as a runtime ClassCastException (the `*Col` helpers always
+  * cast, but the case classes are constructible directly — round-15
+  * advice, low). No ExpectsInputTypes: Spark 4 keeps AbstractDataType
+  * `private[sql]` (the [[DotProduct]] note). */
+private[functions] trait StringInputCheck { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+}
+
+case class HllPack(child: Expression) extends UnaryExpression with StringInputCheck {
 
   override def dataType: DataType = IntegerType
 
@@ -114,7 +128,7 @@ case class HllPack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class Md5Bin(child: Expression) extends UnaryExpression {
+case class Md5Bin(child: Expression) extends UnaryExpression with StringInputCheck {
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
 
@@ -132,7 +146,7 @@ case class Md5Bin(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class Md5Byte0(child: Expression) extends UnaryExpression {
+case class Md5Byte0(child: Expression) extends UnaryExpression with StringInputCheck {
 
   override def dataType: DataType = IntegerType
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -208,8 +210,12 @@ object Curation {
     * aggregates are map-side combinable down to ≤ B rows; the λ table is
     * B rows broadcast; the per-doc rollup's exchange carries ~1 row per
     * doc thanks to partial aggregation over the doc-contiguous explode. */
-  def dsirLogratio(s: SparkSession, dir: String): DataFrame = {
-    val tok = Corpus.documents(s, dir)
+  /** The PRE-CHECKPOINT (doc_id, source, b) token frame — split out so
+    * PlanAuditSpec can pin the bucket projection (graft_md5_byte0, no
+    * hex-rendering md5) that the checkpoint otherwise hides behind a
+    * `Scan ExistingRDD` in every dumped plan (round-15 advice, low). */
+  private[graft] def dsirTokenFrame(s: SparkSession, dir: String): DataFrame =
+    Corpus.documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
@@ -219,7 +225,9 @@ object Curation {
         // hex rendering per token occurrence; b is internal (the output
         // is per-doc logw), so the int spelling is free
         graft.functions.HashFunctions.md5Byte0Col(col("token")).as("b"))
-      .localCheckpoint()
+
+  def dsirLogratio(s: SparkSession, dir: String): DataFrame = {
+    val tok = dsirTokenFrame(s, dir).graftCheckpoint()
     val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = tok.where(col("source") === dsirTarget)
       .groupBy(col("b")).agg(count(lit(1)).as("ctg"))
@@ -383,7 +391,7 @@ object Curation {
         TextAnalysis.qualityScore10(col("text")).as("q"),
         TextAnalysis.predictedLang(col("text")).as("pred"),
         TextAnalysis.fingerprintCol(col("text")).as("fp"))
-      .localCheckpoint() // scan+featurize once for the three consumers
+      .graftCheckpoint() // scan+featurize once for the three consumers
     val fpCnt = perDoc.groupBy(col("fp")).agg(count(lit(1)).as("c"))
     val main = perDoc.join(fpCnt, Seq("fp"))
       .groupBy(col("source")).agg(
@@ -554,13 +562,13 @@ object Curation {
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .where(length(col("token")) > 0)
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val sdf = st0.groupBy(col("token")).agg(count(lit(1)).as("sdf"))
     // capped universe, materialized once for its three consumers (sizes
     // + both self-join sides)
     val st = st0.join(sdf.where(col("sdf") <= maxDf).select(col("token")),
         Seq("token"), "left_semi")
-      .localCheckpoint()
+      .graftCheckpoint()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = st.as("a").join(st.as("b"),
         col("a.token") === col("b.token") && col("a.source") < col("b.source"))

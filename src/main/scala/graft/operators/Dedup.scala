@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -409,7 +411,7 @@ object Dedup {
     import s.implicits._
     val nBands = numMinhash / bandSize
     val sigs = minhashPerDoc(s, dir).toDF("doc_id", "mh", "n_shingles")
-      .localCheckpoint() // eager: the expensive md5 pass runs exactly once
+      .graftCheckpoint() // eager: the expensive md5 pass runs exactly once
     val sizes = sigs.select(col("doc_id"), col("n_shingles"))
     // Band keys are the raw concatenated minima (equality is what the join
     // needs — hashing the key first bought nothing); each row carries ALL
@@ -429,7 +431,7 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .where(col("l.band") === firstBand)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .localCheckpoint(false) // lazy: materialized by the first consumer's
+      .graftCheckpoint(false) // lazy: materialized by the first consumer's
     // job rather than a separate barrier; concurrent broadcast builds may
     // duplicate the (cheap, sigs-fed) band join but never the md5 pass
     // Verification semi-join reduction: re-shingle ONLY candidate docs.
@@ -445,7 +447,7 @@ object Dedup {
     // lazily materialized: the intersection join reads it twice (sa/sb),
     // and block-level persistence makes the second read hit storage — a
     // separate materialization barrier would be pure latency
-    val shc = shingledFrom(s, candDocs).localCheckpoint(false)
+    val shc = shingledFrom(s, candDocs).graftCheckpoint(false)
     val inter = broadcast(candidates)
       .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shc.as("sb"),
@@ -584,7 +586,7 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.nib").as("nib"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val l = bands.as("l"); val r = bands.as("r")
     // a pair colliding in several bands is kept only in its FIRST
     // colliding band — exactly-once candidates with no distinct() pass
@@ -723,7 +725,7 @@ object Dedup {
       : (DataFrame, Long, org.apache.spark.util.sketch.BloomFilter) = {
     val bench = grams13(Corpus.documents(s, dir).where(col("doc_id") < contamBench))
       .select(md5(col("gram")).as("gh")).distinct()
-      .localCheckpoint() // read twice (count + confirm join); keep it private to this plan
+      .graftCheckpoint() // read twice (count + confirm join); keep it private to this plan
     val n = bench.count()
     (bench, n, bench.stat.bloomFilter("gh", math.max(n, 1L), 0.01))
   }
@@ -825,7 +827,7 @@ object Dedup {
     // grows a copy of the loop body per round and Catalyst re-analysis
     // dominates (the classic iterative-DataFrame trap)
     val edges0 = pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // edges0 is materialized: the LSH pipeline's own checkpoints have no
     // further consumer — free their blocks now instead of waiting for GC
     lshDeps.foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
@@ -910,7 +912,7 @@ object Dedup {
         // checkpoint each round: both star ops self-union their input, so
         // an unmaterialized chain would grow the plan 4×/round, and the
         // label/verify jobs reread the round's result
-        val next = smallStar(largeStar(edges)).localCheckpoint()
+        val next = smallStar(largeStar(edges)).graftCheckpoint()
         // the superseded round has no consumer left (edges0, which the
         // verification join rereads every iteration, is kept alive)
         if (edges ne edges0) org.apache.spark.sql.graft.Bridge.releaseCheckpoint(edges)
@@ -1055,14 +1057,13 @@ object Dedup {
     // until the hit join: overlap their eager materializations from two
     // driver threads (guide §2.6) so one chain's straggler tail back-fills
     // with the other's tasks. Results unchanged — submission order only.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val truthF = Future {
+    // dedicated 2-thread pool + local-property propagation: graft.Overlap
+    // (the global ForkJoinPool loses the caller's job group — r15 advice)
+    val (truth, pairs) = graft.Overlap.both(s.sparkContext)({
       // checkpoint the capped stream: read 2× (inter + sizes), and private
       // to this plan — see winnowPairs for the cache()-vs-checkpoint
       // rationale
-      val shc = recallCappedShingles(s, dir).localCheckpoint()
+      val shc = recallCappedShingles(s, dir).graftCheckpoint()
       val inter = shc.as("a")
         .join(shc.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -1075,14 +1076,11 @@ object Dedup {
         .where(col("n_inter").cast("double") /
           (col("za.n") + col("zb.n") - col("n_inter")).cast("double") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint() // read 2×: count + hit join
-    }
-    val pairsF = Future {
+        .graftCheckpoint() // read 2×: count + hit join
+    }, {
       minhashLshPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint() // read 2×: count + hit join
-    }
-    val truth = Await.result(truthF, Duration.Inf)
-    val pairs = Await.result(pairsF, Duration.Inf)
+        .graftCheckpoint() // read 2×: count + hit join
+    })
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
     val nHit = pairs.join(truth, Seq("doc_a", "doc_b"))
@@ -1482,7 +1480,7 @@ object Dedup {
     val docs = Corpus.documents(s, dir)
     val bench = grams13(docs.where(col("doc_id") < contamBench))
       .select(graft.functions.HashFunctions.md5BinCol(col("gram")).as("gh")).distinct()
-      .localCheckpoint() // two consumers: the count and the semi-join
+      .graftCheckpoint() // two consumers: the count and the semi-join
     val nBench = bench.agg(count(lit(1)).as("n_bench"))
     val corpus = docs.where(col("doc_id") >= contamBench)
     val srcGrams = corpus
@@ -1662,25 +1660,19 @@ object Dedup {
     // because the driver calls them sequentially) so the LSH pipeline's
     // straggler tails back-fill with fingerprint-pass tasks. Results are
     // unchanged — only the submission order is concurrent.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val exactF = Future {
+    // dedicated 2-thread pool + local-property propagation: graft.Overlap
+    // (the global ForkJoinPool loses the caller's job group — r15 advice)
+    val (exactDropped, nearDroppedAll) = graft.Overlap.both(s.sparkContext)(
       withFp.join(dedupExact(s, dir), Seq("fingerprint"))
         .where(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id"))
-        .localCheckpoint()
-    }
-    val nearF = Future {
+        .graftCheckpoint(),
       dedupClusters(s, dir)
         .where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
-        .localCheckpoint()
-    }
-    val exactDropped = Await.result(exactF, Duration.Inf)
-    val nearDroppedAll = Await.result(nearF, Duration.Inf)
+        .graftCheckpoint())
     val nearDropped = nearDroppedAll.join(exactDropped, Seq("doc_id"), "left_anti")
-    val dropped = exactDropped.union(nearDroppedAll).distinct().localCheckpoint()
+    val dropped = exactDropped.union(nearDroppedAll).distinct().graftCheckpoint()
     val survivors = docs.join(dropped, Seq("doc_id"), "left_anti")
     val spans = substringSpansFrom(posGrams(survivors, spanGram))
     // one tokenize pass serves both the corpus-in and kept-docs totals:
@@ -1987,9 +1979,9 @@ object Dedup {
     // across four same-window A/B pairs (median: a small loss from
     // contention), so they stay sequential.
     val sigS = minhashPerDocFrom(s, snapshot).toDF("doc_id", "mh", "n_shingles")
-      .localCheckpoint()
+      .graftCheckpoint()
     val sigI = minhashPerDocFrom(s, incoming).toDF("doc_id", "mh", "n_shingles")
-      .localCheckpoint()
+      .graftCheckpoint()
     def bandsOf(sig: DataFrame): DataFrame = {
       val keyCols = (0 until nBands).map { b =>
         concat_ws("|", (0 until bandSize).map(j => col("mh")(b * bandSize + j)): _*)
@@ -2007,7 +1999,7 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.key") === col("r.key"))
       .where(col("l.band") === firstBand)
       .select(col("l.doc_id").as("sid"), col("r.doc_id").as("doc_id"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val candS = snapshot.join(
       broadcast(candidates.select(col("sid").as("doc_id")).distinct()),
       Seq("doc_id"), "left_semi")
@@ -2037,7 +2029,7 @@ object Dedup {
       // materializing it ends the last read of the signature/candidate
       // checkpoints, so their blocks can be freed NOW rather than
       // lingering until GC across the rest of a 117-query run
-      .localCheckpoint()
+      .graftCheckpoint()
     Seq(sigS, sigI, candidates)
       .foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     incoming.select(col("doc_id"))

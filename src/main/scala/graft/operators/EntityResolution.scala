@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,10 +83,10 @@ object EntityResolution {
     * is materialized once so the self-join's two sides don't each rescan
     * the corpus for a vocabulary-sized frame. */
   def entityMatches(s: SparkSession, dir: String): DataFrame = {
-    val names = nameUniverse(s, dir).localCheckpoint()
+    val names = nameUniverse(s, dir).graftCheckpoint()
     val out = matchesOf(names)
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
-      .localCheckpoint()
+      .graftCheckpoint()
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(names)
     out
   }
@@ -102,17 +104,17 @@ object EntityResolution {
   private[graft] def resolveLabels(s: SparkSession, universe: DataFrame): DataFrame = {
     // the universe feeds both self-join sides and the final label join —
     // three consumers, one tiny frame: materialize once
-    val names = universe.localCheckpoint()
+    val names = universe.graftCheckpoint()
     // canonical src > dst for the contraction
     val edges = matchesOf(names)
       .select(col("nid_b").as("src"), col("nid_a").as("dst"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val labels = Dedup.starContract(s, edges)
     val out = names
       .join(labels, names("nid") === labels("doc_id"), "left")
       .select(col("p_name"), col("nid"), col("n_rows"), col("blk"),
         coalesce(col("label"), col("nid")).as("entity_id"))
-      .localCheckpoint() // materialize before freeing the inputs
+      .graftCheckpoint() // materialize before freeing the inputs
     Seq(edges, names).foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     out
   }
@@ -162,7 +164,7 @@ object EntityResolution {
         coalesce(col("s.blk"), col("i.blk")).as("blk"),
         col("s.entity_id").as("old_label"),
         col("s.p_name").isNull.as("is_new"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // new edges: every NEW name against its whole block (old names and
     // new block-mates alike); nid_a > nid_b emits each unordered pair
     // once — new↔old pairs always order this way (new nids sit above
@@ -182,13 +184,13 @@ object EntityResolution {
     val labelEdges = names
       .where(!col("is_new") && col("old_label") =!= col("nid"))
       .select(col("nid").as("src"), col("old_label").as("dst"))
-    val edges = newEdges.unionByName(labelEdges).localCheckpoint()
+    val edges = newEdges.unionByName(labelEdges).graftCheckpoint()
     val labels = Dedup.starContract(s, edges)
     val out = names
       .join(labels, names("nid") === labels("doc_id"), "left")
       .select(col("p_name"),
         coalesce(col("label"), col("nid")).as("entity_id"), col("n_rows"))
-      .localCheckpoint()
+      .graftCheckpoint()
     Seq(edges, names).foreach(org.apache.spark.sql.graft.Bridge.releaseCheckpoint)
     out
   }

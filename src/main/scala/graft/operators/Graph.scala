@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -61,7 +63,7 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     // both directions from one subtree — an explode, not a self-union
     // (a union's branches are separate subtrees and would scan e0 twice)
     val edges = e0
@@ -80,7 +82,7 @@ object Graph {
     // src, the same per-round exchange GraphX accepts; either way the
     // steady state is bounded by one pass of (dst, contrib) longs per
     // round
-    val adj = edges.join(deg, Seq("src")).localCheckpoint()
+    val adj = edges.join(deg, Seq("src")).graftCheckpoint()
     // e0's blocks exist only to build adj: free them now instead of
     // holding edge-pair storage until the ContextCleaner notices — the
     // lingering blocks measurably tax the queries that run next

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -218,7 +220,7 @@ object IvfIndex {
     // frozen quantizer AND frozen codebook: an appended vector gets the
     // cell and the codes a from-scratch build would give it
     val assigned = withCodes(assignCells(e, cents), cb)
-      .localCheckpoint() // two consumers (touched-cell list + merge)
+      .graftCheckpoint() // two consumers (touched-cell list + merge)
     val touched = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)) // bounded by nCells
     val current = s.read.parquet(s"$indexDir/members")
@@ -230,7 +232,7 @@ object IvfIndex {
       .unionByName(fresh)
       // EAGER: the merge reads the very files the overwrite below
       // replaces — materialize before touching them
-      .localCheckpoint()
+      .graftCheckpoint()
     val appended = merged.count() - current.count()
     val modeKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = s.conf.getOption(modeKey)
@@ -392,7 +394,7 @@ object IvfIndex {
     * a no-op (both writes are pure functions of state − ids). Returns
     * (cells touched, vectors removed). */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): (Long, Long) = {
-    val del = ids.select(col("vec_id")).distinct().localCheckpoint()
+    val del = ids.select(col("vec_id")).distinct().graftCheckpoint()
     // tombstones first: if we crash mid-delete, a standing tombstone is
     // safe (append skips the id; the physical rows go on the retry).
     // APPEND-ONLY ([[PostingsIndex.delete]]'s discipline): a whole-set
@@ -421,7 +423,7 @@ object IvfIndex {
       val kept = current.join(del, Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("cell"))
         // EAGER: the overwrite replaces the files being read
-        .localCheckpoint()
+        .graftCheckpoint()
       val removed = current.count() - kept.count()
       val live = kept.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
@@ -597,7 +599,7 @@ object IvfIndex {
       .select(col("vec_id"), col("v"), col("nrm"),
         col("codes").as("old_codes"), col("cell").as("old_cell"))
       // EAGER: the table writes below replace files this frame reads
-      .localCheckpoint()
+      .graftCheckpoint()
     val cents =
       if (lloydRounds <= 0)
         denseCids(members.orderBy(col("vec_id").asc).limit(nCells)
@@ -640,7 +642,7 @@ object IvfIndex {
         assignCells(members.select(col("vec_id"), col("v"), col("nrm")), bc), bcb)
       .join(members.select(col("vec_id"), col("old_codes"), col("old_cell")),
         Seq("vec_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     // a cell is touched if it loses a member, gains one, or any resident's
     // codes change under the new codebook — comparing against the standing
     // row (not the pre-crash one) is what makes a replayed retrain a no-op
@@ -1029,7 +1031,7 @@ object IvfIndex {
         .repartition(col("cell"))
         // EAGER: the rewrite deletes the very files being read (the
         // append-path hazard, same cure)
-        .localCheckpoint()
+        .graftCheckpoint()
       val modeKey = "spark.sql.sources.partitionOverwriteMode"
       val prev = s.conf.getOption(modeKey)
       s.conf.set(modeKey, "dynamic")

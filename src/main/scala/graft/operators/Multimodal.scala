@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -406,7 +408,7 @@ object Multimodal {
     val sigs = perceptualHash(mediaGateTable(s, dir))
       // eager: the self-join below must not run the decode pass twice
       // (mapPartitions is opaque to Catalyst — same rule as simhashPairs)
-      .localCheckpoint()
+      .graftCheckpoint()
     val bands = sigs.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +67,7 @@ object Packing {
         size(filter(TextAnalysis.tokensCol(col("text")),
           t => length(t) > 0)).cast("long").as("n_tokens"))
       .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val span = greatest(col("n_tokens"), lit(1L))
     withStartOffsets(counted)
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
@@ -93,7 +95,7 @@ object Packing {
         size(filter(TextAnalysis.tokensCol(col("text")),
           t => length(t) > 0)).cast("long").as("n_tokens"))
       .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val bucketOffsets = counted.groupBy(col("source"), col("bucket"))
       .agg(sum(col("n_tokens")).as("btotal"))
       .withColumn("boffset",
@@ -165,7 +167,7 @@ object Packing {
         filter(TextAnalysis.tokensCol(col("text")), t => length(t) > 0).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val offs = withStartOffsets(toks.select(col("doc_id"), col("n_tokens"), col("bucket")))
       .select(col("doc_id"), col("start_offset"))
     val exploded = toks.join(offs, Seq("doc_id"))
@@ -242,7 +244,7 @@ object Packing {
         size(filter(TextAnalysis.tokensCol(col("text")),
           t => length(t) > 0)).cast("long").as("n_tokens"))
       .withColumn("bucket", (col("doc_id") / lit(bucketDocs)).cast("long"))
-      .localCheckpoint() // three consumers: ranks, source totals, join
+      .graftCheckpoint() // three consumers: ranks, source totals, join
     val bucketCounts = counted.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("bcnt"))
       .withColumn("boffset",

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -176,7 +178,7 @@ object PostingsIndex {
       s: SparkSession, docs: DataFrame, indexDir: String,
       superBits: Int = defaultSuperBits): (Long, Long) = {
     import s.implicits._
-    val state = stateWithSb(docs, superBits).localCheckpoint()
+    val state = stateWithSb(docs, superBits).graftCheckpoint()
     // torn-window guard: tables land sequentially; a serving session must
     // not pin between the first write and the closing bump
     IndexVersion.beginMutation(indexDir, "build")
@@ -227,8 +229,8 @@ object PostingsIndex {
     val batch =
       (if (IndexFs.isDirectory(tombDir))
         batch0.join(s.read.parquet(tombDir), Seq("doc_id"), "left_anti")
-      else batch0).localCheckpoint()
-    val batchStats = blockStatsOf(batch, superBits).localCheckpoint()
+      else batch0).graftCheckpoint()
+    val batchStats = blockStatsOf(batch, superBits).graftCheckpoint()
     val touched = batchStats.select(col("sb")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) (0L, 0L)
@@ -248,7 +250,7 @@ object PostingsIndex {
         .withColumn("sb", shiftright(col("block"), superBits).cast("int"))
         // EAGER: three consumers (postings write, termstats re-derivation)
         // and the write replaces files the merge read
-        .localCheckpoint()
+        .graftCheckpoint()
       // torn-window guard: five sequential table writes follow — a
       // serving pin in between would mix postings/termstats versions
       IndexVersion.beginMutation(indexDir, "append")
@@ -269,7 +271,7 @@ object PostingsIndex {
         .unionByName(positionsStateOf(batch, superBits))
         .dropDuplicates(Seq("term", "doc_id"))
         // EAGER: the write replaces the files the merge read
-        .localCheckpoint()
+        .graftCheckpoint()
       writePartitioned(posMerged, s"$indexDir/positions", dynamic = true)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(posMerged)
       // norms file: same touched-partition merge, dropDuplicates the
@@ -278,7 +280,7 @@ object PostingsIndex {
         .where(col("sb").isin(sbs: _*))
         .unionByName(doclensStateOf(batch, superBits))
         .dropDuplicates(Seq("doc_id"))
-        .localCheckpoint()
+        .graftCheckpoint()
       writePartitioned(dlMerged, s"$indexDir/doclens", dynamic = true)
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(dlMerged)
       val statsMerged = s.read.parquet(s"$indexDir/blockstats")
@@ -422,7 +424,7 @@ object PostingsIndex {
           .sortWithinPartitions(("sb" +: sortCols).map(col): _*)
           // EAGER: the rewrite deletes the very files being read (the
           // append-path hazard, same cure)
-          .localCheckpoint()
+          .graftCheckpoint()
         writePartitioned(merged, path, dynamic = true)
         org.apache.spark.sql.graft.Bridge.releaseCheckpoint(merged)
         val after = frag.map(dataFiles).sum.toLong
@@ -511,7 +513,7 @@ object PostingsIndex {
       .select(col("term"), col("block"), col("plist"),
         shiftright(col("block"), newSuperBits).cast("int").as("sb"))
       // EAGER + two consumers (postings write, termstats re-derivation)
-      .localCheckpoint()
+      .graftCheckpoint()
     writePartitioned(state, s"$next/postings", dynamic = false)
     writePartitioned(termStatsOf(state), s"$next/termstats",
       dynamic = false)
@@ -717,7 +719,7 @@ object PostingsIndex {
     * (partitions touched, posting entries removed). */
   def delete(s: SparkSession, indexDir: String, ids: DataFrame): (Long, Long) = {
     val superBits = readSuperBits(s, indexDir)
-    val del = ids.select(col("doc_id")).distinct().localCheckpoint()
+    val del = ids.select(col("doc_id")).distinct().graftCheckpoint()
     val wm = s.read.parquet(s"$indexDir/blockstats")
       .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
     val above = del.where(col("doc_id") > wm)
@@ -768,7 +770,7 @@ object PostingsIndex {
         .agg(sort_array(collect_list(col("e"))).as("plist"))
         .select(col("term"), col("block"), col("plist"), col("sb"))
         // EAGER: the writes replace the files being read
-        .localCheckpoint()
+        .graftCheckpoint()
       val after = kept.select(explode(col("plist"))).count()
       val liveSbs = kept.select(col("sb")).distinct()
         .collect().map(_.getInt(0)).toSet
@@ -783,7 +785,7 @@ object PostingsIndex {
       val posKept = s.read.parquet(s"$indexDir/positions")
         .where(col("sb").isin(sbs: _*))
         .join(del, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .graftCheckpoint()
       val posLive = posKept.select(col("sb")).distinct()
         .collect().map(_.getInt(0)).toSet
       writePartitioned(posKept, s"$indexDir/positions", dynamic = true)
@@ -792,7 +794,7 @@ object PostingsIndex {
       val dlKept = s.read.parquet(s"$indexDir/doclens")
         .where(col("sb").isin(sbs: _*))
         .join(del, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .graftCheckpoint()
       val dlLive = dlKept.select(col("sb")).distinct()
         .collect().map(_.getInt(0)).toSet
       writePartitioned(dlKept, s"$indexDir/doclens", dynamic = true)
@@ -807,7 +809,7 @@ object PostingsIndex {
         .select(col("sb"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("total_len"), lit(0L)).as("total_len"),
           col("max_doc_id"))
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(dlKept)
       purgeEmptyPartitions(s"$indexDir/doclens", touched, dlLive)
       writePartitioned(statsNew, s"$indexDir/blockstats", dynamic = true)
@@ -851,7 +853,7 @@ object PostingsIndex {
         .agg(coalesce(max(col("max_doc_id")), lit(-1L))).collect()(0).getLong(0)
       // EAGER: the staged write replaces the files being read only after
       // the swap, but the count + write double-consume the scan
-      val t = s.read.parquet(tombDir).localCheckpoint()
+      val t = s.read.parquet(tombDir).graftCheckpoint()
       val kept = t.where(col("doc_id") > wm)
       val total = t.count()
       val keptN = kept.count()
@@ -887,7 +889,7 @@ object PostingsIndex {
       .select(col("term").as("token"), explode(col("plist")).as("e"))
       .select(col("e.doc_id").as("doc_id"), col("e.dl").as("dl"),
         col("token"), col("e.tf").as("tf"))
-      .localCheckpoint()
+      .graftCheckpoint()
     Retrieval.bm25Score(tf, globalStats(s, indexDir))
   }
 
@@ -940,7 +942,7 @@ object PostingsIndex {
       k: Int): (Seq[Int], Seq[Int]) = {
     val ts = s.read.parquet(s"$indexDir/termstats")
       .where(col("term").isin(terms: _*))
-      .localCheckpoint() // tiny; bounds + df derive from one read
+      .graftCheckpoint() // tiny; bounds + df derive from one read
     val dfT = ts.groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
     val perSb = ts
       .join(broadcast(dfT), Seq("term"))
@@ -1113,7 +1115,7 @@ object PostingsIndex {
   private[graft] def bm25BatchPinned(
       postings: DataFrame, termstats: DataFrame, blockstats: DataFrame,
       qt: DataFrame, k: Int, excludeSelf: Boolean): (DataFrame, DataFrame) = {
-    val prof = qt.select(col("query_id"), col("term")).localCheckpoint()
+    val prof = qt.select(col("query_id"), col("term")).graftCheckpoint()
     // bounded: the distinct vocabulary of the query batch
     val terms = prof.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -1275,7 +1277,7 @@ object PostingsIndex {
       .select(col("doc_id"), explode(col("positions")).as("pos"),
         col("term").as("token"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
-      .localCheckpoint() // one index read feeds both join sides
+      .graftCheckpoint() // one index read feeds both join sides
     Retrieval.nearPairsOf(toks)
   }
 

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -499,7 +501,7 @@ object Relational {
       // the lineitem scan+aggregate runs once, not per consumer — the same
       // double-scan shape bm25_topk/annRecall fixed in r5. localCheckpoint,
       // not cache() (CacheManager cross-talk corrupts sibling bench runs).
-      .localCheckpoint()
+      .graftCheckpoint()
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     val sup = Corpus.supplier(s, dir).select("s_suppkey", "s_name")
     rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
@@ -612,7 +614,7 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(revenue.cast("decimal(18,4)")).as("rev"),
         count(lit(1)).as("n_items"))
-      .localCheckpoint() // three level consumers, one ~6-row frame
+      .graftCheckpoint() // three level consumers, one ~6-row frame
     val lvl1 = base.groupBy(col("l_returnflag"))
       .agg(sum(col("rev")).as("rev"), sum(col("n_items")).as("n_items"))
       .select(col("l_returnflag"), lit(null).cast("string").as("l_linestatus"),
@@ -788,7 +790,7 @@ object Relational {
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
       .join(prt, col("l_partkey") === col("p_partkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val minPrice = offers.groupBy(col("p_partkey").as("mp_key"))
       .agg(min(col("unit_price")).as("min_price"))
     offers
@@ -986,7 +988,7 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")).as("value_dec"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val mean = pv.agg(
       (sum(col("value_dec")).cast("double") / count(lit(1))).as("mean_value"))
     pv.crossJoin(broadcast(mean))
@@ -1093,7 +1095,7 @@ object Relational {
       .join(prt, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qty_dec"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val mean = sq.agg(
       (sum(col("qty_dec")).cast("double") / count(lit(1))).as("mean_qty"))
     val keys = sq.crossJoin(broadcast(mean))
@@ -1164,7 +1166,7 @@ object Relational {
   def keySkewProfile(s: SparkSession, dir: String): DataFrame = {
     val perKey = Corpus.events(s, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // read 2×: global stats + top-k
+      .graftCheckpoint() // read 2×: global stats + top-k
     val stats = perKey.agg(
       sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
     val topk = perKey

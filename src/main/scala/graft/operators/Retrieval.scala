@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -236,7 +238,7 @@ object Retrieval {
       .where(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .graftCheckpoint()
     (tf, stats)
   }
 
@@ -362,7 +364,7 @@ object Retrieval {
     // one embeddings join serves both the anchor pick and the scoring
     val ce = cand.join(e, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("bm25"), col("v"), col("nrm"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val anchor = ce.orderBy(col("bm25").desc, col("doc_id").asc).limit(1)
       .select(col("v").as("qv"), col("nrm").as("qn"))
     val scored = ce.crossJoin(broadcast(anchor))
@@ -882,7 +884,7 @@ object Retrieval {
       .toDF("doc_id", "pos", "token")
       .where(col("token").isin(ta, tb))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
-      .localCheckpoint() // ONE corpus scan feeds both join sides
+      .graftCheckpoint() // ONE corpus scan feeds both join sides
     nearPairsOf(toks)
   }
 
@@ -945,7 +947,7 @@ object Retrieval {
       .toDF("doc_id", "pos", "token")
       .where(col("token").isin(ta, tb))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
-      .localCheckpoint() // ONE corpus scan feeds both join sides
+      .graftCheckpoint() // ONE corpus scan feeds both join sides
     val lo = least(col("a_pos"), col("b_pos"))
     val hi = greatest(col("a_pos"), col("b_pos"))
     val hits = nearPairFrame(toks)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -720,7 +722,7 @@ object Similarity {
     // with the CacheManager and silently turn the OTHER ANN queries'
     // identical embFrame subtrees into cache reads — corrupting their
     // bench timings; a checkpoint is private to this plan.
-    val e = embFrame(s, dir).localCheckpoint()
+    val e = embFrame(s, dir).graftCheckpoint()
     // truth's five consumers (4 hit joins + the total) look like 5×
     // re-evaluation in the static plan, but the exchanges dedup at
     // runtime (ReusedExchange); an eager checkpoint of truth was MEASURED
@@ -1192,7 +1194,7 @@ WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
   private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = Corpus.embeddings(s, dir)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
-      .localCheckpoint()
+      .graftCheckpoint()
     kmeansAssignedSharded(s, e, kmShardVectors)
   }
 
@@ -1333,7 +1335,7 @@ WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
     kmeansAssignedK(s,
       Corpus.embeddings(s, dir)
         .select(col("vec_id"), vec(col("embedding")).as("v"))
-        .localCheckpoint(),
+        .graftCheckpoint(),
       k)
 
   /** The k-parameterized core: Lloyd's rounds over a checkpointed
@@ -1461,7 +1463,7 @@ WHERE list_sum(list_transform(range(1, 65), i -> ea.v[i] * eb.v[i]))
     // (vec_id, v, cluster, nrm) — corpus-linear, the minhashLshPairsImpl
     // bounded-blocks rationale; ContextCleaner reclaims them.
     val m = kmeansAssigned(s, dir).withColumn("nrm", norm(col("v")))
-      .localCheckpoint()
+      .graftCheckpoint()
     val a = m.select(col("cluster").as("ca"), col("vec_id").as("vec_a"),
       col("v").as("av"), col("nrm").as("an"))
     val b = m.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),

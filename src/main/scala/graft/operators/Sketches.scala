@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -173,7 +175,7 @@ object Sketches {
     // countDistinct expansion) disappears. checkpointed: two consumers,
     // one tiny frame (the minhashLshPairsImpl discipline).
     val du = Corpus.events(s, dir).select(col("event_type"), col("user_id"))
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
     val exact = du.groupBy(col("event_type"))
       .agg(count(col("user_id")).as("exact_users"))
     hllEstimate(hllRegisters(du))
@@ -883,7 +885,7 @@ object Sketches {
       s: SparkSession, stateDir: String, batch: DataFrame): Long = {
     recoverStateSwap(stateDir)
     val (mode, wm) = stateMeta(s, stateDir)
-    val fresh = batch.where(col("l_orderkey") > wm).localCheckpoint()
+    val fresh = batch.where(col("l_orderkey") > wm).graftCheckpoint()
     val n = fresh.count()
     if (n == 0L) {
       org.apache.spark.sql.graft.Bridge.releaseCheckpoint(fresh)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Materialize.MaterializeOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -746,7 +748,7 @@ object TextAnalysis {
     val rare = fps.withColumn("df", count(lit(1)).over(dfW))
       .where(col("df") <= wMaxDf)
       .select(col("doc_id"), col("fp"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val sizes = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
     val shared = rare.as("a").join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -862,10 +864,10 @@ object TextAnalysis {
       .select(explode(tokensCol(col("text"))).as("t"))
       .where(length(col("t")) >= 2 && col("t").rlike("^[a-z0-9]+$"))
       .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // eager: the corpus scan + aggregate run exactly once
+      .graftCheckpoint() // eager: the corpus scan + aggregate run exactly once
     var words = wordFreq
       .select(regexp_replace(col("t"), "(.)", "($1)").as("enc"), col("cnt"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -887,7 +889,7 @@ object TextAnalysis {
         val prev = words
         words = words
           .select(expr(s"replace(enc, '($l)($rr)', '($l$rr)')").as("enc"), col("cnt"))
-          .localCheckpoint()
+          .graftCheckpoint()
         bridge.releaseCheckpoint(prev)
         r += 1
       }

@@ -18,6 +18,24 @@ object Bridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Snapshot of the calling thread's Spark local properties (job group,
+    * job description, scheduler pool) — `private[spark]`, reachable from
+    * this package. [[graft.Overlap]] copies them onto its dedicated
+    * worker threads so jobs submitted there stay inside the caller's job
+    * group (a harness that cancels by group can cancel them — round-15
+    * advice, low). */
+  def cloneLocalProperties(
+      sc: org.apache.spark.SparkContext): java.util.Properties = {
+    val p = sc.getLocalProperties
+    if (p == null) new java.util.Properties
+    else p.clone().asInstanceOf[java.util.Properties]
+  }
+
+  /** Install a properties snapshot on THIS thread (worker-side half). */
+  def installLocalProperties(
+      sc: org.apache.spark.SparkContext, p: java.util.Properties): Unit =
+    sc.setLocalProperties(p)
+
   /** Frees the storage blocks behind a `localCheckpoint()`ed frame.
     * `Dataset.unpersist` only talks to the CacheManager, which knows
     * nothing about checkpoint RDDs — their blocks otherwise live until

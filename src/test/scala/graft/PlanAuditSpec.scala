@@ -599,6 +599,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dsir_logratio token frame buckets via graft_md5_byte0, no hex md5") {
+    // the committed after-plan cannot audit this (the bucket projection
+    // sits below a checkpoint — round-15 advice): pin the PRE-checkpoint
+    // frame directly, like the table_stats packed-digest audit
+    val plan = physicalPlan(graft.operators.Curation.dsirTokenFrame(spark, sf))
+    assert(plan.contains("graft_md5_byte0("),
+      s"DSIR bucket must derive from the digest byte:\n$plan")
+    // "graft_md5_byte0(" does not contain the substring "md5(" — a hit
+    // means the hex-rendering chain crept back
+    assert(!plan.contains("md5("),
+      s"hex-rendering md5 chain crept back into the token frame:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("mix_epochs is a single documents scan + tiny-window projection") {
     val plan = physicalPlan(graft.operators.Curation.mixEpochs(spark, sf))
     val scans = "FileScan parquet".r.findAllIn(plan).length

@@ -51,6 +51,17 @@ object GraftSession {
       // contract of this knob; the 100 TB posture (LookupCacheProcessor's
       // O(1)-append argument) needs the O(1), not the metric.
       .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+      // ObjectHashAggregate (graft_str_bounds — the ANALYZE family's
+      // hash-compatible string bounds) falls back to SORT-based
+      // aggregation past this many distinct groups per task. The default
+      // 128 is sized for heavyweight buffers (collect_list of whole
+      // groups); graft's object buffers hold two short strings, and the
+      // one grouped consumer's key space is PROVABLY bounded at any data
+      // size — (2^hllBits + 2) · n_cols ≈ 1.3K groups for the stats
+      // family — so 8192 keeps it hash-based everywhere it is used while
+      // still bounding per-task buffer memory. Scale-independent: the
+      // bound comes from the algorithm's register space, not the corpus.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
     val b1 = master.fold(b)(m => b.master(m))
     shufflePartitions.fold(b1)(n => b1.config("spark.sql.shuffle.partitions", n.toString))
   }

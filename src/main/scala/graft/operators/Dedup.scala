@@ -892,6 +892,15 @@ object Dedup {
         col("la.label") =!= col("lb.label"))
       .count()
 
+    // MEASURED NON-WIN (r16): disabling AQE inside this loop + dropping
+    // the entity family's single-consumer result checkpoints cut the
+    // family's driver-job count in HALF (JobCount: entity_incremental
+    // 56 → 30, entity_resolution 32 → 16 jobs) and did NOT move
+    // wall-clock (warm 4.44 → 4.40 / 2.13 → 2.58 s; subset bench pairs
+    // 11.87 vs 13.8–15.1 s, new tree worse) — the family's per-query
+    // floor is Catalyst planning + codegen + the contraction compute,
+    // not job scheduling, so job-count cuts here buy nothing locally
+    // and AQE-off leans negative. Kept as-was; don't re-try.
     val conf = s.conf
     val prevParts = conf.get("spark.sql.shuffle.partitions")
     try {

@@ -545,22 +545,35 @@ object Sketches {
     val rhoCol =
       if (useFast) fastRhoOfHash(col("h")) else col("h").bitwiseAND(lit(127))
     // typed bounds straight from the slots: lv→double is exact for the
-    // bigint key columns (≪ 2^53), and sv/cast(tv) are exactly the v
-    // strings of the string/timestamp columns
+    // bigint key columns (≪ 2^53). Bounds stay in the MUTABLE-buffer
+    // domain wherever one exists (r16, verdict Next #3): the timestamp
+    // column aggregates as typed min/max(tv) — long-backed buffer, hash-
+    // aggregable — and renders ONCE per column at the end (cast commutes
+    // with min/max because the canonical rendering is order-isomorphic to
+    // the instant: the same "ISO strings order like instants" argument
+    // the r15 fold already pinned, now used in the other direction).
+    // Genuine string columns go through graft_str_bounds, a typed-
+    // imperative min+max that executes via ObjectHashAggregateExec —
+    // hash-grouped, NO Sort. Net plan change: the former
+    // Sort+SortAggregate stack over the whole NDV-sized distinct frame
+    // (plans/r15/table_stats_after.txt ops 9–17) becomes
+    // ObjectHashAggregate, zero Sort nodes (PlanAuditSpec pins it).
+    // Results are bit-identical: graft_str_bounds orders by
+    // UTF8String.compare — the exact total order min/max(string) use.
     val numV = col("lv").cast("double")
-    val strV = coalesce(col("sv"), col("tv").cast("string"))
     val perVal = perDistinctValue(li)
     val perBucket = perVal
       .select(col("col_name"), col("v"), col("cnt"), hCol.as("h"),
-        numV.as("num_v"), strV.as("str_v"))
+        numV.as("num_v"), col("sv"), col("tv"))
       .select(col("col_name"), col("v"), col("cnt"),
         bucketCol.as("bucket"), rhoCol.as("rho"),
-        col("num_v"), col("str_v"))
+        col("num_v"), col("sv"), col("tv"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"), count(col("v")).as("nd"),
         max(col("rho")).as("max_rho"),
         min(col("num_v")).as("min_num"), max(col("num_v")).as("max_num"),
-        min(col("str_v")).as("min_str"), max(col("str_v")).as("max_str"))
+        min(col("tv")).as("min_tv"), max(col("tv")).as("max_tv"),
+        graft.functions.StrBounds.col(col("sv"), col("sv")).as("sb"))
     val s0 = sum(when(col("bucket").isNotNull, pow(lit(2.0), -col("max_rho"))))
     val nb = sum(when(col("bucket").isNotNull, 1L).otherwise(0L))
     perBucket.groupBy(col("col_name")).agg(
@@ -569,11 +582,19 @@ object Sketches {
       sum(col("nd")).as("ndv_exact"),
       s0.as("s0"), nb.as("nb"),
       min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
-      min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+      min(col("min_tv")).as("min_tv"), max(col("max_tv")).as("max_tv"),
+      // min-of-mins / max-of-maxes through the same typed aggregate
+      graft.functions.StrBounds.col(col("sb.mn"), col("sb.mx")).as("sb"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("ndv_exact"),
         round(hllEstExpr(col("s0"), col("nb")), 4).as("ndv_est"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        col("min_num"), col("max_num"),
+        // per column exactly one source is non-null: sv bounds for string
+        // columns, rendered tv bounds for the timestamp column, neither
+        // for numeric — the same (min_str, max_str) as the old
+        // min/max(coalesce(sv, cast(tv))) fold
+        coalesce(col("sb.mn"), col("min_tv").cast("string")).as("min_str"),
+        coalesce(col("sb.mx"), col("max_tv").cast("string")).as("max_str"))
   }
 
   /** (col_name, v, cnt) per DISTINCT value, plus the typed slots the

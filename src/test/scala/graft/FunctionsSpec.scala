@@ -178,6 +178,48 @@ class FunctionsSpec extends AnyFunSuite {
       "null value must stay null through the bytes forms")
   }
 
+  test("graft_str_bounds == declarative min/max(string), grouped, null-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial strings: empties, NULs, unicode above/below ASCII,
+    // prefix pairs, per-group all-NULL — every ordering edge the
+    // UTF8String binary compare must reproduce
+    val rnd = new scala.util.Random(16)
+    val pool = Seq("", " ", " a", "a", "ab", "abc", "ab ",
+      "Ω", "ω", "zz", "ßeta", "日本", "0", "00", " leading", "trailing ")
+    val rows = (0 until 5000).map { i =>
+      val g = i % 37
+      val v =
+        if (g % 5 == 4) None // group 4 mod 5: all NULL
+        else if (rnd.nextInt(10) == 0) None
+        else Some(pool(rnd.nextInt(pool.size)) + rnd.nextInt(1000).toString)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.StrBounds.col(col("v"), col("v")).as("sb"))
+      .select(col("g"), col("sb.mn").as("mn"), col("sb.mx").as("mx"))
+    val want = df.groupBy(col("g"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(got.join(want, Seq("g"))
+      .where(!(got("mn") <=> want("mn")) || !(got("mx") <=> want("mx")))
+      .count() === 0L, "graft_str_bounds diverged from min/max(string)")
+    // the two-level merge shape (min-of-mins through the same aggregate)
+    val twoLevel = df.withColumn("b", col("g") % 3)
+      .groupBy(col("g"), col("b"))
+      .agg(graft.functions.StrBounds.col(col("v"), col("v")).as("sb"))
+      .groupBy(col("g"))
+      .agg(graft.functions.StrBounds.col(col("sb.mn"), col("sb.mx")).as("sb"))
+      .select(col("g"), col("sb.mn").as("mn"), col("sb.mx").as("mx"))
+    assert(twoLevel.join(want, Seq("g"))
+      .where(!(twoLevel("mn") <=> want("mn")) || !(twoLevel("mx") <=> want("mx")))
+      .count() === 0L, "two-level graft_str_bounds merge diverged")
+    // it must execute hash-based, not sort-based
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"graft_str_bounds must run via ObjectHashAggregateExec:\n$plan")
+  }
+
   test("aggregators are usable from AdEvent streams via fromAdEvent") {
     import spark.implicits._
     val es = Seq(

@@ -596,6 +596,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the digest IS the packed-bytes form somewhere above it
     assert(plan.contains("graft_hll_pack("),
       s"md5-mode registers must derive through the packed bytes form:\n$plan")
+    // r16 (verdict Next #3): the string bounds run through the typed-
+    // imperative graft_str_bounds (ObjectHashAggregate) and the timestamp
+    // bounds through typed min/max — NOTHING in this plan may sort, and
+    // no SortAggregate may appear (the r15 plan sorted the whole
+    // NDV-sized distinct frame twice for the string min/max buffers)
+    assert(!plan.contains("SortAggregate"),
+      s"string bounds fell back to sort-based aggregation:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected graft_str_bounds to plan as ObjectHashAggregate:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 

@@ -87,13 +87,23 @@ object Graph {
     // holding edge-pair storage until the ContextCleaner notices — the
     // lingering blocks measurably tax the queries that run next
     org.apache.spark.sql.graft.Bridge.releaseCheckpoint(e0)
-    // the initial scores come from the CHECKPOINTED adjacency — not
-    // from `deg`, whose lineage would re-run the whole base join
-    var pr = adj.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(prScale).as("score"))
-    for (_ <- 1 to prRounds) {
-      pr = adj.join(pr, col("src") === col("node"))
-        .select(col("dst"), expr("score div deg").as("contrib"))
+    // Round 1 is an IDENTITY join and is folded away (r16): the initial
+    // score table is exactly distinct(src of adj) at the constant
+    // prScale, so joining adj to it matches every adjacency row exactly
+    // once with score = prScale — round 1 therefore reduces to the
+    // projection contrib = prScale div deg over adj alone, removing the
+    // pr0 distinct subtree (an exchange + two aggregates over the edge
+    // set) AND the first of the three per-round joins, bit-identically
+    // (same rows, same integer arithmetic; oracle keeps its explicit pr0
+    // CTE and stays hash-exact). Rounds 2+ join the previous round's
+    // node-sized score frame as before.
+    var pr: DataFrame = null
+    for (round <- 1 to prRounds) {
+      val contribs =
+        if (round == 1) adj.select(col("dst"), expr(s"$prScale div deg").as("contrib"))
+        else adj.join(pr, col("src") === col("node"))
+          .select(col("dst"), expr("score div deg").as("contrib"))
+      pr = contribs
         .groupBy(col("dst"))
         .agg(expr(s"${15L * prScale / 100} + ($prDampNum * sum(contrib)) div 100")
           .as("score"))

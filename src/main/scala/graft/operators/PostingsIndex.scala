@@ -903,18 +903,26 @@ object PostingsIndex {
     * longer derive df from itself — that is `bm25ScoreWith`'s seam). */
   private def scoreSbs(
       s: SparkSession, indexDir: String, terms: Seq[String],
-      sbs: Seq[Int], k: Int): DataFrame = {
-    val dfT = s.read.parquet(s"$indexDir/termstats")
-      .where(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
-      .select(col("term").as("token"), col("df"))
+      sbs: Seq[Int], k: Int,
+      dfT: Option[DataFrame] = None,
+      stats: Option[DataFrame] = None): DataFrame = {
+    // dfT/stats may arrive as LOCAL relations from a caller that already
+    // holds them ([[wandSelect]] collects both in its one probe
+    // round-trip) — the scoring job then never re-scans termstats or
+    // blockstats (r16: two scans + a groupBy + two broadcasts off every
+    // WAND scoring job)
+    val dfTF = dfT.getOrElse(
+      s.read.parquet(s"$indexDir/termstats")
+        .where(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
+        .select(col("term").as("token"), col("df")))
     val tf = s.read.parquet(s"$indexDir/postings")
       .where(col("sb").isin(sbs.map(Integer.valueOf): _*) &&
         col("term").isin(terms: _*))
       .select(col("term").as("token"), explode(col("plist")).as("e"))
       .select(col("e.doc_id").as("doc_id"), col("e.dl").as("dl"),
         col("token"), col("e.tf").as("tf"))
-    Retrieval.bm25ScoreWith(tf, globalStats(s, indexDir), dfT, k)
+    Retrieval.bm25ScoreWith(tf, stats.getOrElse(globalStats(s, indexDir)), dfTF, k)
   }
 
   /** WAND superblock selection: which partitions can possibly hold a
@@ -939,21 +947,57 @@ object PostingsIndex {
     * (superblock-count-bounded, the touched-cells discipline). */
   private[graft] def wandSelect(
       s: SparkSession, indexDir: String, terms: Seq[String],
-      k: Int): (Seq[Int], Seq[Int]) = {
-    val ts = s.read.parquet(s"$indexDir/termstats")
+      k: Int): (Seq[Int], Seq[Int], DataFrame, DataFrame) = {
+    import s.implicits._
+    // ONE bounded probe round-trip (r16, verdict Next #1): the old shape
+    // ran a tiny checkpoint + a three-broadcast grouped collect — ~0.7 s
+    // of fixed cost on ≤ |terms|·superblocks rows (WandPhaseProbe). The
+    // term-pruned termstats rows and the 1-row global stats now arrive in
+    // one union'd collect (the stats row rides with term = NULL), and the
+    // old DAG's arithmetic happens either on the driver over exact
+    // BIGINTs (df sums, per-sb UBq sums, min-docs maxes — order-free
+    // integer folds, bit-equal to the SQL aggregates they replace) or
+    // through the SAME shared Catalyst tree evaluated over a local
+    // relation (ubq = qScoreCol: the WAND soundness argument rides the
+    // expression tree, which is unchanged — only its input relation
+    // moved). Also returned: the df/stats LOCAL relations, so neither
+    // the bootstrap nor the final scoring job re-scans the stats tables.
+    val rows = s.read.parquet(s"$indexDir/termstats")
       .where(col("term").isin(terms: _*))
-      .graftCheckpoint() // tiny; bounds + df derive from one read
-    val dfT = ts.groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
-    val perSb = ts
-      .join(broadcast(dfT), Seq("term"))
-      .crossJoin(broadcast(globalStats(s, indexDir)))
-      .select(col("sb"), col("df_sb"),
-        Retrieval.qScoreCol(col("max_tf"), col("min_dl")).as("ubq"))
-      .groupBy(col("sb"))
-      .agg(sum(col("ubq")).as("ub"), max(col("df_sb")).as("min_docs"))
+      .select(col("term"), col("sb").cast("int").as("sb"),
+        col("max_tf").cast("long").as("max_tf"),
+        col("min_dl").cast("long").as("min_dl"),
+        col("df_sb").cast("long").as("df_sb"))
+      .unionByName(globalStats(s, indexDir)
+        .select(lit(null).cast("string").as("term"), lit(-1).as("sb"),
+          coalesce(col("n_docs"), lit(0L)).as("max_tf"),
+          coalesce(col("total_len"), lit(0L)).as("min_dl"),
+          lit(0L).as("df_sb")))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    org.apache.spark.sql.graft.Bridge.releaseCheckpoint(ts)
+    val (statsRows, tRows) = rows.partition(_.isNullAt(0))
+    val nDocs = statsRows.head.getLong(2)
+    val totalLen = statsRows.head.getLong(3)
+    // exact global df per term: a driver-side BIGINT sum of df_sb
+    val dfByTerm = tRows.groupMapReduce(_.getString(0))(_.getLong(4))(_ + _)
+    // per-(term, sb) quantized upper bound via the SHARED expression tree
+    // over a local relation — no exchange, no broadcast
+    val ubqRows =
+      if (tRows.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else tRows.toSeq
+        .map(r => (r.getInt(1), r.getLong(4), r.getLong(2), r.getLong(3),
+          dfByTerm(r.getString(0)), nDocs, totalLen))
+        .toDF("sb", "df_sb", "max_tf", "min_dl", "df", "n_docs", "total_len")
+        .select(col("sb"), col("df_sb"),
+          Retrieval.qScoreCol(col("max_tf"), col("min_dl")).as("ubq"))
+        .collect()
+    val perSb = ubqRows
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (sb, rs) =>
+        (sb, rs.map(_.getLong(2)).sum, rs.map(_.getLong(1)).max)
+      }
+      .toArray
+    val dfT = dfByTerm.toSeq.toDF("token", "df")
+    val statsF = Seq((nDocs, totalLen)).toDF("n_docs", "total_len")
     val byBound = perSb.sortBy(r => (-r._2, r._1))
     // bootstrap: the best-bounded prefix guaranteed to hold ≥ k docs
     val cum = byBound.scanLeft(0L)(_ + _._3).tail
@@ -965,7 +1009,8 @@ object PostingsIndex {
     val theta: Option[Long] =
       if (boot.isEmpty) None
       else {
-        val scores = scoreSbs(s, indexDir, terms, boot, k).collect()
+        val scores =
+          scoreSbs(s, indexDir, terms, boot, k, Some(dfT), Some(statsF)).collect()
         if (scores.length < k) None
         else Some(scores.map(r => math.rint(r.getDouble(1) * 10000.0).toLong).min)
       }
@@ -973,7 +1018,7 @@ object PostingsIndex {
       case None    => byBound.map(_._1).toSeq
       case Some(t) => (boot ++ byBound.drop(nBoot).filter(_._2 >= t).map(_._1)).toSeq
     }
-    (selected.sorted, perSb.map(_._1).sorted.toSeq)
+    (selected.sorted, perSb.map(_._1).sorted.toSeq, dfT, statsF)
   }
 
   /** Block-max WAND top-`k`: prune superblock partitions whose quantized
@@ -988,9 +1033,8 @@ object PostingsIndex {
   def queryWand(
       s: SparkSession, indexDir: String,
       terms: Seq[String] = Retrieval.queryTerms, k: Int = 10): DataFrame = {
-    val (selected, _) = wandSelect(s, indexDir, terms, k)
-    if (selected.isEmpty) scoreSbs(s, indexDir, terms, Seq.empty, k)
-    else scoreSbs(s, indexDir, terms, selected, k)
+    val (selected, _, dfT, statsF) = wandSelect(s, indexDir, terms, k)
+    scoreSbs(s, indexDir, terms, selected, k, Some(dfT), Some(statsF))
   }
 
   /** Oracle-gated WAND entry (`bm25_wand`): the same lifecycle index as

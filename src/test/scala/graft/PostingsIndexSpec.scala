@@ -199,7 +199,7 @@ class PostingsIndexSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
     PostingsIndex.buildFrom(spark, docs, idx, superBits = 2)
 
-    val (selected, all) = PostingsIndex.wandSelect(spark, idx, Seq("hot"), 10)
+    val (selected, all, _, _) = PostingsIndex.wandSelect(spark, idx, Seq("hot"), 10)
     assert(all === Seq(0, 1, 2), s"scenario must span 3 superblocks, got $all")
     assert(selected === Seq(0),
       s"only the impact-bearing superblock may survive selection, got $selected")

@@ -1098,18 +1098,30 @@ object PostingsIndex {
     // returns ≤ profile-terms × superblocks rows (both query-bounded —
     // hundreds), so a groupBy here bought exactness nothing and cost a
     // full shuffle round-trip on the serving path (measured ~0.4 s of
-    // hybrid_rrf_indexed's latency at sf0.1)
-    val dfByTerm = termstats.where(col("term").isin(allTerms: _*))
-      .select(col("term"), col("df_sb"))
-      .collect().groupMapReduce(_.getString(0))(_.getLong(1))(_ + _)
+    // hybrid_rrf_indexed's latency at sf0.1). The 1-row global stats ride
+    // the SAME collect (term = NULL row — the wandSelect union trick,
+    // r16), so the scoring DAG no longer scans + aggregates + broadcasts
+    // blockstats per execution; the sums are the identical BIGINTs,
+    // collected once and handed down as a local relation.
+    val rows = termstats.where(col("term").isin(allTerms: _*))
+      .select(col("term"), col("df_sb").cast("long").as("df_sb"),
+        lit(0L).as("tl"))
+      .unionByName(s.read.parquet(s"$indexDir/blockstats")
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("df_sb"),
+          coalesce(sum(col("total_len")), lit(0L)).as("tl"))
+        .select(lit(null).cast("string").as("term"), col("df_sb"), col("tl")))
+      .collect()
+    val (statsRows, tRows) = rows.partition(_.isNullAt(0))
+    val dfByTerm = tRows.groupMapReduce(_.getString(0))(_.getLong(1))(_ + _)
+    val globals = Seq((statsRows.head.getLong(1), statsRows.head.getLong(2)))
+      .toDF("n_docs", "total_len")
     val selected = mltSelect(profRows, dfByTerm, maxTerms)
     val prof = selected.toDF("query_id", "term")
     // the selected terms' df is already on the driver — hand it down as
     // a local relation so the scoring DAG never re-scans termstats
     val dfT = selected.map(_._2).distinct
       .map(t => (t, dfByTerm(t))).toDF("term", "df")
-    bm25BatchOn(s.read.parquet(s"$indexDir/postings"), dfT,
-      s.read.parquet(s"$indexDir/blockstats"),
+    bm25BatchOn(s.read.parquet(s"$indexDir/postings"), dfT, globals,
       prof, selected.map(_._2).distinct, k, excludeSelf = true)
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("r"))
   }
@@ -1166,7 +1178,9 @@ object PostingsIndex {
     val dfT = termstats
       .where(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df_sb")).as("df"))
-    (bm25BatchOn(postings, dfT, blockstats, prof, terms, k, excludeSelf), prof)
+    val globals = blockstats.agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+    (bm25BatchOn(postings, dfT, globals, prof, terms, k, excludeSelf), prof)
   }
 
   /** [[bm25Batch]] with the profile's term union AND the per-term df
@@ -1177,7 +1191,7 @@ object PostingsIndex {
     * must be cheap to re-evaluate (local relations or
     * already-materialized frames). */
   private def bm25BatchOn(
-      postings: DataFrame, dfT: DataFrame, blockstats: DataFrame,
+      postings: DataFrame, dfT: DataFrame, globals: DataFrame,
       prof: DataFrame, terms: Seq[String], k: Int,
       excludeSelf: Boolean): DataFrame = {
     val tf = postings
@@ -1188,11 +1202,11 @@ object PostingsIndex {
     // prof's checkpoint blocks stay pinned because the returned plan
     // still reads them — one-shot batch callers leave the release to the
     // context cleaner (a handful of (query_id, term) rows); serving
-    // loops release per trigger via [[bm25BatchPinned]]
-    bm25ProfileRank(tf,
-      blockstats.agg(
-        sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len")),
-      dfT, prof, k, excludeSelf)
+    // loops release per trigger via [[bm25BatchPinned]].
+    // `globals` is the caller's 1-row (n_docs, total_len) frame — a local
+    // relation when the caller already collected it (bm25MoreLikeThis),
+    // the pinned blockstats aggregate on the serving path.
+    bm25ProfileRank(tf, globals, dfT, prof, k, excludeSelf)
   }
 
   /** THE per-query profile-scoring epilogue over an already-pruned
